@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, TESTDATA.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is forced to full materialization with a cheap count-style
+action (``df.write.format("noop")``) so timings measure execution, not
+planning. A warmup pass on sf0.001 primes the JVM/codegen so the
+numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from efficient_llm_data_wrangling_spark.registry import REGISTRY, _ensure_loaded
+from efficient_llm_data_wrangling_spark.session import get_spark
+
+#: Headline set: the flagship pipeline + scan-heavy aggregate + join,
+#: window, comparator — extended as operator families land.
+HEADLINE = [
+    "pair_join_text",
+    "pricing_summary",
+    "comparator_tolerance",
+    "window_top_order_per_customer",
+    "filter_project_lineitem",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "text_quality_documents",
+    "knn_brute_force",
+]
+
+
+def run_one(spark, spec, sf_dir: str) -> float:
+    t0 = time.time()
+    df = spec.builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    _ensure_loaded()
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # Warmup at the smallest SF: JIT, codegen, Arrow init.
+    for name in names:
+        try:
+            REGISTRY[name].builder(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_one(spark, REGISTRY[name], sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

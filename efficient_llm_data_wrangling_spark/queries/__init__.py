@@ -1,0 +1,7 @@
+"""Named queries — one per implemented operator (driver contract).
+
+Importing this package registers every query into
+:mod:`efficient_llm_data_wrangling_spark.registry`.
+"""
+
+import efficient_llm_data_wrangling_spark.queries.relational  # noqa: F401

@@ -1,0 +1,523 @@
+"""Relational wrangling core queries (SURVEY.md §2.1–2.6).
+
+Each query exercises one (or a tight cluster of) reference operators on
+the driver's synthetic tables, with a DuckDB oracle that restates the
+semantics independently. See registry.py for the Spark↔DuckDB hash
+conventions (decimal-exact aggregates, identical aliases, NTZ
+timestamps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.operators import metrics as M
+from efficient_llm_data_wrangling_spark.operators.serialize import serialize_keyed, serialize_values
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+
+def _dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+# --------------------------------------------------------------------------
+# Flagship: entity-pair construction (J1 + J2 + P2 + P7)
+# --------------------------------------------------------------------------
+
+_PAIR_ORACLE = """
+SELECT
+  o_orderkey,
+  concat(
+    'o_orderstatus: ', coalesce(trim(CAST(o_orderstatus AS VARCHAR)), 'nan'),
+    ' ^ o_totalprice: ', coalesce(trim(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)), 'nan'),
+    ' ^ o_orderpriority: ', coalesce(trim(CAST(o_orderpriority AS VARCHAR)), 'nan'),
+    ' ^ c_name: ', coalesce(trim(CAST(c_name AS VARCHAR)), 'nan'),
+    ' ^ c_mktsegment: ', coalesce(trim(CAST(c_mktsegment AS VARCHAR)), 'nan'),
+    ' ^ n_name: ', coalesce(trim(CAST(n_name AS VARCHAR)), 'nan')
+  ) AS text,
+  CASE WHEN o_orderstatus = 'F' THEN 'Yes' ELSE 'No' END AS label_str
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@query("pair_join_text", oracle=_PAIR_ORACLE, tags=("flagship", "join", "serialize"))
+def pair_join_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's densest relational pipeline — blocked-pairs
+    construction (fast_ai_wrangler/utils/data_utils.py:104-125): two
+    equi-joins onto dimension tables, keyed row serialization (P2,
+    data_utils.py:63-79), derived Yes/No label (P7, :122).
+
+    Scale: customer and nation are dimensions → broadcast joins; the
+    orders fact table streams through with zero shuffles.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    text = serialize_keyed(
+        [
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_totalprice", _dec("o_totalprice")),
+            ("o_orderpriority", F.col("o_orderpriority")),
+            ("c_name", F.col("c_name")),
+            ("c_mktsegment", F.col("c_mktsegment")),
+            ("n_name", F.col("n_name")),
+        ]
+    )
+    label = F.when(F.col("o_orderstatus") == "F", "Yes").otherwise("No")
+    return joined.select(
+        F.col("o_orderkey"), text.alias("text"), label.alias("label_str")
+    )
+
+
+# --------------------------------------------------------------------------
+# Serialization (P2 / P3)
+# --------------------------------------------------------------------------
+
+_SER_KEYED_ORACLE = """
+SELECT
+  p_partkey,
+  concat(
+    'p_name: ', coalesce(trim(CAST(p_name AS VARCHAR)), 'nan'),
+    ' ^ p_brand: ', coalesce(trim(CAST(p_brand AS VARCHAR)), 'nan'),
+    ' ^ p_type: ', coalesce(trim(CAST(p_type AS VARCHAR)), 'nan'),
+    ' ^ p_size: ', coalesce(trim(CAST(p_size AS VARCHAR)), 'nan'),
+    ' ^ p_retailprice: ', coalesce(trim(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)), 'nan')
+  ) AS text
+FROM part
+"""
+
+
+@query("serialize_keyed_part", oracle=_SER_KEYED_ORACLE, tags=("serialize",))
+def serialize_keyed_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — ``"col: val ^ col: val"`` row serialization
+    (data_utils.py:63-79) as a pure column expression (no UDF)."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    text = serialize_keyed(
+        [
+            ("p_name", F.col("p_name")),
+            ("p_brand", F.col("p_brand")),
+            ("p_type", F.col("p_type")),
+            ("p_size", F.col("p_size")),
+            ("p_retailprice", _dec("p_retailprice")),
+        ]
+    )
+    return part.select("p_partkey", text.alias("text"))
+
+
+_SER_VALUES_ORACLE = """
+SELECT
+  c_custkey,
+  concat_ws('^',
+    coalesce(trim(CAST(c_name AS VARCHAR)), 'nan'),
+    coalesce(trim(CAST(c_nationkey AS VARCHAR)), 'nan'),
+    coalesce(trim(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)), 'nan'),
+    coalesce(trim(CAST(c_mktsegment AS VARCHAR)), 'nan')
+  ) AS text
+FROM customer
+"""
+
+
+@query("serialize_values_customer", oracle=_SER_VALUES_ORACLE, tags=("serialize",))
+def serialize_values_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — values-only ``^``-joined serialization (data_utils.py:82-95)."""
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    text = serialize_values(
+        [F.col("c_name"), F.col("c_nationkey"), _dec("c_acctbal"), F.col("c_mktsegment")]
+    )
+    return customer.select("c_custkey", text.alias("text"))
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / derived label (P1, P7, P8)
+# --------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_quantity > 30 AND l_returnflag <> 'N' AND l_shipdate >= TIMESTAMP '1997-06-01'
+"""
+
+
+@query("filter_project_lineitem", oracle=_FILTER_ORACLE, tags=("filter",))
+def filter_project_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + P8 — projection and conjunctive predicates; both the filter
+    and the 4-column ReadSchema push into the parquet scan
+    (verify with .explain: PushedFilters)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 30)
+            & (F.col("l_returnflag") != "N")
+            & (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+_LABEL_ORACLE = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_orderstatus = 'F' THEN 'Yes' ELSE 'No' END AS label_str,
+  CASE WHEN o_totalprice > 200000 THEN 'yes' ELSE 'no' END AS flag_lower
+FROM orders
+"""
+
+
+@query("derived_label_orders", oracle=_LABEL_ORACLE, tags=("project",))
+def derived_label_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — derived Yes/No label columns (data_utils.py:122,167)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "Yes").otherwise("No").alias("label_str"),
+        F.when(F.col("o_totalprice") > 200000, "yes").otherwise("no").alias("flag_lower"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1 / A2 / A5)
+# --------------------------------------------------------------------------
+
+_COUNTS_ORACLE = """
+SELECT l_returnflag AS label, CAST(count(*) AS BIGINT) AS count
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("label_counts", oracle=_COUNTS_ORACLE, tags=("agg",))
+def label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-class counts (data_utils.py:339). Map-side partial
+    aggregation: the shuffle carries one row per class per partition."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return M.label_counts(li.withColumnRenamed("l_returnflag", "label"), "label")
+
+
+_MIN_CLASS_ORACLE = """
+SELECT CAST(min(cnt) AS BIGINT) AS min_count
+FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_returnflag)
+"""
+
+
+@query("min_class_count", oracle=_MIN_CLASS_ORACLE, tags=("agg",))
+def min_class_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — smallest class size (data_utils.py:340)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return M.min_class_count(li, "l_returnflag")
+
+
+_TRIAL_STATS_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS mean_qty,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("group_mean_qty", oracle=_TRIAL_STATS_ORACLE, tags=("agg",))
+def group_mean_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — mean per group, decimal-exact then cast to double so the
+    value is identical across engines regardless of summation order."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("mean_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Comparator + confusion metrics (A3 / A4, F7–F9)
+# --------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = """
+WITH scored AS (
+  SELECT
+    CASE WHEN o_orderstatus = 'F' THEN 'yes' ELSE 'no' END AS gold,
+    CASE WHEN o_totalprice > 150000 THEN 'yes' ELSE 'no' END AS pred
+  FROM orders
+), m AS (
+  SELECT
+    CAST(sum(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN gold = 'no'  AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(sum(CASE WHEN gold = 'no'  AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS crc,
+    CAST(count(*) AS BIGINT) AS total
+  FROM scored
+)
+SELECT
+  tp, tn, fp, fn, crc, total,
+  CAST(tp AS DOUBLE) / greatest(1, tp + fp) AS prec,
+  CAST(tp AS DOUBLE) / greatest(1, tp + fn) AS rec,
+  CAST(crc AS DOUBLE) / total AS acc,
+  2 * (CAST(tp AS DOUBLE) / greatest(1, tp + fp)) * (CAST(tp AS DOUBLE) / greatest(1, tp + fn))
+    / greatest(CAST(1.0 AS DOUBLE), CAST(tp AS DOUBLE) / greatest(1, tp + fp) + CAST(tp AS DOUBLE) / greatest(1, tp + fn)) AS f1
+FROM m
+"""
+
+
+@query("confusion_metrics", oracle=_CONFUSION_ORACLE, tags=("metrics",))
+def confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — tp/tn/fp/fn/crc/total → prec/rec/acc/f1 with the
+    reference's exact ``max(1, ·)`` guards (utils.py:83-128), on a
+    rule-derived pred/gold pair so the oracle restates the semantics
+    independently of the comparator implementation."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.when(F.col("o_orderstatus") == "F", "yes").otherwise("no").alias("gold"),
+        F.when(F.col("o_totalprice") > 150000, "yes").otherwise("no").alias("pred"),
+    )
+    out = M.confusion_metrics(scored, pred_col="pred", gold_col="gold")
+    return out.select(
+        "tp", "tn", "fp", "fn", "crc", "total",
+        F.col("prec").cast("double").alias("prec"),
+        F.col("rec").cast("double").alias("rec"),
+        F.col("acc").cast("double").alias("acc"),
+        F.col("f1").cast("double").alias("f1"),
+    )
+
+
+_TOLERANCE_ORACLE = """
+-- Expected matches restated independently: pred shifts l_discount by
+-- +0.03 on orderkey%3=0 rows (outside tolerance 0.021), +0.01 otherwise
+-- (inside). Rows with linenumber=1 compare '1/4' vs '1.01 4.02': the
+-- reference regex's fraction branch is dead code (group capture makes
+-- the digit alternative always win), so '1/4' extracts [1, 4] which
+-- matches [1.01, 4.02] element-wise within 0.021.
+SELECT
+  CAST(sum(CASE WHEN l_linenumber = 1 OR l_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+  CAST(count(*) AS BIGINT) AS total
+FROM lineitem
+"""
+
+
+@query("comparator_tolerance", oracle=_TOLERANCE_ORACLE, tags=("metrics", "comparator"))
+def comparator_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 — the numeric-tolerance comparator (|a−b| ≤ 0.021 on
+    extracted magnitudes, utils.py:20-80) validated against ground
+    truth the oracle computes from first principles, including the
+    dead-fraction-branch quirk (see operators/metrics.py)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    shift = F.when(F.col("l_orderkey") % 3 == 0, 0.03).otherwise(0.01)
+    pred = F.when(F.col("l_linenumber") == 1, F.lit("1/4")).otherwise(
+        F.format_number(_dec("l_discount") + _dec(shift), 2)
+    )
+    gold = F.when(F.col("l_linenumber") == 1, F.lit("1.01 4.02")).otherwise(
+        F.format_number(_dec("l_discount"), 2)
+    )
+    scored = li.select(M.answers_match(pred, gold).alias("crc"))
+    return scored.agg(
+        F.sum(F.when(F.col("crc"), 1).otherwise(0)).alias("matched"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-flavoured analytics (bench headliners)
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "bench"))
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the canonical scan-heavy
+    aggregate (beyond the reference's A-ops, SURVEY §2.10). Decimal
+    aggregation keeps results order-independent; partial aggregation
+    means the shuffle is O(groups), not O(rows)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price, disc, tax = (_dec("l_quantity"), _dec("l_extendedprice"), _dec("l_discount"), _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("top_orders", oracle=_TOPK_ORACLE, tags=("sort", "limit"))
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 — top-k by score with a total tiebreak (run_wrangler.py:
+    210-213 best-of selection, generalized). Spark plans this as
+    TakeOrderedAndProject — no full sort at scale."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_MULTISORT_ORACLE = """
+-- events.ts is TIMESTAMP_NS in parquet; Spark reads at microsecond
+-- precision, so truncate to microseconds here too.
+SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+  CAST(row_number() OVER (ORDER BY event_type, CAST(ts AS TIMESTAMP), event_id) AS BIGINT) AS rn
+FROM events
+WHERE value > 90
+"""
+
+
+@query("multi_key_rank_events", oracle=_MULTISORT_ORACLE, tags=("sort", "window"))
+def multi_key_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — multi-key lexicographic alignment (data_utils.py:226-246)
+    carried as an explicit rank column instead of list position
+    (SURVEY §7 risk 5)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 90)
+    w = Window.orderBy("event_type", "ts", "event_id")
+    return ev.select(
+        "event_id", "event_type", "ts", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops + semi/anti joins (U1 and SURVEY §2.10 gap list)
+# --------------------------------------------------------------------------
+
+_UNION_ORACLE = """
+SELECT c_custkey, c_name, 'big_balance' AS src FROM customer WHERE c_acctbal > 5000
+UNION ALL
+SELECT c_custkey, c_name, 'automobile' AS src FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+@query("union_all_topup", oracle=_UNION_ORACLE, tags=("setop",))
+def union_all_topup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — union-all concat (data_utils.py:59 ``pd.concat``) via
+    ``unionByName``."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", F.lit("big_balance").alias("src")
+    )
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey", "c_name", F.lit("automobile").alias("src")
+    )
+    return a.unionByName(b)
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+@query("semi_join_customers", oracle=_SEMI_ORACLE, tags=("join",))
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join (SURVEY §2.10 gap list — needed by dedup flows):
+    customers having at least one big order."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("anti_join_customers", oracle=_ANTI_ORACLE, tags=("join",))
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti join — customers with no orders."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Window + JSON (SURVEY §2.10 gap list, driver north star)
+# --------------------------------------------------------------------------
+
+_WINDOW_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@query("window_top_order_per_customer", oracle=_WINDOW_ORACLE, tags=("window",))
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number top-1 per key — the scalable form of the
+    reference's per-group argmax selections (run_wrangler.py:210-213)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_type = 'click'
+"""
+
+
+@query("json_extract_events", oracle=_JSON_ORACLE, tags=("json",))
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props payload column
+    (driver north star; SURVEY §7 Phase 4)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )

@@ -1,0 +1,80 @@
+"""SparkSession construction and tuning.
+
+Scale posture: these defaults are written for a real multi-executor
+cluster (AQE on, broadcast threshold sized for dimension tables, shuffle
+partitions sized to cores) and degrade gracefully on ``local[N]`` for
+tests. Runtime-settable confs are also applied defensively to sessions
+we did not create (the correctness driver hands us its own session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that must be set before the session starts.
+STARTUP_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.ui.enabled": "false",
+}
+
+#: Confs that can be flipped on a live session (spark.conf.set).
+RUNTIME_CONFS: dict[str, str] = {
+    # One shuffle partition per core locally; on a 1000-executor cluster
+    # AQE coalescing makes a high initial value safe, so scale with
+    # parallelism rather than hard-coding 200.
+    "spark.sql.shuffle.partitions": "32",
+    # Dimension tables (region/nation/customer/supplier/part at test SF)
+    # must broadcast; 64 MiB covers every dim at sf<=1 while fact tables
+    # (lineitem/orders at 100 TB) still sort-merge.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batches for pandas UDFs: large enough to amortize transfer,
+    # small enough to bound worker memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # The events table stores TIMESTAMP(NANOS) parquet, which Spark
+    # rejects by default; read as raw nanos and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (best-effort).
+
+    The correctness/bench driver builds its own ``SparkSession``; every
+    public query entry point calls :func:`tune` so plans see the same
+    optimizer posture regardless of who built the session.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # immutable in this session — keep going
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "efficient-llm-data-wrangling-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    32) so the same entry point works under the bench driver and tests.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for key, value in {**STARTUP_CONFS, **RUNTIME_CONFS, **(extra_conf or {})}.items():
+        builder = builder.config(key, value)
+    return tune(builder.getOrCreate())

@@ -1,0 +1,197 @@
+"""File readers with the semantics of the reference's ingest layer
+(SURVEY.md §2.1 S1–S7), re-expressed as declarative Spark scans.
+
+Reference behaviors reproduced (citations into /root/reference/):
+
+* S1  ``read_blocked_pairs_simple`` — pairs CSV joined to two entity
+  tables with ``_A``/``_B`` suffixing (fast_ai_wrangler/utils/
+  data_utils.py:104-125).
+* S3  ``read_imputation_single_simple`` — CSV + derived text/label
+  columns (data_utils.py:128-142).
+* S4  directory-of-CSVs scan, one logical table per file, the column
+  name carried in the filename (data_utils.py:146-176) — here a single
+  scan with ``input_file_name()`` instead of a Python loop.
+* S5  TSV with ``//`` instruction header and ``\\t\\t`` separators
+  (data_utils.py:180-224).
+* S6  instruction.txt read (data_utils.py:389-412).
+
+All readers return lazy DataFrames; nothing is collected. Explicit
+schemas are passed where the convention is fixed so Catalyst never pays
+an inference pass on the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from efficient_llm_data_wrangling_spark.operators.serialize import serialize_keyed
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("ltable_id", T.LongType()),
+        T.StructField("rtable_id", T.LongType()),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _suffix_all(df: DataFrame, suffix: str, key: str = "id") -> DataFrame:
+    """Rename every column ``c`` → ``c<suffix>`` (reference join suffixing,
+    data_utils.py:108-114)."""
+    return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
+
+
+def read_blocked_pairs(
+    spark: SparkSession,
+    pairs_path: str,
+    table_a: DataFrame,
+    table_b: DataFrame,
+    sep_tok: str = "^",
+    nan_tok: str = "nan",
+    key: str = "id",
+) -> DataFrame:
+    """Entity-matching pairs: labels ⋈ A ⋈ B → (text, label_str).
+
+    Both entity tables are dimension-sized in the blocked-pairs design,
+    so we broadcast them; the pairs table (the big side at scale)
+    streams through without a shuffle.
+    """
+    pairs = spark.read.option("header", True).schema(PAIRS_SCHEMA).csv(pairs_path)
+    return build_pair_text(pairs, table_a, table_b, sep_tok=sep_tok, nan_tok=nan_tok, key=key)
+
+
+def build_pair_text(
+    pairs: DataFrame,
+    table_a: DataFrame,
+    table_b: DataFrame,
+    sep_tok: str = "^",
+    nan_tok: str = "nan",
+    key: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """The relational core of S1: two broadcast equi-joins + serialization.
+
+    Output schema: (ltable_id, rtable_id, text, label_str) where
+    ``text = serialize(A) ^ serialize(B)`` and ``label_str`` ∈ {Yes,No}
+    (data_utils.py:117-125).
+    """
+    a = _suffix_all(table_a, "_A")
+    b = _suffix_all(table_b, "_B")
+    a_attrs = [c for c in a.columns if c != f"{key}_A"]
+    b_attrs = [c for c in b.columns if c != f"{key}_B"]
+    sep = f" {sep_tok} "
+    joined = (
+        pairs.join(F.broadcast(a), pairs["ltable_id"] == a[f"{key}_A"], "inner")
+        .join(F.broadcast(b), pairs["rtable_id"] == b[f"{key}_B"], "inner")
+    )
+    text = F.concat_ws(
+        sep,
+        serialize_keyed([(c[:-2], F.col(c)) for c in a_attrs], sep_tok=sep_tok, nan_tok=nan_tok),
+        serialize_keyed([(c[:-2], F.col(c)) for c in b_attrs], sep_tok=sep_tok, nan_tok=nan_tok),
+    )
+    label_str = F.when(F.col(label_col) == 1, "Yes").otherwise("No")
+    return joined.select(
+        F.col("ltable_id"),
+        F.col("rtable_id"),
+        text.alias("text"),
+        label_str.alias("label_str"),
+    )
+
+
+def read_imputation_split(
+    spark: SparkSession,
+    split_path: str,
+    impute_col: str,
+    sep_tok: str = "^",
+    nan_tok: str = "nan",
+) -> DataFrame:
+    """S3: CSV split → (text, label_str) where text serializes every
+    attribute except the impute target and the label is the target value
+    with the reference's trailing newline (data_utils.py:128-142)."""
+    df = spark.read.option("header", True).csv(split_path)
+    attrs = [c for c in df.columns if c not in (impute_col, "id")]
+    text = serialize_keyed([(c, F.col(c)) for c in attrs], sep_tok=sep_tok, nan_tok=nan_tok)
+    return df.select(
+        text.alias("text"),
+        F.concat(F.col(impute_col).cast("string"), F.lit("\n")).alias("label_str"),
+    )
+
+
+def read_csv_dir_with_filename_column(spark: SparkSession, dir_path: str) -> DataFrame:
+    """S4: scan ``dir/*.csv`` as ONE DataFrame with the source column
+    name recovered from the filename (reference parses it at
+    data_utils.py:157 and loops files in Python; we keep it a single
+    distributed scan and carry ``task_col``).
+
+    Filename convention: ``<prefix>_<idx>_<column_name>.csv``.
+    """
+    df = spark.read.option("header", True).csv(os.path.join(dir_path, "*.csv"))
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    stem = F.regexp_replace(fname, r"\.csv$", "")
+    # column name = everything after the second underscore
+    task_col = F.regexp_extract(stem, r"^[^_]+_[^_]+_(.+)$", 1)
+    lowered = df.toDF(*[c.lower() for c in df.columns])
+    return lowered.withColumn("task_col", task_col)
+
+
+TRANSFORMATION_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("label_str", T.StringType()),
+    ]
+)
+
+
+def read_transformation_file(spark: SparkSession, path: str) -> tuple[DataFrame, str | None]:
+    """S5: transformation benchmark file — optional first-line ``//``
+    instruction, data rows ``input\\t\\toutput`` (data_utils.py:180-224).
+
+    Returns (DataFrame(text,label_str), instruction|None). The
+    instruction peek is a driver-side ``limit(1)`` on the raw text scan;
+    the data path stays fully distributed.
+    """
+    raw = spark.read.text(path)
+    first = raw.limit(1).collect()
+    instruction = None
+    if first and first[0].value.startswith("//"):
+        instruction = first[0].value.lstrip("/").strip()
+    rows = raw.filter(~F.col("value").startswith("//"))
+    rows = rows.filter(F.trim(F.col("value")) != "")
+    parts = F.split(F.col("value"), "\t\t", 2)
+    out = rows.select(
+        F.trim(parts.getItem(0)).alias("text"),
+        F.trim(parts.getItem(1)).alias("label_str"),
+    ).filter(F.col("label_str").isNotNull() & (F.col("label_str") != ""))
+    return out, instruction
+
+
+def read_instruction(data_dir: str) -> str | None:
+    """S6: driver-side read of ``instruction.txt`` stripping ``//``
+    markers (data_utils.py:389-412). Config, not data — no Spark scan."""
+    path = os.path.join(data_dir, "instruction.txt")
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as fh:
+        lines = [line.lstrip("/").strip() for line in fh if line.strip()]
+    return " ".join(lines) if lines else None
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """S10 upgraded: predictions/result sink as parquet (the reference
+    only built a .feather path and never wrote it, run_wrangler.py:242-254)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json_metrics(rows: list[dict], path: str) -> None:
+    """S8/S9: driver-side JSON artifact sink (metrics, learned functions)."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(rows, fh, indent=2, default=str)
