@@ -10,6 +10,9 @@ we did not create (the correctness driver hands us its own session).
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -46,6 +49,29 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures reference package modules; cloudpickle ships
+    them by name, so workers must be able to import the package even
+    when the driver process runs from an unrelated cwd (the
+    correctness/bench driver does). ``addPyFile`` is the runtime
+    mechanism that works on any cluster manager, not just local mode.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_elldw_pkg_shipped", False):
+        return
+    pkg_root = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "efficient_llm_data_wrangling_spark_pkg.zip"
+    tmp = zip_path.with_suffix(".zip.tmp")
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for py in sorted(pkg_root.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_root.parent)))
+    os.replace(tmp, zip_path)
+    sc.addPyFile(str(zip_path))
+    sc._elldw_pkg_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (best-effort).
 
@@ -58,6 +84,10 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # immutable in this session — keep going
             pass
+    try:
+        _ship_package(spark)
+    except Exception:  # never let shipping break plan construction
+        pass
     return spark
 
 

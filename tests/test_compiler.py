@@ -1,0 +1,92 @@
+"""Semantic compiler loop (plans/compiler.py, G8/G9) with the offline
+deterministic client."""
+
+from __future__ import annotations
+
+import pytest
+
+from efficient_llm_data_wrangling_spark.plans.cache import FunctionCache, intent_key
+from efficient_llm_data_wrangling_spark.plans.client import OfflineStubClient, extract_code
+from efficient_llm_data_wrangling_spark.plans.compiler import SemanticCompiler, SynthesisFailed
+from efficient_llm_data_wrangling_spark.wrangler import WranglerTask, run_wrangling_task
+
+GOOD = "def string_transformation(s):\n    return s.upper()\n"
+BAD_SYNTAX = "def string_transformation(s:\n    return"
+BAD_IMPORT = "import os\ndef string_transformation(s):\n    return s"
+WRONG = "def string_transformation(s):\n    return 'zzz'\n"
+
+
+def _demos(spark):
+    return spark.createDataFrame(
+        [("a", "A"), ("b", "B"), ("c", "C")], "text string, label_str string"
+    )
+
+
+def test_first_try_success(spark):
+    compiler = SemanticCompiler(client=OfflineStubClient([GOOD]))
+    out = compiler.compile("data_transformation", _demos(spark), [("a", "A")])
+    assert out.accuracy == 1.0 and out.iterations == 1 and not out.from_cache
+
+
+def test_repair_loop_recovers(spark):
+    client = OfflineStubClient([BAD_SYNTAX, BAD_IMPORT, WRONG, GOOD])
+    compiler = SemanticCompiler(client=client)
+    out = compiler.compile("data_transformation", _demos(spark), [("a", "A")])
+    assert out.iterations == 4
+    assert len(client.calls) == 4
+    # retry messages accumulated in the conversation
+    assert "failed validation" in client.calls[-1][-1]["content"]
+
+
+def test_exhaustion_returns_best_candidate(spark):
+    # WRONG is executable but inaccurate → lands on the stack; depth
+    # exhausts → best-of returned (function_generator.py:219-223)
+    compiler = SemanticCompiler(client=OfflineStubClient([WRONG]), depth=3)
+    out = compiler.compile("data_transformation", _demos(spark), [("a", "A")])
+    assert out.accuracy == 0.0 and out.iterations == 3
+
+
+def test_exhaustion_without_candidates_raises(spark):
+    compiler = SemanticCompiler(client=OfflineStubClient([BAD_SYNTAX]), depth=2)
+    with pytest.raises(SynthesisFailed):
+        compiler.compile("data_transformation", _demos(spark), [("a", "A")])
+
+
+def test_cache_hit_skips_llm(spark):
+    cache = FunctionCache()
+    client = OfflineStubClient([GOOD])
+    compiler = SemanticCompiler(client=client, cache=cache)
+    compiler.compile("data_transformation", _demos(spark), [("a", "A")])
+    again = compiler.compile("data_transformation", _demos(spark), [("a", "A")])
+    assert again.from_cache and len(client.calls) == 1
+
+
+def test_cache_roundtrip(tmp_path):
+    path = str(tmp_path / "cache.json")
+    cache = FunctionCache(path)
+    key = intent_key("t", None, [("a", "b")])
+    cache.put(key, "src", 0.9)
+    reloaded = FunctionCache(path)
+    assert reloaded.get(key) == {"source": "src", "accuracy": 0.9}
+
+
+def test_extract_code_fenced():
+    assert extract_code("```python\nx = 1\n```") == "x = 1"
+    assert extract_code("plain") == "plain"
+
+
+def test_wrangler_pipeline_e2e(spark):
+    base = spark.createDataFrame(
+        [(i, chr(97 + i % 26), chr(65 + i % 26)) for i in range(50)],
+        "id int, text string, label_str string",
+    )
+    task = WranglerTask(
+        task="data_transformation",
+        train=base.filter("id < 20"),
+        test=base.filter("id >= 20"),
+        d=10,
+    )
+    result = run_wrangling_task(task, SemanticCompiler(client=OfflineStubClient([GOOD])))
+    row = result.metrics.first()
+    assert row["acc"] == 1.0 and row["total"] == 30
+    assert result.compiled.entry_name == "string_transformation"
