@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor similarity search over embedding
+columns (driver north star; SURVEY.md §7 Phase 4).
+
+Three tiers:
+
+* :func:`brute_force_top_k` — exact cosine top-k: one scan, a top-k
+  TakeOrdered (no full sort). The correctness baseline.
+* :func:`ivf_top_k` — IVF-style two-stage search: assign every vector
+  to its nearest of C deterministic centroids (one broadcast join),
+  probe only the n_probe centroids closest to the query. Scan cost
+  drops to ~n_probe/C of the corpus; the assignment step is a single
+  pass reusable across queries (precompute + store at scale).
+* :func:`hyperplane_lsh_top_k` — random-hyperplane signature buckets
+  (Hamming-adjacent probe), re-ranked exactly. Sub-linear candidate
+  generation when even IVF probing is too much.
+
+All cosine math is the shared double-precision expression from
+operators/dedup.cosine_sim (engine-portable, see registry.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.operators.dedup import cosine_sim
+
+
+def _as_double_array(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def brute_force_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The
+    ``orderBy(...).limit(k)`` plan is TakeOrderedAndProject — each
+    partition keeps k rows, the driver merges; no global sort."""
+    q = _as_double_array(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_sim(F.col(vec_col), q).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF assignment: nearest centroid (by cosine) per vector, as a
+    broadcast-map over a centroid literal array — one scan, no shuffle.
+
+    ``centroids`` are (cell_id, vector) pairs; at scale they come from
+    a k-means fit, here deterministically sampled (see queries) so the
+    operator is oracle-checkable.
+    """
+    best_cell: Column = F.lit(-1)
+    best_sim: Column = F.lit(-2.0)
+    for cell_id, vec in centroids:
+        sim = cosine_sim(F.col(vec_col), _as_double_array(vec))
+        better = sim > best_sim
+        best_cell = F.when(better, F.lit(cell_id)).otherwise(best_cell)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return df.select(F.col(id_col), F.col(vec_col), best_cell.alias("cell_id"))
+
+
+def ivf_top_k(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: probe the n_probe cells nearest the query, exact
+    top-k within them. Deterministic: probes and ties break on ids."""
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot / (na * nb) if na and nb else -2.0
+
+    probed = sorted(
+        centroids, key=lambda c: (-cos(c[1], query_vec), c[0])
+    )[: max(1, n_probe)]
+    probe_ids = [c[0] for c in probed]
+    assigned = assign_ivf_cells(df, centroids, id_col, vec_col)
+    return (
+        assigned.filter(F.col("cell_id").isin(probe_ids))
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), _as_double_array(query_vec)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Sign-pattern signature under ``n_planes`` fixed random
+    hyperplanes, packed into a long. P(bit match) = 1 - angle/π."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    sig: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col, _as_double_array(plane), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def hyperplane_lsh_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = vectors whose hyperplane
+    signature is within ``max_hamming`` bits of the query's, re-ranked
+    by exact cosine. The signature filter is a scan-side predicate —
+    no shuffle at all."""
+    dim = len(query_vec)
+    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
+
+    def py_signature(vec: list[float]) -> int:
+        rng = random.Random(seed)
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        out = 0
+        for i, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, plane)) >= 0:
+                out |= 1 << i
+        return out
+
+    q_sig = py_signature(query_vec)
+    ham = F.bit_count(sig.bitwiseXOR(F.lit(q_sig)))
+    return (
+        df.filter(ham <= max_hamming)
+        .select(F.col(id_col), cosine_sim(F.col(vec_col), _as_double_array(query_vec)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

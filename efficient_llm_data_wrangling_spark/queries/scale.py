@@ -1,0 +1,379 @@
+"""Scale-pipeline queries: dedup, similarity search, text analysis
+(driver north star; SURVEY.md §7 Phase 4).
+
+Oracle strategy: the DuckDB side recomputes the *logical* semantics
+(exact Jaccard, exact cosine argmax/top-k, quality formulas) while the
+Spark side runs the *scale* physical strategy (hash-key dedup, LSH
+bucket joins, IVF probing). When both agree bit-for-bit, the physical
+optimization is proven semantics-preserving — the core claim of each
+operator.
+
+Float convention (registry.py): every double derives from the same
+fold shape on both engines — Spark ``aggregate(…, 0.0D, +)`` ≡ DuckDB
+``list_reduce(list_prepend(0.0D, …), +)`` — so values match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.operators import dedup as D
+from efficient_llm_data_wrangling_spark.operators import similarity as SIM
+from efficient_llm_data_wrangling_spark.operators import text as TX
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared corpus-with-duplicates construction (both engines)
+# ---------------------------------------------------------------------------
+
+#: documents ∪ exact clones (doc_id%7, +1e6) ∪ 5-words-dropped mutants
+#: (doc_id%10, +2e6) — plants known exact and near duplicates.
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)], ' '),
+         lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    toks = F.split("text", " ")
+    trimmed = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(3)))
+    )
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), trimmed.alias("text"), "lang"
+    )
+    return docs.unionByName(clones).unionByName(mutants)
+
+
+#: DuckDB 3-word shingle set of a text column (mirrors operators.dedup.shingles).
+def _shingles_sql(text_expr: str = "text", width: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{width - 1}], ' ') "
+        f"for i in range(1, greatest(len(toks) - {width - 1}, 1) + 1)])"
+    ).replace("toks", f"string_split({text_expr}, ' ')")
+
+
+#: DuckDB cosine with the exact Spark fold shape (see module docstring).
+def _fold_sum(terms: str) -> str:
+    return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {terms}), (x, y) -> x + y)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _fold_sum(f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) for i in range(1, len({a}) + 1)]")
+    na = _fold_sum(f"[CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) for i in range(1, len({a}) + 1)]")
+    nb = _fold_sum(f"[CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) for i in range(1, len({b}) + 1)]")
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()}
+SELECT min(doc_id) AS doc_id_kept, CAST(count(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY text
+"""
+
+
+@query("dedup_exact_documents", oracle=_EXACT_ORACLE, tags=("dedup", "bench"))
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at scale: group on (xxhash64(text), length) so the
+    shuffle never carries document bodies; oracle groups on raw text —
+    agreement proves the hash-key strategy loses nothing."""
+    tune(spark)
+    return D.exact_dedup_groups(_corpus_with_dups(spark, sf_dir))
+
+
+_JACCARD_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+sets AS (
+  SELECT doc_id, lang, {_shingles_sql()} AS sh FROM corpus
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("dedup",))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (threshold 0.8)
+    within language blocks — the blocked-exact baseline the LSH variant
+    must reproduce."""
+    tune(spark)
+    return D.ngram_jaccard_pairs(
+        _corpus_with_dups(spark, sf_dir), block_col="lang", threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE, tags=("dedup", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidate generation + exact verification
+    at 0.8 — same OUTPUT as dedup_ngram_jaccard (same oracle!), found
+    without enumerating O(n²) pairs: the physical plan shuffles only
+    (band, signature) buckets. The s-curve at J=0.8 gives miss
+    probability ≈ 3e-8 per pair, so equality with the exact oracle is
+    expected deterministically on this corpus."""
+    tune(spark)
+    return D.near_dup_pairs_minhash(
+        _corpus_with_dups(spark, sf_dir), block_col="lang", threshold=0.8
+    )
+
+
+@query("dedup_simhash", oracle=None, tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs (Hamming ≤ 3) via pigeonhole segment
+    join. Rows-only in the driver gate (xxhash64 has no DuckDB
+    equivalent); exactness vs a brute-force Hamming scan is asserted in
+    tests/test_dedup.py."""
+    tune(spark)
+    return D.near_dup_pairs_simhash(_corpus_with_dups(spark, sf_dir))
+
+
+_EMB_DUP_ORACLE = f"""
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       {_cos_sql("a.embedding", "b.embedding")} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DUP_ORACLE, tags=("dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥ 0.35) blocked by label —
+    double-precision fold identical on both engines, so even the float
+    threshold decisions agree exactly."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.near_dup_pairs_embedding(emb, threshold=0.35, block_col="label")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+@query("text_token_counts", oracle=_TOKEN_ORACLE, tags=("text",))
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style pre-token counts as scan-speed
+    expressions (no UDF)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
+         ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+    CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+         ['the','a','an','and','or','of','to','in','is','it'])) AS BIGINT) AS stopword_hits,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a + b) AS DOUBLE) / len(toks)
+         ELSE CAST(0 AS DOUBLE) END AS avg_word_len
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars, punct_ratio, stopword_hits, avg_word_len,
+  (CAST(n_tokens BETWEEN 10 AND 1000 AS INT) + CAST(punct_ratio <= 0.2 AS INT)
+   + CAST(stopword_hits >= 1 AS INT)) / CAST(3.0 AS DOUBLE) AS quality_score
+FROM f
+"""
+
+
+@query("text_quality_documents", oracle=_QUALITY_ORACLE, tags=("text", "bench"))
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style cheap quality features + composite score, pure
+    expressions; oracle restates every formula."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.with_quality_score(docs).drop("text")
+
+
+_LEX = {lang: list(lex) for lang, lex in TX.LANG_LEXICONS.items()}
+
+
+def _lex_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LEX[lang])
+    return f"len(list_intersect(toks, [{words}]))"
+
+
+_LANGID_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''), x -> lower(x))) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    {_lex_sql("de")} AS h_de, {_lex_sql("en")} AS h_en, {_lex_sql("es")} AS h_es,
+    {_lex_sql("fr")} AS h_fr, {_lex_sql("zh")} AS h_zh
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) <= 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+       WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+       WHEN h_fr >= h_zh THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM s
+"""
+
+
+@query("text_lang_id", oracle=_LANGID_ORACLE, tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID with deterministic alphabetical
+    tie-break (first max wins) — oracle restates the argmax as nested
+    comparisons."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.detect_language(F.col("text")).alias("lang_pred"))
+
+
+_FPRINT_ORACLE = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (acc, cp) -> (acc * 31 + cp) % 2147483647) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FPRINT_ORACLE, tags=("text",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint — engine-portable
+    (same fold, same value in any SQL dialect)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(v) for v in row["embedding"]]
+
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_cos_sql("e.embedding", "q.qv")} AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("knn_brute_force", oracle=_KNN_ORACLE, tags=("similarity", "bench"))
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the vec_id=0 query vector — one scan,
+    per-partition top-k merge (TakeOrderedAndProject), no global sort."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_top_k(emb, _query_vector(spark, sf_dir), k=10)
+
+
+_N_CELLS = 8
+_IVF_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CELLS}),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_cos_sql("q.qv", "c.cvec")} AS sim FROM c, q
+  ) ORDER BY sim DESC, cid LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, embedding, cell_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, {_cos_sql("a.embedding", "q.qv")} AS cosine
+FROM assigned a, q
+WHERE a.cell_id IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@query("knn_ivf", oracle=_IVF_ORACLE, tags=("similarity",))
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: 8 deterministic centroids (vec_id<8), probe
+    the 2 nearest to the vec_id=1 query, exact top-10 within probed
+    cells. The oracle replays assignment + probing relationally —
+    agreement proves the pruned search returns exactly the pruned-space
+    optimum."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < _N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    cents.sort(key=lambda c: c[0])
+    return SIM.ivf_top_k(emb, cents, _query_vector(spark, sf_dir, vec_id=1), k=10, n_probe=2)
+
+
+@query("knn_hyperplane_lsh", oracle=None, tags=("similarity",))
+def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (16 planes, Hamming ≤ 5 probe) with
+    exact re-rank. Rows-only in the driver gate (the Gaussian plane
+    constants have no SQL twin); recall vs brute force asserted in
+    tests/test_similarity.py."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hyperplane_lsh_top_k(
+        emb, _query_vector(spark, sf_dir), k=10, n_planes=16, max_hamming=5
+    )
