@@ -30,6 +30,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from efficient_llm_data_wrangling_spark.session import ensure_parallelism
+
 # ---------------------------------------------------------------------------
 # Tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -55,7 +57,12 @@ def shingles(tokens_col: Column, width: int = 3) -> Column:
 
 
 def shingle_hashes(text_col: Column, width: int = 3) -> Column:
-    """Distinct shingle set as 64-bit hashes (the dedup unit)."""
+    """Distinct shingle set as 64-bit hashes (the dedup unit).
+
+    Inline variant for ad-hoc use; the operators below go through
+    :func:`_staged_shingle_hashes`, which evaluates the token split
+    once per row instead of once per window.
+    """
     return F.transform(shingles(tokens(text_col), width), lambda s: F.xxhash64(s))
 
 
@@ -67,6 +74,38 @@ def shingle_hashes32(text_col: Column, width: int = 3) -> Column:
         shingles(tokens(text_col), width),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_SPACE)),
     )
+
+
+def _staged_shingle_hashes(
+    df: DataFrame,
+    keep: list[Column],
+    text_col: str,
+    width: int,
+    out: str,
+    mod32: bool = False,
+) -> DataFrame:
+    """Tokens → shingle hashes staged as two Projects.
+
+    The staging is load-bearing for performance: expressions nested
+    inside higher-order-function lambdas are re-evaluated once per
+    array element, so an inline token split under the window lambda of
+    :func:`shingles` costs O(tokens) split evaluations per row —
+    quadratic in document length. Materializing ``__t`` as a column
+    makes each window an O(width) slice of a computed array. Catalyst's
+    CollapseProject cannot undo this: the consumer references ``__t``
+    twice (``size`` bound + slice lambda), and the rule only inlines
+    non-trivial producer expressions referenced exactly once.
+    """
+    df = ensure_parallelism(df)
+    toked = df.select(*keep, tokens(F.col(text_col)).alias("__t"))
+    hashed = F.transform(shingles(F.col("__t"), width), lambda s: F.xxhash64(s))
+    if mod32:
+        hashed = F.transform(
+            shingles(F.col("__t"), width),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_SPACE)),
+        )
+    carried = [F.col(c) for c in toked.columns if c != "__t"]
+    return toked.select(*carried, hashed.alias(out))
 
 
 # ---------------------------------------------------------------------------
@@ -123,22 +162,29 @@ def minhash_signature(
     """Array of ``num_hashes`` permutation minima over the (32-bit)
     shingle-hash set: ``min_i((a_i*x + b_i) mod P)``.
 
-    ONE expression: an outer transform over the coefficient literal
-    array with an inner transform over the hash array. The input array
-    is materialized once per row and iterated 64 times — the naive
-    "64 separate array_min expressions" formulation re-evaluates the
-    whole shingle pipeline per hash function (measured 60× slower).
-    Deterministic for a given seed on any cluster layout."""
+    ONE pass over the shingle array: ``aggregate`` folds each shingle
+    hash into a 64-wide running-minimum accumulator via ``zip_with``
+    against the (constant-folded) coefficient array. The obvious
+    alternatives re-evaluate the input array once per hash function —
+    the input of a higher-order-function lambda is recomputed per outer
+    element — turning O(shingles·hashes) work into
+    O(shingles·hashes·|expr|). Deterministic for a given seed on any
+    cluster layout; min is commutative, so element order (and therefore
+    partitioning) never changes the result."""
     coefs = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in _coefficients(num_hashes, seed)
         ]
     )
-    return F.transform(
-        coefs,
-        lambda c: F.array_min(
-            F.transform(hashes32_col, lambda x: F.pmod(c["a"] * x + c["b"], F.lit(_MERSENNE_P)))
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes32_col,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            coefs,
+            lambda m, c: F.least(m, F.pmod(c["a"] * x + c["b"], F.lit(_MERSENNE_P))),
         ),
     )
 
@@ -146,13 +192,19 @@ def minhash_signature(
 def lsh_bucket_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """One 64-bit bucket key per band: hash of the band's signature
     slice, salted with the band index so buckets from different bands
-    never collide. Single transform over the band indices — the
-    signature array materializes once per row."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda band: F.xxhash64(
-            band, F.concat_ws(",", F.slice(signature, band * rows_per_band + 1, rows_per_band))
-        ),
+    never collide. Deliberately ``F.array`` of per-band expressions,
+    not a transform lambda: a lambda body re-evaluates the signature
+    expression per band, while ``bands`` separate references to the
+    signature column block CollapseProject from inlining it, so the
+    signature is computed once per row upstream."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(band),
+                F.concat_ws(",", F.slice(signature, band * rows_per_band + 1, rows_per_band)),
+            )
+            for band in range(bands)
+        ]
     )
 
 
@@ -175,10 +227,9 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     keys = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    # staged projections with explicit columns: each stage's array
-    # materializes once per row instead of re-inlining upstream
-    # expression trees into every downstream use
-    hashed = df.select(*keys, shingle_hashes32(F.col(text_col), shingle_width).alias("__h32"))
+    # staged projections (see _staged_shingle_hashes): tokens, shingle
+    # hashes, signature, and bucket keys each materialize once per row
+    hashed = _staged_shingle_hashes(df, keys, text_col, shingle_width, "__h32", mod32=True)
     signed = hashed.select(
         *keys, minhash_signature(F.col("__h32"), num_hashes, seed).alias("__sig")
     )
@@ -217,8 +268,8 @@ def verify_pairs_jaccard(
     """Exact shingle-Jaccard verification of candidate pairs → only
     true near-duplicates survive. Joins the (small) shingle-set frame
     twice; Jaccard is array_intersect/array_union size arithmetic."""
-    sets = df.select(
-        F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), shingle_width).alias("__sh")
+    sets = _staged_shingle_hashes(
+        df, [F.col(id_col).alias("__id")], text_col, shingle_width, "__sh"
     )
     a = sets.select(F.col("__id").alias("left_id"), F.col("__sh").alias("__sh_a"))
     b = sets.select(F.col("__id").alias("right_id"), F.col("__sh").alias("__sh_b"))
@@ -270,8 +321,8 @@ def ngram_jaccard_pairs(
     """Exact shingle-Jaccard near-dup pairs within blocks. O(pairs per
     block) — correct but only viable with strong blocking; the LSH
     variant above is the unblocked scale path."""
-    sets = df.select(
-        F.col(id_col), F.col(block_col), shingle_hashes(F.col(text_col), shingle_width).alias("__sh")
+    sets = _staged_shingle_hashes(
+        df, [F.col(id_col), F.col(block_col)], text_col, shingle_width, "__sh"
     )
     a = sets.select(
         F.col(id_col).alias("left_id"), F.col(block_col).alias("__blk"), F.col("__sh").alias("__sh_a")
@@ -298,8 +349,16 @@ def ngram_jaccard_pairs(
 def simhash64(tokens_col: Column) -> Column:
     """64-bit SimHash of a token array: per-bit majority vote over the
     xxhash64 of each distinct token, entirely as expression-tree
-    bit arithmetic."""
-    hashes = F.transform(F.array_distinct(tokens_col), lambda t: F.xxhash64(t))
+    bit arithmetic. Inline variant — the 64 bit-votes re-evaluate the
+    token-hash expression; operators stage the hashes as a column and
+    call :func:`_simhash_from_hashes` instead."""
+    return _simhash_from_hashes(
+        F.transform(F.array_distinct(tokens_col), lambda t: F.xxhash64(t))
+    )
+
+
+def _simhash_from_hashes(hashes: Column) -> Column:
+    """Per-bit majority vote over a (pre-computed) token-hash array."""
     n = F.size(hashes)
     bits = []
     for bit in range(64):
@@ -334,7 +393,16 @@ def near_dup_pairs_simhash(
     key is (segment_index, segment_value) — never O(n²)."""
     segments = max_hamming + 1
     width = 64 // segments
-    sim = df.select(F.col(id_col), simhash64(tokens(F.col(text_col))).alias("__sim"))
+    # stage the token-hash array so the 64 bit-vote filters read a
+    # computed column instead of re-hashing the tokens per bit
+    df = ensure_parallelism(df)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
+            "__th"
+        ),
+    )
+    sim = hashed.select(F.col(id_col), _simhash_from_hashes(F.col("__th")).alias("__sim"))
     seg_keys = F.array(
         *[
             F.struct(

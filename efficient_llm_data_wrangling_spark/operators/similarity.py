@@ -65,15 +65,32 @@ def assign_ivf_cells(
     ``centroids`` are (cell_id, vector) pairs; at scale they come from
     a k-means fit, here deterministically sampled (see queries) so the
     operator is oracle-checkable.
+
+    The argmax is an ``aggregate`` fold over a constant-folded centroid
+    struct array — O(C) cosines per row. (A chained ``when(sim >
+    best_sim, …)`` formulation doubles the expression tree per
+    centroid: each level re-embeds the previous best twice, giving
+    O(2^C) evaluation.) Strictly-greater keeps the earlier centroid on
+    exact ties, matching first-max-wins order.
     """
-    best_cell: Column = F.lit(-1)
-    best_sim: Column = F.lit(-2.0)
-    for cell_id, vec in centroids:
-        sim = cosine_sim(F.col(vec_col), _as_double_array(vec))
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(cell_id)).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return df.select(F.col(id_col), F.col(vec_col), best_cell.alias("cell_id"))
+    cents = F.array(
+        *[
+            F.struct(F.lit(cell_id).alias("cid"), _as_double_array(vec).alias("cvec"))
+            for cell_id, vec in centroids
+        ]
+    )
+    sims = F.transform(
+        cents,
+        lambda c: F.struct(
+            c["cid"].alias("cid"), cosine_sim(F.col(vec_col), c["cvec"]).alias("sim")
+        ),
+    )
+    best = F.aggregate(
+        sims,
+        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("sim")),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+    return df.select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell_id"))
 
 
 def ivf_top_k(

@@ -85,10 +85,43 @@ def tune(spark: SparkSession) -> SparkSession:
         except Exception:  # immutable in this session — keep going
             pass
     try:
+        # Split small scans across all cores: a 5k-document corpus
+        # arrives as 1-3 parquet row groups, which would otherwise pin
+        # expression-heavy per-row work (minhash signatures, simhash
+        # votes) to 3 tasks. On a big cluster large tables already have
+        # more splits than cores, so this floor only helps small inputs.
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum", str(spark.sparkContext.defaultParallelism)
+        )
+    except Exception:
+        pass
+    try:
         _ship_package(spark)
     except Exception:  # never let shipping break plan construction
         pass
     return spark
+
+
+def ensure_parallelism(df, multiplier: int = 1):
+    """Round-robin repartition IFF the plan has fewer partitions than
+    cores — used ahead of expression-heavy per-row operators (minhash
+    signatures, simhash votes, per-pair set arithmetic).
+
+    A small local corpus often arrives as ONE parquet row group, which
+    pins all downstream computation to one task no matter what the
+    split confs say. On a real cluster a large table already has far
+    more splits than ``defaultParallelism``, so this is a no-op there —
+    it never adds a shuffle at the 100 TB scale it would hurt.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current < target:
+        return df.repartition(target)
+    return df
 
 
 def get_spark(
