@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from efficient_llm_data_wrangling_spark.operators import metrics as M
 from efficient_llm_data_wrangling_spark.operators.serialize import serialize_keyed, serialize_values
 from efficient_llm_data_wrangling_spark.registry import query
-from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.session import ensure_parallelism, tune
 from efficient_llm_data_wrangling_spark.sources.catalog import load_table
 
 
@@ -324,7 +324,10 @@ def comparator_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = F.when(F.col("l_linenumber") == 1, F.lit("1.01 4.02")).otherwise(
         F.format_number(_dec("l_discount"), 2)
     )
-    scored = li.select(M.answers_match(pred, gold).alias("crc"))
+    # the comparator is regex-heavy per row; spread the single-row-group
+    # local scan across cores before evaluating it (no-op at scale)
+    pg = ensure_parallelism(li.select(pred.alias("__p"), gold.alias("__g")))
+    scored = pg.select(M.answers_match(F.col("__p"), F.col("__g")).alias("crc"))
     return scored.agg(
         F.sum(F.when(F.col("crc"), 1).otherwise(0)).alias("matched"),
         F.count(F.lit(1)).alias("total"),
