@@ -6,4 +6,5 @@ Importing this package registers every query into
 
 import efficient_llm_data_wrangling_spark.queries.relational  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.scale  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.wrangler  # noqa: F401

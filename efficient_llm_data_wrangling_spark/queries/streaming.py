@@ -1,0 +1,183 @@
+"""Streaming queries: Structured Streaming operators driven to
+completion (``availableNow`` → memory sink) so they satisfy the same
+``queries()``/oracle contract as batch queries.
+
+Oracle strategy: append-mode watermarking makes the final output a
+*deterministic function of the finite input* — a window/session is
+emitted iff its end ≤ final watermark = max(event time) − delay. The
+DuckDB oracles restate exactly that: the same grouping plus a
+``window_end <= max(ts) - delay`` filter. This checks the streaming
+engine's event-time semantics (watermark arithmetic, window assignment,
+session merging, dedup state) against a from-first-principles batch
+restatement.
+
+Value sums are integer cents (``CAST(round(value*100) AS BIGINT)``) so
+no float-accumulation-order drift can leak into the hash compare.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.streaming import ops as S
+
+#: memory-sink names must be unique per active query in a session;
+#: results only depend on the input, never on the sink name.
+_SINK_SEQ = itertools.count()
+
+
+def _sink(base: str) -> str:
+    return f"{base}_{next(_SINK_SEQ)}"
+
+
+_NTZ = "timestamp_ntz"
+
+
+_TUMBLING_ORACLE = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n_events, value_cents
+FROM w, m WHERE w.window_end <= m.wm
+"""
+
+
+@query("stream_tumbling_counts", oracle=_TUMBLING_ORACLE, tags=("streaming",))
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts + cents totals per event_type, append
+    mode with a 2-hour watermark: only watermark-finalized windows are
+    emitted. The oracle restates window assignment (date_trunc) and the
+    emission rule (window_end ≤ max(ts) − 2h)."""
+    tune(spark)
+    out = S.run_to_memory(
+        S.tumbling_counts(S.stream_events(spark, sf_dir)), _sink("tumbling"), "append"
+    )
+    return out.select(
+        F.col("window_start").cast(_NTZ).alias("window_start"),
+        F.col("window_end").cast(_NTZ).alias("window_end"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )
+
+
+_SLIDING_ORACLE = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+s AS (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         value
+  FROM events
+), w AS (
+  SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM s GROUP BY 1, 2
+)
+SELECT window_start, window_end, n_events,
+       CAST(cents AS DOUBLE) / n_events / 100.0 AS avg_value
+FROM w, m WHERE w.window_end <= m.wm
+"""
+
+
+@query("stream_sliding_avg", oracle=_SLIDING_ORACLE, tags=("streaming",))
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (every event lands in two
+    windows), append mode; the average derives from exact integer cents
+    and count, so both engines perform the identical double division."""
+    tune(spark)
+    out = S.run_to_memory(
+        S.sliding_value_avg(S.stream_events(spark, sf_dir)), _sink("sliding"), "append"
+    )
+    return out.select(
+        F.col("window_start").cast(_NTZ).alias("window_start"),
+        F.col("window_end").cast(_NTZ).alias("window_end"),
+        "n_events",
+        "avg_value",
+    )
+
+
+_SESSION_ORACLE = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+g AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+), s AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM g GROUP BY user_id, grp
+)
+SELECT session_start, session_end, user_id, n_events
+FROM s, m WHERE s.session_end <= m.wm
+"""
+
+
+@query("stream_session_windows", oracle=_SESSION_ORACLE, tags=("streaming",))
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user (``session_window``), the
+    stateful merge operator batch SQL lacks — the oracle rebuilds it
+    with lag()-based island detection (new session iff gap ≥ 30 min,
+    matching Spark's [start, last+gap) half-open merge) plus the
+    watermark emission filter."""
+    tune(spark)
+    out = S.run_to_memory(
+        S.session_windows_per_user(S.stream_events(spark, sf_dir)),
+        _sink("sessions"),
+        "append",
+    )
+    return out.select(
+        F.col("session_start").cast(_NTZ).alias("session_start"),
+        F.col("session_end").cast(_NTZ).alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+_DEDUP_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+@query("stream_dedup_watermark", oracle=_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on (user_id, event_type):
+    first-seen keys with dedup state bounded by the 2-hour watermark
+    horizon instead of growing with the stream. Projected to the key
+    set (which concrete row survives an intra-batch tie is
+    execution-order-dependent; the key set is exact)."""
+    tune(spark)
+    return S.run_to_memory(
+        S.dedup_within_watermark(S.stream_events(spark, sf_dir)), _sink("dedup"), "append"
+    )
+
+
+_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+@query("stream_stateful_user_totals", oracle=_TOTALS_ORACLE, tags=("streaming",))
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (count, cents) totals in update mode. After the backlog
+    drains, the last update per user equals the global aggregate — the
+    oracle states exactly that. Exercises the Arrow state-function
+    path any non-native streaming operator would use."""
+    tune(spark)
+    return S.run_to_memory(
+        S.stateful_user_totals(S.stream_events(spark, sf_dir)), _sink("totals"), "update"
+    )
