@@ -1,0 +1,205 @@
+"""Multimodal (binary) column operators (driver north star; SURVEY.md
+§7 Phase 4).
+
+Design: image/audio/video assets are opaque ``binary`` payload columns
+plus a typed metadata struct — the storage layout a 100 TB multimodal
+corpus uses (payload in parquet binary / object-store refs, metadata
+queryable without touching bytes). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over
+``mapInPandas``: the executor Python worker sees ``bytes`` objects per
+row, exactly as it would with a real codec.
+
+The container ships no image/audio libraries, so the *codec* step is
+stubbed: :func:`_decode_payload` tries Pillow and falls back to a
+deterministic header parse of our synthetic payload format. Everything
+Spark-side — schema, binary Arrow transfer, batch iteration, partition
+parallelism, metadata pruning — is real and tested. Swap
+``_decode_payload`` for a real codec and nothing else changes.
+
+Synthetic payload format (deterministic, built from the documents
+table): ``b"ELLDW" + width(2B big-endian) + height(2B) + channels(1B) +
+utf-8 text bytes``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from efficient_llm_data_wrangling_spark.session import ensure_parallelism
+
+MAGIC = b"ELLDW"
+HEADER_LEN = len(MAGIC) + 5  # magic + w(2) + h(2) + channels(1)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic asset construction (payload + typed metadata)
+# ---------------------------------------------------------------------------
+
+
+def with_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Attach a deterministic binary payload + metadata struct to each
+    row: width/height/channels derived from the id, payload = header ‖
+    utf-8 text bytes. Pure column expressions (JVM-side) — the binary
+    column is born distributed, never driver-materialized."""
+    width = (F.col(id_col) % 64 + 8).cast("int")
+    height = (F.col(id_col) % 48 + 8).cast("int")
+    channels = (F.col(id_col) % 3 + 1).cast("int")
+
+    def _be16(c: Column) -> Column:
+        # 2-byte big-endian: chr(c div 256) ‖ chr(c mod 256)
+        return F.concat(F.char(F.floor(c / 256).cast("int")), F.char(c % 256))
+
+    header = F.concat(F.lit(MAGIC.decode("ascii")), _be16(width), _be16(height), F.char(channels))
+    payload = F.encode(F.concat(header, F.col(text_col)), "utf-8")
+    meta = F.struct(
+        width.alias("width"), height.alias("height"), channels.alias("channels")
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# Decode (mapInPandas over binary Arrow batches)
+# ---------------------------------------------------------------------------
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("body_bytes", T.LongType()),
+    ]
+)
+
+
+def _decode_payload(buf: bytes) -> tuple[int, int, int, int]:
+    """Codec stub: (width, height, channels, body_bytes).
+
+    Tries Pillow first (absent in this container); falls back to the
+    synthetic header parse. A real deployment replaces this function
+    only — the Arrow/mapInPandas plumbing is codec-agnostic.
+    """
+    try:  # pragma: no cover - Pillow not installed here
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(buf))
+        return img.width, img.height, len(img.getbands()), len(buf)
+    except Exception:
+        pass
+    if buf[: len(MAGIC)] != MAGIC:
+        raise ValueError("unknown payload format")
+    w = int.from_bytes(buf[5:7], "big")
+    h = int.from_bytes(buf[7:9], "big")
+    c = buf[9]
+    return w, h, c, len(buf) - HEADER_LEN
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """Decode every payload to its intrinsic dimensions via
+    ``mapInPandas`` — one Python worker pass, Arrow-batched binary in,
+    small typed rows out (the decode never widens the data: payloads
+    stay in the scan stage, only metadata flows on)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_payload(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "channels": [d[2] for d in decoded],
+                    "body_bytes": [d[3] for d in decoded],
+                }
+            )
+
+    return ensure_parallelism(assets).mapInPandas(decode, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (byte histogram — a real, deterministic feature)
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def byte_histogram_features(assets: DataFrame, n_buckets: int = _N_BUCKETS) -> DataFrame:
+    """Per-asset ``n_buckets``-bin byte histogram over the payload body
+    — a genuine (not stubbed) feature extractor with the exact batch
+    shape a CNN-embedding UDF would have: binary Arrow in, fixed-width
+    vector out."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for buf in pdf["payload"]:
+                body = np.frombuffer(buf, dtype=np.uint8)[HEADER_LEN:]
+                hist = np.bincount(body >> 4, minlength=n_buckets)[:n_buckets]
+                feats.append(hist.astype("int64").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+    return ensure_parallelism(assets).mapInPandas(featurize, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (stubbed codec, real metadata/flow semantics)
+# ---------------------------------------------------------------------------
+
+
+def resize_assets(assets: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize-to-fit: new dimensions are computed JVM-side from the
+    metadata struct (aspect-preserving clamp to ``max_side``); the
+    pixel resample itself is the stubbed codec step — payloads pass
+    through unchanged with the metadata updated, which is exactly the
+    flow (metadata transform + codec UDF) of a real resizer."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double")
+    )
+    new_w = F.greatest(F.lit(1), F.floor(w * scale)).cast("int")
+    new_h = F.greatest(F.lit(1), F.floor(h * scale)).cast("int")
+    meta = F.struct(
+        new_w.alias("width"), new_h.alias("height"), F.col("meta.channels").alias("channels")
+    )
+    return assets.select("doc_id", "payload", meta.alias("meta"))
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling (video-style payloads, pure relational)
+# ---------------------------------------------------------------------------
+
+
+def sample_frames(assets: DataFrame, every: int = 10) -> DataFrame:
+    """Treat each asset as a frame sequence (one frame per body byte
+    here; one per chunk in a real container format) and keep every
+    ``every``-th frame index: ``sequence`` + ``explode`` — frame
+    selection is relational, only the kept frames would ever hit the
+    decode UDF. This ordering (prune-then-decode) is the part that
+    matters at 100 TB."""
+    n_frames = (F.length("payload") - HEADER_LEN).cast("int")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every))
+    return (
+        assets.filter(n_frames > 0)
+        .select("doc_id", n_frames.alias("n_frames"), F.explode(idx).alias("frame_idx"))
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from efficient_llm_data_wrangling_spark.operators import metrics as M
+from efficient_llm_data_wrangling_spark.operators import sampling as SAMP
 from efficient_llm_data_wrangling_spark.operators.serialize import serialize_keyed, serialize_values
 from efficient_llm_data_wrangling_spark.registry import query
 from efficient_llm_data_wrangling_spark.session import ensure_parallelism, tune
@@ -524,3 +525,87 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
     )
+
+
+# --------------------------------------------------------------------------
+# Sampling / balancing (A6/A7, O5, P11) — key-deterministic variants
+# --------------------------------------------------------------------------
+
+_HEADK_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+ORDER BY c_custkey LIMIT 100
+"""
+
+
+@query("sample_head_k", oracle=_HEADK_ORACLE, tags=("sampling",))
+def sample_head_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (oracle-checkable variant) — exact-k sample in key order
+    (data_utils.py:20-27; the seeded twin uses rand(seed) and is
+    covered by determinism tests, since Spark's PRNG has no DuckDB
+    equivalent). Plans as TakeOrderedAndProject: per-partition top-k,
+    driver merge — no full sort at any scale."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return SAMP.sample_k_by_key(c, 100, "c_custkey")
+
+
+_STRAT_ORACLE = """
+SELECT o_orderkey, o_orderpriority FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 50
+"""
+
+
+@query("stratified_sample_orders", oracle=_STRAT_ORACLE, tags=("sampling",))
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (oracle-checkable variant) — first 50 rows per class in key
+    order via window rank (data_utils.py:49-53 per-group sample). One
+    shuffle on the (low-cardinality) label; rank cut prunes each group
+    early."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return SAMP.stratified_sample_by_key(o, "o_orderpriority", 50, "o_orderkey")
+
+
+_BALANCE_ORACLE = """
+WITH m AS (
+  SELECT min(n) AS mn FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderstatus)
+)
+SELECT o_orderkey, o_orderstatus FROM (
+  SELECT o_orderkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+  FROM orders
+), m WHERE rn <= m.mn
+"""
+
+
+@query("class_balance_orders", oracle=_BALANCE_ORACLE, tags=("sampling",))
+def class_balance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (oracle-checkable variant) — every o_orderstatus class cut to
+    the smallest class's size, key-ordered (data_utils.py:337-346). The
+    min count broadcast-joins; the rank is the same single shuffle as
+    A6."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return SAMP.class_balance_by_key(o, "o_orderstatus", "o_orderkey")
+
+
+_SPLIT_ORACLE = """
+SELECT c_custkey, c_name FROM (
+  SELECT c_custkey, c_name, row_number() OVER (ORDER BY c_custkey) AS rn
+  FROM customer
+) WHERE rn > 1000
+"""
+
+
+@query("split_rest_customers", oracle=_SPLIT_ORACLE, tags=("sampling",))
+def split_rest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — head/rest split by explicit key (data_utils.py:216-217
+    ``iloc[k:]`` re-expressed without list position, SURVEY §7 risk 5);
+    returns the rest side, the train head is the same rank ≤ k cut."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    _, test = SAMP.split_head_rest(c, 1000, "c_custkey")
+    return test

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from efficient_llm_data_wrangling_spark.operators import dedup as D
 from efficient_llm_data_wrangling_spark.operators import similarity as SIM
+from efficient_llm_data_wrangling_spark.operators import multimodal as MM
 from efficient_llm_data_wrangling_spark.operators import text as TX
 from efficient_llm_data_wrangling_spark.registry import query
 from efficient_llm_data_wrangling_spark.session import tune
@@ -377,3 +378,84 @@ def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hyperplane_lsh_top_k(
         emb, _query_vector(spark, sf_dir), k=10, n_planes=16, max_hamming=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload) family
+# ---------------------------------------------------------------------------
+
+#: HEADER_LEN bytes of synthetic header before the utf-8 body.
+_MM_DECODE_ORACLE = """
+SELECT doc_id,
+       CAST(10 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(doc_id % 64 + 8 AS INT) AS width,
+       CAST(doc_id % 48 + 8 AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+FROM documents
+"""
+
+
+@query("multimodal_decode", oracle=_MM_DECODE_ORACLE, tags=("multimodal",))
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode via mapInPandas: payloads are built
+    JVM-side (header ‖ utf-8 body), shipped to Python workers as Arrow
+    binary batches, and parsed by the (stub) codec. The oracle
+    recomputes every decoded field from first principles — proving the
+    bytes that crossed the Arrow boundary round-tripped exactly."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_assets(MM.with_payload(docs))
+
+
+_MM_RESIZE_ORACLE = """
+SELECT doc_id,
+       CAST(greatest(1, floor((doc_id % 64 + 8) *
+            least(1.0, 32.0 / greatest(doc_id % 64 + 8, doc_id % 48 + 8)))) AS INT) AS width,
+       CAST(greatest(1, floor((doc_id % 48 + 8) *
+            least(1.0, 32.0 / greatest(doc_id % 64 + 8, doc_id % 48 + 8)))) AS INT) AS height,
+       CAST(doc_id % 3 + 1 AS INT) AS channels
+FROM documents
+"""
+
+
+@query("multimodal_resize_meta", oracle=_MM_RESIZE_ORACLE, tags=("multimodal",))
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit(32): the dimension math runs
+    JVM-side on the metadata struct (the codec resample is the stubbed
+    step); payloads never leave the scan stage."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    resized = MM.resize_assets(MM.with_payload(docs))
+    return resized.select("doc_id", "meta.width", "meta.height", "meta.channels")
+
+
+_MM_FRAMES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_frames,
+       CAST(unnest(range(0, octet_length(encode(text)), 10)) AS INT) AS frame_idx
+FROM documents
+WHERE octet_length(encode(text)) > 0
+"""
+
+
+@query("multimodal_frame_sample", oracle=_MM_FRAMES_ORACLE, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling as pure relational sequence+explode —
+    frame pruning happens BEFORE any decode UDF would run, which is the
+    ordering that matters when the payload column is 100 TB."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.with_payload(docs), every=10)
+
+
+@query("multimodal_byte_histogram", oracle=None, tags=("multimodal",))
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin byte histogram per payload body — a real (non-stub)
+    Arrow-batched feature extractor with the exact shape of an
+    embedding UDF. Rows-only in the driver gate (DuckDB has no byte
+    access into blobs); exactness vs a pure-Python histogram is
+    asserted in tests/test_multimodal.py."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.byte_histogram_features(MM.with_payload(docs))
