@@ -1,0 +1,82 @@
+"""Ingest-layer readers (SURVEY.md §2.1 S1-S7) against temp CSV/TSV
+fixtures shaped like the reference's benchmark files."""
+
+from __future__ import annotations
+
+import os
+
+from efficient_llm_data_wrangling_spark.sources import readers as R
+
+
+def _write(path: str, content: str) -> str:
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(content)
+    return path
+
+
+def test_read_blocked_pairs_joins_and_serializes(spark, tmp_path):
+    pairs = _write(
+        str(tmp_path / "pairs.csv"),
+        "ltable_id,rtable_id,label\n1,10,1\n2,20,0\n",
+    )
+    table_a = spark.createDataFrame(
+        [(1, "alpha", None), (2, "beta", "x")], "id long, name string, extra string"
+    )
+    table_b = spark.createDataFrame(
+        [(10, "ALPHA"), (20, "GAMMA")], "id long, name string"
+    )
+    out = R.read_blocked_pairs(spark, pairs, table_a, table_b).collect()
+    by_pair = {(r["ltable_id"], r["rtable_id"]): r for r in out}
+    assert by_pair[(1, 10)]["label_str"] == "Yes"
+    assert by_pair[(2, 20)]["label_str"] == "No"
+    # keyed serialization with nan token for the NULL, A then B halves
+    assert by_pair[(1, 10)]["text"] == "name: alpha ^ extra: nan ^ name: ALPHA"
+
+
+def test_read_imputation_split_excludes_target(spark, tmp_path):
+    split = _write(
+        str(tmp_path / "train.csv"),
+        "id,city,state,zip\n1,austin,tx,78701\n2,boston,,02101\n",
+    )
+    out = R.read_imputation_split(spark, split, impute_col="state").collect()
+    rows = {r["text"]: r["label_str"] for r in out}
+    assert rows["city: austin ^ zip: 78701"] == "tx\n"
+    # null target serializes through the label with the reference's \n suffix
+    assert "city: boston ^ zip: 02101" in rows
+
+
+def test_read_csv_dir_with_filename_column(spark, tmp_path):
+    d = tmp_path / "errs"
+    d.mkdir()
+    _write(str(d / "hospital_1_zip_code.csv"), "Zip_Code,is_clean\n78701,1\n")
+    _write(str(d / "hospital_2_city.csv"), "City,is_clean\naustin,0\n")
+    out = R.read_csv_dir_with_filename_column(spark, str(d))
+    got = {r["task_col"] for r in out.select("task_col").distinct().collect()}
+    assert got == {"zip_code", "city"}
+    # columns lowercased (reference data_utils.py:163)
+    assert "is_clean" in out.columns
+
+
+def test_read_transformation_file_instruction_and_rows(spark, tmp_path):
+    path = _write(
+        str(tmp_path / "t.txt"),
+        "// convert date formats\n01/02/2003\t\t2003-01-02\n\n04/05/2006\t\t2006-04-05\n",
+    )
+    df, instruction = R.read_transformation_file(spark, path)
+    assert instruction == "convert date formats"
+    rows = {r["text"]: r["label_str"] for r in df.collect()}
+    assert rows == {"01/02/2003": "2003-01-02", "04/05/2006": "2006-04-05"}
+
+
+def test_read_instruction(tmp_path):
+    _write(str(tmp_path / "instruction.txt"), "// do the thing\n")
+    assert R.read_instruction(str(tmp_path)) == "do the thing"
+    assert R.read_instruction(str(tmp_path / "missing")) is None
+
+
+def test_write_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out_dir = str(tmp_path / "out.parquet")
+    R.write_parquet(df, out_dir)
+    back = spark.read.parquet(out_dir)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
