@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from efficient_llm_data_wrangling_spark.operators import metrics as M
+from efficient_llm_data_wrangling_spark.operators import joins as JN
 from efficient_llm_data_wrangling_spark.operators import sampling as SAMP
 from efficient_llm_data_wrangling_spark.operators.serialize import serialize_keyed, serialize_values
 from efficient_llm_data_wrangling_spark.registry import query
@@ -609,3 +610,155 @@ def split_rest_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     _, test = SAMP.split_head_rest(c, 1000, "c_custkey")
     return test
+
+
+# --------------------------------------------------------------------------
+# Temporal joins + multidimensional aggregates + set ops (§2.10 gap list)
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+       CAST(r.ts AS TIMESTAMP) AS asof_ts,
+       r.event_id AS asof_event_id, r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@query("asof_join_events", oracle=_ASOF_ORACLE, tags=("join", "temporal"))
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks the user's most recent click
+    at-or-before it. Implemented as the log-merge (union + keyed-window
+    last(ignorenulls)) — ONE shuffle on user_id, linear work, no join
+    node at all. DuckDB's native ASOF JOIN restates the semantics."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = JN.asof_join_backward(
+        left, right, key="user_id", ts="ts", right_value_cols=["event_id", "value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_ts").alias("asof_ts"),
+        F.col("asof_event_id").alias("asof_event_id"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT a.event_id AS event_id_l, b.event_id AS event_id_r,
+       CAST(date_diff('microsecond', a.ts, b.ts) AS DOUBLE) / 1000000.0 AS gap_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+"""
+
+
+@query("range_join_events", oracle=_RANGE_ORACLE, tags=("join", "temporal"))
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join (pairs of a user's events ≤ 5 minutes
+    apart) via time-bucket quantization: the inequality join becomes an
+    equi-join on (user, bucket ∈ {b, b+1}) + exact residual filter —
+    shuffle keys stay uniform at any scale. Oracle = the plain
+    inequality join."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return JN.range_join_pairs(
+        ev, ev, key="user_id", ts="ts", width_seconds=300,
+        left_id="event_id", right_id="event_id",
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_pricing", oracle=_ROLLUP_ORACLE, tags=("agg",))
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) with
+    grouping_id to disambiguate NULL group markers — one pass, the
+    expand node feeds the same partial-agg pipeline as a flat groupBy."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("decimal(18,2)").cast("double").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_orders", oracle=_CUBE_ORACLE, tags=("agg",))
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets in one
+    expand+aggregate pass."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+@query("intersect_customers", oracle=_INTERSECT_ORACLE, tags=("setop",))
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — rich customers who also placed a big
+    order; Catalyst plans it as an aggregate + semi join."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.intersect(big)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+"""
+
+
+@query("except_customers", oracle=_EXCEPT_ORACLE, tags=("setop",))
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — the complementary anti side of the same
+    pair, planned as an aggregate + anti join."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return rich.exceptAll(big).distinct()
