@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_documents",
     "knn_brute_force",
+    "asof_join_events",
+    "rollup_pricing",
+    "multimodal_decode",
+    "stream_tumbling_counts",
 ]
 
 
