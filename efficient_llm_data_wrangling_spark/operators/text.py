@@ -142,3 +142,46 @@ def fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(acc * FINGERPRINT_BASE + F.ascii(ch), F.lit(FINGERPRINT_MOD)),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (relational — explode/groupBy/broadcast-join, no ML black box)
+# ---------------------------------------------------------------------------
+
+
+def tf_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Smoothed TF-IDF per (document, term):
+    ``tf · (ln((N+1)/(df+1)) + 1)`` (sklearn's smooth_idf formula).
+
+    Fully relational: explode → two groupBys → broadcast joins of the
+    (small) document-frequency and N relations back onto term
+    frequencies. At 100 TB the only big shuffle is the (doc_id, term)
+    aggregation, which is the irreducible one; df/N are vocabulary- and
+    scalar-sized."""
+    from efficient_llm_data_wrangling_spark.session import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_rel = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )

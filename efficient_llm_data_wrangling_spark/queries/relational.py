@@ -762,3 +762,19 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return rich.exceptAll(big).distinct()
+
+
+@query("approx_distinct_events", oracle=None, tags=("agg", "approx"))
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ count-distinct at 1% rsd +
+    approx_percentile sketch) per event_type — the sketches a 100 TB
+    profiler uses instead of exact distincts. Rows-only in the driver
+    gate (DuckDB's sketches differ by construction); relative-error
+    bounds vs exact are asserted in tests/test_scale_plans.py."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,107 @@
+"""Physical-plan and scale-strategy properties: the things that
+decide whether a query survives a 100× scale-up — broadcast choices,
+pushdown, bucketed co-location, sketch accuracy."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pair_join_broadcasts_dimensions(spark):
+    from efficient_llm_data_wrangling_spark.queries.relational import pair_join_text
+
+    plan = _plan(pair_join_text(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_filter_and_schema_push_into_scan(spark):
+    from efficient_llm_data_wrangling_spark.queries.relational import (
+        filter_project_lineitem,
+    )
+
+    plan = _plan(filter_project_lineitem(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # pruned scan: only the 5 referenced columns (of 16) reach the scan
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 5
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    ev = load_table(spark, SF_CORRECT, "events")
+    approx = {
+        r["event_type"]: r["a"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("e"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(2, 0.05 * e), (k, approx[k], e)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Bucketing both sides on the join key pre-co-locates the data:
+    the join plan must contain NO Exchange — the physical property that
+    removes the dominant cost of repeated fact-fact joins at 100 TB."""
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+        # AFTER the loads: load_table->tune() re-applies the default
+        # threshold, so disabling broadcast must come last
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{warehouse}/b_orders")
+            .mode("overwrite").saveAsTable("b_orders")
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{warehouse}/b_lineitem")
+            .mode("overwrite").saveAsTable("b_lineitem")
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # sanity: it still computes the right thing
+        n = joined.count()
+        want = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_minhash_join_is_not_cartesian(spark):
+    """The LSH candidate join must be a hash join on bucket keys —
+    never a cartesian/broadcast-nested-loop (the O(n²) failure mode)."""
+    from efficient_llm_data_wrangling_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = _plan(minhash_candidate_pairs(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
