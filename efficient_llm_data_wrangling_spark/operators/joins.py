@@ -118,3 +118,26 @@ def range_join_pairs(
             gap.alias("gap_seconds"),
         )
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-defeating equi-join: salt the big side with a deterministic
+    per-row bucket (hash of the whole row) and replicate the small side
+    across all buckets, so one hot key spreads over ``buckets`` tasks.
+
+    This is the manual fallback for when AQE's skew-join splitting
+    can't apply (e.g. the skewed side feeds an aggregation in the same
+    stage) and the small side is too big to broadcast outright.
+    Replication factor = ``buckets`` on the SMALL side only.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
+    bs = big.withColumn("__salt", salt)
+    ss = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<bigint>"))
+    )
+    return bs.join(ss, [key, "__salt"]).drop("__salt")

@@ -778,3 +778,109 @@ def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_LEV_ORACLE = """
+SELECT p.p_partkey, p.p_name, q.p_partkey AS cand_key, q.p_name AS cand_name,
+       CAST(levenshtein(p.p_name, q.p_name) AS INT) AS dist
+FROM part p JOIN part q
+  ON p.p_brand = q.p_brand AND p.p_partkey < q.p_partkey
+WHERE levenshtein(p.p_name, q.p_name) <= 5
+"""
+
+
+@query("levenshtein_match_parts", oracle=_LEV_ORACLE, tags=("join", "text"))
+def levenshtein_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching (the Levenshtein branch the
+    reference's prompts mandate, promptsTemplate.py:32-33) as a blocked
+    join + JVM ``levenshtein`` — no Python in the pair loop. Brand
+    blocking keeps candidate pairs linear-ish; the unblocked scale path
+    is the MinHash-LSH family."""
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(F.col("p_partkey"), F.col("p_name"), F.col("p_brand"))
+    q = part.select(
+        F.col("p_partkey").alias("cand_key"),
+        F.col("p_name").alias("cand_name"),
+        F.col("p_brand").alias("__b"),
+    )
+    dist = F.levenshtein("p_name", "cand_name")
+    return (
+        p.join(q, (F.col("p_brand") == F.col("__b")) & (F.col("p_partkey") < F.col("cand_key")))
+        .filter(dist <= 5)
+        .select("p_partkey", "p_name", "cand_key", "cand_name", dist.alias("dist"))
+    )
+
+
+_ARRMAP_ORACLE = """
+WITH t AS (
+  SELECT l_orderkey,
+         list_sort(list(l_linenumber)) AS lines,
+         list_sort(list(DISTINCT l_returnflag)) AS flags
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       array_to_string(lines, ',') AS lines,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(lines[1] AS INT) AS first_line,
+       array_to_string(list_sort(list_transform(lines, x -> x * 10)), ',') AS lines_x10,
+       CAST(len(list_filter(lines, x -> x % 2 = 0)) AS INT) AS n_even,
+       array_to_string(flags, ',') AS flags
+FROM t
+"""
+
+
+@query("array_functions_lineitem", oracle=_ARRMAP_ORACLE, tags=("functions",))
+def array_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface (collect_list/sort/transform/filter/
+    element_at + collect_set) — the §2.10 gap-list functions as one
+    grouped pipeline; both engines sort the collected arrays so the
+    nondeterministic collect order never reaches the compare, and join
+    them to strings (the hash compare treats cells as scalars)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = F.array_sort(F.collect_list("l_linenumber"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            lines.alias("lines"),
+            F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        )
+        .select(
+            "l_orderkey",
+            F.array_join("lines", ",").alias("lines"),
+            F.size("lines").alias("n_lines"),
+            F.element_at("lines", 1).alias("first_line"),
+            F.array_join(
+                F.array_sort(F.transform("lines", lambda x: x * 10)), ","
+            ).alias("lines_x10"),
+            F.size(F.filter("lines", lambda x: x % 2 == 0)).alias("n_even"),
+            F.array_join("flags", ",").alias("flags"),
+        )
+    )
+
+
+_SALTED_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority, substr(o_orderpriority, 1, 1) AS prio_code
+  FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority, d.prio_code
+FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+"""
+
+
+@query("salted_join_orders", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join on a 5-value key (every orders row hits one of
+    5 priority groups — the pathological shuffle-key distribution):
+    the big side salts into 8 deterministic buckets, the dim replicates
+    8×, and the hot keys spread across tasks. Oracle = the plain join,
+    proving salting is semantics-free."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    dim = (
+        o.select("o_orderpriority").distinct()
+        .withColumn("prio_code", F.substring("o_orderpriority", 1, 1))
+    )
+    return JN.salted_join(o, dim, key="o_orderpriority", buckets=8)
