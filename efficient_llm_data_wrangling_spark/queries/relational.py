@@ -884,3 +884,63 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prio_code", F.substring("o_orderpriority", 1, 1))
     )
     return JN.salted_join(o, dim, key="o_orderpriority", buckets=8)
+
+
+_Q3_SQL = """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@query("sql_shipping_priority", oracle=_Q3_SQL, tags=("sql", "bench"))
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query submitted through the SQL interface
+    (``spark.sql`` over registered views) — the same engine surface a
+    BI tool hits; oracle is the identical SQL text in DuckDB. Catalyst
+    broadcasts customer, reorders the joins, and plans the top-20 as
+    TakeOrdered."""
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3_SQL)
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS DOUBLE) AS running_spend,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+FROM orders
+"""
+
+
+@query("running_spend_per_customer", oracle=_RUNNING_ORACLE, tags=("window",))
+def running_spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal-exact spend + lag/lead neighbors per customer —
+    the frame-based window surface (cumulative ROWS frame, offset
+    functions) over one shuffle on the partition key."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.sum(_dec("o_totalprice")).over(cum).cast("decimal(18,2)").cast("double").alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
