@@ -52,9 +52,10 @@ def sample_k_by_key(df: DataFrame, k: int, key: str) -> DataFrame:
 
 def split_head_rest(df: DataFrame, k: int, key: str) -> tuple[DataFrame, DataFrame]:
     """P11 — train = first k by key, test = rest (data_utils.py:216-217,
-    with an explicit key instead of list position, SURVEY §7 risk 5)."""
-    w = Window.orderBy(key)
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    with an explicit key instead of list position, SURVEY §7 risk 5).
+    Ranks via the scalable :func:`global_rank`, not a partitionless
+    window."""
+    ranked = global_rank(df, [key], out_col="__rn")
     train = ranked.filter(F.col("__rn") <= k).drop("__rn")
     test = ranked.filter(F.col("__rn") > k).drop("__rn")
     return train, test
@@ -121,3 +122,45 @@ def top_up_concat(base: DataFrame, extra: DataFrame, target: int, key: str) -> D
     if need <= 0:
         return base
     return base.unionByName(extra.orderBy(key).limit(need))
+
+
+def global_rank(df: DataFrame, keys: list[str], out_col: str = "rn") -> DataFrame:
+    """Dense global row_number over a total key order WITHOUT the
+    single-partition window (`Window.orderBy(...)` with no partition
+    moves the entire input to one task — the classic 100 TB killer).
+
+    Scalable two-pass formulation:
+    1. ``repartitionByRange(keys)`` — range exchange gives globally
+       ordered partitions;
+    2. rank within each partition (window PARTITIONED by
+       ``spark_partition_id`` — parallel);
+    3. add the cumulative row count of all earlier partitions —
+       per-partition counts are PARTITION METADATA (#partitions rows,
+       like AQE statistics), so they collect to the driver and return
+       as a broadcast lookup; no global window anywhere.
+
+    Result is identical to the global window for a total (tie-free)
+    key order.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(*[F.col(k) for k in keys]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("__pid").orderBy(*keys)
+    local = ranged.withColumn("__local_rn", F.row_number().over(local_w))
+    counts = sorted(
+        (r["__pid"], r["__n"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    offsets, running = [], 0
+    for pid, n in counts:
+        offsets.append((pid, running))
+        running += n
+    offsets_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    return (
+        local.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(out_col, (F.col("__local_rn") + F.col("__offset")).cast("bigint"))
+        .drop("__pid", "__local_rn", "__offset")
+    )

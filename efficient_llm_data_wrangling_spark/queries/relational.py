@@ -417,12 +417,14 @@ WHERE value > 90
 def multi_key_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 — multi-key lexicographic alignment (data_utils.py:226-246)
     carried as an explicit rank column instead of list position
-    (SURVEY §7 risk 5)."""
+    (SURVEY §7 risk 5). Uses the scalable two-pass global rank
+    (range-partition → parallel local rank → broadcast offsets), NOT a
+    partitionless window that would drag everything to one task."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 90)
-    w = Window.orderBy("event_type", "ts", "event_id")
-    return ev.select(
-        "event_id", "event_type", "ts", F.row_number().over(w).cast("bigint").alias("rn")
+    keys = ["event_type", "ts", "event_id"]
+    return SAMP.global_rank(ev.select("event_id", "event_type", "ts"), keys).select(
+        "event_id", "event_type", "ts", "rn"
     )
 
 
