@@ -94,3 +94,65 @@ def test_session_windows_cover_all_emittable_events(spark):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 <= s2, "overlapping sessions for a user"
+
+
+def test_multibatch_replay_equals_single_batch(spark, tmp_path):
+    """Replay determinism across micro-batch boundaries: processing the
+    backlog as two files (newer half first, so the watermark has
+    already advanced when the older half arrives) must produce exactly
+    the same finalized windows as one logical batch. (Empirically,
+    availableNow backlog replay admits pre-listed files regardless of
+    the running watermark — numRowsDroppedByWatermark stays 0 — so
+    batch boundaries and arrival order must not leak into results.)"""
+    import duckdb
+    import os
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    src = f"{SF_SMOKE}/events.parquet"
+    d = tmp_path / "ev_split"
+    d.mkdir()
+    con = duckdb.connect()
+    mid = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{mid}') TO '{d}/newer.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{mid}') TO '{d}/older.parquet' (FORMAT PARQUET)"
+    )
+    now = 1_700_000_000
+    os.utime(d / "newer.parquet", (now, now))           # arrives first
+    os.utime(d / "older.parquet", (now + 100, now + 100))  # arrives late
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = S.run_to_memory(S.tumbling_counts(stream), "t_replay_test", "append")
+
+    full = spark.read.schema(schema).parquet(str(d))
+    import datetime as dt
+
+    max_ts = full.agg(F.max("ts")).first()[0]
+    wm = max_ts - dt.timedelta(hours=2)
+    want_rows = (
+        full.groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("ws") + F.expr("INTERVAL 1 HOUR") <= F.lit(wm))
+        .collect()
+    )
+    want = {(r["ws"], r["event_type"]): r["n"] for r in want_rows}
+    got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    assert got == want
+    assert want  # non-trivial: both halves contribute windows
