@@ -946,3 +946,71 @@ def running_spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("o_orderkey").over(w).alias("prev_order"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
+
+
+_FROMJSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       concat('k=', CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)) AS k_str
+FROM events WHERE event_type = 'view'
+"""
+
+
+@query("from_json_events", oracle=_FROMJSON_ORACLE, tags=("functions", "json"))
+def from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse (``from_json`` → typed struct, not
+    per-path string extraction) with downstream typed arithmetic —
+    parse once, use many times, which is what survives a wide JSON
+    column at scale."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+        F.concat(F.lit("k="), F.col("p.k").cast("string")).alias("k_str"),
+    )
+
+
+_MAP_ORACLE = """
+WITH pairs AS (
+  SELECT o_custkey, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey, o_orderstatus
+), m AS (
+  SELECT o_custkey, map_from_entries(list_sort(list({'k': o_orderstatus, 'v': n}))) AS status_map
+  FROM pairs GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(cardinality(status_map) AS INT) AS n_statuses,
+       coalesce(status_map['F'][1], 0) AS n_f,
+       coalesce(status_map['O'][1], 0) AS n_o,
+       array_to_string(list_sort(map_keys(status_map)), ',') AS statuses
+FROM m
+"""
+
+
+@query("map_functions_orders", oracle=_MAP_ORACLE, tags=("functions",))
+def map_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a per-customer status→count map
+    (map_from_entries over collected pairs), then probe it with
+    element_at / map_keys / size. Keys sort before map construction so
+    both engines build identical maps."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    pairs = o.groupBy("o_custkey", "o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    m = pairs.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("o_orderstatus").alias("k"), F.col("n").alias("v"))))
+        ).alias("status_map")
+    )
+    return m.select(
+        "o_custkey",
+        F.size("status_map").alias("n_statuses"),
+        F.coalesce(F.element_at("status_map", "F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("n_o"),
+        F.array_join(F.array_sort(F.map_keys("status_map")), ",").alias("statuses"),
+    )
