@@ -1,0 +1,430 @@
+"""Analytical operator surface beyond the reference's own inventory
+(SURVEY.md §2.10 north-star set): pivot/unpivot reshaping, exact
+percentiles, gap-based sessionization, grouping sets, lag/lead deltas,
+list aggregation, a scalable ntile, the datetime function surface, and
+fixed-width histograms.
+
+Every query follows the registry.py hash conventions: identical column
+aliases on both engines, decimal-exact money sums cast once to double,
+integer-cents sums for the double-typed ``events.value``, and total
+(tie-free) orderings wherever a window or rank is involved.
+
+Scale notes (these run on the 100 TB plan, not just sf0.01):
+
+* pivot passes an EXPLICIT value list — ``pivot(col)`` without values
+  runs a whole extra distinct job over the fact table to discover them;
+* sessionization and lag/lead partition their windows by a key
+  (user/customer) — per-key state is bounded, no global window;
+* ntile is built on :func:`sampling.global_rank` (range exchange +
+  per-partition rank + driver-side offsets), NOT a single-partition
+  ``Window.orderBy`` — the classic global-window scale killer;
+* histogram bucketing is pure column arithmetic → map-side partial
+  aggregation; one shuffle of at most ``n_buckets`` rows per task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.operators import sampling as SAMP
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+
+def _dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+#: integer-cents representation of the double ``events.value`` column —
+#: order-independent exact sums (streaming.py uses the same convention).
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot (wide<->long reshaping)
+# --------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p,
+  CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_status_revenue", oracle=_PIVOT_ORACLE, tags=("analytics", "pivot"))
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): revenue per priority × order-status matrix.
+
+    The status values are passed explicitly to ``pivot`` — omitting
+    them makes Spark run a separate distinct-scan job over the fact
+    table just to discover the column set, which at 100 TB doubles the
+    I/O. With explicit values the whole query is one scan + one
+    hash-aggregate shuffle (pivot compiles to conditional aggregates,
+    exactly the CASE WHEN form of the oracle)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", _dec("o_totalprice").alias("p")
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("p").alias("rev"), F.count(F.lit(1)).alias("n"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_rev").cast("double").alias("rev_f"),
+        F.col("O_rev").cast("double").alias("rev_o"),
+        F.col("P_rev").cast("double").alias("rev_p"),
+        (
+            F.coalesce(F.col("F_n"), F.lit(0))
+            + F.coalesce(F.col("O_n"), F.lit(0))
+            + F.coalesce(F.col("P_n"), F.lit(0))
+        ).cast("bigint").alias("n_orders"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
+@query("unpivot_lineitem_charges", oracle=_UNPIVOT_ORACLE, tags=("analytics", "pivot"))
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): melt the three charge columns into
+    (measure, amount) rows. ``DataFrame.unpivot`` compiles to a single
+    Expand node — one scan, 3× row fan-out, NO union of three scans
+    (the oracle's UNION ALL restatement would read the table three
+    times at scale)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (sort-based distributed aggregate)
+# --------------------------------------------------------------------------
+
+_PCTL_ORACLE = """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("percentile_price_by_priority", oracle=_PCTL_ORACLE, tags=("analytics", "agg"))
+def percentile_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (SQL percentile_cont
+    semantics) per group. Spark's ``percentile`` aggregate buffers each
+    group's values on the reducer — fine for bounded group cardinality
+    like the 5 priorities here; for high-cardinality/unbounded groups
+    switch to ``approx_percentile`` (t-digest, fixed memory), exercised
+    by ``approx_distinct_events``. round(4) absorbs the last-ulp libm
+    interpolation difference between engines."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization (batch; streaming variant = stream_session_windows)
+# --------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+)
+SELECT user_id,
+  CAST(session_id AS BIGINT) AS session_id,
+  CAST(min(ts) AS TIMESTAMP) AS session_start,
+  CAST(max(ts) AS TIMESTAMP) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_events", oracle=_SESSION_ORACLE, tags=("analytics", "temporal"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: a >30-minute silence starts a new
+    session. lag + running-sum windows PARTITIONED BY user_id — state
+    per task is one user's events, so the plan is a single shuffle on
+    user_id regardless of total scale (no global window). The streaming
+    twin is ``stream_session_windows`` (session_window + watermark)."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("session_id", F.sum(is_new).over(run).cast("bigint"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("value_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets (complements rollup_pricing / cube_orders)
+# --------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@query("grouping_sets_lineitem", oracle=_GSETS_SQL, tags=("analytics", "agg", "sql"))
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form under rollup/cube (both already
+    covered by ``rollup_pricing`` / ``cube_orders``): an arbitrary list
+    of grouping combinations in ONE Expand + hash-aggregate pass instead
+    of one scan per combination. ``grouping()`` disambiguates real NULL
+    keys from the ALL rows. Oracle is the identical SQL text."""
+    from efficient_llm_data_wrangling_spark.sources.catalog import register_views
+
+    tune(spark)
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_GSETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# lag/lead deltas: inter-order gap per customer
+# --------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+    date_diff('day',
+      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+      CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+)
+SELECT o_custkey,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(avg(gap) AS DOUBLE) AS avg_gap_days,
+  CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM g GROUP BY o_custkey
+HAVING count(gap) > 0
+"""
+
+
+@query("order_gap_days", oracle=_GAP_ORACLE, tags=("analytics", "window"))
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead surface: days between a customer's consecutive orders,
+    aggregated per customer. The window partitions by customer — the
+    lag never sees more than one customer's history per task. avg of
+    exact integer day-gaps divides identically in both engines (no
+    rounding needed)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lag("o_orderdate").over(w).cast("date")
+    )
+    return (
+        o.withColumn("gap", gap)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.avg("gap").alias("avg_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# List aggregation (collect_list/collect_set → deterministic string)
+# --------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT r_name,
+  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+  CAST(count(*) AS BIGINT) AS n_nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+@query("collect_nations_per_region", oracle=_COLLECT_ORACLE, tags=("analytics", "agg"))
+def collect_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation: nations per region as a SORTED joined string —
+    ``collect_list`` order is partition-dependent, so ``array_sort``
+    before ``array_join`` is what makes the result deterministic (and
+    hash-comparable; registry.py array convention). Region broadcasts."""
+    tune(spark)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    joined = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return joined.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalable ntile (equi-depth bucketing without a global window)
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH t AS (
+  SELECT c_acctbal, ntile(8) OVER (ORDER BY c_acctbal, c_custkey) AS tile
+  FROM customer
+)
+SELECT CAST(tile AS INT) AS tile,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  min(c_acctbal) AS min_acctbal,
+  max(c_acctbal) AS max_acctbal
+FROM t GROUP BY tile
+"""
+
+
+@query("ntile_customer_acctbal", oracle=_NTILE_ORACLE, tags=("analytics", "window", "scale"))
+def ntile_customer_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 8-tile over account balance WITHOUT the
+    single-partition global window ntile needs: global rank comes from
+    :func:`sampling.global_rank` (range exchange + parallel local rank
+    + driver-side offsets), and the SQL ntile bucket formula — first
+    ``n % k`` tiles get ``n//k + 1`` rows — is then pure arithmetic on
+    the rank. Oracle is DuckDB's native ntile."""
+    tune(spark)
+    k = 8
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n = c.count()  # scalar driver-side, same class as global_rank's offsets
+    q, r = divmod(n, k)
+    qd = max(q, 1)  # divisor guard for n < k (all rows land in branch 1)
+    ranked = SAMP.global_rank(c, ["c_acctbal", "c_custkey"], out_col="rn")
+    tile = (
+        F.when(
+            F.col("rn") <= r * (q + 1),
+            ((F.col("rn") - 1) / (q + 1)).cast("bigint"),
+        )
+        .otherwise(r + ((F.col("rn") - r * (q + 1) - 1) / qd).cast("bigint"))
+        + 1
+    ).cast("int")
+    return (
+        ranked.withColumn("tile", tile)
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Datetime function surface
+# --------------------------------------------------------------------------
+
+_DT_ORACLE = """
+SELECT o_orderkey,
+  CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+  CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+  CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+  CAST(extract(doy FROM o_orderdate) AS INT) AS doy,
+  CAST(extract(dow FROM o_orderdate) + 1 AS INT) AS dow,
+  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+  CAST(CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS VARCHAR) AS due_date
+FROM orders
+"""
+
+
+@query("datetime_functions_orders", oracle=_DT_ORACLE, tags=("analytics", "functions"))
+def datetime_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime extraction/arithmetic surface: year/month/quarter/doy/
+    dow, month truncation, last_day, date_add. All JVM-side column
+    expressions inside whole-stage codegen — no UDF. Engine quirk
+    pinned by the oracle: Spark ``dayofweek`` is 1=Sunday..7, DuckDB
+    ``dow`` is 0=Sunday..6, so the oracle shifts by +1."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.trunc(d, "MM").cast("string").alias("month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram (equi-width bucketing)
+# --------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("histogram_totalprice", oracle=_HIST_ORACLE, tags=("analytics", "agg"))
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 buckets of 30k, top-capped): bucket id
+    is pure column arithmetic, so the aggregate is map-side partial →
+    at most 20 rows shuffle per task, independent of input scale. IEEE
+    division + floor of identical doubles is bit-identical across
+    engines — no rounding needed."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast("int")
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
