@@ -1,0 +1,236 @@
+"""Snapshot-maintenance ETL operators a recurring training-data
+pipeline needs between crawls: keyed upsert (SCD1 merge), snapshot
+diff (CDC-style added/removed/changed), composition ratios, and the
+string-function surface.
+
+Registry.py hash conventions apply (identical aliases, exact integer /
+decimal aggregates, no raw-double sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+
+def _dec(col: str | Column, precision: int = 18, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+# --------------------------------------------------------------------------
+# Keyed upsert (SCD1 merge): delta wins, base fills the rest
+# --------------------------------------------------------------------------
+
+def upsert_by_key(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """MERGE-style SCD1 upsert: every key in ``delta`` replaces its
+    ``base`` row; unmatched base rows pass through.
+
+    Shape: ``delta ∪ (base ⟕̸ delta)`` — one left-anti join on the key
+    plus a union, both streaming-friendly. At scale the anti join
+    shuffles on the same key as any downstream keyed write, so the
+    exchange is reusable; when delta is small (the common incremental
+    case) Catalyst broadcasts it and the base side never shuffles.
+    """
+    survivors = base.join(delta.select(key), on=key, how="left_anti")
+    return delta.unionByName(survivors)
+
+
+_UPSERT_ORACLE = """
+WITH delta AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DECIMAL(19,3)) AS price,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(price AS VARCHAR) AS price_str,
+       o_orderpriority
+FROM delta
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS VARCHAR) AS price_str,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 10 <> 0
+"""
+
+
+@query("upsert_snapshot_orders", oracle=_UPSERT_ORACLE, tags=("etl", "join"))
+def upsert_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 upsert of a synthetic delta (every 10th order repriced
+    +10%) into the orders snapshot via :func:`upsert_by_key`.
+
+    Hash-convention note: the reprice runs in EXACT decimal arithmetic
+    (decimal(18,2) × 1.1 → scale 3) on both engines — quantizing a
+    computed double back to decimal is engine-divergent on shortest-
+    representation ties (Spark casts via Double.toString + HALF_UP;
+    DuckDB rounds the binary value), ~0.2% of rows here."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        _dec("o_totalprice").cast("decimal(19,3)").alias("price"),
+        "o_orderpriority",
+    )
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "price",
+        (F.col("price").cast("decimal(18,2)") * F.lit("1.1").cast("decimal(2,1)"))
+        .cast("decimal(19,3)"),
+    )
+    merged = upsert_by_key(o, delta, "o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("price").cast("string").alias("price_str"),
+        "o_orderpriority",
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (CDC): added / removed / changed between two versions
+# --------------------------------------------------------------------------
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Keyed diff of two snapshot versions → rows tagged ``added`` /
+    ``removed`` / ``changed`` (unchanged rows are dropped — at 100 TB
+    the diff output is the small side, so filtering early keeps the
+    result proportional to the churn, not the corpus).
+
+    One full-outer join on the key — a single co-partitioned shuffle;
+    change detection is null-safe equality (``<=>``) on the compared
+    columns, JVM-side.
+    """
+    o = old.select(key, *compare_cols)
+    n = new.select(key, *compare_cols)
+    on = o.alias("o").join(
+        n.alias("n"), F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer"
+    )
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return (
+        on.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            F.col("status"),
+        )
+    )
+
+
+_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+       WHEN new.o_orderkey IS NULL THEN 'removed'
+       WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+  END AS status
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+           WHEN new.o_orderkey IS NULL THEN 'removed'
+           WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+@query("snapshot_diff_orders", oracle=_DIFF_ORACLE, tags=("etl", "join"))
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two synthetic snapshot versions of orders
+    (drop every 7th key from old, every 11th from new, restatus every
+    5th) via :func:`snapshot_diff`."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", ["o_orderstatus"])
+
+
+# --------------------------------------------------------------------------
+# Composition ratios (corpus monitoring)
+# --------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY source) AS share
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@query("lang_share_by_source", oracle=_SHARE_ORACLE, tags=("etl", "text", "agg"))
+def lang_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition monitor: language share within each source.
+    Aggregate first (tiny result), THEN the ratio window runs over the
+    aggregated rows — cardinality = |source × lang|, so the window cost
+    is independent of corpus size. Exact int/int division is
+    bit-identical across engines."""
+    tune(spark)
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(W.partitionBy("source"))
+    return counts.withColumn(
+        "share", F.col("n_docs").cast("double") / total
+    )
+
+
+# --------------------------------------------------------------------------
+# String function surface
+# --------------------------------------------------------------------------
+
+_STRFN_ORACLE = """
+SELECT c_custkey,
+  upper(c_name) AS name_upper,
+  lower(c_mktsegment) AS seg_lower,
+  substring(c_name, 1, 8) AS name_prefix,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+  regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+  replace(c_name, 'Customer', 'Cust') AS name_short,
+  reverse(c_mktsegment) AS seg_rev,
+  CAST(length(c_name) AS INT) AS name_len,
+  concat_ws('|', c_mktsegment, c_name) AS seg_name
+FROM customer
+"""
+
+
+@query("string_functions_customer", oracle=_STRFN_ORACLE, tags=("functions",))
+def string_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface — upper/lower/substring/lpad/
+    regexp_extract/replace/reverse/length/concat_ws — all JVM column
+    expressions in one whole-stage-codegen project over the scan."""
+    tune(spark)
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+    )
