@@ -180,13 +180,62 @@ def read_instruction(data_dir: str) -> str | None:
     return " ".join(lines) if lines else None
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
     """S10 upgraded: predictions/result sink as parquet (the reference
-    only built a .feather path and never wrote it, run_wrangler.py:242-254)."""
+    only built a .feather path and never wrote it, run_wrangler.py:242-254).
+
+    ``partition_by`` produces hive-style ``col=value/`` layout so later
+    scans with an equality/IN filter on that column prune whole
+    directories (``PartitionFilters`` in the plan — zero I/O for pruned
+    partitions, the single biggest 100 TB read lever). Partition on
+    low-cardinality columns only: a high-cardinality key explodes the
+    file count and drowns the namenode/listing in metadata.
+
+    ``max_records_per_file`` bounds output file size WITHOUT an extra
+    pass over the data (it's a writer option, enforced as files roll) —
+    prefer it over ``repartition(n)``-to-size, which needs a count.
+    """
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a directory of many small parquet
+    files as ``ceil(total_bytes / target)`` right-sized files; returns
+    the chosen file count.
+
+    The output file count comes from FILE METADATA (a driver-side
+    listing), not a count() pass over the rows — at 100 TB a listing is
+    O(files) while a count is O(bytes). The rewrite itself is one
+    round-robin exchange; no key semantics are assumed or preserved.
+    Local-fs listing here; on HDFS/S3 swap in the Hadoop FileSystem
+    ``listStatus`` — same shape, still metadata-only.
+    """
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+    spark.read.parquet(src_path).repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
 
 
 def write_json_metrics(rows: list[dict], path: str) -> None:

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from efficient_llm_data_wrangling_spark.sources import readers as R
 
 
@@ -80,3 +82,54 @@ def test_write_parquet_roundtrip(spark, tmp_path):
     R.write_parquet(df, out_dir)
     back = spark.read.parquet(out_dir)
     assert sorted((r["id"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-layout write + equality filter ⇒ directory-level pruning:
+    the scan's PartitionFilters carries the predicate and only the
+    matching partition's files are read."""
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    R.write_parquet(orders, out, partition_by=["o_orderstatus"])
+    statuses = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(statuses) >= 2  # hive layout materialized
+
+    back = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1][:200]
+    expected = orders.filter("o_orderstatus = 'F'").count()
+    assert back.count() == expected
+
+
+def test_write_max_records_per_file_bounds_file_rows(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "bounded")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").coalesce(1)
+    R.write_parquet(orders, out, max_records_per_file=500)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name())
+        .count()
+        .collect()
+    )
+    assert len(per_file) > 1
+    assert max(r["count"] for r in per_file) <= 500
+
+
+def test_compact_parquet_dir_reduces_file_count(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+
+    frag = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    orders.repartition(64).write.parquet(frag)  # 64 small files
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(frag))
+    assert n_small == 64
+
+    compacted = str(tmp_path / "compacted")
+    n = R.compact_parquet_dir(spark, frag, compacted, target_bytes_per_file=10 * 1024 * 1024)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(compacted))
+    assert n_out == n < 64
+    assert spark.read.parquet(compacted).count() == orders.count()
