@@ -1,0 +1,77 @@
+"""Distributed connected components — the clustering primitive that
+turns pairwise duplicate evidence (exact-hash / MinHash-LSH / cosine
+pairs from operators/dedup.py) into duplicate GROUPS: every document
+keeps one canonical representative per component.
+
+Algorithm: min-label propagation + pointer jumping (label(v) ←
+label(label(v)) each round), the DataFrame re-expression of the
+MapReduce CC family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — large-star/small-star has the same
+O(log d) round bound). Propagation alone needs O(diameter) rounds;
+the jump step halves pointer chains so convergence is O(log diameter).
+
+Scale mechanics (the parts that matter at 100 TB):
+
+* every round is two keyed shuffles (neighbor-min groupBy + the jump
+  self-join) on uniformly-hashed node ids — no global structure;
+* ``localCheckpoint`` each round truncates the lineage — without it
+  the plan doubles per iteration and the job dies on plan-compile
+  time long before data size matters;
+* convergence test is a monotone aggregate (labels only decrease), so
+  one tiny ``agg(sum)`` action per round, no full materialize-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """[node, component] for the undirected graph given as an edge
+    list; ``component`` is the minimum node id in the component.
+    Isolated nodes (no edges) are not emitted — union them in as
+    self-components if needed."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1. min over neighbors' labels
+        nbr = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("blabel")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("blabel").alias("nbr_label"))
+        )
+        new = labels.join(nbr, labels["node"] == nbr["a"], "left").select(
+            labels["node"],
+            F.least(
+                labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])
+            ).alias("label"),
+        )
+        # 2. pointer jump: label(v) <- label(label(v)); every label value
+        #    is itself a node, so the inner self-join is total
+        ptr = new.select(F.col("node").alias("label"), F.col("label").alias("jlabel"))
+        new = (
+            new.join(ptr, "label")
+            .select("node", F.col("jlabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels = new
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

@@ -428,3 +428,122 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components (iterative; duplicate-cluster primitive)
+# --------------------------------------------------------------------------
+
+_CC_ORACLE = """
+WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+e AS (
+  SELECT o_orderkey AS src, o_orderkey * 2 AS dst
+  FROM orders, mx WHERE o_orderkey * 2 <= mx.m
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+SELECT node,
+  CASE WHEN node = 0 THEN 0 ELSE node // (node & -node) END AS component
+FROM nodes
+"""
+
+
+@query("connected_components_halving", oracle=_CC_ORACLE, tags=("graph", "iterative", "scale"))
+def connected_components_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed connected components
+    (:func:`operators.graph.connected_components` — min-label
+    propagation + pointer jumping, O(log diameter) rounds,
+    localCheckpoint lineage truncation) on the deterministic doubling
+    graph ``k — 2k`` over the dense orderkey domain. That graph's
+    components have a CLOSED FORM — the component root is the odd part
+    ``k / (k & -k)`` — so an exact SQL oracle can grade a genuinely
+    iterative Spark algorithm. In the dedup pipeline the same operator
+    consumes LSH/exact-hash pair output to form duplicate groups."""
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.operators.graph import connected_components
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    edges = o.select(
+        F.col("o_orderkey").alias("src"), (F.col("o_orderkey") * 2).alias("dst")
+    ).filter(F.col("dst") <= mx)
+    return connected_components(edges)
+
+
+# --------------------------------------------------------------------------
+# Group-mean imputation (missing-value repair, reference S3 family)
+# --------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+)
+SELECT c_custkey,
+  coalesce(
+    bal,
+    CAST(sum(CAST(bal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+      / count(bal) OVER (PARTITION BY c_nationkey)
+  ) AS imputed_bal,
+  CAST(bal IS NULL AS BOOLEAN) AS was_imputed
+FROM c
+"""
+
+
+@query("impute_mean_acctbal", oracle=_IMPUTE_ORACLE, tags=("etl", "impute", "window"))
+def impute_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation (the distributed upgrade of the
+    reference's imputation task family, S3): negative balances are
+    nulled then repaired with their nation's mean. The mean derives
+    from a DECIMAL-exact window sum divided once in double — a plain
+    double avg is partial-sum-order dependent and would not hash
+    across engines. One window shuffle on the group key."""
+    tune(spark)
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    w = W.partitionBy("c_nationkey")
+    mean = F.sum(_dec("bal")).over(w).cast("double") / F.count("bal").over(w)
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.col("bal"), mean).alias("imputed_bal"),
+        F.col("bal").isNull().alias("was_imputed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical moments surface (corr / covar / stddev / variance)
+# --------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+  round(stddev_samp(l_discount), 6) AS sd_discount,
+  round(var_samp(l_quantity), 6) AS var_qty,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("stats_moments_lineitem", oracle=_MOMENTS_ORACLE, tags=("analytics", "agg"))
+def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate surface: corr/covar_samp/stddev_samp/
+    var_samp per return flag — single-pass streaming co-moment
+    aggregates (map-side partials, one shuffle). Rounded because the
+    co-moment merge order differs between engines at the last few ulps
+    (corr at 1e-6 abs; covar at 1e-3, its magnitude is ~1e4)."""
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

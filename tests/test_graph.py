@@ -1,0 +1,35 @@
+"""Connected components (operators/graph.py): exact component labels
+on hand-built graphs, including the convergence-speed contract."""
+
+from __future__ import annotations
+
+from efficient_llm_data_wrangling_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_two_components_and_self_loop(spark):
+    # component {1,2,3,4} chained, component {10,11}, self-loop {20}
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_long_path_converges(spark):
+    # a 64-node path exercises pointer jumping (plain propagation
+    # would need 64 rounds; the max_iter=50 cap still converges)
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc(spark, edges)
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_star_and_cycle(spark):
+    star = [(100, i) for i in range(101, 106)]
+    cycle = [(7, 8), (8, 9), (9, 7)]
+    got = _cc(spark, star + cycle)
+    assert {got[i] for i in range(100, 106)} == {100}
+    assert {got[i] for i in (7, 8, 9)} == {7}

@@ -105,3 +105,46 @@ def test_minhash_join_is_not_cartesian(spark):
     plan = _plan(minhash_candidate_pairs(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Gap sessionization must be ONE shuffle on user_id: lag window,
+    running-sum window, and the groupBy all reuse the same hash
+    partitioning — a second Exchange would double the network cost of
+    the dominant stage at scale."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import sessionize_events
+
+    plan = _plan(sessionize_events(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_unpivot_is_one_scan_with_expand(spark):
+    """unpivot = Expand over a single scan; the naive UNION-ALL
+    restatement would scan the fact table once per measure."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        unpivot_lineitem_charges,
+    )
+
+    plan = _plan(unpivot_lineitem_charges(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_pivot_explicit_values_single_scan(spark):
+    """pivot with an explicit value list compiles to conditional
+    aggregates over ONE scan — no extra distinct-discovery job."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        pivot_status_revenue,
+    )
+
+    plan = _plan(pivot_status_revenue(spark, SF_SMOKE))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_upsert_broadcasts_small_delta(spark):
+    """The incremental-merge fast path: a small delta must broadcast —
+    the 100 TB base side then never shuffles for the anti join."""
+    from efficient_llm_data_wrangling_spark.queries.etl import upsert_snapshot_orders
+
+    plan = _plan(upsert_snapshot_orders(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
