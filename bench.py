@@ -42,6 +42,9 @@ HEADLINE = [
     "rollup_pricing",
     "multimodal_decode",
     "stream_tumbling_counts",
+    "sessionize_events",
+    "upsert_snapshot_orders",
+    "connected_components_halving",
 ]
 
 

@@ -181,3 +181,46 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.run_to_memory(
         S.stateful_user_totals(S.stream_events(spark, sf_dir)), _sink("totals"), "update"
     )
+
+
+_ENRICH_ORACLE = """
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+w AS (
+  SELECT date_trunc('hour', e.ts) AS window_start,
+         date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+         n.n_name,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, n_name, n_events, value_cents
+FROM w, m WHERE w.window_end <= m.wm
+"""
+
+
+@query("stream_static_enrich", oracle=_ENRICH_ORACLE, tags=("streaming", "join"))
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (events × nation dimension)
+    followed by watermarked tumbling totals per nation — the standard
+    streaming-ETL enrichment topology. The oracle restates the join
+    (``user_id % 25``), window assignment, and the append-mode emission
+    rule in batch SQL."""
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = S.run_to_memory(
+        S.static_enrich_window_totals(
+            S.stream_events(spark, sf_dir), nation, "n_nationkey", "n_name"
+        ),
+        _sink("enrich"),
+        "append",
+    )
+    return out.select(
+        F.col("window_start").cast(_NTZ).alias("window_start"),
+        F.col("window_end").cast(_NTZ).alias("window_end"),
+        "n_name",
+        "n_events",
+        "value_cents",
+    )

@@ -244,3 +244,22 @@ def write_json_metrics(rows: list[dict], path: str) -> None:
 
     with open(path, "w", encoding="utf-8") as fh:
         json.dump(rows, fh, indent=2, default=str)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | str) -> DataFrame:
+    """JSON-lines source with a MANDATORY explicit schema: schema
+    inference on JSON is a full extra pass over the data (and samples
+    at scale, silently mistyping rare fields) — at 100 TB you pass the
+    contract, you don't discover it."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None
+) -> None:
+    """JSON-lines sink (one object per line — the interchange format
+    LLM-training pipelines consume); optional codec (gzip/zstd)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -283,3 +283,43 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataF
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def static_enrich_window_totals(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str,
+    dim_name: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed aggregate: each event is enriched
+    with a dimension attribute (join key derived as ``user_id % |dim|``
+    on the synthetic data), then counted per (window, attribute).
+
+    The static side is broadcast — Structured Streaming re-plans the
+    join per micro-batch, so the stream side NEVER shuffles for the
+    join; the only stateful exchange is the windowed aggregation.
+    This is the standard enrichment topology: a 100 TB/day stream
+    joined to a catalog-sized dimension costs one map-side hash probe
+    per event.
+    """
+    n_keys = dim.count()  # driver-side scalar; dimension is tiny by contract
+    enriched = events.withColumn(
+        "__k", (F.col("user_id") % F.lit(n_keys)).cast("long")
+    ).join(F.broadcast(dim), F.col("__k") == F.col(dim_key))
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col(dim_name))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(dim_name),
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -33,3 +33,37 @@ def test_star_and_cycle(spark):
     got = _cc(spark, star + cycle)
     assert {got[i] for i in range(100, 106)} == {100}
     assert {got[i] for i in (7, 8, 9)} == {7}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: the distributed algorithm agrees with a plain
+    union-find on pseudo-random graphs (fixed seeds — deterministic)."""
+    import random
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        expect = union_find(edges)
+        # canonicalize union-find roots to component minima
+        comps = {}
+        for node, root in expect.items():
+            comps.setdefault(root, []).append(node)
+        want = {n_: min(members) for root, members in comps.items() for n_ in members}
+        assert _cc(spark, edges) == want, f"seed {seed}"

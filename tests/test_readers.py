@@ -133,3 +133,15 @@ def test_compact_parquet_dir_reduces_file_count(spark, tmp_path):
     n_out = sum(f.endswith(".parquet") for f in os.listdir(compacted))
     assert n_out == n < 64
     assert spark.read.parquet(compacted).count() == orders.count()
+
+
+def test_jsonl_roundtrip_with_schema(spark, tmp_path):
+    out = str(tmp_path / "docs.jsonl")
+    df = spark.createDataFrame(
+        [(1, "hello world", 11), (2, 'quote " and \\ slash', 19), (3, None, 0)],
+        "doc_id long, text string, n long",
+    )
+    R.write_jsonl(df, out)
+    back = R.read_jsonl(spark, out, "doc_id long, text string, n long")
+    got = {r["doc_id"]: (r["text"], r["n"]) for r in back.collect()}
+    assert got == {1: ("hello world", 11), 2: ('quote " and \\ slash', 19), 3: (None, 0)}
