@@ -234,3 +234,128 @@ def string_functions_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("int").alias("name_len"),
         F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (text-pipeline hygiene)
+# --------------------------------------------------------------------------
+
+_REDACT_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or +1-555-01' || doc_id % 100 || ' now' AS dirty
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+?[0-9][0-9()\-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+FROM d
+"""
+
+
+@query("redact_pii_documents", oracle=_REDACT_ORACLE, tags=("etl", "text"))
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email + phone masking with chained
+    ``regexp_replace`` — JVM-side regex inside whole-stage codegen, no
+    UDF; the hygiene pass every LLM training corpus gets. Deterministic
+    fake PII is injected per doc_id so the masks are actually exercised
+    (the synthetic corpus contains none)."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" now"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-]{6,}[0-9]"
+    clean = F.regexp_replace(
+        F.regexp_replace(dirty, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select("doc_id", clean.alias("clean"))
+
+
+# --------------------------------------------------------------------------
+# Word counts (tokenize + explode + top-k)
+# --------------------------------------------------------------------------
+
+_WC_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 100
+"""
+
+
+@query("word_counts_documents", oracle=_WC_ORACLE, tags=("etl", "text", "agg"))
+def word_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-explode-count, the canonical corpus profile: explode is
+    a generator (no shuffle), the count is map-side partial, and top-k
+    compiles to TakeOrdered (no global sort materialization). Total
+    (n desc, word) ordering makes the LIMIT deterministic."""
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Date spine generation (calendar dimension)
+# --------------------------------------------------------------------------
+
+_SPINE_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+),
+o AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n FROM orders GROUP BY 1
+)
+SELECT CAST(spine.d AS VARCHAR)[1:10] AS day,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN o ON spine.d = CAST(o.d AS DATE)
+"""
+
+
+@query("date_spine_order_counts", oracle=_SPINE_ORACLE, tags=("etl", "temporal"))
+def date_spine_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine (``sequence`` + ``explode`` — generated,
+    not scanned) left-joined to daily order counts so zero-activity
+    days appear explicitly. The spine is ~2400 rows regardless of fact
+    size, so it broadcasts; gap-free time series are what downstream
+    trend/backfill jobs assume."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )
