@@ -6,6 +6,7 @@ Importing this package registers every query into
 
 import efficient_llm_data_wrangling_spark.queries.analytics  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.etl  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.quality  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.relational  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.scale  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401

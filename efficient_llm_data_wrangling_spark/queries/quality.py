@@ -1,0 +1,163 @@
+"""Data-quality queries: expectation checking, column profiling, and
+IQR outlier detection over the synthetic tables (operators/quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.operators import quality as Q
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+
+_DQ_ORACLE = """
+WITH base AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN NOT coalesce(o_totalprice >= 0, FALSE) THEN 1 ELSE 0 END) AS v_nonneg_price,
+    sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE) THEN 1 ELSE 0 END) AS v_known_status,
+    sum(CASE WHEN NOT coalesce(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v_custkey_set,
+    sum(CASE WHEN NOT coalesce(o_totalprice <= 400000, FALSE) THEN 1 ELSE 0 END) AS v_price_cap
+  FROM orders
+)
+SELECT 'nonneg_price' AS rule, CAST(n AS BIGINT) AS n_rows, CAST(v_nonneg_price AS BIGINT) AS n_violations,
+       1.0 - CAST(v_nonneg_price AS DOUBLE) / n AS pass_rate FROM base
+UNION ALL
+SELECT 'known_status', n, v_known_status, 1.0 - CAST(v_known_status AS DOUBLE) / n FROM base
+UNION ALL
+SELECT 'custkey_set', n, v_custkey_set, 1.0 - CAST(v_custkey_set AS DOUBLE) / n FROM base
+UNION ALL
+SELECT 'price_cap', n, v_price_cap, 1.0 - CAST(v_price_cap AS DOUBLE) / n FROM base
+"""
+
+
+@query("dq_expectations_orders", oracle=_DQ_ORACLE, tags=("quality", "agg"))
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (the Great-Expectations-style
+    gate) over orders: four named rules checked in ONE aggregation pass
+    via :func:`quality.expectation_counts` — adding a rule adds an
+    expression, never a scan. ``price_cap`` intentionally has
+    violations so the violation path is exercised."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return Q.expectation_counts(
+        o,
+        [
+            ("nonneg_price", F.col("o_totalprice") >= 0),
+            ("known_status", F.col("o_orderstatus").isin("F", "O", "P")),
+            ("custkey_set", F.col("o_custkey").isNotNull()),
+            ("price_cap", F.col("o_totalprice") <= 400000),
+        ],
+    )
+
+
+_PROFILE_ORACLE = """
+WITH base AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+    count(DISTINCT o_orderstatus) AS d_status,
+    min(CAST(o_orderstatus AS VARCHAR)) AS min_status,
+    max(CAST(o_orderstatus AS VARCHAR)) AS max_status,
+    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS null_prio,
+    count(DISTINCT o_orderpriority) AS d_prio,
+    min(CAST(o_orderpriority AS VARCHAR)) AS min_prio,
+    max(CAST(o_orderpriority AS VARCHAR)) AS max_prio,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+    count(DISTINCT o_custkey) AS d_cust,
+    min(CAST(o_custkey AS VARCHAR)) AS min_cust,
+    max(CAST(o_custkey AS VARCHAR)) AS max_cust
+  FROM orders
+)
+SELECT 'o_orderstatus' AS column, CAST(n AS BIGINT) AS n_rows, CAST(null_status AS BIGINT) AS n_nulls,
+       CAST(d_status AS BIGINT) AS n_distinct, min_status AS min_str, max_status AS max_str FROM base
+UNION ALL
+SELECT 'o_orderpriority', n, null_prio, d_prio, min_prio, max_prio FROM base
+UNION ALL
+SELECT 'o_custkey', n, null_cust, d_cust, min_cust, max_cust FROM base
+"""
+
+
+@query("profile_orders", oracle=_PROFILE_ORACLE, tags=("quality", "agg"))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (count / nulls / distincts / min /
+    max, type-erased to strings) for three orders columns. The
+    oracle-checked variant uses EXACT distinct counts; the scale
+    default is :func:`quality.profile_columns` with HyperLogLog++
+    ``approx_count_distinct`` (fixed memory, one pass — tested against
+    exact counts in test_quality)."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"__null_{c}").cast("long").alias("n_nulls"),
+                        F.col(f"__d_{c}").cast("long").alias("n_distinct"),
+                        F.col(f"__min_{c}").alias("min_str"),
+                        F.col(f"__max_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT o_orderpriority,
+    quantile_cont(o_totalprice, 0.25) AS q1,
+    quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   > CAST(round((q.q3 + 1.5 * (q.q3 - q.q1)) * 100) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+  CAST(sum(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   < CAST(round((q.q1 - 1.5 * (q.q3 - q.q1)) * 100) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers
+FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("outlier_iqr_prices", oracle=_IQR_ORACLE, tags=("quality", "agg"))
+def outlier_iqr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier counts per priority class: exact quartiles per
+    group (5 groups — bounded reducer state), fences broadcast back
+    onto the fact scan, flags counted in integer CENTS — comparing
+    doubles at the fence would flip counts on last-ulp quartile drift
+    between engines; cents quantization collapses that to a
+    measure-zero half-cent tie."""
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    hi = F.round((F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))) * 100).cast("bigint")
+    lo = F.round((F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))) * 100).cast("bigint")
+    joined = o.join(F.broadcast(q), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(cents > hi, 1).otherwise(0)).cast("bigint").alias("n_high_outliers"),
+        F.sum(F.when(cents < lo, 1).otherwise(0)).cast("bigint").alias("n_low_outliers"),
+    )

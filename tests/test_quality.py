@@ -1,0 +1,55 @@
+"""Data-quality operators (operators/quality.py): one-pass expectation
+suites and profiles, approx-vs-exact distinct bounds."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from efficient_llm_data_wrangling_spark.operators import quality as Q
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_expectation_counts_null_predicate_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    out = {
+        r["rule"]: (r["n_rows"], r["n_violations"])
+        for r in Q.expectation_counts(
+            df, [("nonneg", F.col("v") >= 0), ("has_v", F.col("v").isNotNull())]
+        ).collect()
+    }
+    # NULL >= 0 evaluates to NULL -> counts as a violation, not a pass
+    assert out["nonneg"] == (3, 2)
+    assert out["has_v"] == (3, 1)
+
+
+def test_expectation_counts_single_job(spark):
+    """All rules must fold into one aggregate: a single scan node."""
+    o = load_table(spark, SF_SMOKE, "orders")
+    df = Q.expectation_counts(
+        o,
+        [("a", F.col("o_totalprice") >= 0), ("b", F.col("o_custkey").isNotNull())],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_profile_columns_approx_within_bounds(spark):
+    o = load_table(spark, SF_SMOKE, "orders")
+    prof = {r["column"]: r for r in Q.profile_columns(
+        o, ["o_orderstatus", "o_custkey"]
+    ).collect()}
+    exact = o.agg(
+        F.countDistinct("o_orderstatus").alias("s"),
+        F.countDistinct("o_custkey").alias("c"),
+    ).collect()[0]
+    assert prof["o_orderstatus"]["n_nulls"] == 0
+    assert abs(prof["o_orderstatus"]["approx_distinct"] - exact["s"]) <= max(
+        2, 0.05 * exact["s"]
+    )
+    assert abs(prof["o_custkey"]["approx_distinct"] - exact["c"]) <= max(
+        2, 0.05 * exact["c"]
+    )
+    assert prof["o_custkey"]["n_rows"] == o.count()
