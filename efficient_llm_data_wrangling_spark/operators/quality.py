@@ -87,3 +87,20 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+def observed(df: DataFrame, name: str, metrics: dict[str, Column]):
+    """Attach zero-cost pipeline metrics to a DataFrame via
+    ``df.observe``: the metrics are computed BY the action that
+    consumes the frame (write/collect), not by a second scan — at
+    100 TB an extra validation pass is a second 100 TB read; observe
+    is free.
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    consuming action finishes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[expr.alias(alias) for alias, expr in metrics.items()])
+    return out, obs

@@ -161,3 +161,104 @@ def outlier_iqr_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(cents > hi, 1).otherwise(0)).cast("bigint").alias("n_high_outliers"),
         F.sum(F.when(cents < lo, 1).otherwise(0)).cast("bigint").alias("n_low_outliers"),
     )
+
+
+_WMEAN_ORACLE = """
+SELECT l_returnflag,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+    / sum(CAST(l_quantity AS BIGINT)) / 100.0 AS weighted_avg_price,
+  CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("weighted_mean_pandas_udaf", oracle=_WMEAN_ORACLE, tags=("functions", "udf", "agg"))
+def weighted_mean_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom vectorized aggregate: quantity-weighted mean price as a
+    GROUPED_AGG pandas UDF (Arrow batches, numpy int64 reduction — the
+    integer-cents trick makes the Python-side sum exact and
+    order-independent, so a plain SQL oracle can grade a Python
+    aggregate). API-surface demo: grouped-agg UDFs ship whole groups to
+    Python and skip map-side partial aggregation, so the built-in
+    expression (the oracle's shape) is ALWAYS preferred when the
+    aggregate is expressible — reach for this only for genuinely custom
+    math (e.g. a learned scoring model's reduction)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    tune(spark)
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies type hints, which breaks pandas_udf signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(cents, qty):
+        num = int((cents.astype("int64") * qty.astype("int64")).sum())
+        den = int(qty.astype("int64").sum())
+        return float(num) / float(den) / 100.0
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg(), so the row count is a (trivial) pandas aggregate too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def ncount(cents):
+        return len(cents)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        wmean(F.col("cents"), F.col("qty")).alias("weighted_avg_price"),
+        ncount(F.col("cents")).alias("n"),
+    )
+
+
+_COGROUP_ORACLE = """
+SELECT coalesce(o.k, c.c_custkey) AS c_custkey,
+  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders,
+  CAST(coalesce(o.cents, 0) AS BIGINT) AS spend_cents,
+  c.c_acctbal AS c_acctbal
+FROM (
+  SELECT o_custkey AS k, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+) o FULL JOIN customer c ON o.k = c.c_custkey
+"""
+
+
+@query("cogroup_customer_orders", oracle=_COGROUP_ORACLE, tags=("functions", "udf", "join"))
+def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: orders and customer grouped on the
+    key meet as two pandas frames per key (full-outer cogroup — keys
+    present on either side appear). API-surface demo for genuinely
+    non-relational per-key merges (feature assembly, model scoring over
+    a key's full history); for THIS expressible shape the oracle's
+    aggregate + full join is the plan to prefer — one co-partitioned
+    shuffle, no Python. Integer-cents sums keep the pandas reduction
+    exact."""
+    import pandas as pd
+
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        key = int(left["o_custkey"].iloc[0]) if len(left) else int(right["c_custkey"].iloc[0])
+        return pd.DataFrame(
+            {
+                "c_custkey": [key],
+                "n_orders": [len(left)],
+                "spend_cents": [int(left["cents"].sum()) if len(left) else 0],
+                "c_acctbal": [float(right["c_acctbal"].iloc[0]) if len(right) else None],
+            }
+        )
+
+    return (
+        o.groupby("o_custkey")
+        .cogroup(c.groupby("c_custkey"))
+        .applyInPandas(
+            merge, "c_custkey long, n_orders long, spend_cents long, c_acctbal double"
+        )
+    )

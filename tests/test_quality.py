@@ -53,3 +53,21 @@ def test_profile_columns_approx_within_bounds(spark):
         2, 0.05 * exact["c"]
     )
     assert prof["o_custkey"]["n_rows"] == o.count()
+
+
+def test_observed_metrics_piggyback_on_action(spark, tmp_path):
+    o = load_table(spark, SF_SMOKE, "orders")
+    out, obs = Q.observed(
+        o,
+        "write_metrics",
+        {
+            "n": F.count(F.lit(1)),
+            "null_keys": F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "observed"))
+    got = obs.get
+    assert got["n"] == o.count()
+    assert got["null_keys"] == 0
+    assert got["max_price"] > 0
