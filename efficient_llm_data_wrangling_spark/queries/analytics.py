@@ -547,3 +547,78 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT (semi-structured) + Python UDTF surfaces
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
+"""
+
+
+@query("variant_shred_events", oracle=_VARIANT_ORACLE, tags=("json", "variant"))
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` paths — the open-schema ingestion pattern (parse
+    at the edge, shred lazily) that replaces string re-parsing per
+    field. ``get_json_object`` (json_extract_events) re-parses the
+    string per extraction; variant parses once."""
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.expr("variant_get(__v, '$.k', 'bigint')")
+    return ev.withColumn("__v", v).select(
+        "event_id", k.alias("k"), (k % 10).alias("k_mod")
+    )
+
+
+_UDTF_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT ws[i.i] || ' ' || ws[i.i + 1] AS bigram
+  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) i
+  WHERE ws[i.i] <> '' AND ws[i.i + 1] <> ''
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 100
+"""
+
+
+@query("udtf_bigrams_documents", oracle=_UDTF_ORACLE, tags=("udf", "udtf", "text"))
+def udtf_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4) emitting word bigrams per
+    document via LATERAL join, then top-100 counts. API-surface demo of
+    arbitrary one-row→many-rows Python logic; for THIS expressible
+    shape the JVM path is ``explode(zip_with(slice..))`` or the
+    word_counts pattern — a UDTF crosses the Python boundary per row
+    and stays out of hot paths."""
+    from pyspark.sql.functions import udtf
+
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.sources.catalog import register_views
+
+    @udtf(returnType="bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            ws = (text or "").split(" ")
+            for i in range(len(ws) - 1):
+                if ws[i] and ws[i + 1]:
+                    yield (ws[i] + " " + ws[i + 1],)
+
+    register_views(spark, sf_dir, "documents")
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    return spark.sql(
+        """
+        SELECT b.bigram, CAST(count(*) AS BIGINT) AS n
+        FROM documents, LATERAL bigrams_udtf(text) b
+        GROUP BY b.bigram ORDER BY n DESC, b.bigram LIMIT 100
+        """
+    )

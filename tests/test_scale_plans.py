@@ -148,3 +148,50 @@ def test_upsert_broadcasts_small_delta(spark):
 
     plan = _plan(upsert_snapshot_orders(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Adaptive skew-join must engage on a pathologically skewed key:
+    AQE splits the oversized partition at runtime (plan shows
+    ``skew=true``) — the zero-code-change complement to the
+    deterministic salting strategy (salted_join_orders)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled down so skew is detectable at test size;
+        # broadcast disabled to force the sort-merge path AQE rewrites
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 400_000).select(
+            (F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id"))).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"))
+        # collect the frame itself (not a wrapping write/count, which
+        # would execute a DIFFERENT queryExecution) so its adaptive
+        # plan is final when inspected
+        # keep the pad column through the join so column pruning can't
+        # shrink the skewed partition below the detection threshold
+        joined = left.join(right, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
