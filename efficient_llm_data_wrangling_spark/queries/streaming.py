@@ -224,3 +224,45 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_cents",
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_seconds,
+       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("stream_stream_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("streaming", "join"))
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides: each
+    purchase attributed to the same-user clicks within the preceding
+    hour. An inner stream-stream join over a fully-delivered backlog
+    emits exactly the batch interval-join result — which is what the
+    oracle states as a plain self-join. Exercises the two-sided join
+    state manager (buffer, match, watermark eviction) no batch plan
+    touches."""
+    tune(spark)
+    clicks = S.stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = S.stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = S.run_to_memory(
+        S.clicks_to_purchases(clicks, purchases), _sink("attrib"), "append"
+    )
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast(_NTZ).alias("click_ts"),
+        F.col("purchase_ts").cast(_NTZ).alias("purchase_ts"),
+        "lag_seconds",
+        "purchase_cents",
+    )

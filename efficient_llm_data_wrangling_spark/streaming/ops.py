@@ -323,3 +323,63 @@ def static_enrich_window_totals(
             "value_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream join
+# ---------------------------------------------------------------------------
+
+
+def clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to
+    the same-user clicks in the preceding ``horizon`` — the canonical
+    attribution topology (ad-click → conversion), and the one join
+    only Structured Streaming can run over two unbounded inputs.
+
+    Semantics: equi-key on user_id plus the event-time range
+    ``click_ts ≤ purchase_ts ≤ click_ts + horizon``. Watermarks on
+    BOTH sides + the range condition bound the join state: a buffered
+    click can be evicted once the purchase-side watermark passes
+    ``click_ts + horizon``; state size is watermark-horizon ×
+    arrival-rate, never stream length.
+
+    Scale: both sides hash-exchange on user_id (the equi-key) — the
+    range predicate evaluates within each key group, so there is no
+    interval-explosion; a 100 TB/day stream costs the same two
+    exchanges a batch equi-join would.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        # whole seconds of the exact microsecond difference (floor-div
+        # of the difference, not difference of per-side floors — the
+        # latter is off by one when the fractional parts straddle)
+        F.expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000").alias(
+            "lag_seconds"
+        ),
+        F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
+    )

@@ -156,3 +156,23 @@ def test_multibatch_replay_equals_single_batch(spark, tmp_path):
     got = {(r["window_start"], r["event_type"]): r["n_events"] for r in out.collect()}
     assert got == want
     assert want  # non-trivial: both halves contribute windows
+
+
+def test_stream_stream_join_watermarked_on_both_sides(spark):
+    """The attribution join must carry EventTimeWatermark on BOTH
+    inputs plus the time-range condition — the two properties the
+    streaming join needs to evict buffered state (otherwise state
+    grows with stream length, not watermark horizon)."""
+    from efficient_llm_data_wrangling_spark.streaming import ops as S
+
+    clicks = S.stream_events(spark, SF_SMOKE).filter(F.col("event_type") == "click")
+    purchases = S.stream_events(spark, SF_SMOKE).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = S.clicks_to_purchases(clicks, purchases)
+    # analyzed plan: optimizedPlan/executedPlan require writeStream.start()
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "Join Inner" in plan
+    assert plan.count("EventTimeWatermark") == 2
+    # range condition present → state eviction horizon is derivable
+    assert "purchase_ts" in plan and "click_ts" in plan
