@@ -262,3 +262,103 @@ def cogroup_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "c_custkey long, n_orders long, spend_cents long, c_acctbal double"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition-ratio quality signals (Gopher-style filters)
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct, toks
+  FROM t WHERE len(toks) >= 2
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM base
+),
+bg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tok
+),
+bgc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg WHERE bigram IS NOT NULL GROUP BY 1, 2
+),
+top AS (SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(b.n_distinct AS BIGINT) AS n_distinct,
+       CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_ratio,
+       CAST(top.top_c AS DOUBLE) / (b.n_words - 1) AS top_bigram_share
+FROM base b JOIN top USING (doc_id)
+"""
+
+
+@query("repetition_ratio_documents", oracle=_REPETITION_ORACLE, tags=("quality", "text"))
+def repetition_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) — the
+    signals a pretraining pipeline uses to drop boilerplate/spam docs:
+    duplicate-word ratio and the corpus-share of the most frequent
+    bigram, per document (docs with ≥2 tokens).
+
+    Plan shape: the token array is staged once and referenced three
+    times (size / array_distinct / bigram build) so CollapseProject
+    cannot inline the split into a lambda; the bigram-mode aggregation
+    explodes bigrams (generator, no per-row quadratic HOF) and
+    aggregates twice on (doc_id, bigram) → doc_id — map-side partial
+    combines do the heavy lifting, and both ratios derive from exact
+    integers with one double division each.
+
+    Scale: explode + two partial-agg shuffles keyed by doc_id-prefixed
+    keys; no window over the whole corpus, no driver materialization —
+    the 100 TB shape is N docs × avg_tokens rows streamed through
+    combiners.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n_words"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.col("n_words"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, n_words - 1), i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    return (
+        base.drop("toks")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (
+                (F.col("n_words") - F.col("n_distinct")).cast("double") / F.col("n_words")
+            ).alias("dup_word_ratio"),
+            (F.col("top_c").cast("double") / (F.col("n_words") - 1)).alias(
+                "top_bigram_share"
+            ),
+        )
+    )
