@@ -45,6 +45,9 @@ HEADLINE = [
     "sessionize_events",
     "upsert_snapshot_orders",
     "connected_components_halving",
+    "correlated_avg_qty_filter",
+    "repetition_ratio_documents",
+    "stream_stream_attribution",
 ]
 
 

@@ -622,3 +622,54 @@ def udtf_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY b.bigram ORDER BY n DESC, b.bigram LIMIT 100
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-function window surface
+# --------------------------------------------------------------------------
+
+_RANKFN_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+       CAST(rank()        OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank()  OVER w AS BIGINT) AS drnk,
+       percent_rank()     OVER w            AS prnk,
+       cume_dist()        OVER w            AS cdist,
+       CAST(CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+       CAST(CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+
+@query("window_rank_functions_orders", oracle=_RANKFN_ORACLE, tags=("analytics", "window"))
+def window_rank_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANSI rank-function repertoire over one keyed window:
+    rank / dense_rank / percent_rank / cume_dist / first_value /
+    nth_value, partitioned by order priority, ordered by price. Ties
+    are safe unaliased: every emitted value is either a pure rank
+    statistic (identical for peers) or drawn from the ordering column
+    itself, so no tiebreak is needed for determinism.
+
+    Scale: ONE window spec ⇒ one shuffle+sort per partition key; all
+    six functions evaluate in the same Window physical operator pass.
+    Partition cardinality is bounded (5 priorities) — for unbounded
+    global rankings use ``sampling.global_rank`` (range-exchange) as
+    ``ntile_customer_acctbal`` does.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        price_dec.cast("double").alias("price"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_totalprice").over(w).cast("decimal(18,2)").cast("double").alias("min_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("decimal(18,2)").cast("double").alias("second_price"),
+    )

@@ -487,3 +487,48 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = TX.tf_idf(docs)
     return out.filter(F.col("doc_id") < 50)
+
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label,
+       CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0 AS centroid
+FROM e GROUP BY label, dim
+"""
+
+
+@query("centroid_embeddings_by_label", oracle=_CENTROID_ORACLE, tags=("similarity", "agg"))
+def centroid_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block
+    of IVF coarse quantization and k-means (the assignment step's
+    cluster update). Cross-row float sums are accumulation-order-
+    dependent, so each component is summed as exact integer
+    micro-units (round(v·1e6)) — order-free and bit-identical in both
+    engines — then divided back out in double.
+
+    Scale: posexplode is a generator (rows × dims, no shuffle until
+    the agg); one partial-combined shuffle keyed (label, dim). The
+    1e-6 quantization is far below any ANN-relevant signal.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        e.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.round(F.col("v").cast("double") * 1000000).cast("long")).alias("_s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("_s").cast("double") / F.col("n_vecs") / 1000000.0).alias("centroid"),
+        )
+    )

@@ -266,3 +266,28 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_seconds",
         "purchase_cents",
     )
+
+
+_UPSERT_SINK_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+@query("stream_upsert_sink_totals", oracle=_UPSERT_SINK_ORACLE, tags=("streaming", "sink"))
+def stream_upsert_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: update-mode per-user totals MERGEd
+    batch-by-batch into a versioned parquet snapshot (the topology for
+    every sink without a native streaming writer). After the backlog
+    drains the snapshot equals the batch group-by — the oracle. Unlike
+    ``stream_stateful_user_totals`` (memory sink, last-update-wins),
+    this grades the end-to-end SNAPSHOT a downstream warehouse reader
+    would see, including the version-swap discipline."""
+    tune(spark)
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="elldw_upsert_sink_")
+    latest = S.upsert_totals_to_parquet(S.stream_events(spark, sf_dir), base)
+    return spark.read.parquet(latest)

@@ -263,3 +263,25 @@ def write_jsonl(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar format large warehouses hand
+    over (Hive/Trino estates). Same pushdown/pruning properties as
+    parquet in Spark's vectorized reader; no schema needed (ORC files
+    self-describe, and unlike JSON the footer read is metadata-only)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with the same hive-partitioning lever as
+    :func:`write_parquet` (zstd-compressed by default in Spark 4)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -383,3 +383,66 @@ def clicks_to_purchases(
         ),
         F.round(F.col("purchase_value") * 100).cast("long").alias("purchase_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch upsert sink (streaming → warehouse snapshot)
+# ---------------------------------------------------------------------------
+
+
+def upsert_totals_to_parquet(events: DataFrame, base_dir: str) -> str:
+    """The standard streaming→warehouse topology: an update-mode
+    aggregation whose per-batch deltas MERGE into a keyed parquet
+    snapshot via ``foreachBatch`` — the sink pattern for every store
+    without a native streaming writer (warehouse tables, JDBC, object
+    stores).
+
+    Each micro-batch emits the keys whose totals changed; the batch
+    function SCD1-upserts them into the current snapshot and writes a
+    new immutable version directory (``v{batch_id}``) — the
+    atomic-swap discipline object stores need (readers never observe a
+    half-written snapshot; the latest complete version wins). After the
+    backlog drains the snapshot equals the batch group-by — exactly
+    restatable in SQL.
+
+    Scale: per batch, the delta is |changed keys| rows — the upsert
+    broadcasts it against the snapshot; the full-snapshot rewrite is
+    the parquet trade-off (a table format — Iceberg/Delta — swaps the
+    rewrite for a metadata commit, same foreachBatch shape).
+    """
+    from pathlib import Path
+
+    from efficient_llm_data_wrangling_spark.queries.etl import upsert_by_key
+
+    totals = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    spark = events.sparkSession
+    root = Path(base_dir)
+
+    def _latest() -> str | None:
+        versions = sorted(
+            (d for d in root.glob("v*") if (d / "_SUCCESS").exists()),
+            key=lambda d: int(d.name[1:]),
+        )
+        return str(versions[-1]) if versions else None
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev = _latest()
+        if prev is None:
+            merged = batch_df
+        else:
+            merged = upsert_by_key(spark.read.parquet(prev), batch_df, "user_id")
+        merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
+
+    (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    latest = _latest()
+    assert latest is not None, "stream produced no snapshot version"
+    return latest

@@ -145,3 +145,25 @@ def test_jsonl_roundtrip_with_schema(spark, tmp_path):
     back = R.read_jsonl(spark, out, "doc_id long, text string, n long")
     got = {r["doc_id"]: (r["text"], r["n"]) for r in back.collect()}
     assert got == {1: ("hello world", 11), 2: ('quote " and \\ slash', 19), 3: (None, 0)}
+
+
+def test_orc_roundtrip_preserves_values_and_pushes_down(spark, tmp_path):
+    """ORC sink → source roundtrip is value-exact, and the ORC scan
+    gets the same filter pushdown parquet does (vectorized reader)."""
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from efficient_llm_data_wrangling_spark.sources.readers import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    src = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("o_totalprice") > 100000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan

@@ -176,3 +176,60 @@ def test_stream_stream_join_watermarked_on_both_sides(spark):
     assert plan.count("EventTimeWatermark") == 2
     # range condition present → state eviction horizon is derivable
     assert "purchase_ts" in plan and "click_ts" in plan
+
+
+def test_upsert_sink_multibatch_snapshot_equals_batch_groupby(spark, tmp_path):
+    """The foreachBatch upsert sink must converge to the batch
+    group-by when the backlog arrives as MULTIPLE micro-batches —
+    i.e., the per-batch merge is a real incremental upsert (keys
+    updated in a later batch replace their earlier totals) and each
+    batch produced a complete snapshot version."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from efficient_llm_data_wrangling_spark.streaming import ops as S
+
+    src = f"{SF_SMOKE}/events.parquet"
+    d = tmp_path / "ev_halves"
+    d.mkdir()
+    con = duckdb.connect()
+    mid = con.sql(f"SELECT median(ts) FROM '{src}'").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE ts < TIMESTAMP '{mid}') TO '{d}/a.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE ts >= TIMESTAMP '{mid}') TO '{d}/b.parquet' (FORMAT PARQUET)"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    snap_dir = tmp_path / "snap"
+    latest = S.upsert_totals_to_parquet(stream, str(snap_dir))
+    versions = sorted(p.name for p in snap_dir.glob("v*"))
+    assert len(versions) >= 2, versions  # one snapshot per micro-batch
+
+    got = {
+        r["user_id"]: (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(latest).collect()
+    }
+    full = spark.read.schema(schema).parquet(str(d))
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in full.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
