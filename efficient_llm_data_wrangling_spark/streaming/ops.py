@@ -111,6 +111,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fast_checkpoint_dir() -> str | None:
+    """Checkpoint on tmpfs when available: micro-batch latency is
+    dominated by state-store delta/commit fsyncs (4 state stores ×
+    partitions × batches for a stream-stream join), which are pure
+    overhead for an ephemeral availableNow run. Production jobs put
+    checkpoints on durable storage for exactly-once RECOVERY; a
+    drain-and-discard run has nothing to recover, so memory-speed
+    checkpoints are semantics-free. Returns None when no tmpfs exists
+    (Spark then uses its normal temp checkpoint)."""
+    import os
+    import uuid
+
+    shm = Path("/dev/shm")
+    if shm.is_dir() and os.access(shm, os.W_OK):
+        d = shm / "elldw_ckpt" / uuid.uuid4().hex
+        d.mkdir(parents=True, exist_ok=True)
+        return str(d)
+    return None
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -118,14 +138,21 @@ def run_to_memory(
     return the sink table. ``availableNow`` processes the whole backlog
     then stops — the batch-equivalent execution of a streaming plan."""
     spark = sdf.sparkSession
-    query = (
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    ckpt = _fast_checkpoint_dir()
+    if ckpt is not None:
+        writer = writer.option("checkpointLocation", ckpt)
+    query = writer.start()
     query.awaitTermination()
+    if ckpt is not None:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -436,13 +463,19 @@ def upsert_totals_to_parquet(events: DataFrame, base_dir: str) -> str:
             merged = upsert_by_key(spark.read.parquet(prev), batch_df, "user_id")
         merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
 
-    (
+    writer = (
         totals.writeStream.outputMode("update")
         .foreachBatch(merge)
         .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
     )
+    ckpt = _fast_checkpoint_dir()
+    if ckpt is not None:
+        writer = writer.option("checkpointLocation", ckpt)
+    writer.start().awaitTermination()
+    if ckpt is not None:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     latest = _latest()
     assert latest is not None, "stream produced no snapshot version"
     return latest
