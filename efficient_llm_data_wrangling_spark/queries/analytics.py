@@ -673,3 +673,78 @@ def window_rank_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).cast("decimal(18,2)").cast("double").alias("min_price"),
         F.nth_value("o_totalprice", 2).over(w).cast("decimal(18,2)").cast("double").alias("second_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate percentiles (sketch path for the exact-percentile query)
+# --------------------------------------------------------------------------
+
+
+@query("approx_percentile_price", oracle=None, tags=("analytics", "approx", "agg"))
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna) p50/p90/p99 of order
+    totals per priority — the sketch twin of the exact
+    ``percentile_price_by_priority``: single pass, O(1/ε) memory per
+    group, mergeable partials (the exact percentile needs a full sort
+    per group). Rows-only in the driver gate (DuckDB's approx_quantile
+    is t-digest — different sketch, different answers);
+    tests/test_queries_oracle.py bounds it against the exact
+    percentiles instead.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    acc = 10000
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("p50"),
+        F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("p90"),
+        F.expr(f"approx_percentile(o_totalprice, 0.99, {acc})").alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr)
+# --------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                     * (1 + CAST(l_tax AS DECIMAL(4,2)))
+                     AS DECIMAL(30,6))) AS DOUBLE) AS total_charge
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("sql_scalar_udf_charge", oracle=_SQL_UDF_ORACLE, tags=("sql", "functions"))
+def sql_scalar_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF surface: ``CREATE TEMPORARY FUNCTION`` with a
+    ``RETURN`` expression body (Spark SQL UDF, not a Python UDF) —
+    reusable business logic that stays INSIDE Catalyst: the charge
+    formula inlines into the plan, folds, and runs in codegen, unlike
+    any external UDF. The oracle restates the inlined expression.
+
+    Scale: zero serialization boundary — this is the mechanism for
+    shared expression libraries at 100 TB (Python UDFs cost an Arrow
+    round-trip per batch; SQL UDFs cost nothing).
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(
+            price DECIMAL(18,2), disc DECIMAL(4,2), tax DECIMAL(4,2))
+        RETURNS DECIMAL(30,6)
+        RETURN CAST(price * (1 - disc) * (1 + tax) AS DECIMAL(30,6))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(charge(CAST(l_extendedprice AS DECIMAL(18,2)),
+                               CAST(l_discount AS DECIMAL(4,2)),
+                               CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                 AS total_charge
+        FROM lineitem_v GROUP BY l_returnflag
+        """
+    )

@@ -285,3 +285,28 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL ingestion that SURVIVES bad data: malformed lines land in
+    ``corrupt_col`` (other columns null) instead of failing the job or
+    being silently dropped — at 100 TB there are always broken lines,
+    and the two failure modes you must avoid are a 10-hour job dying at
+    hour 9 (FAILFAST) and rows vanishing unaccounted (DROPMALFORMED).
+    Downstream splits on ``corrupt_col IS NULL`` into clean rows and a
+    quarantine sink.
+
+    The declared schema is extended with the corrupt column (Spark
+    requires it present to populate it)."""
+    full = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -167,3 +167,30 @@ def test_orc_roundtrip_preserves_values_and_pushes_down(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan
+
+
+def test_permissive_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSONL lines must surface in _corrupt_record — never
+    fail the read, never vanish."""
+    from pyspark.sql import types as T
+
+    from efficient_llm_data_wrangling_spark.sources.readers import read_jsonl_permissive
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "txt": "also ok"}\n'
+        '{"id": "not-a-number", "txt": "type clash"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("txt", T.StringType())]
+    )
+    df = read_jsonl_permissive(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped
+    clean = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in clean} == {1, 2}
+    assert len(bad) == 2  # syntax error + type clash both quarantined
+    assert any("not json" in r["_corrupt_record"] for r in bad)

@@ -195,3 +195,33 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_percentile_within_rank_tolerance(spark):
+    """The GK sketch guarantees rank error ≤ n/accuracy; with
+    accuracy=10000 and per-group n≈3000 at SF_CORRECT the sketch is
+    effectively exact — assert each approx percentile lies between the
+    exact neighboring percentiles one rank-percent away."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        approx_percentile_price,
+    )
+
+    got = {
+        r["o_orderpriority"]: r for r in approx_percentile_price(spark, SF_CORRECT).collect()
+    }
+    orders = load_table(spark, SF_CORRECT, "orders")
+    exact = {
+        r["o_orderpriority"]: r
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile_cont(0.49) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo50"),
+            F.expr("percentile_cont(0.51) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi50"),
+            F.expr("percentile_cont(0.89) WITHIN GROUP (ORDER BY o_totalprice)").alias("lo90"),
+            F.expr("percentile_cont(0.91) WITHIN GROUP (ORDER BY o_totalprice)").alias("hi90"),
+        )
+        .collect()
+    }
+    for prio, e in exact.items():
+        g = got[prio]
+        assert e["lo50"] <= g["p50"] <= e["hi50"], (prio, g["p50"], e["lo50"], e["hi50"])
+        assert e["lo90"] <= g["p90"] <= e["hi90"], (prio, g["p90"], e["lo90"], e["hi90"])
