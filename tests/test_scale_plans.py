@@ -225,3 +225,34 @@ def test_approx_percentile_within_rank_tolerance(spark):
         g = got[prio]
         assert e["lo50"] <= g["p50"] <= e["hi50"], (prio, g["p50"], e["lo50"], e["hi50"])
         assert e["lo90"] <= g["p90"] <= e["hi90"], (prio, g["p90"], e["lo90"], e["hi90"])
+
+
+def test_runtime_bloom_filter_engages_on_selective_join(spark):
+    """Spark's runtime Bloom-filter injection (row-level semi-join
+    pruning: probe-side rows that can't match are dropped BEFORE the
+    shuffle) must fire on our plain equi-join shape with a selective
+    creation side. The application-side size threshold defaults to
+    10 GB, so sf0.1 never triggers it — lower it to prove the shape is
+    eligible; at 100 TB the default thresholds engage on their own."""
+    # load (and tune()) BEFORE overriding confs — tune resets the
+    # broadcast threshold; the optimizer reads confs at plan time.
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    od = load_table(spark, SF_CORRECT, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # SMJ, not broadcast
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "100KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = li.join(od, li["l_orderkey"] == od["o_orderkey"]).groupBy(
+            "l_returnflag"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
