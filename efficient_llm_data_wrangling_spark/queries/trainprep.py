@@ -1,0 +1,194 @@
+"""Training-data preparation operators — the steps between a cleaned
+corpus and a token stream a trainer consumes (beyond-reference north
+star; the reference stops at per-row string transforms):
+
+* **chunking** — split long documents into fixed-token windows with
+  overlap (context-window packing precursor);
+* **sequence packing** — greedily pack chunks into fixed token budgets
+  by running total (the streaming approximation of bin packing every
+  large-scale pretraining pipeline uses);
+* **split assignment** — deterministic, engine-portable train/val/test
+  buckets from a content-independent key hash (MD5, not engine-native
+  hashes — xxhash64/DuckDB-hash disagree across engines and versions,
+  and a split that changes when the engine upgrades poisons eval sets).
+
+All arithmetic is integer (token counts, integer division, window
+cumsums) so both engines agree bit-exactly; chunk text derives from
+the same 1-based slice on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+#: chunk geometry: 50-token windows every 40 tokens (10-token overlap).
+_CHUNK, _STRIDE = 50, 40
+#: greedy packing budget (tokens per packed sequence).
+_BUDGET = 2000
+
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM t WHERE len(toks) >= 1
+),
+c AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, greatest(1, (n + {_STRIDE - _CHUNK + _STRIDE - 1}) // {_STRIDE}) - 1)) AS chunk_id,
+         toks
+  FROM base
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(least(n - chunk_id * {_STRIDE}, {_CHUNK}) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text
+FROM c
+"""
+
+
+@query("chunk_documents_overlap", oracle=_CHUNK_ORACLE, tags=("trainprep", "text"))
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking with overlap: each document becomes
+    ⌈(n−overlap)/stride⌉ chunks of ≤50 tokens starting every 40 — the
+    context-window shaping step before packing/tokenization. Chunk
+    count and boundaries are pure integer arithmetic; the chunk text
+    is a 1-based slice — identical formulas on both engines.
+
+    Scale: tokens stay inside one row (array column, no explode of
+    token rows); only chunk rows are generated (~n/stride per doc).
+    The token array is referenced ≥2 times (count + slice) so it stays
+    a staged column, never re-split per chunk.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(n + {_STRIDE - _CHUNK + _STRIDE - 1}) div {_STRIDE}")
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
+        )
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    chunks = base.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(
+            F.col("n") - F.col("chunk_id") * _STRIDE, F.lit(_CHUNK)
+        ).cast("int").alias("n_chunk_tokens"),
+        F.array_join(
+            F.expr(f"slice(toks, chunk_id * {_STRIDE} + 1, {_CHUNK})"), " "
+        ).alias("chunk_text"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+@query("pack_documents_token_budget", oracle=_PACK_ORACLE, tags=("trainprep", "window"))
+def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: within each source, documents (ordered
+    by id) are packed into ~2000-token bins by running total —
+    ``pack_id = floor(preceding_cumsum / budget)``, the one-pass
+    streaming approximation of bin packing used to build fixed-length
+    training sequences without padding waste.
+
+    Scale: ONE window cumsum per source partition (keyed shuffle +
+    sort); integer token counts make the cumsum exact and the bin
+    assignment deterministic. No global coordination — sources pack
+    independently, which is also what you want operationally (a source
+    re-crawl repacks only itself).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return t.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(f"(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+               f"ROWS UNBOUNDED PRECEDING) - n_tokens) div {_BUDGET}").alias("pack_id"),
+    )
+
+
+_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 13 THEN 'train'
+            WHEN bucket < 15 THEN 'valid'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+@query("split_assign_documents", oracle=_SPLIT_ORACLE, tags=("trainprep",))
+def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (13/2/1 of 16 MD5
+    buckets on the document KEY): reproducible across engines, engine
+    versions, and reruns — the property that keeps eval sets uncovered
+    by training data forever. Never hash content (near-dups of an eval
+    doc must not leak into train via a different hash) and never use
+    engine-native hashes (xxhash64 and DuckDB's hash() disagree).
+
+    Scale: a scan-local expression + one grouped count. The split
+    column would normally be written back as a partition column
+    (``write_parquet(partition_by=["split"])``) for pruned reads.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ) - 1
+    split = (
+        F.when(bucket < 13, "train").when(bucket < 15, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

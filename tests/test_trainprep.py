@@ -1,0 +1,68 @@
+"""Semantic properties of the training-prep operators that the value
+oracles state but don't explain: chunks tile every token of every
+document, and packs never exceed budget by more than one document."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.queries.trainprep import (
+    _BUDGET,
+    _CHUNK,
+    _STRIDE,
+    chunk_documents_overlap,
+    pack_documents_token_budget,
+)
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_chunks_tile_documents_completely(spark):
+    """Every token position lands in ≥1 chunk: chunk i covers
+    [i·stride+1, i·stride+len_i]; consecutive chunks must overlap or
+    touch, and the last chunk must end exactly at the doc's n."""
+    chunks = chunk_documents_overlap(spark, SF_SMOKE).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        prev_end = 0
+        for r in rows:
+            start = r["chunk_id"] * _STRIDE + 1
+            assert start <= prev_end + 1  # no gap
+            assert r["n_chunk_tokens"] <= _CHUNK
+            prev_end = start + r["n_chunk_tokens"] - 1
+        assert prev_end == docs[doc_id]  # tail fully covered
+
+
+def test_packs_respect_budget_modulo_one_doc(spark):
+    """Greedy packing invariant: a pack's total exceeds the budget by
+    at most its largest member (the doc that straddled the boundary),
+    and pack ids are dense per source."""
+    packs = (
+        pack_documents_token_budget(spark, SF_SMOKE)
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest"))
+        .collect()
+    )
+    assert packs
+    for r in packs:
+        assert r["total"] <= _BUDGET + r["biggest"], r
+    by_source: dict[str, set] = {}
+    for r in packs:
+        by_source.setdefault(r["source"], set()).add(r["pack_id"])
+    for ids in by_source.values():
+        assert ids == set(range(len(ids)))  # dense, zero-based
