@@ -48,6 +48,8 @@ HEADLINE = [
     "correlated_avg_qty_filter",
     "repetition_ratio_documents",
     "stream_stream_attribution",
+    "chunk_documents_overlap",
+    "pack_documents_token_budget",
 ]
 
 

@@ -310,3 +310,27 @@ def read_jsonl_permissive(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` splits the
+    key space into contiguous slices and ``sortWithinPartitions``
+    orders rows inside each file, so every file carries a narrow,
+    disjoint min/max for ``cluster_by`` in its footer. Readers with a
+    range/equality predicate on that column then skip whole files /
+    row groups on footer stats alone (zone maps) — the second-biggest
+    100 TB read lever after hive partition pruning, and the right one
+    for high-cardinality keys (timestamps, ids) where a directory per
+    value would melt the metastore.
+
+    Spark samples the key distribution for the range boundaries, so
+    skew in ``cluster_by`` yields balanced files, unlike hash layouts.
+    """
+    part = df.repartitionByRange(*( [n_files] if n_files else [] ), F.col(cluster_by))
+    part.sortWithinPartitions(cluster_by).write.mode(mode).parquet(path)

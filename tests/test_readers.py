@@ -194,3 +194,37 @@ def test_permissive_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert {r["id"] for r in clean} == {1, 2}
     assert len(bad) == 2  # syntax error + type clash both quarantined
     assert any("not json" in r["_corrupt_record"] for r in bad)
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: per-file [min,max] of the cluster key
+    (read from parquet footers, no data scan) must be pairwise disjoint
+    — the physical property that makes footer-stats skipping work."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from efficient_llm_data_wrangling_spark.sources.readers import (
+        write_parquet_clustered,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    out = tmp_path / "orders_clustered"
+    write_parquet_clustered(orders, str(out), "o_totalprice", n_files=8)
+
+    ranges = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_totalprice"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # actually produced multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint key slices
