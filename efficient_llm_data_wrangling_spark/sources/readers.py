@@ -334,3 +334,21 @@ def write_parquet_clustered(
     """
     part = df.repartitionByRange(*( [n_files] if n_files else [] ), F.col(cluster_by))
     part.sortWithinPartitions(cluster_by).write.mode(mode).parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving sibling partitions untouched — what
+    makes a daily incremental job idempotent (re-running day N
+    rewrites day N, never truncates the table the way static
+    ``mode=overwrite`` would). The per-write option overrides the
+    session conf, so callers don't depend on cluster defaults.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

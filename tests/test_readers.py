@@ -228,3 +228,36 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)  # disjoint key slices
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """Re-writing one partition in dynamic mode must replace exactly
+    that partition; static overwrite would truncate the whole table."""
+    from efficient_llm_data_wrangling_spark.sources.readers import (
+        overwrite_partitions_dynamic,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "orders_dyn")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    overwrite_partitions_dynamic(orders, out, ["o_orderstatus"])
+    before = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(before) >= 2
+
+    patch = (
+        orders.filter("o_orderstatus = 'F'")
+        .limit(10)
+        .withColumn("o_totalprice", F.lit(1.0))
+    )
+    overwrite_partitions_dynamic(patch, out, ["o_orderstatus"])
+    after = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(out).groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert after["F"] == 10  # rewritten partition replaced
+    for k, v in before.items():
+        if k != "F":
+            assert after[k] == v  # siblings untouched
