@@ -256,3 +256,16 @@ def test_runtime_bloom_filter_engages_on_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sql_udf_inlines_into_codegen_plan(spark):
+    """The SQL scalar UDF must dissolve into the plan as a plain
+    expression — no Python evaluation node, no serialization boundary:
+    the property that makes it free at 100 TB (unlike any external UDF)."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        sql_scalar_udf_charge,
+    )
+
+    plan = _plan(sql_scalar_udf_charge(spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan  # whole pipeline stayed relational
