@@ -59,3 +59,63 @@ def test_upsert_delta_wins_base_survives(spark, base, delta):
     got = {r["k"]: r["v"] for r in upsert_by_key(bdf, ddf, "k").collect()}
     want = {**base, **delta}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Golden comparator ≡ reference semantics (utils.py:20-107), property-based
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+
+def _ref_extract(s: str) -> list[float]:
+    """Faithful reimplementation of the reference's number extraction
+    (fast_ai_wrangler/utils/utils.py:38-61): findall returns the GROUP
+    capture, so signs are dropped and the fraction alternative is dead
+    code (digits before '/' match the first alternative)."""
+    caps = _re.findall(r"[-+]?([0-9]*\.?[0-9]+|[0-9]+\/[0-9]+)", s)
+    out = []
+    for c in caps:
+        if "/" in c:  # unreachable in practice; kept for fidelity
+            a, b = c.split("/")
+            out.append(float(a) / float(b))
+        else:
+            out.append(float(c))
+    return out
+
+
+def _ref_match(pred, gold, tol=0.021) -> bool:
+    p = ("" if pred is None else str(pred)).lower().strip()
+    g = ("" if gold is None else str(gold)).lower().strip()
+    if p == g:
+        return True
+    np_, ng = _ref_extract(p), _ref_extract(g)
+    if not np_ or not ng:
+        return False
+    return all(abs(a - b) <= tol for a, b in zip(np_, ng))
+
+
+_answer_text = st.text(
+    alphabet="0123456789./+- aby\t", min_size=0, max_size=18
+)
+
+
+@_slow
+@given(pairs=st.lists(st.tuples(_answer_text, _answer_text), min_size=1, max_size=60))
+def test_comparator_matches_reference_semantics(spark, pairs):
+    """The column-expression comparator must agree with a from-first-
+    principles Python port of the reference's utils.py on ARBITRARY
+    strings — numbers, fractions, signs, whitespace, mixed junk —
+    not just the curated fixture cases."""
+    from efficient_llm_data_wrangling_spark.operators import metrics as M
+
+    rows = [(i, p, g) for i, (p, g) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, pred string, gold string")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", M.answers_match(F.col("pred"), F.col("gold")).alias("m")
+        ).collect()
+    }
+    for i, (p, g) in enumerate(pairs):
+        assert got[i] == _ref_match(p, g), (p, g, got[i])
