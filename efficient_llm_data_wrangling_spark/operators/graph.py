@@ -38,10 +38,13 @@ def connected_components(
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
 
+    # initial labels fold the first propagation round into the label
+    # build itself: label(v) = min(v, min neighbor) needs no join while
+    # labels still equal node ids — one groupBy replaces round 1's
+    # join + groupBy and saves a full iteration's barrier.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
