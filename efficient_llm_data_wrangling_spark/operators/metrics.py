@@ -35,11 +35,29 @@ NUMBER_PATTERN = r"[-+]?([0-9]*\.?[0-9]+|[0-9]+\/[0-9]+)"
 
 TOLERANCE = 0.021  # utils.py:20
 
+#: CPython ``str.strip()`` whitespace set (chars where ``str.isspace()``
+#: is True): ASCII \t\n\v\f\r + space, the C0 separators \x1c-\x1f,
+#: \x85 (NEL), and the Unicode space separators. ``F.trim`` strips ONLY
+#: ASCII space — a tab-padded answer would mis-score (r1 property-test
+#: counterexample: pred='', gold='\t').
+_PY_STRIP_CLASS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+_PY_STRIP_PATTERN = f"^[{_PY_STRIP_CLASS}]+|[{_PY_STRIP_CLASS}]+$"
+
+
+def py_strip(col: Column) -> Column:
+    """Exact column-expression twin of CPython ``str.strip()``
+    (utils.py:88,95) — strips the full Unicode whitespace set, unlike
+    ``F.trim`` (ASCII space only)."""
+    return F.regexp_replace(col, _PY_STRIP_PATTERN, "")
+
 
 def normalize_answer(col: Column) -> Column:
     """utils.py:89-95 — None→'', strip, lower (array inputs: join first
     with :func:`flatten_answer`)."""
-    return F.lower(F.trim(F.coalesce(col.cast("string"), F.lit(""))))
+    return F.lower(py_strip(F.coalesce(col.cast("string"), F.lit(""))))
 
 
 def flatten_answer(col: Column) -> Column:

@@ -13,6 +13,9 @@ from efficient_llm_data_wrangling_spark.session import tune
 from efficient_llm_data_wrangling_spark.sources.catalog import load_table
 
 
+# DuckDB sum() yields HUGEINT; an uncast UNION branch widens the whole
+# union column (pandas: float64, so 0 hashes as 0.0). Every branch must
+# cast explicitly — r1 driver hash-fail root cause.
 _DQ_ORACLE = """
 WITH base AS (
   SELECT count(*) AS n,
@@ -25,11 +28,11 @@ WITH base AS (
 SELECT 'nonneg_price' AS rule, CAST(n AS BIGINT) AS n_rows, CAST(v_nonneg_price AS BIGINT) AS n_violations,
        1.0 - CAST(v_nonneg_price AS DOUBLE) / n AS pass_rate FROM base
 UNION ALL
-SELECT 'known_status', n, v_known_status, 1.0 - CAST(v_known_status AS DOUBLE) / n FROM base
+SELECT 'known_status', CAST(n AS BIGINT), CAST(v_known_status AS BIGINT), 1.0 - CAST(v_known_status AS DOUBLE) / n FROM base
 UNION ALL
-SELECT 'custkey_set', n, v_custkey_set, 1.0 - CAST(v_custkey_set AS DOUBLE) / n FROM base
+SELECT 'custkey_set', CAST(n AS BIGINT), CAST(v_custkey_set AS BIGINT), 1.0 - CAST(v_custkey_set AS DOUBLE) / n FROM base
 UNION ALL
-SELECT 'price_cap', n, v_price_cap, 1.0 - CAST(v_price_cap AS DOUBLE) / n FROM base
+SELECT 'price_cap', CAST(n AS BIGINT), CAST(v_price_cap AS BIGINT), 1.0 - CAST(v_price_cap AS DOUBLE) / n FROM base
 """
 
 
@@ -73,9 +76,9 @@ WITH base AS (
 SELECT 'o_orderstatus' AS column, CAST(n AS BIGINT) AS n_rows, CAST(null_status AS BIGINT) AS n_nulls,
        CAST(d_status AS BIGINT) AS n_distinct, min_status AS min_str, max_status AS max_str FROM base
 UNION ALL
-SELECT 'o_orderpriority', n, null_prio, d_prio, min_prio, max_prio FROM base
+SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(null_prio AS BIGINT), CAST(d_prio AS BIGINT), min_prio, max_prio FROM base
 UNION ALL
-SELECT 'o_custkey', n, null_cust, d_cust, min_cust, max_cust FROM base
+SELECT 'o_custkey', CAST(n AS BIGINT), CAST(null_cust AS BIGINT), CAST(d_cust AS BIGINT), min_cust, max_cust FROM base
 """
 
 

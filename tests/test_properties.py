@@ -96,7 +96,7 @@ def _ref_match(pred, gold, tol=0.021) -> bool:
 
 
 _answer_text = st.text(
-    alphabet="0123456789./+- aby\t", min_size=0, max_size=18
+    alphabet="0123456789./+- aby\t\n\r\x0b\x0c\x1c\x85\xa0 　", min_size=0, max_size=18
 )
 
 

@@ -27,6 +27,22 @@ from efficient_llm_data_wrangling_spark.registry import REGISTRY, _ensure_loaded
 from efficient_llm_data_wrangling_spark.sources.catalog import TABLES
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse type kind — int vs float drift between the Spark result
+    and the oracle result is a DRIVER HASH FAILURE even when values
+    compare equal (0 == 0.0): r1's dq_expectations/profile hash-reds
+    were DuckDB HUGEINT union branches widening counts to float64."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -40,6 +56,41 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.map(lambda v: None if v is None else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _canon_cell(v) -> str:
+    """Driver-like canonical repr of one cell: preserves the int/float
+    distinction (repr(0) != repr(0.0)) and object identity of strings."""
+    if v is None:
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool,)):
+        return repr(bool(v))
+    if isinstance(v, float):
+        return repr(float(v))
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):  # numpy scalar
+        return _canon_cell(v.item())
+    return repr(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash mimicking the driver: columns
+    sorted by name, rows sorted, every cell repr'd type-sensitively."""
+    import hashlib
+
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    h = hashlib.sha256()
+    for row in rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def _values_equal(a, b) -> bool:
@@ -67,6 +118,13 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    for c in sc:
+        ks, ko = _kind(spark_df[c]), _kind(oracle_df[c])
+        if ks != ko:
+            problems.append(
+                f"column {c!r}: dtype kind spark={ks} oracle={ko} "
+                f"(driver hash would fail even if values compare equal)"
+            )
     a, b = _normalize(spark_df), _normalize(oracle_df)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
@@ -77,6 +135,8 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
                 f"column {c!r}: {len(bad)} mismatched values; first at sorted-row {i}: "
                 f"spark={av[i]!r} oracle={bv[i]!r}"
             )
+    if not problems and value_hash(spark_df) != value_hash(oracle_df):
+        problems.append("value_hash mismatch (type-sensitive repr hash) despite equal compare")
     return problems
 
 
