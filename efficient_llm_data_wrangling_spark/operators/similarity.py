@@ -142,6 +142,19 @@ def hyperplane_signature(
     return sig
 
 
+def _py_signature(vec: list[float], n_planes: int, seed: int) -> int:
+    """Driver-side twin of :func:`hyperplane_signature` for the query
+    vector (same RNG stream, same sign convention)."""
+    rng = random.Random(seed)
+    dim = len(vec)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    out = 0
+    for i, plane in enumerate(planes):
+        if sum(x * y for x, y in zip(vec, plane)) >= 0:
+            out |= 1 << i
+    return out
+
+
 def hyperplane_lsh_top_k(
     df: DataFrame,
     query_vec: list[float],
@@ -149,29 +162,27 @@ def hyperplane_lsh_top_k(
     n_planes: int = 16,
     max_hamming: int = 3,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates = vectors whose hyperplane
-    signature is within ``max_hamming`` bits of the query's, re-ranked
-    by exact cosine. The signature filter is a scan-side predicate —
-    no shuffle at all."""
-    dim = len(query_vec)
-    sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
-
-    def py_signature(vec: list[float]) -> int:
-        rng = random.Random(seed)
-        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-        out = 0
-        for i, plane in enumerate(planes):
-            if sum(x * y for x, y in zip(vec, plane)) >= 0:
-                out |= 1 << i
-        return out
-
-    q_sig = py_signature(query_vec)
-    ham = F.bit_count(sig.bitwiseXOR(F.lit(q_sig)))
+    """Multi-table LSH ANN: ``n_tables`` independent hyperplane
+    signatures (table t seeds its planes with ``seed + t``); a vector
+    is a candidate when ANY table puts it within ``max_hamming`` bits
+    of the query's signature, then candidates are re-ranked by exact
+    cosine. P(miss) decays geometrically in the table count —
+    the standard amplification trick (Indyk-Motwani) — while the whole
+    candidate test stays a scan-side predicate: zero shuffle, no index
+    structure, embarrassingly parallel at any corpus size. The query's
+    own row has Hamming 0 in every table, so the top hit is always
+    found (self-recall floor)."""
+    pred = F.lit(False)
+    for t in range(n_tables):
+        sig = hyperplane_signature(F.col(vec_col), len(query_vec), n_planes, seed + t)
+        q_sig = _py_signature(query_vec, n_planes, seed + t)
+        pred = pred | (F.bit_count(sig.bitwiseXOR(F.lit(q_sig))) <= max_hamming)
     return (
-        df.filter(ham <= max_hamming)
+        df.filter(pred)
         .select(F.col(id_col), cosine_sim(F.col(vec_col), _as_double_array(query_vec)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
