@@ -766,19 +766,52 @@ def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.exceptAll(big).distinct()
 
 
-@query("approx_distinct_events", oracle=None, tags=("agg", "approx"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type
+"""
+
+
+@query("approx_distinct_events", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx"))
 def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ count-distinct at 1% rsd +
     approx_percentile sketch) per event_type — the sketches a 100 TB
-    profiler uses instead of exact distincts. Rows-only in the driver
-    gate (DuckDB's sketches differ by construction); relative-error
-    bounds vs exact are asserted in tests/test_scale_plans.py."""
+    profiler uses instead of exact distincts. DuckDB's sketches differ
+    by construction, so the oracle checks exact columns (``n``,
+    ``exact_users``) for value parity and restates the sketch-error
+    bounds as booleans: HLL within 5% of exact (5× the 1% rsd), approx
+    p50 inside the exact [p45, p55] band, approx p95 inside
+    [p90, max]. Driver-hash green ⟺ every bound held on every group."""
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+    agg = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("_ap50"),
+        F.percentile_approx("value", F.lit(0.95), F.lit(10000)).alias("_ap95"),
+        F.percentile("value", F.lit(0.45)).alias("_p45"),
+        F.percentile("value", F.lit(0.55)).alias("_p55"),
+        F.percentile("value", F.lit(0.90)).alias("_p90"),
+        F.max("value").alias("_vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_ok"),
+        ((F.col("_ap50") >= F.col("_p45")) & (F.col("_ap50") <= F.col("_p55"))).alias(
+            "p50_ok"
+        ),
+        ((F.col("_ap95") >= F.col("_p90")) & (F.col("_ap95") <= F.col("_vmax"))).alias(
+            "p95_ok"
+        ),
     )
 
 

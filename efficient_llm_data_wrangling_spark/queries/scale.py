@@ -449,16 +449,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.with_payload(docs), every=10)
 
 
-@query("multimodal_byte_histogram", oracle=None, tags=("multimodal",))
+_MM_HIST_ORACLE = """
+WITH hx AS (
+  SELECT doc_id, to_hex(encode(text)) AS h FROM documents
+),
+nib AS (
+  SELECT hx.doc_id,
+         CAST(strpos('0123456789ABCDEF', substr(hx.h, CAST(t.p AS BIGINT), 1)) - 1
+              AS BIGINT) AS bin
+  FROM hx, unnest(range(1, length(hx.h) + 1, 2)) AS t(p)
+)
+SELECT hx.doc_id,
+       {bins}
+FROM hx LEFT JOIN nib ON hx.doc_id = nib.doc_id
+GROUP BY hx.doc_id
+""".format(
+    bins=",\n       ".join(
+        "CAST(count(*) FILTER (WHERE nib.bin = {i}) AS BIGINT) AS bin_{i:02d}".format(
+            i=i
+        )
+        for i in range(16)
+    )
+)
+
+
+@query("multimodal_byte_histogram", oracle=_MM_HIST_ORACLE, tags=("multimodal",))
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin byte histogram per payload body — a real (non-stub)
     Arrow-batched feature extractor with the exact shape of an
-    embedding UDF. Rows-only in the driver gate (DuckDB has no byte
-    access into blobs); exactness vs a pure-Python histogram is
-    asserted in tests/test_multimodal.py."""
+    embedding UDF, flattened to 16 scalar ``bin_NN`` columns (the
+    driver's pandas canonicalizer can't hash array cells). The payload
+    body after the 10-byte header is exactly ``encode(text, 'utf-8')``
+    and each bin is ``byte >> 4`` — the high hex nibble — so the DuckDB
+    oracle recomputes the identical histogram from
+    ``to_hex(encode(text))``'s odd-position characters."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return MM.byte_histogram_features(MM.with_payload(docs))
+    feats = MM.byte_histogram_features(MM.with_payload(docs))
+    return feats.select(
+        "doc_id",
+        *[F.col("features")[i].alias(f"bin_{i:02d}") for i in range(16)],
+    )
 
 
 _TFIDF_ORACLE = """
