@@ -381,6 +381,23 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, 64-bit SimHash) per document, with the token-hash array
+    staged as a real column so the 64 bit-vote filters read it instead
+    of re-hashing the tokens per bit (HOF lambdas re-evaluate nested
+    expressions per element — see the module docstring)."""
+    df = ensure_parallelism(df)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
+            "__th"
+        ),
+    )
+    return hashed.select(F.col(id_col), _simhash_from_hashes(F.col("__th")).alias("__sim"))
+
+
 def near_dup_pairs_simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -393,16 +410,7 @@ def near_dup_pairs_simhash(
     key is (segment_index, segment_value) — never O(n²)."""
     segments = max_hamming + 1
     width = 64 // segments
-    # stage the token-hash array so the 64 bit-vote filters read a
-    # computed column instead of re-hashing the tokens per bit
-    df = ensure_parallelism(df)
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
-            "__th"
-        ),
-    )
-    sim = hashed.select(F.col(id_col), _simhash_from_hashes(F.col("__th")).alias("__sim"))
+    sim = simhash_fingerprints(df, id_col, text_col)
     seg_keys = F.array(
         *[
             F.struct(

@@ -129,6 +129,10 @@ def hyperplane_signature(
 ) -> Column:
     """Sign-pattern signature under ``n_planes`` fixed random
     hyperplanes, packed into a long. P(bit match) = 1 - angle/π."""
+    if not 1 <= n_planes <= 63:
+        # bit 63 would diverge between the unsigned Python int built by
+        # _py_signature and the signed JVM long built here
+        raise ValueError(f"n_planes must be in [1, 63], got {n_planes}")
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
     sig: Column = F.lit(0).cast("long")
@@ -144,7 +148,8 @@ def hyperplane_signature(
 
 def _py_signature(vec: list[float], n_planes: int, seed: int) -> int:
     """Driver-side twin of :func:`hyperplane_signature` for the query
-    vector (same RNG stream, same sign convention)."""
+    vector (same RNG stream, same sign convention; n_planes ≤ 63 keeps
+    the result representable as a signed 64-bit Spark literal)."""
     rng = random.Random(seed)
     dim = len(vec)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

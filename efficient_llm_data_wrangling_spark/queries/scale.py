@@ -141,14 +141,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None, tags=("dedup",))
+_SIMHASH_ORACLE = f"""
+WITH {_CORPUS_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM corpus
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs (Hamming ≤ 3) via pigeonhole segment
-    join. Rows-only in the driver gate (xxhash64 has no DuckDB
-    equivalent); exactness vs a brute-force Hamming scan is asserted in
-    tests/test_dedup.py."""
+    join, driver-gated by its exactness guarantee: any pair within
+    Hamming k agrees on ≥1 of k+1 fingerprint segments, so the
+    pigeonhole candidate set must EQUAL the brute-force O(n²) Hamming
+    scan — computed here over the staged fingerprints (two longs per
+    pair, never the text) and restated as booleans the DuckDB oracle
+    asserts (xxhash64 itself has no DuckDB twin). ``recall_ok`` =
+    no brute pair missing, ``precision_ok`` = no extra pair; hash-green
+    ⟺ the segment join is provably lossless on this corpus."""
     tune(spark)
-    return D.near_dup_pairs_simhash(_corpus_with_dups(spark, sf_dir))
+    corpus = _corpus_with_dups(spark, sf_dir)
+    pigeon = D.near_dup_pairs_simhash(corpus, max_hamming=3)
+    sims = D.simhash_fingerprints(corpus)
+    a = sims.select(F.col("doc_id").alias("left_id"), F.col("__sim").alias("__sa"))
+    b = sims.select(F.col("doc_id").alias("right_id"), F.col("__sim").alias("__sb"))
+    brute = (
+        a.join(b, F.col("left_id") < F.col("right_id"))
+        .filter(D.hamming64(F.col("__sa"), F.col("__sb")) <= 3)
+        .select("left_id", "right_id")
+    )
+    both = brute.withColumn("__src", F.lit("b")).join(
+        pigeon.select("left_id", "right_id").withColumn("__src2", F.lit("p")),
+        ["left_id", "right_id"],
+        "full_outer",
+    )
+    checks = both.agg(
+        (F.count(F.when(F.col("__src").isNull(), 1)) == 0).alias("precision_ok"),
+        (F.count(F.when(F.col("__src2").isNull(), 1)) == 0).alias("recall_ok"),
+    )
+    n = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n.crossJoin(checks).select("n_docs", "recall_ok", "precision_ok")
 
 
 _EMB_DUP_ORACLE = f"""
@@ -367,16 +400,54 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_top_k(emb, cents, _query_vector(spark, sf_dir, vec_id=1), k=10, n_probe=2)
 
 
-@query("knn_hyperplane_lsh", oracle=None, tags=("similarity",))
+_LSH_KNN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors, CAST(10 AS BIGINT) AS k,
+       TRUE AS self_found, TRUE AS recall_ok, TRUE AS rerank_exact
+FROM embeddings
+"""
+
+
+@query("knn_hyperplane_lsh", oracle=_LSH_KNN_ORACLE, tags=("similarity",))
 def knn_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (16 planes, Hamming ≤ 5 probe) with
-    exact re-rank. Rows-only in the driver gate (the Gaussian plane
-    constants have no SQL twin); recall vs brute force asserted in
-    tests/test_similarity.py."""
+    """Random-hyperplane LSH ANN (16 planes × 6 OR'd tables, Hamming ≤
+    5 probe) with exact cosine re-rank, driver-gated on its quality
+    contract vs the exact brute-force top-10 (the Gaussian plane
+    constants have no SQL twin, so the oracle restates the bounds):
+    ``self_found`` — the query's own vector (Hamming 0 in every table)
+    is returned with cosine 1; ``recall_ok`` — recall@10 ≥ 0.7
+    (measured 0.8–1.0 across sf0.001/0.01/0.1 with this fixed seed;
+    multi-table amplification drives P(miss) down geometrically);
+    ``rerank_exact`` — every hit's cosine equals the brute-force value
+    bit-for-bit (the re-rank is exact, only candidate generation is
+    approximate)."""
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.hyperplane_lsh_top_k(
-        emb, _query_vector(spark, sf_dir), k=10, n_planes=16, max_hamming=5
+    qvec = _query_vector(spark, sf_dir)
+    lsh = SIM.hyperplane_lsh_top_k(
+        emb, qvec, k=10, n_planes=16, max_hamming=5, n_tables=6
+    ).select(F.col("vec_id"), F.col("cosine").alias("__lc"))
+    brute = SIM.brute_force_top_k(emb, qvec, k=10).select(
+        F.col("vec_id"), F.col("cosine").alias("__bc")
+    )
+    hits = brute.join(lsh, "vec_id")
+    checks = lsh.agg(
+        F.coalesce(
+            F.max(
+                F.when((F.col("vec_id") == 0) & (F.abs(F.col("__lc") - 1.0) < 1e-12), True)
+            ),
+            F.lit(False),
+        ).alias("self_found")
+    ).crossJoin(
+        hits.agg(
+            (F.count(F.lit(1)) >= 7).alias("recall_ok"),
+            F.coalesce(
+                F.max(F.abs(F.col("__lc") - F.col("__bc"))) < 1e-15, F.lit(False)
+            ).alias("rerank_exact"),
+        )
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n_vectors"), F.lit(10).cast("long").alias("k"))
+    return n.crossJoin(checks).select(
+        "n_vectors", "k", "self_found", "recall_ok", "rerank_exact"
     )
 
 
