@@ -47,74 +47,44 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round (r1 graded registry slots 0-49 verbatim). This list pins the
-#: round-2 window: the two r1 hash-fix queries first, then every family
-#: that has never had a driver-green row (scale / streaming / subqueries
-#: / trainprep / wrangler + the relational tail's north-star operators).
-#: Queries not listed keep registry (import) order after these.
+#: round (r1 graded registry slots 0-49 verbatim; r2 graded the pinned
+#: window). This list pins the round-3 window: the 9 queries that have
+#: never been inside any grading window first, then every query whose
+#: last driver row pre-dates a fix (the comparator rewrite, the
+#: array-output flattening) or whose oracle is new this round. Queries
+#: not listed keep registry (import) order after these — refreshing the
+#: longest-ungraded green rows with the remaining ~30 slots.
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
-    # r1 hash-red, fixed this round — must re-grade
-    "dq_expectations_orders",
-    "profile_orders",
-    # r1 err:no_oracle, oracle added this round — must re-grade
-    "approx_percentile_price",
-    # dedup / text / knn / multimodal / trainprep north-star families
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "text_token_counts",
-    "text_quality_documents",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf",
-    "knn_brute_force",
-    "knn_ivf",
-    "knn_hyperplane_lsh",
-    "multimodal_decode",
-    "multimodal_resize_meta",
-    "multimodal_frame_sample",
-    "multimodal_byte_histogram",
-    "centroid_embeddings_by_label",
-    "chunk_documents_overlap",
-    "pack_documents_token_budget",
-    "split_assign_documents",
-    # wrangler task queries (the reference's own workload)
-    "apply_transformation_dates",
-    "entity_match_jaccard",
-    "detect_error_suppliers",
-    "impute_priority_word",
-    "wrangler_e2e_transformation",
-    # subquery / decorrelation family
-    "scalar_subquery_acctbal",
-    "having_large_orders",
-    "argmin_part_per_type",
-    "correlated_avg_qty_filter",
-    "nested_agg_nations_above_avg",
-    # structured streaming
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "stream_dedup_watermark",
-    "stream_stateful_user_totals",
-    "stream_static_enrich",
-    "stream_stream_attribution",
-    "stream_upsert_sink_totals",
-    # relational tail: SURVEY §2 rows still local-only + custom joins
-    "stratified_sample_orders",
-    "class_balance_orders",
-    "split_rest_customers",
-    "asof_join_events",
-    "range_join_events",
+    # never graded in any round (r1 graded slots 0-49, r2 the pinned 50)
+    "rollup_pricing",
+    "cube_orders",
+    "intersect_customers",
+    "except_customers",
+    "array_functions_lineitem",
+    "sql_shipping_priority",
+    "running_spend_per_customer",
+    "from_json_events",
+    "map_functions_orders",
+    # driver rows pre-date the r2 comparator rewrite (py_strip) — re-grade
+    "comparator_tolerance",
+    "confusion_metrics",
+    # array outputs flattened + oracles added this round (r2: driver crash)
     "approx_distinct_events",
-    "salted_join_orders",
-    "levenshtein_match_parts",
+    "multimodal_byte_histogram",
+    # oracles added this round (r2: err:no_oracle)
+    "approx_percentile_price",
+    "dedup_simhash",
+    "knn_hyperplane_lsh",
 )
 
 
 def _ordered_names() -> list[str]:
-    prioritized = [n for n in DRIVER_GRADE_PRIORITY if n in REGISTRY]
+    missing = set(DRIVER_GRADE_PRIORITY) - set(REGISTRY)
+    if missing:
+        # a stale/typo'd name would otherwise silently shift which
+        # queries fall inside the driver's 50-slot grading window
+        raise AssertionError(f"DRIVER_GRADE_PRIORITY names not in REGISTRY: {sorted(missing)}")
+    prioritized = list(DRIVER_GRADE_PRIORITY)
     rest = [n for n in REGISTRY if n not in DRIVER_GRADE_PRIORITY]
     return prioritized + rest
 
