@@ -121,10 +121,27 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     for c in sc:
         ks, ko = _kind(spark_df[c]), _kind(oracle_df[c])
         if ks != ko:
-            problems.append(
-                f"column {c!r}: dtype kind spark={ks} oracle={ko} "
-                f"(driver hash would fail even if values compare equal)"
-            )
+            # pandas transport artifact, not a real type split: a nullable
+            # int column widens to float64 on whichever side carried the
+            # NULLs — downgrade to a warning when the float side is
+            # all-integral, the driver's own canonicalizer unifies these
+            kinds = {ks, ko}
+            floaty = spark_df[c] if ks == "float" else oracle_df[c]
+            has_nulls = spark_df[c].isna().any() or oracle_df[c].isna().any()
+            if (
+                kinds == {"int", "float"}
+                and has_nulls
+                and floaty.dropna().map(lambda v: float(v).is_integer()).all()
+            ):
+                print(
+                    f"  warn: column {c!r} int/float kind split is nullable-int "
+                    f"widening (all float values integral) — ignoring"
+                )
+            else:
+                problems.append(
+                    f"column {c!r}: dtype kind spark={ks} oracle={ko} "
+                    f"(driver hash would fail even if values compare equal)"
+                )
     a, b = _normalize(spark_df), _normalize(oracle_df)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
