@@ -53,17 +53,19 @@ HEADLINE = [
 ]
 
 
-def run_one(spark, spec, sf_dir: str, repeats: int = 2) -> float:
-    """Best-of-N wall time: the min is the steady-state throughput
-    number (first run can absorb JIT/codegen/GC noise that has nothing
-    to do with the plan under test)."""
-    best = float("inf")
+def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
+    """N wall-time samples (sorted). The median is the headline number
+    — robust to one-off JIT/GC noise in either direction; min and max
+    ride along so a regression can be classified as variance vs real
+    without re-running (VERDICT r2: two 11% \"regressions\" were
+    single-sample streaming-harness variance)."""
+    times = []
     for _ in range(repeats):
         t0 = time.time()
         df = spec.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
-    return best
+        times.append(time.time() - t0)
+    return sorted(times)
 
 
 def main() -> None:
@@ -84,9 +86,13 @@ def main() -> None:
         except Exception:
             pass
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
-        timings[name] = round(run_one(spark, REGISTRY[name], sf_dir), 3)
+        samples = run_one(spark, REGISTRY[name], sf_dir, repeats=repeats)
+        runs[name] = [round(t, 3) for t in samples]
+        timings[name] = round(samples[len(samples) // 2], 3)  # median
 
     total = round(sum(timings.values()), 3)
     print(
@@ -96,6 +102,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "n_per_query": repeats,
                 "sf": sf,
             }
         )

@@ -57,12 +57,17 @@ class OpenAICompatibleClient:
 
     Reference config (function_generator.py:77-84): temperature 0.2,
     seed 42. Requires the ``openai`` package and an API key in the
-    environment; not used by tests or the driver.
+    environment; not used by tests or the driver. ``base_url`` lets the
+    same client target any compatible serving endpoint (vLLM, llama.cpp
+    server, a gateway) — the reference's client is hard-wired to one
+    vendor.
     """
 
     model: str = "gpt-4-turbo-preview"
     temperature: float = 0.2
     seed: int = 42
+    base_url: str | None = None
+    api_key: str | None = None
 
     def complete(self, messages: Sequence[dict[str, str]]) -> str:
         try:
@@ -72,7 +77,12 @@ class OpenAICompatibleClient:
                 "OpenAICompatibleClient needs the 'openai' package; use "
                 "OfflineStubClient for network-free runs"
             ) from exc
-        client = OpenAI()
+        kwargs: dict[str, str] = {}
+        if self.base_url:
+            kwargs["base_url"] = self.base_url
+        if self.api_key:
+            kwargs["api_key"] = self.api_key
+        client = OpenAI(**kwargs)
         out = client.chat.completions.create(
             model=self.model,
             messages=list(messages),
@@ -80,3 +90,23 @@ class OpenAICompatibleClient:
             seed=self.seed,
         )
         return extract_code(out.choices[0].message.content or "")
+
+
+def client_from_env(env=None) -> LLMClient | None:
+    """G9 live-path gate: build an :class:`OpenAICompatibleClient` from
+    the environment iff ``ELLDW_LLM_MODEL`` is set (endpoint/key via
+    ``ELLDW_LLM_BASE_URL`` / ``ELLDW_LLM_API_KEY``, falling back to the
+    ``openai`` package's own env handling). Returns ``None`` when not
+    opted in — callers default to :class:`OfflineStubClient` fixtures,
+    so no test, bench, or driver run ever touches the network."""
+    import os
+
+    env = os.environ if env is None else env
+    model = env.get("ELLDW_LLM_MODEL")
+    if not model:
+        return None
+    return OpenAICompatibleClient(
+        model=model,
+        base_url=env.get("ELLDW_LLM_BASE_URL"),
+        api_key=env.get("ELLDW_LLM_API_KEY"),
+    )

@@ -75,6 +75,89 @@ def test_extract_code_fenced():
     assert extract_code("plain") == "plain"
 
 
+def test_client_from_env_gated(monkeypatch):
+    from efficient_llm_data_wrangling_spark.plans.client import (
+        OpenAICompatibleClient,
+        client_from_env,
+    )
+
+    assert client_from_env(env={}) is None  # not opted in → offline stub path
+    live = client_from_env(
+        env={
+            "ELLDW_LLM_MODEL": "test-model",
+            "ELLDW_LLM_BASE_URL": "http://localhost:9/v1",
+            "ELLDW_LLM_API_KEY": "k",
+        }
+    )
+    assert isinstance(live, OpenAICompatibleClient)
+    assert live.model == "test-model" and live.base_url == "http://localhost:9/v1"
+    # reference synthesis config preserved (function_generator.py:77-84)
+    assert live.temperature == 0.2 and live.seed == 42
+
+
+def _trial_base(spark):
+    return spark.createDataFrame(
+        [(i, chr(97 + i % 26), chr(65 + i % 26)) for i in range(50)],
+        "id int, text string, label_str string",
+    )
+
+
+def test_multi_trial_reseeding_recovers(spark):
+    """G9: trial 1 exhausts with nothing on the stack (SynthesisFailed),
+    the +1234 reseed starts trial 2 with FRESH demonstrations and it
+    succeeds — the run_wrangler.py:44 retry lifecycle end-to-end."""
+    from efficient_llm_data_wrangling_spark.wrangler import RESEED_STEP, _sample_demos
+
+    base = _trial_base(spark)
+    task = WranglerTask(
+        task="data_transformation",
+        train=base.filter("id < 20"),
+        test=base.filter("id >= 20"),
+        d=10,
+        num_trials=2,
+    )
+    # depth=2 → trial 1 burns both iterations on unparseable code
+    client = OfflineStubClient([BAD_SYNTAX, BAD_SYNTAX, GOOD])
+    result = run_wrangling_task(task, SemanticCompiler(client=client, depth=2))
+    assert result.trials_used == 1  # one SURVIVING candidate (trial 2's)
+    assert result.metrics.first()["acc"] == 1.0
+    assert len(client.calls) == 3
+    # the reseed actually changed the demonstration sample
+    demos1 = {r["text"] for r in _sample_demos(task, task.seed).collect()}
+    demos2 = {r["text"] for r in _sample_demos(task, task.seed + RESEED_STEP).collect()}
+    assert demos1 != demos2
+
+
+def test_multi_trial_best_of_stack_across_trials(spark):
+    """G10: both trials exhaust below threshold; each trial's
+    best-of-stack candidate survives and the cross-trial max-accuracy
+    routing (run_wrangler.py:210-213) picks the better one."""
+    CONST_A = "def string_transformation(s):\n    return 'A'\n"
+    base = spark.createDataFrame(
+        [(i, chr(97 + i % 26), "A") for i in range(50)],
+        "id int, text string, label_str string",
+    )
+    task = WranglerTask(
+        task="data_transformation",
+        train=base.filter("id < 20"),
+        test=base.filter("id >= 20"),
+        d=10,
+        num_trials=2,
+    )
+    # depth=1 and an unreachable threshold: trial 1 stacks WRONG
+    # (accuracy 0), trial 2 stacks CONST_A (accuracy 1 on the all-'A'
+    # corpus, still below threshold) — exhaustion on both, routing must
+    # pick CONST_A
+    client = OfflineStubClient([WRONG, CONST_A])
+    result = run_wrangling_task(
+        task, SemanticCompiler(client=client, depth=1, threshold=1.01)
+    )
+    assert result.trials_used == 2
+    assert result.compiled.source == CONST_A.strip()  # extract_code strips
+    assert result.compiled.accuracy > 0.0
+    assert result.predictions.filter("pred <> 'A'").count() == 0
+
+
 def test_wrangler_pipeline_e2e(spark):
     base = spark.createDataFrame(
         [(i, chr(97 + i % 26), chr(65 + i % 26)) for i in range(50)],
