@@ -50,6 +50,8 @@ HEADLINE = [
     "stream_stream_attribution",
     "chunk_documents_overlap",
     "pack_documents_token_budget",
+    "decontaminate_ngram_overlap",
+    "corpus_curation_pipeline",
 ]
 
 

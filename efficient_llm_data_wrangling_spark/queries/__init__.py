@@ -5,11 +5,13 @@ Importing this package registers every query into
 """
 
 import efficient_llm_data_wrangling_spark.queries.analytics  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.curation  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.etl  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.quality  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.relational  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.scale  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.subqueries  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.temporal  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.trainprep  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.wrangler  # noqa: F401

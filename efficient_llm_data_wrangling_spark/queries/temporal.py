@@ -1,0 +1,399 @@
+"""Temporal / history / graph-analytics operators: SCD2 history
+construction, time-series gap interpolation, per-group mode, portable
+weighted sampling, and fixed-point PageRank in exact integer units.
+
+These extend the warehouse family (``queries/etl.py`` upsert/CDC) and
+the iterative family (``operators/graph.py`` connected components)
+with the remaining shapes a production lakehouse runs daily.
+
+Cross-engine conventions (registry.py): window frames and orderings
+are total (explicit tiebreaks); every fractional value derives either
+from integer arithmetic (PageRank nano-units, interpolation
+milli-cents via exact ``floor``) or the identical IEEE double op
+sequence (weighted-sample keys, rounded to 12 dp to absorb the ≤1 ulp
+``ln`` difference between libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# SCD2: status-change history per customer
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+marked AS (
+  SELECT o_custkey, o_orderstatus, d, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev_status
+  FROM o
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus, d
+  FROM marked WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+)
+SELECT o_custkey, o_orderstatus,
+       CAST(d AS VARCHAR) AS valid_from,
+       CAST(lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderstatus) AS VARCHAR)
+         AS valid_to,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d, o_orderstatus) AS INT)
+         AS version,
+       lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderstatus) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
+@query("scd2_status_history", oracle=_SCD2_ORACLE, tags=("temporal", "etl"))
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: per
+    customer, collapse the order-status timeline into change rows with
+    ``[valid_from, valid_to)`` ranges, a version counter, and an
+    ``is_current`` flag — the standard dimension-history shape
+    (complements the SCD1 merge in ``upsert_snapshot_orders``).
+    Change detection is ``lag() <>`` over a total (date, orderkey)
+    order; validity ranges come from ``lead()`` over the change rows.
+
+    Scale: two window passes over the SAME (custkey | date, …)
+    partitioning — one shuffle, the second window reuses the sort
+    within partitions. No join, no collect.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w_scan = W.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w_scan))
+        .filter(F.col("prev_status").isNull() | (F.col("o_orderstatus") != F.col("prev_status")))
+        .select("o_custkey", "o_orderstatus", "d")
+    )
+    w_hist = W.partitionBy("o_custkey").orderBy("d", "o_orderstatus")
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("d").cast("string").alias("valid_from"),
+        F.lead("d").over(w_hist).cast("string").alias("valid_to"),
+        F.row_number().over(w_hist).cast("int").alias("version"),
+        F.lead("d").over(w_hist).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: per-user daily spine with linear interpolation
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (
+  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.d, daily.cents FROM spine s
+  LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+),
+f AS (
+  SELECT user_id, d, cents,
+         last_value(cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS prev_c,
+         last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING) AS prev_d,
+         first_value(cents IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+         first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM j
+)
+SELECT user_id, CAST(d AS VARCHAR) AS day,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents * 1000
+                 ELSE floor(CAST(prev_c AS DOUBLE)
+                            + CAST((next_c - prev_c) * date_diff('day', prev_d, d) AS DOUBLE)
+                              / date_diff('day', prev_d, next_d)) * 1000
+            END AS BIGINT) AS value_milli_cents,
+       cents IS NOT NULL AS was_present
+FROM f
+"""
+
+
+@query("interpolate_gaps_events", oracle=_INTERP_ORACLE, tags=("temporal", "window"))
+def interpolate_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series per user: build the min→max date spine,
+    left-join observed daily totals, and linearly interpolate missing
+    days between their nearest observed neighbors (spine endpoints are
+    always observed, so no extrapolation case exists). All arithmetic
+    is exact-integer cents — the interpolation ratio is the only
+    division, applied to exact ints and floored, so both engines agree
+    bit-for-bit.
+
+    Scale: one groupBy (daily totals), one tiny per-user bounds agg
+    whose spine explode is ~days-per-user rows, one keyed left join,
+    and two window passes over the same (user | day) sort. Carry-
+    forward/backward via ``last/first IGNORE NULLS`` — no self-join,
+    no driver loop.
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.sum("c").alias("cents"))
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w_back = W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    w_fwd = W.partitionBy("user_id").orderBy("d").rowsBetween(0, W.unboundedFollowing)
+    present_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    f = j.select(
+        "user_id",
+        "d",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_back).alias("prev_c"),
+        F.last(present_d, ignorenulls=True).over(w_back).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(w_fwd).alias("next_c"),
+        F.first(present_d, ignorenulls=True).over(w_fwd).alias("next_d"),
+    )
+    interp = (
+        F.floor(
+            F.col("prev_c").cast("double")
+            + ((F.col("next_c") - F.col("prev_c")) * F.datediff("d", "prev_d")).cast("double")
+            / F.datediff("next_d", "prev_d")
+        )
+        * 1000
+    )
+    return f.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        F.when(F.col("cents").isNotNull(), F.col("cents") * 1000)
+        .otherwise(interp)
+        .cast("long")
+        .alias("value_milli_cents"),
+        F.col("cents").isNotNull().alias("was_present"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rk = 1
+"""
+
+
+@query("mode_event_type_per_user", oracle=_MODE_ORACLE, tags=("temporal", "agg"))
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a total tiebreak (count desc, value asc) —
+    the categorical summary statistic Spark has no built-in aggregate
+    for; composed as count → window rank → filter, which IS the
+    scalable formulation (``mode()`` UDAFs hold per-group hashmaps;
+    this holds nothing).
+
+    Scale: partial-aggregated count (map-side combine) then a window
+    over the already-shuffled (user_id) partitioning — the window
+    reuses the groupBy's exchange under AQE, so effectively one
+    shuffle.
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("n").cast("long").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, portable)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+
+_WSAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT o_orderkey, o_totalprice,
+         md5(CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders
+),
+keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         round(ln((({"+".join(f"(instr('0123456789abcdef', substr(h, {1 + i}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8))}) + 1)
+                  / 4294967296.0) / o_totalprice, 12) AS sample_key
+  FROM t
+)
+SELECT o_orderkey, o_totalprice, sample_key
+FROM keyed
+ORDER BY sample_key DESC, o_orderkey ASC LIMIT {_WSAMPLE_K}
+"""
+
+
+@query("weighted_sample_orders", oracle=_WSAMPLE_ORACLE, tags=("temporal", "sampling"))
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    key = ln(u)/w with u ∈ (0,1] derived from MD5 of the row key and
+    w = o_totalprice; the top-k keys ARE a w-weighted sample. u is
+    exactly representable (32-bit integer / 2³²), so the only
+    cross-engine wobble is ≤1 ulp in libm ``ln`` — absorbed by the
+    12 dp rounding; ties broken by orderkey.
+
+    Scale: scan-side key computation + TakeOrdered(k) — per-partition
+    top-k heaps, no global sort, no shuffle of non-winners. The same
+    key works as a reservoir over streams (keep the k largest keys
+    seen).
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    return (
+        orders.select("o_orderkey", "o_totalprice", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("o_orderkey"))
+        .limit(_WSAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (3 fixed iterations, exact integer nano-units)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+_PR_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT n_nationkey AS k, n_name FROM nation),
+it0 AS (
+  SELECT k, CAST(1000000000 // (SELECT count(*) FROM nation) AS BIGINT) AS r FROM nodes
+)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    return f"""
+it{i} AS (
+  SELECT n.k,
+         CAST((150000000 // (SELECT count(*) FROM nation))
+              + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS k, sum(r.r // d.deg) AS m
+    FROM edges e JOIN it{i - 1} r ON e.src = r.k JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.k = s.k
+)"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL.strip()
+    + ","
+    + ",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))
+    + f"""
+SELECT n.k AS nationkey, n.n_name AS n_name, it.r AS rank_nano
+FROM it{_PR_ITERS} it JOIN nodes n ON it.k = n.k
+"""
+)
+
+
+@query("pagerank_trade_network", oracle=_PAGERANK_ORACLE, tags=("temporal", "graph"))
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {3} fixed iterations) over the
+    customer-nation → supplier-nation trade graph distilled from
+    lineitem. Ranks are exact integer *nano-units* throughout —
+    ``r/deg`` and the 0.85 damping are integer divisions — so
+    cross-partition sums are order-free and both engines agree
+    bit-for-bit (the same trick as ``centroid_embeddings_by_label``).
+    Dangling mass is dropped identically on both sides (documented
+    semantics, not an accident).
+
+    Scale: the edge distillation is the heavy part (fact-table join,
+    distinct on 2 small ints — partial-agg before shuffle); each
+    iteration is then edges ⋈ ranks (broadcast: ranks has |V| rows) +
+    one groupBy(dst). Iterations are a fixed unrolled loop on the
+    driver building ONE lazy plan; on a billion-node graph the same
+    loop holds with ranks keyed-shuffled instead of broadcast and
+    localCheckpoint per round (see operators/graph.py).
+    """
+    tune(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = nation.select(F.col("n_nationkey").alias("k"), "n_name")
+    n = nodes.count()  # fixed-size dimension table: one driver scalar
+    init, base = 10**9 // n, (15 * 10**7) // n
+
+    ranks = nodes.select("k", F.lit(init).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["k"])
+            .join(F.broadcast(deg), "src")
+            .select("dst", F.expr("r div deg").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            nodes.join(incoming, nodes["k"] == incoming["dst"], "left")
+            .select(
+                "k",
+                (F.lit(base) + F.expr("(85 * coalesce(m, 0)) div 100")).cast("long").alias("r"),
+            )
+        )
+    return ranks.join(F.broadcast(nodes), "k").select(
+        F.col("k").alias("nationkey"), "n_name", F.col("r").alias("rank_nano")
+    )

