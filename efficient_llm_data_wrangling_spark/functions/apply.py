@@ -43,6 +43,9 @@ TASK_ENTRY_POINTS: dict[str, str] = {
     "entity_matching": "input_output_converter",
     "data_imputation": "input_output_converter",
     "error_detection_spelling": "detect_error",
+    # regex-synthesis variant (REGEX_GENERATOR, promptsTemplate.py:89-93
+    # — dead code in the reference, live here for surface completeness)
+    "regex_transformation": "string_transformation_regex",
 }
 
 #: Worker-process compile memo: (hash(source), entry) → callable.

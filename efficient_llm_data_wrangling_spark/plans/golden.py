@@ -57,10 +57,24 @@ def input_output_converter(s):
     return value.split("-", 1)[1].strip() if "-" in value else value.strip()
 '''
 
+GOLDEN_REGEX_DATE = r'''
+import re
+
+def string_transformation_regex(s):
+    """Regex-only reformat: 'YYYY-MM-DD HH:MM:SS' -> 'MM/DD/YYYY'
+    (REGEX_GENERATOR variant: the logic IS the pattern)."""
+    return re.sub(
+        r"^\s*(\d{4})-(\d{2})-(\d{2})\s+\d{2}:\d{2}:\d{2}\s*$",
+        r"\2/\3/\1",
+        s,
+    )
+'''
+
 #: task → golden source, for OfflineStubClient-driven compiler tests.
 GOLDEN_BY_TASK = {
     "data_transformation": GOLDEN_DATE_REFORMAT,
     "entity_matching": GOLDEN_ENTITY_MATCH_JACCARD,
     "error_detection_spelling": GOLDEN_DETECT_ERROR,
     "data_imputation": GOLDEN_IMPUTE_PRIORITY,
+    "regex_transformation": GOLDEN_REGEX_DATE,
 }

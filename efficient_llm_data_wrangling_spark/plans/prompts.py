@@ -46,6 +46,17 @@ _TASK_BRIEFS: dict[str, str] = {
         "'yes' if the input value contains a spelling error and 'no' "
         "otherwise, consistent with the examples."
     ),
+    # REGEX_GENERATOR variant (promptsTemplate.py:89-93): same
+    # string-transformation contract, but the body must be a regex
+    # program — pattern + substitution — rather than free-form Python.
+    "regex_transformation": (
+        "You are an expert regex user. Write a Python function "
+        "`string_transformation_regex(s: str) -> str` that converts each "
+        "input string to its output string using a regular-expression "
+        "pattern (re.sub / re.match groups), generalizing the examples. "
+        "The transformation logic must live in the regex, not in "
+        "procedural string code. Return a string and nothing else."
+    ),
 }
 
 

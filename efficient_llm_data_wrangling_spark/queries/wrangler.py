@@ -38,6 +38,34 @@ def apply_transformation_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "pred")
 
 
+_REGEX_DATES_ORACLE = """
+SELECT o_orderkey,
+       regexp_replace(CAST(o_orderdate AS VARCHAR),
+                      '^\\s*(\\d{4})-(\\d{2})-(\\d{2})\\s+\\d{2}:\\d{2}:\\d{2}\\s*$',
+                      '\\2/\\3/\\1') AS pred
+FROM orders
+"""
+
+
+@query("regex_transform_dates", oracle=_REGEX_DATES_ORACLE, tags=("wrangler", "udf"))
+def regex_transform_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGEX_GENERATOR synthesis variant
+    (promptsTemplate.py:89-93 — defined but never wired in the
+    reference): the synthesized operator is a regex program under the
+    ``string_transformation_regex`` entry point, applied through the
+    same compile-once pandas-UDF machinery, against a DuckDB
+    regexp_replace oracle with the identical pattern (RE2 and Python
+    ``re`` agree on this class-and-group subset)."""
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    df = orders.select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("text")
+    )
+    return apply_function(
+        df, golden.GOLDEN_REGEX_DATE, task="regex_transformation"
+    ).select("o_orderkey", "pred")
+
+
 _MATCH_ORACLE = """
 WITH pairs AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id,

@@ -89,6 +89,7 @@ DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     "mode_event_type_per_user",
     "weighted_sample_orders",
     "pagerank_trade_network",
+    "regex_transform_dates",
 )
 
 

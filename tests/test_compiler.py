@@ -173,3 +173,29 @@ def test_wrangler_pipeline_e2e(spark):
     row = result.metrics.first()
     assert row["acc"] == 1.0 and row["total"] == 30
     assert result.compiled.entry_name == "string_transformation"
+
+
+def test_regex_generator_variant(spark):
+    """REGEX_GENERATOR (promptsTemplate.py:89-93): the regex-synthesis
+    task routes to the `string_transformation_regex` entry point, the
+    prompt demands a regex program, and the golden regex compiles and
+    scores through the same loop."""
+    from efficient_llm_data_wrangling_spark.plans import golden
+    from efficient_llm_data_wrangling_spark.plans.prompts import formulate_prompt
+
+    demos = spark.createDataFrame(
+        [
+            ("1997-01-15 12:34:56", "01/15/1997"),
+            ("2003-11-02 00:00:00", "11/02/2003"),
+        ],
+        "text string, label_str string",
+    )
+    msgs = formulate_prompt("regex_transformation", None, [("a", "b")])
+    assert "string_transformation_regex" in msgs[0]["content"]
+    assert "regex" in msgs[0]["content"].lower()
+    compiler = SemanticCompiler(client=OfflineStubClient([golden.GOLDEN_REGEX_DATE]))
+    out = compiler.compile(
+        "regex_transformation", demos, [("1997-01-15 12:34:56", "01/15/1997")]
+    )
+    assert out.entry_name == "string_transformation_regex"
+    assert out.accuracy == 1.0
