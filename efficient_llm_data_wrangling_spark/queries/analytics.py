@@ -771,3 +771,244 @@ def sql_scalar_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_v GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Robust statistics (r3): winsorization, group-wise OLS trend, count-min
+# --------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey, o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM c
+),
+b AS (
+  SELECT o_orderpriority,
+         max(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo,
+         max(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi
+  FROM r GROUP BY o_orderpriority
+)
+SELECT r.o_orderkey, r.o_orderpriority, r.cents,
+       CAST(least(greatest(r.cents, b.lo), b.hi) AS BIGINT) AS clipped_cents
+FROM r JOIN b USING (o_orderpriority)
+"""
+
+
+@query("winsorize_prices", oracle=_WINSOR_ORACLE, tags=("analytics", "quality"))
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to the exact p05/p95 within each priority
+    group) — the outlier treatment that keeps rows instead of dropping
+    them (complements the Tukey-fence `outlier_iqr_prices`). The
+    percentile is rank-based and integer-exact: rank ``⌈k·n/100⌉`` via
+    ``(k·n+99) div 100`` over (cents, orderkey) total order — no float
+    quantile interpolation anywhere.
+
+    Scale: one window pass (rank + count share a single (priority)
+    partitioning), a 5-row bounds aggregate that broadcasts, and a
+    scan-side clip. Group count is tiny; within-group sort is the only
+    real cost — identical to what any exact percentile requires.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    wrk = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wall = W.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    b = r.groupBy("o_orderpriority").agg(
+        F.max(F.when(F.col("rn") == F.expr("(5 * n + 99) div 100"), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("cents"))).alias("hi"),
+    )
+    return r.join(F.broadcast(b), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+        .cast("long")
+        .alias("clipped_cents"),
+    )
+
+
+_TREND_ORACLE = """
+WITH t AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders
+),
+s AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM t GROUP BY o_custkey
+)
+SELECT o_custkey, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       END AS intercept_cents
+FROM s
+"""
+
+
+@query("groupwise_trend_orders", oracle=_TREND_ORACLE, tags=("analytics", "agg"))
+def groupwise_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer OLS trend (spend vs time): slope and intercept from
+    the closed-form normal equations, with every sufficient statistic
+    (n, Σx, Σy, Σxy, Σx²) an exact 64-bit integer — order-free
+    map-side-combinable sums — and the ONLY floating point being two
+    final divisions of identical exact integers. Degenerate groups
+    (single date) yield NULL, not Inf.
+
+    Scale: one partial-aggregated groupBy; sufficient statistics are
+    the textbook distributed-regression decomposition (each partition
+    contributes partial sums), so the shuffle carries 5 longs per
+    customer regardless of order count.
+    """
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")).alias("x"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    s = t.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("long") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(den == 0, F.lit(None)).otherwise(
+        num.cast("double") / den.cast("double")
+    )
+    intercept = F.when(den == 0, F.lit(None)).otherwise(
+        (
+            F.col("sy").cast("double")
+            - (num.cast("double") / den.cast("double")) * F.col("sx").cast("double")
+        )
+        / F.col("n").cast("double")
+    )
+    return s.select(
+        "o_custkey",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )
+
+
+
+
+_CMS_D, _CMS_W = 3, 256  # depth (independent hash rows) x width (counters)
+
+
+def _cms_bucket_sql(j: int) -> str:
+    """DuckDB: row-j bucket = integer value of 2 hex chars of the key's
+    MD5 at offset 4j (0..255 — width is exactly one byte, no modulo)."""
+    p = 1 + 4 * j
+    return (
+        f"((instr('0123456789abcdef', substr(h, {p}, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(h, {p + 1}, 1)) - 1))"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH ue AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM events GROUP BY user_id
+),
+hx AS (
+  SELECT user_id, exact_count, md5(CAST(user_id AS VARCHAR)) AS h FROM ue
+),
+bk AS (
+  SELECT user_id, exact_count, j,
+         CASE j WHEN 0 THEN {_cms_bucket_sql(0)}
+                WHEN 1 THEN {_cms_bucket_sql(1)}
+                ELSE {_cms_bucket_sql(2)} END AS bucket
+  FROM hx, unnest(generate_series(0, {_CMS_D - 1})) AS t(j)
+),
+counters AS (
+  SELECT j, bucket, CAST(sum(exact_count) AS BIGINT) AS cnt
+  FROM bk GROUP BY j, bucket
+),
+est AS (
+  SELECT bk.user_id, CAST(min(c.cnt) AS BIGINT) AS est_count
+  FROM bk JOIN counters c ON bk.j = c.j AND bk.bucket = c.bucket
+  GROUP BY bk.user_id
+)
+SELECT ue.user_id, ue.exact_count, est.est_count,
+       est.est_count >= ue.exact_count AS overestimate_ok
+FROM ue JOIN est ON ue.user_id = est.user_id
+"""
+
+
+@query("countmin_user_counts", oracle=_CMS_ORACLE, tags=("analytics", "approx"))
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=3, w=256) estimate of per-user event counts
+    next to the exact count, with the CMS guarantee (estimate ≥ truth,
+    error bounded by collisions) emitted as an oracle-checked boolean.
+    Buckets derive from MD5 bytes of the key — engine-portable, so the
+    sketch's collision pattern (and therefore every estimate) is
+    deterministic and the oracle reproduces it exactly.
+
+    Scale: the sketch is d·w = 768 counters regardless of cardinality —
+    the point of CMS. Counters build from the pre-aggregated per-key
+    counts (map-side combinable); the estimate join broadcasts the
+    768-row counter table. At 100 TB the same plan holds with the raw
+    event count rolled up first, exactly as here.
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    ue = events.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    h = F.md5(F.col("user_id").cast("string"))
+    hx = ue.select("user_id", "exact_count", h.alias("h"))
+    bucket_cols = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (
+                (F.instr(F.lit("0123456789abcdef"), F.substring("h", 1 + 4 * j, 1)) - 1) * 16
+                + (F.instr(F.lit("0123456789abcdef"), F.substring("h", 2 + 4 * j, 1)) - 1)
+            ).alias("bucket"),
+        )
+        for j in range(_CMS_D)
+    ]
+    bk = hx.select(
+        "user_id", "exact_count", F.explode(F.array(*bucket_cols)).alias("jb")
+    ).select("user_id", "exact_count", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    counters = bk.groupBy("j", "bucket").agg(F.sum("exact_count").cast("long").alias("cnt"))
+    est = (
+        bk.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )
+    return ue.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
+    )

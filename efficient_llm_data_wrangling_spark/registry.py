@@ -90,6 +90,9 @@ DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     "weighted_sample_orders",
     "pagerank_trade_network",
     "regex_transform_dates",
+    "winsorize_prices",
+    "groupwise_trend_orders",
+    "countmin_user_counts",
 )
 
 
