@@ -1,0 +1,207 @@
+"""Behavioral / product-analytics operators over the event stream:
+ordered funnels, retention cohorts, and event-transition (Markov)
+matrices — the query shapes every event warehouse runs daily, absent
+from the reference (its data model has no time at all; SURVEY §1.2).
+
+Cross-engine conventions: timestamps never leave the plan as strings —
+durations are exact ``unix_micros`` differences (BIGINT), dates emit
+as VARCHAR (registry.py convention), probabilities are single
+divisions of exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase (earliest-next-step semantics)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+                 WHEN c.t2 IS NOT NULL THEN 2
+                 WHEN v.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS reached,
+       CAST(CASE WHEN p.t3 IS NOT NULL
+                 THEN date_diff('microsecond', v.t1, p.t3) END AS BIGINT)
+         AS view_to_purchase_micros
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+@query("funnel_view_click_purchase", oracle=_FUNNEL_ORACLE, tags=("behavior", "temporal"))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel with earliest-next-step semantics: the
+    click must follow the user's FIRST view, the purchase the FIRST
+    qualifying click — strict event-order causality, not mere presence
+    (the distinction that separates funnel analysis from three
+    count(*)s). Emits the stage reached per user plus the exact
+    microsecond view→purchase latency for completers.
+
+    Scale: three per-user min-aggregates, each keyed on user_id — the
+    same partitioning throughout, so AQE reuses one exchange; no
+    window over raw events, no self-join explosion (each stage joins
+    the per-user scalar from the previous stage).
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = ev.select("user_id").distinct()
+    reached = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    # unix_micros needs TIMESTAMP; session TZ is pinned UTC so the
+    # ntz→timestamp cast is value-preserving and the difference is the
+    # exact naive-microsecond gap DuckDB's date_diff computes
+    lag = F.when(
+        F.col("t3").isNotNull(),
+        F.unix_micros(F.col("t3").cast("timestamp"))
+        - F.unix_micros(F.col("t1").cast("timestamp")),
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            reached.cast("int").alias("reached"),
+            lag.cast("long").alias("view_to_purchase_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users by first-activity day x day offset
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(f.cohort AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("retention_cohorts", oracle=_RETENTION_ORACLE, tags=("behavior", "temporal"))
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-activity day
+    (cohort), counted on each subsequent active day as an offset from
+    their cohort day — the table behind every "D7 retention" metric.
+
+    Scale: first-activity is a per-user min; active days a per-user
+    distinct — both keyed on user_id (one exchange reused), then a
+    small (cohort, offset) count. The cohort join is per-user scalars,
+    broadcastable; nothing touches raw-event granularity twice.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort"))
+    a = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        a.join(f, "user_id")
+        .select(
+            F.col("cohort").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS p
+FROM c JOIN tot ON c.from_type = tot.from_type
+"""
+
+
+@query("markov_event_transitions", oracle=_MARKOV_ORACLE, tags=("behavior", "window"))
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types along each
+    user's timeline (total (ts, event_id) order — deterministic under
+    timestamp ties): transition counts and row-normalized
+    probabilities, the summary behind next-action prediction and
+    anomalous-sequence detection. The probability is one division of
+    two exact integers.
+
+    Scale: one window pass keyed on user_id (lead over the sorted
+    partition), then a 25-cell aggregate — the matrix is
+    |types|², independent of event volume.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("t"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
+    )

@@ -93,6 +93,9 @@ DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     "winsorize_prices",
     "groupwise_trend_orders",
     "countmin_user_counts",
+    "funnel_view_click_purchase",
+    "retention_cohorts",
+    "markov_event_transitions",
 )
 
 
