@@ -70,6 +70,28 @@ def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     return sorted(times)
 
 
+def calibration(spark, sf_dir: str, repeats: int = 3) -> float:
+    """Median wall-time of a FIXED reference workload (full lineitem
+    scan + hash agg) — a machine-speed yardstick that never changes
+    across rounds. Ratios of query medians to this number are
+    comparable across rounds even when host load differs; absolute
+    seconds are not (r3: the same commit measured 1.0-2.5× slower
+    wall-clock than r2 purely from external host load)."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        (
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        times.append(time.time() - t0)
+    return sorted(times)[len(times) // 2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -89,6 +111,7 @@ def main() -> None:
             pass
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
+    cal = round(calibration(spark, sf_dir, repeats), 3)
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in names:
@@ -106,6 +129,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "n_per_query": repeats,
+                "calibration_scan_agg_sec": cal,
                 "sf": sf,
             }
         )
