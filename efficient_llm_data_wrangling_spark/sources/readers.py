@@ -352,3 +352,22 @@ def overwrite_partitions_dynamic(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of EVERY parquet batch
+    under ``path`` (``mergeSchema`` — footer-level reconciliation, no
+    data rewrite), so batches written before a column existed surface
+    it as NULL instead of failing the scan. The lakehouse ingestion
+    reality: producers add columns mid-stream; readers must keep
+    working against the union schema.
+
+    Scale: mergeSchema reads every file FOOTER at planning time (not
+    file bodies) — cheap at thousands of files, noticeable at
+    millions; production tables should eventually compact old batches
+    to the current schema (:func:`compact_parquet_dir`) or carry the
+    union schema in a catalog. Type widenings that parquet cannot
+    reconcile (int vs string on the same column name) still fail fast,
+    by design — silent coercion would corrupt downstream arithmetic.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -261,3 +261,37 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
     for k, v in before.items():
         if k != "F":
             assert after[k] == v  # siblings untouched
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Batches written with progressively wider schemas read back as
+    the union schema with NULLs for pre-existence rows; incompatible
+    type clashes on a shared column name fail fast instead of
+    coercing."""
+    from efficient_llm_data_wrangling_spark.sources.readers import read_parquet_evolved
+
+    base = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{base}/batch=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{base}/batch=2")
+
+    df = read_parquet_evolved(spark, base)
+    assert set(df.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    # plain read (no mergeSchema) picks ONE footer and can silently
+    # drop the late column — the explicit reader exists because the
+    # default is a data-loss trap
+    plain = spark.read.parquet(base)
+    assert "score" not in plain.columns or set(plain.columns) == set(df.columns)
+
+    # irreconcilable type clash on the same name -> loud failure
+    spark.createDataFrame([("oops",)], "score string").write.parquet(f"{base}/batch=3")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_parquet_evolved(spark, base).collect()
