@@ -387,8 +387,11 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dst", F.expr("r div deg").alias("c"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        # incoming has <= |V| rows — same broadcast-budget assumption
+        # as broadcasting `ranks` above; without the hint the planner
+        # sort-merges this left join (no stats on the agg output)
         ranks = (
-            nodes.join(incoming, nodes["k"] == incoming["dst"], "left")
+            nodes.join(F.broadcast(incoming), nodes["k"] == incoming["dst"], "left")
             .select(
                 "k",
                 (F.lit(base) + F.expr("(85 * coalesce(m, 0)) div 100")).cast("long").alias("r"),

@@ -187,3 +187,35 @@ def test_bloom_positions_stable(k):
     pos = [(h1 + j * h2) % m for j in range(k)]
     assert pos == [(h1 + j * h2) % m for j in range(k)]
     assert len({p for p in pos}) >= 1 and all(0 <= p < m for p in pos)
+
+
+def test_temporal_behavior_plan_shapes(spark):
+    """Scale posture of the temporal/behavior families: SCD2 and the
+    OLS trend are single-shuffle; winsorization is one window shuffle
+    plus a broadcast bounds join; weighted sampling is shuffle-free
+    TakeOrdered; nothing anywhere goes cartesian."""
+    from efficient_llm_data_wrangling_spark.queries.behavior import (
+        funnel_view_click_purchase,
+        markov_event_transitions,
+    )
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        groupwise_trend_orders,
+        winsorize_prices,
+    )
+    from efficient_llm_data_wrangling_spark.queries.temporal import (
+        pagerank_trade_network,
+        scd2_status_history,
+        weighted_sample_orders,
+    )
+
+    shuffles = lambda p: p.count("Exchange hashpartitioning")  # noqa: E731
+    p = _plan(scd2_status_history(spark, SF_SMOKE))
+    assert shuffles(p) == 1, "both SCD2 windows must share one exchange"
+    p = _plan(groupwise_trend_orders(spark, SF_SMOKE))
+    assert shuffles(p) == 1, "sufficient statistics are one partial-agg groupBy"
+    p = _plan(winsorize_prices(spark, SF_SMOKE))
+    assert shuffles(p) == 1 and "BroadcastHashJoin" in p
+    p = _plan(weighted_sample_orders(spark, SF_SMOKE))
+    assert shuffles(p) == 0 and "TakeOrdered" in p
+    for q in (funnel_view_click_purchase, markov_event_transitions, pagerank_trade_network):
+        assert "Cartesian" not in _plan(q(spark, SF_SMOKE))
