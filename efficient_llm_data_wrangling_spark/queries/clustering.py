@@ -1,0 +1,152 @@
+"""Embedding clustering: distributed Lloyd's k-means, the building
+block behind SemDeDup-style semantic dedup, cluster-balanced data
+mixing, and IVF index training — core ops for a 100 TB training-data
+pipeline (north star; the reference has no vector surface at all,
+SURVEY.md §2.10).
+
+Exactness strategy (same family as ``centroid_embeddings_by_label``
+and ``pagerank_trade_network``): vectors are converted once to exact
+integer *micro-units* (``floor(x·1e6 + 0.5)`` on identical IEEE
+doubles), so every distance is an exact BIGINT, every centroid-sum is
+an order-free integer aggregate, and the per-iteration centroid mean
+is a truncating integer division (Spark ``div`` ≡ DuckDB ``//``, both
+toward zero). Both engines therefore replay the iteration
+bit-for-bit — no float accumulation anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+_K = 8
+_DIMS = 64
+
+
+def _micro_units(emb_col) -> F.Column:
+    return F.transform(
+        emb_col, lambda e: F.floor(e.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+    )
+
+
+def _sq_dist(x_col: str, mu_col: str) -> F.Column:
+    """Exact integer squared Euclidean distance between two micro-unit
+    vectors. Ordered fold, but every term is an exact integer so the
+    order is irrelevant — BIGINT-safe at any corpus size (bounded by
+    dims × (2e6)², independent of row count)."""
+    return F.aggregate(
+        F.zip_with(F.col(x_col), F.col(mu_col), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One assignment step: nearest centroid per vector, ties broken
+    by smallest cluster id. The centroid side is k rows → broadcast;
+    the argmin is ``min(struct(dist, c, x))`` — a partial-aggregatable
+    per-key top-1 (map-side combine collapses the ×k fanout before any
+    exchange; no window, no global sort)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.struct(_sq_dist("x", "mu").alias("d"), F.col("c"), F.col("x")).alias("s"),
+    )
+    return scored.groupBy("vec_id").agg(F.min("s").alias("m")).select(
+        "vec_id", F.col("m.c").alias("c"), F.col("m.x").alias("x")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: order-free integer component sums, then the
+    micro-unit mean via truncating integer division. One shuffle of
+    ≤ k×dims partial sums."""
+    sums = assigned.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(F.col("x")[j]).alias(f"s{j}") for j in range(_DIMS)]).alias("s"),
+    )
+    return sums.select("c", F.expr("transform(s, e -> e div n)").alias("mu"))
+
+
+def _dist_sql(x: str, mu: str) -> str:
+    return (
+        f"list_sum([ ({x}[i] - {mu}[i]) * ({x}[i] - {mu}[i])"
+        f" for i in range(1, len({x}) + 1) ])"
+    )
+
+
+def _assign_sql(src: str, mus: str) -> str:
+    return f"""
+  SELECT vec_id, x, c FROM (
+    SELECT t.vec_id, t.x, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM {src} t CROSS JOIN {mus} m
+  ) WHERE rn = 1"""
+
+
+_KMEANS_ORACLE = f"""
+WITH xi AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x
+  FROM embeddings
+),
+mu0 AS (SELECT vec_id AS c, x AS mu FROM xi WHERE vec_id < {_K}),
+a1 AS ({_assign_sql('xi', 'mu0')}),
+u1 AS (
+  SELECT a.c, j.j, a.x[j.j] AS v
+  FROM a1 a CROSS JOIN (SELECT unnest(range(1, {_DIMS} + 1)) AS j) j
+),
+s1 AS (
+  SELECT c, j, CAST(sum(v) // count(*) AS BIGINT) AS mu_j
+  FROM u1 GROUP BY c, j
+),
+mu1 AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM s1 GROUP BY c),
+a2 AS ({_assign_sql('xi', 'mu1')})
+SELECT c AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS vec_id_sum,
+       CAST(sum(x[1]) AS BIGINT) AS x0_sum
+FROM a2 GROUP BY c
+"""
+
+
+@query("kmeans_lloyd_embeddings", oracle=_KMEANS_ORACLE, tags=("similarity", "clustering", "iterative"))
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus: k=8 deterministic
+    seeds (vec_id < 8), assign → centroid-update → re-assign, then
+    per-cluster membership stats (count, exact vec_id checksum, exact
+    first-component sum — agreement pins the full assignment, not just
+    sizes). The oracle unrolls the identical iteration in CTEs.
+
+    Scale posture: each iteration is one broadcast of k×dims centroid
+    integers + one scan of the vectors; the argmin is a map-side-
+    combinable ``min(struct)`` (never a window), and the update
+    shuffles only k×dims partial sums. On a 1000-executor cluster the
+    per-iteration cost is a single pass over the corpus — the loop
+    structure (driver-side unroll over lazy plans, localCheckpoint per
+    round for long chains) is the same one ``operators/graph.py`` uses
+    for connected components. Empty clusters cannot arise with
+    distinct seed vectors (each seed is distance-0 from itself);
+    clusters that empty out in later iterations would simply drop,
+    identically on both sides.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    seeds = vectors.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("mu")
+    )
+    a1 = _assign(vectors, seeds)
+    mu1 = _update(a1)
+    a2 = _assign(vectors, mu1)
+    return a2.groupBy(F.col("c").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("vec_id_sum"),
+        F.sum(F.col("x")[0]).alias("x0_sum"),
+    )

@@ -371,3 +371,26 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     by design — silent coercion would corrupt downstream arithmetic.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal ingestion: each file becomes
+    one row ``(path, modificationTime, length, content: binary)`` —
+    the entry point that feeds image/audio/video blobs into the
+    ``operators/multimodal.py`` decode/resize/frame-sample pipeline
+    (opaque bytes + typed metadata, per the north-star data model).
+
+    Scale: the scan parallelizes over files (one task per file group);
+    ``pathGlobFilter`` prunes at listing time, before any byte is
+    read. Big corpora should bound per-task memory with
+    ``spark.sql.files.maxPartitionBytes`` — each row materializes a
+    whole file, so this source is for blob-sized objects (images,
+    short clips), not multi-GB archives; those stream through a
+    manifest table + ranged reads instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

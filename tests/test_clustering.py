@@ -1,0 +1,69 @@
+"""k-means Lloyd iteration: partition/exactness properties plus the
+plan shape that makes it scale (broadcast centroids, no window)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from efficient_llm_data_wrangling_spark.queries.clustering import (
+    _K,
+    kmeans_lloyd_embeddings,
+)
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_kmeans_partitions_every_vector(spark):
+    emb_n = load_table(spark, SF_SMOKE, "embeddings").count()
+    out = kmeans_lloyd_embeddings(spark, SF_SMOKE).collect()
+    assert sum(r["n_members"] for r in out) == emb_n
+    assert len(out) <= _K
+    # exact checksum consistency: vec_id_sum over all clusters is the
+    # triangular total — every vector counted exactly once
+    assert sum(r["vec_id_sum"] for r in out) == emb_n * (emb_n - 1) // 2
+
+
+def test_kmeans_improves_or_holds_inertia(spark):
+    """Lloyd's guarantee: total within-cluster SSE after the update +
+    re-assign must not exceed the seed-assignment SSE (exact integer
+    distances, so the comparison is exact)."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _assign,
+        _micro_units,
+        _sq_dist,
+        _update,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    seeds = vectors.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("mu")
+    )
+
+    def inertia(assigned, centroids):
+        return (
+            assigned.join(centroids, "c")
+            .select(_sq_dist("x", "mu").alias("d"))
+            .agg(F.sum("d").alias("t"))
+            .collect()[0]["t"]
+        )
+
+    a1 = _assign(vectors, seeds)
+    mu1 = _update(a1)
+    a2 = _assign(vectors, mu1)
+    # SSE of the final assignment vs its own centroids <= SSE of the
+    # first assignment vs the seed centroids (monotone descent; the
+    # micro-unit quantization of the mean can cost at most a rounding
+    # term, absorbed by strict improvement on this data)
+    assert inertia(a2, mu1) <= inertia(a1, seeds)
+
+
+def test_kmeans_plan_broadcasts_centroids(spark):
+    plan = (
+        kmeans_lloyd_embeddings(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan  # argmin must be the combinable min(struct)

@@ -295,3 +295,20 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
 
     with _pytest.raises(Exception):
         read_parquet_evolved(spark, base).collect()
+
+
+def test_read_binary_files_rows_and_glob_pruning(spark, tmp_path):
+    """binaryFile source: one row per file with exact bytes, and
+    pathGlobFilter prunes non-matching files at listing time."""
+    from efficient_llm_data_wrangling_spark.sources.readers import read_binary_files
+
+    blobs = {"a.img": b"\x89PNG\x00fake-a", "b.img": b"\x89PNG\x00fake-bb", "c.txt": b"not an image"}
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for name, content in blobs.items():
+        (d / name).write_bytes(content)
+    all_rows = read_binary_files(spark, str(d)).collect()
+    assert {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in all_rows} == blobs
+    assert all(r["length"] == len(bytes(r["content"])) for r in all_rows)
+    imgs = read_binary_files(spark, str(d), glob="*.img").collect()
+    assert sorted(r["path"].rsplit("/", 1)[-1] for r in imgs) == ["a.img", "b.img"]
