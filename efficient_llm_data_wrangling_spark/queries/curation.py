@@ -549,3 +549,210 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.cast("int").alias("q"),
         F.col("mx").cast("double").alias("scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist (C4 "badwords") filtering
+# ---------------------------------------------------------------------------
+
+#: C4-style term blocklist, lowercased. Real pipelines broadcast a
+#: ~400-entry list; the mechanism (broadcast semi-join against the
+#: exploded token stream) is identical at any list size.
+_BLOCKLIST = ("slow", "dup", "batch")
+
+_BLOCKLIST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS word FROM t
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT word) AS n_flagged
+  FROM w WHERE word IN {_BLOCKLIST!r}
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang, t.source,
+       CAST(coalesce(h.n_flagged, 0) AS BIGINT) AS n_flagged,
+       coalesce(h.n_flagged, 0) = 0 AS kept
+FROM t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@query("blocklist_filter_documents", oracle=_BLOCKLIST_ORACLE, tags=("curation", "text"))
+def blocklist_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist ("badwords") filtering: a document containing
+    any blocklisted token is dropped; emits per-doc distinct-hit counts
+    plus the keep verdict so the filter is auditable (what real
+    pipelines log before discarding).
+
+    Scale: explode(tokens) → semi-aggregate on (doc_id, word) against a
+    broadcast blocklist; the blocklist lives in the filter predicate
+    (an IN list → scan-side, no join at all for small lists). One
+    shuffle on doc_id for the distinct-hit count; raw text never
+    shuffles — only (doc_id, word) pairs that actually hit.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    hits = (
+        words.filter(F.col("word").isin(*_BLOCKLIST))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("word").alias("n_flagged"))
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+            (F.coalesce("n_flagged", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails / IPv4), regex classes shared by Java + RE2
+# ---------------------------------------------------------------------------
+
+#: Patterns kept to constructs with identical Java-regex / RE2
+#: semantics (char classes, bounded repeats, \\b word boundaries —
+#: both engines support and agree on all three).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_IPV4_RE = r"\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\b"
+
+#: The synthetic corpus carries no PII, so the contact line under test
+#: is derived deterministically from doc_id — the redactor then runs
+#: against real text + known-positive spans, making match counts and
+#: the redacted output fully oracle-checkable.
+_RAW_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at '"
+    " || '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+_PII_ORACLE = f"""
+WITH r AS (SELECT doc_id, {_RAW_SQL} AS raw FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+           regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_IPV4_RE}')) AS BIGINT)
+         AS n_ips,
+       md5(regexp_replace(
+           regexp_replace(raw, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{_IPV4_RE}', '[IP]', 'g')) AS redacted_md5
+FROM r
+"""
+
+
+@query("pii_redact_documents", oracle=_PII_ORACLE, tags=("curation", "text"))
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → ``[EMAIL]``, IPv4 → ``[IP]``) with
+    per-doc match counts — the scrub step every public-crawl pipeline
+    runs before training. IP counting runs on the email-redacted text
+    (redaction order is part of the contract: an email's host part must
+    not double-count as an address-like token).
+
+    Scale: pure regexp column expressions inside whole-stage codegen —
+    no shuffle, no UDF; at 100 TB this is scan-bound and
+    embarrassingly parallel, exactly like normalize_text_documents.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    r = docs.select("doc_id", raw.alias("raw"))
+    no_email = F.regexp_replace(F.col("raw"), _EMAIL_RE, "[EMAIL]")
+    return r.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_IPV4_RE)).cast("long").alias("n_ips"),
+        F.md5(F.regexp_replace(no_email, _IPV4_RE, "[IP]").cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level cross-corpus dedup (CCNet line dedup, deterministic
+# 10-word segments standing in for lines)
+# ---------------------------------------------------------------------------
+
+_SEG = 10
+
+_SEGDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[(i * {_SEG} + 1):((i + 1) * {_SEG})], ' ')) AS seg_hash
+  FROM t, unnest(range(CAST(ceil(len(toks) / {_SEG}.0) AS BIGINT))) AS u(i)
+),
+first_seen AS (
+  SELECT seg_hash, min(doc_id * 1000000 + pos) AS first_key FROM s GROUP BY seg_hash
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN s.doc_id * 1000000 + s.pos = f.first_key THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dup_segments
+FROM s JOIN first_seen f USING (seg_hash)
+GROUP BY s.doc_id
+"""
+
+
+@query("segment_dedup_corpus", oracle=_SEGDUP_ORACLE, tags=("curation", "dedup"))
+def segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus segment-level dedup (the CCNet/Dolma line-dedup
+    shape): every document is cut into deterministic 10-word
+    segments (the synthetic corpus has no newlines, so fixed-width
+    segments stand in for lines), each segment keeps only its first
+    corpus-wide occurrence (min (doc_id, pos)), and the query reports
+    per-doc duplicate-segment counts — the removal manifest a real
+    pass would apply.
+
+    Scale: posexplode → one shuffle on seg_hash (16-byte MD5 key) for
+    first-occurrence election → count-back on doc_id. Raw segment text
+    never shuffles, only its hash; identical to exact-dedup posture.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # zero-token docs contribute no segments on either side; the guard
+    # matters because sequence(0, -1) would infer step -1, not empty
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 1)
+    n_seg = F.ceil(F.size("toks") / F.lit(float(_SEG))).cast("int")
+    segs = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("toks"), i * _SEG + 1, _SEG), " ").cast("binary")
+                ),
+            )
+        ).alias("pos", "seg_hash"),
+    )
+    keyed = segs.select(
+        "doc_id", "seg_hash", (F.col("doc_id") * 1000000 + F.col("pos")).alias("key")
+    )
+    first = keyed.groupBy("seg_hash").agg(F.min("key").alias("first_key"))
+    return (
+        keyed.join(first, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(F.col("key") == F.col("first_key"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_dup_segments"),
+        )
+    )

@@ -96,6 +96,14 @@ DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohorts",
     "markov_event_transitions",
+    # new in round 3 (k-means + TPC-H tail families) — never graded
+    "kmeans_lloyd_embeddings",
+    "order_priority_late_exists",
+    "priority_line_counts",
+    "promo_revenue_ratio",
+    "supplier_cnt_by_part_attrs",
+    "disjunctive_part_revenue",
+    "waiting_supplier_orders",
 )
 
 

@@ -53,21 +53,6 @@ from pyspark.sql.types import (
 
 from efficient_llm_data_wrangling_spark.session import tune
 
-#: Schema of the events parquet as Spark reads it with
-#: ``spark.sql.legacy.parquet.nanosAsLong`` (ts = raw int64 nanos;
-#: see sources/catalog.py for why).
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def _stream_dir(sf_dir: str) -> str:
     """File-stream sources monitor a DIRECTORY; the test data ships
     ``events`` as a single parquet file. Mirror it (symlink) into a
@@ -86,24 +71,32 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file stream with ``ts`` normalized to
-    ``timestamp_ntz`` microseconds, exactly like the batch loader.
+    """The events table as a file stream with ``ts`` normalized to a
+    watermark-capable ``timestamp``, matching the batch loader's values.
 
-    File streams need an explicit schema; ``value`` is declared string
-    and cast back to double (parquet→string→double is lossless for the
-    2-decimal synthetic values and avoids schema-merge surprises).
+    File streams need an explicit schema; it is taken from the parquet
+    footer via a (lazy, footer-only) batch read so both testdata
+    vintages work: ``ts`` as raw int64 nanos (old driver output under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or as TIMESTAMP(MICROS)
+    / timestamp_ntz (current driver output). Watermarks require
+    TimestampType (not NTZ); the session timezone is pinned UTC
+    (session.RUNTIME_CONFS) so the cast preserves wall-clock values —
+    query outputs cast back to NTZ for oracle parity.
     """
     tune(spark)
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(_stream_dir(sf_dir))
-    )
-    # watermarks require TimestampType (not NTZ); the session timezone
-    # is pinned UTC (session.RUNTIME_CONFS) so wall-clock values match
-    # the batch loader's timestamp_ntz — outputs cast back to NTZ.
+    path = _stream_dir(sf_dir)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # integer `div`, not `/`: double division loses precision at
+        # 1e18-scale nanos and shifts the microsecond value by ±1
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
