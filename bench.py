@@ -55,6 +55,38 @@ HEADLINE = [
 ]
 
 
+#: Round-3 per-query ratios to the fixed calibration workload
+#: (BENCH_r03.json medians / calibration 0.335 s). Host-load-normalized
+#: baseline: a query only counts as regressed when its CURRENT
+#: ratio-to-calibration exceeds this by >1.25× (VERDICT r3 item 3 —
+#: raw seconds swung 1.0-2.5× across rounds from external load alone).
+R3_RATIOS = {
+    "pair_join_text": 3.209,
+    "pricing_summary": 3.964,
+    "comparator_tolerance": 6.233,
+    "window_top_order_per_customer": 1.069,
+    "filter_project_lineitem": 0.707,
+    "dedup_exact_documents": 0.958,
+    "dedup_minhash_lsh": 7.0,
+    "text_quality_documents": 2.728,
+    "knn_brute_force": 1.275,
+    "asof_join_events": 1.555,
+    "rollup_pricing": 2.827,
+    "multimodal_decode": 1.872,
+    "stream_tumbling_counts": 6.206,
+    "sessionize_events": 1.343,
+    "upsert_snapshot_orders": 1.4,
+    "connected_components_halving": 10.887,
+    "correlated_avg_qty_filter": 3.012,
+    "repetition_ratio_documents": 3.436,
+    "stream_stream_attribution": 27.958,
+    "chunk_documents_overlap": 0.904,
+    "pack_documents_token_budget": 0.761,
+    "decontaminate_ngram_overlap": 3.457,
+    "corpus_curation_pipeline": 3.197,
+}
+
+
 def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     """N wall-time samples (sorted). The median is the headline number
     — robust to one-off JIT/GC noise in either direction; min and max
@@ -120,6 +152,12 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)  # median
 
     total = round(sum(timings.values()), 3)
+    # host-load-normalized view: each query as a multiple of the fixed
+    # calibration workload, plus the change vs the r3 ratio baseline
+    ratios = {n: round(t / cal, 3) for n, t in timings.items()} if cal > 0 else {}
+    ratio_vs_r3 = {
+        n: round(r / R3_RATIOS[n], 3) for n, r in ratios.items() if n in R3_RATIOS
+    }
     print(
         json.dumps(
             {
@@ -130,6 +168,8 @@ def main() -> None:
                 "runs": runs,
                 "n_per_query": repeats,
                 "calibration_scan_agg_sec": cal,
+                "calibration_ratios": ratios,
+                "ratio_vs_r3": ratio_vs_r3,
                 "sf": sf,
             }
         )

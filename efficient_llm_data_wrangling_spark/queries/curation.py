@@ -560,6 +560,13 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exploded token stream) is identical at any list size.
 _BLOCKLIST = ("slow", "dup", "batch")
 
+assert all(w == w.lower() and "'" not in w for w in _BLOCKLIST), (
+    "blocklist terms must be lowercase and quote-free (oracle SQL embeds them)"
+)
+
+#: Explicit IN-list (tuple repr breaks on 1-element tuples / quotes).
+_BLOCKLIST_IN = "(" + ", ".join("'" + w + "'" for w in _BLOCKLIST) + ")"
+
 _BLOCKLIST_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang, source,
@@ -571,7 +578,7 @@ w AS (
 ),
 hits AS (
   SELECT doc_id, count(DISTINCT word) AS n_flagged
-  FROM w WHERE word IN {_BLOCKLIST!r}
+  FROM w WHERE word IN {_BLOCKLIST_IN}
   GROUP BY doc_id
 )
 SELECT t.doc_id, t.lang, t.source,
@@ -699,11 +706,11 @@ s AS (
   FROM t, unnest(range(CAST(ceil(len(toks) / {_SEG}.0) AS BIGINT))) AS u(i)
 ),
 first_seen AS (
-  SELECT seg_hash, min(doc_id * 1000000 + pos) AS first_key FROM s GROUP BY seg_hash
+  SELECT seg_hash, min(row(doc_id, pos)) AS first_key FROM s GROUP BY seg_hash
 )
 SELECT s.doc_id,
        CAST(count(*) AS BIGINT) AS n_segments,
-       CAST(sum(CASE WHEN s.doc_id * 1000000 + s.pos = f.first_key THEN 0 ELSE 1 END) AS BIGINT)
+       CAST(sum(CASE WHEN row(s.doc_id, s.pos) = f.first_key THEN 0 ELSE 1 END) AS BIGINT)
          AS n_dup_segments
 FROM s JOIN first_seen f USING (seg_hash)
 GROUP BY s.doc_id
@@ -742,8 +749,11 @@ def segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "seg_hash"),
     )
+    # first-occurrence election via lexicographic struct min — no
+    # arithmetic key packing, so no collision/overflow bound on
+    # segments-per-doc or doc_id magnitude (100 TB safe)
     keyed = segs.select(
-        "doc_id", "seg_hash", (F.col("doc_id") * 1000000 + F.col("pos")).alias("key")
+        "doc_id", "seg_hash", F.struct(F.col("doc_id"), F.col("pos")).alias("key")
     )
     first = keyed.groupBy("seg_hash").agg(F.min("key").alias("first_key"))
     return (

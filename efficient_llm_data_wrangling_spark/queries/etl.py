@@ -254,8 +254,8 @@ FROM d
 """
 
 
-@query("redact_pii_documents", oracle=_REDACT_ORACLE, tags=("etl", "text"))
-def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("mask_contacts_documents", oracle=_REDACT_ORACLE, tags=("etl", "text"))
+def mask_contacts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: email + phone masking with chained
     ``regexp_replace`` — JVM-side regex inside whole-stage codegen, no
     UDF; the hygiene pass every LLM training corpus gets. Deterministic

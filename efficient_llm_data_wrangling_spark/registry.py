@@ -47,63 +47,62 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round (r1 graded registry slots 0-49 verbatim; r2 graded the pinned
-#: window). This list pins the round-3 window: the 9 queries that have
-#: never been inside any grading window first, then every query whose
-#: last driver row pre-dates a fix (the comparator rewrite, the
-#: array-output flattening) or whose oracle is new this round. Queries
-#: not listed keep registry (import) order after these — refreshing the
-#: longest-ungraded green rows with the remaining ~30 slots.
+#: round. Round-4 window: the 3 queries that have never had a driver
+#: row (added after r3's window was pinned), then every query new in
+#: round 4, then the 38 stalest rows (graded once, in r1, before two
+#: rounds of refactoring). 3 + new + 38 fills the 50 slots; queries
+#: not listed keep registry (import) order after these.
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
-    # never graded in any round (r1 graded slots 0-49, r2 the pinned 50)
-    "rollup_pricing",
-    "cube_orders",
-    "intersect_customers",
-    "except_customers",
-    "array_functions_lineitem",
-    "sql_shipping_priority",
-    "running_spend_per_customer",
-    "from_json_events",
-    "map_functions_orders",
-    # driver rows pre-date the r2 comparator rewrite (py_strip) — re-grade
-    "comparator_tolerance",
-    "confusion_metrics",
-    # array outputs flattened + oracles added this round (r2: driver crash)
-    "approx_distinct_events",
-    "multimodal_byte_histogram",
-    # oracles added this round (r2: err:no_oracle)
-    "approx_percentile_price",
-    "dedup_simhash",
-    "knn_hyperplane_lsh",
-    # new in round 3 (curation + temporal families) — never graded
-    "decontaminate_ngram_overlap",
-    "bloom_dedup_documents",
-    "dedup_cluster_canonical",
-    "normalize_text_documents",
-    "corpus_curation_pipeline",
-    "top_bigrams_corpus",
-    "mixture_sample_by_source",
-    "quantize_embeddings_int8",
-    "scd2_status_history",
-    "interpolate_gaps_events",
-    "mode_event_type_per_user",
-    "weighted_sample_orders",
-    "pagerank_trade_network",
-    "regex_transform_dates",
-    "winsorize_prices",
-    "groupwise_trend_orders",
-    "countmin_user_counts",
-    "funnel_view_click_purchase",
-    "retention_cohorts",
-    "markov_event_transitions",
-    # new in round 3 (k-means + TPC-H tail families) — never graded
-    "kmeans_lloyd_embeddings",
-    "order_priority_late_exists",
-    "priority_line_counts",
-    "promo_revenue_ratio",
-    "supplier_cnt_by_part_attrs",
-    "disjunctive_part_revenue",
-    "waiting_supplier_orders",
+    # r3 additions that landed after the r3 window was pinned — the
+    # only queries with no driver row anywhere (judge-verified green
+    # at sf0.01; this converts them to hard evidence)
+    "blocklist_filter_documents",
+    "pii_redact_documents",
+    "segment_dedup_corpus",
+    # new in round 4 — never graded
+    # (inserted here as they are built)
+    # stalest rows: last graded in r1, two rounds of refactoring ago
+    # (incl. the renamed mask_contacts_documents, ex redact_pii_documents);
+    # the sf0.001 suite re-proves them every run, this refreshes the
+    # formal driver evidence so max row age stays <=2 rounds
+    "ntile_customer_acctbal",
+    "datetime_functions_orders",
+    "histogram_totalprice",
+    "connected_components_halving",
+    "impute_mean_acctbal",
+    "stats_moments_lineitem",
+    "variant_shred_events",
+    "udtf_bigrams_documents",
+    "window_rank_functions_orders",
+    "sql_scalar_udf_charge",
+    "upsert_snapshot_orders",
+    "snapshot_diff_orders",
+    "lang_share_by_source",
+    "string_functions_customer",
+    "mask_contacts_documents",
+    "word_counts_documents",
+    "date_spine_order_counts",
+    "outlier_iqr_prices",
+    "weighted_mean_pandas_udaf",
+    "cogroup_customer_orders",
+    "repetition_ratio_documents",
+    "pair_join_text",
+    "serialize_keyed_part",
+    "serialize_values_customer",
+    "filter_project_lineitem",
+    "derived_label_orders",
+    "label_counts",
+    "min_class_count",
+    "group_mean_qty",
+    "pricing_summary",
+    "top_orders",
+    "multi_key_rank_events",
+    "union_all_topup",
+    "semi_join_customers",
+    "anti_join_customers",
+    "window_top_order_per_customer",
+    "json_extract_events",
+    "sample_head_k",
 )
 
 

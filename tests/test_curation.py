@@ -175,6 +175,28 @@ def test_curation_plan_shapes(spark):
     assert "BroadcastHashJoin" in p and "Cartesian" not in p
 
 
+def test_late_curation_plan_shapes(spark):
+    """Scale posture of the last three curation queries: PII redaction
+    is pure scan-side regexp codegen (zero shuffles), blocklist
+    filtering shuffles only (doc_id, word) hits plus the count-back
+    join on doc_id, and segment dedup shuffles the 16-byte seg-hash
+    for first-occurrence election plus the doc_id count-back — no
+    cartesian anywhere."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        blocklist_filter_documents,
+        pii_redact_documents,
+        segment_dedup_corpus,
+    )
+
+    shuffles = lambda p: p.count("Exchange hashpartitioning")  # noqa: E731
+    p = _plan(pii_redact_documents(spark, SF_SMOKE))
+    assert shuffles(p) == 0 and "Cartesian" not in p
+    p = _plan(blocklist_filter_documents(spark, SF_SMOKE))
+    assert shuffles(p) <= 2 and "Cartesian" not in p
+    p = _plan(segment_dedup_corpus(spark, SF_SMOKE))
+    assert shuffles(p) <= 2 and "Cartesian" not in p
+
+
 @pytest.mark.parametrize("k", [3])
 def test_bloom_positions_stable(k):
     """The double-hash position schedule is a pure function of the MD5
