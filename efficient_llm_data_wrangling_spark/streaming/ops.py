@@ -122,24 +122,56 @@ def _fast_checkpoint_dir() -> str | None:
     return None
 
 
+def _stream_partitions() -> str | None:
+    """Shuffle-partition count for STREAMING queries only. Stateful
+    operators instantiate state stores per (operator, partition) and
+    pay a delta+commit per store per micro-batch — a stream-stream
+    join runs 4 stores/partition, so at the batch-tuned 32 partitions
+    an availableNow drain commits 128 stores per batch while holding
+    only a few MB of state. State should be partitioned for state
+    VOLUME (production: watermark-horizon × arrival-rate / executor
+    memory), not for batch scan width. Env override
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` wins; default 8 locally."""
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    try:
+        return str(max(1, int(v)))
+    except ValueError:
+        return None
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Drive a streaming frame to completion into a memory sink and
     return the sink table. ``availableNow`` processes the whole backlog
-    then stops — the batch-equivalent execution of a streaming plan."""
+    then stops — the batch-equivalent execution of a streaming plan.
+
+    Shuffle partitions are narrowed for the stream's lifetime (state
+    stores scale with partitions; see :func:`_stream_partitions`) and
+    restored after — partitioning never changes results, only the
+    per-micro-batch state-store commit fan-out."""
     spark = sdf.sparkSession
-    writer = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    ckpt = _fast_checkpoint_dir()
-    if ckpt is not None:
-        writer = writer.option("checkpointLocation", ckpt)
-    query = writer.start()
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    nparts = _stream_partitions()
+    if nparts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+    try:
+        writer = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        ckpt = _fast_checkpoint_dir()
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        query = writer.start()
+        query.awaitTermination()
+    finally:
+        if nparts is not None and prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     if ckpt is not None:
         import shutil
 
@@ -454,15 +486,23 @@ def upsert_totals_to_parquet(events: DataFrame, base_dir: str) -> str:
             merged = upsert_by_key(spark.read.parquet(prev), batch_df, "user_id")
         merged.write.mode("overwrite").parquet(str(root / f"v{batch_id}"))
 
-    writer = (
-        totals.writeStream.outputMode("update")
-        .foreachBatch(merge)
-        .trigger(availableNow=True)
-    )
-    ckpt = _fast_checkpoint_dir()
-    if ckpt is not None:
-        writer = writer.option("checkpointLocation", ckpt)
-    writer.start().awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    nparts = _stream_partitions()
+    if nparts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+    try:
+        writer = (
+            totals.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+        )
+        ckpt = _fast_checkpoint_dir()
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        writer.start().awaitTermination()
+    finally:
+        if nparts is not None and prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if ckpt is not None:
         import shutil
 
