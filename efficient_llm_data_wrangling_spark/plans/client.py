@@ -11,8 +11,10 @@ it is import-gated and never constructed implicitly.
 
 from __future__ import annotations
 
+import ast
+import json
 import re
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from typing import Protocol
 
@@ -51,16 +53,50 @@ class OfflineStubClient:
         return self.responses[idx]
 
 
+#: The forced tool schema of the reference (function_generator.py:51-73):
+#: one function, ``return_python``, returning step-by-step reasoning plus
+#: the synthesized function source.
+RETURN_PYTHON_TOOL = {
+    "type": "function",
+    "function": {
+        "name": "return_python",
+        "description": "output of reasoning and python code",
+        "parameters": {
+            "type": "object",
+            "properties": {
+                "reasoning": {
+                    "type": "string",
+                    "description": "The step-by-step reason for the output",
+                },
+                "python_code": {
+                    "type": "string",
+                    "description": "Python function string that transform input to output",
+                },
+            },
+            "required": ["reasoning", "python_code"],
+        },
+    },
+}
+
+
 @dataclass
 class OpenAICompatibleClient:
     """Live client against any OpenAI-compatible chat-completions API.
 
-    Reference config (function_generator.py:77-84): temperature 0.2,
-    seed 42. Requires the ``openai`` package and an API key in the
-    environment; not used by tests or the driver. ``base_url`` lets the
-    same client target any compatible serving endpoint (vLLM, llama.cpp
-    server, a gateway) — the reference's client is hard-wired to one
-    vendor.
+    Mirrors the reference protocol exactly (function_generator.py:44-92):
+    the ``return_python`` tool is forced via ``tool_choice``, sampling is
+    temperature 0.2 / seed 42 / stream False, and the function source is
+    pulled from ``tool_calls[0].function.arguments``. ``base_url`` lets
+    the same client target any compatible serving endpoint (vLLM,
+    llama.cpp server, a gateway) — the reference's client is hard-wired
+    to one vendor.
+
+    ``transport`` is the wire boundary: a callable mapping the request
+    payload (chat-completions JSON body) to the response payload
+    (decoded JSON). It defaults to a stdlib urllib POST to
+    ``{base_url}/chat/completions``; tests inject recorded payloads here
+    and exercise the real request builder + response parser with zero
+    network.
     """
 
     model: str = "gpt-4-turbo-preview"
@@ -68,28 +104,58 @@ class OpenAICompatibleClient:
     seed: int = 42
     base_url: str | None = None
     api_key: str | None = None
+    transport: Callable[[dict], dict] | None = None
+
+    def build_request(self, messages: Sequence[dict[str, str]]) -> dict:
+        """The exact request the reference sends (forced tool call,
+        temperature 0.2, seed 42, stream False)."""
+        return {
+            "model": self.model,
+            "messages": list(messages),
+            "tools": [RETURN_PYTHON_TOOL],
+            "tool_choice": {"type": "function", "function": {"name": "return_python"}},
+            "stream": False,
+            "temperature": self.temperature,
+            "seed": self.seed,
+        }
+
+    def parse_response(self, payload: dict) -> str:
+        """G2 over the wire format: prefer the forced tool call's
+        ``python_code`` argument (reference response_parser,
+        function_generator.py:88-92 — which ``ast.literal_eval``s the
+        arguments string; JSON is tried first, the literal_eval fallback
+        covers servers that emit Python-literal dicts), else fall back
+        to fenced/bare code in ``message.content``."""
+        message = payload["choices"][0]["message"]
+        calls = message.get("tool_calls") or []
+        if calls:
+            arguments_str = calls[0]["function"]["arguments"]
+            try:
+                arguments = json.loads(arguments_str)
+            except ValueError:
+                arguments = ast.literal_eval(arguments_str)
+            return str(arguments["python_code"]).strip()
+        return extract_code(message.get("content") or "")
+
+    def _default_transport(self, payload: dict) -> dict:
+        import urllib.request
+
+        base = (self.base_url or "https://api.openai.com/v1").rstrip("/")
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        req = urllib.request.Request(
+            f"{base}/chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read().decode("utf-8"))
 
     def complete(self, messages: Sequence[dict[str, str]]) -> str:
-        try:
-            from openai import OpenAI
-        except ImportError as exc:  # pragma: no cover
-            raise RuntimeError(
-                "OpenAICompatibleClient needs the 'openai' package; use "
-                "OfflineStubClient for network-free runs"
-            ) from exc
-        kwargs: dict[str, str] = {}
-        if self.base_url:
-            kwargs["base_url"] = self.base_url
-        if self.api_key:
-            kwargs["api_key"] = self.api_key
-        client = OpenAI(**kwargs)
-        out = client.chat.completions.create(
-            model=self.model,
-            messages=list(messages),
-            temperature=self.temperature,
-            seed=self.seed,
-        )
-        return extract_code(out.choices[0].message.content or "")
+        transport = self.transport or self._default_transport
+        return self.parse_response(transport(self.build_request(messages)))
 
 
 def client_from_env(env=None) -> LLMClient | None:

@@ -341,8 +341,16 @@ FROM it{_PR_ITERS} it JOIN nodes n ON it.k = n.k
 )
 
 
+#: Broadcast the per-iteration rank/degree/incoming-mass vectors only
+#: while |V| stays under this bound (~16 MB of (long,long) rows); a
+#: billion-node graph flips every iteration join to a keyed shuffle.
+_PR_BROADCAST_MAX_V = 1 << 20
+
+
 @query("pagerank_trade_network", oracle=_PAGERANK_ORACLE, tags=("temporal", "graph"))
-def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_trade_network(
+    spark: SparkSession, sf_dir: str, *, broadcast_max_v: int | None = None
+) -> DataFrame:
     """PageRank (damping 0.85, {3} fixed iterations) over the
     customer-nation → supplier-nation trade graph distilled from
     lineitem. Ranks are exact integer *nano-units* throughout —
@@ -354,11 +362,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the edge distillation is the heavy part (fact-table join,
     distinct on 2 small ints — partial-agg before shuffle); each
-    iteration is then edges ⋈ ranks (broadcast: ranks has |V| rows) +
-    one groupBy(dst). Iterations are a fixed unrolled loop on the
-    driver building ONE lazy plan; on a billion-node graph the same
-    loop holds with ranks keyed-shuffled instead of broadcast and
-    localCheckpoint per round (see operators/graph.py).
+    iteration is then edges ⋈ ranks + one groupBy(dst). The |V|-row
+    vectors (ranks, degrees, incoming mass) broadcast only while
+    |V| ≤ ``_PR_BROADCAST_MAX_V``; above that every iteration join
+    degrades gracefully to a keyed shuffle (plus localCheckpoint per
+    round in a real long-lived loop — see operators/graph.py). Both
+    regimes are plan-shape-pinned in tests.
     """
     tune(spark)
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -379,11 +388,17 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()  # fixed-size dimension table: one driver scalar
     init, base = 10**9 // n, (15 * 10**7) // n
 
+    limit = _PR_BROADCAST_MAX_V if broadcast_max_v is None else broadcast_max_v
+
+    def _bc(df: DataFrame) -> DataFrame:
+        # all three per-iteration vectors are |V|-row; one shared guard
+        return F.broadcast(df) if n <= limit else df
+
     ranks = nodes.select("k", F.lit(init).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            edges.join(F.broadcast(ranks), edges["src"] == ranks["k"])
-            .join(F.broadcast(deg), "src")
+            edges.join(_bc(ranks), edges["src"] == ranks["k"])
+            .join(_bc(deg), "src")
             .select("dst", F.expr("r div deg").alias("c"))
         )
         incoming = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
@@ -391,12 +406,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as broadcasting `ranks` above; without the hint the planner
         # sort-merges this left join (no stats on the agg output)
         ranks = (
-            nodes.join(F.broadcast(incoming), nodes["k"] == incoming["dst"], "left")
+            nodes.join(_bc(incoming), nodes["k"] == incoming["dst"], "left")
             .select(
                 "k",
                 (F.lit(base) + F.expr("(85 * coalesce(m, 0)) div 100")).cast("long").alias("r"),
             )
         )
-    return ranks.join(F.broadcast(nodes), "k").select(
+    return ranks.join(_bc(nodes), "k").select(
         F.col("k").alias("nationkey"), "n_name", F.col("r").alias("rank_nano")
     )

@@ -199,3 +199,97 @@ def test_regex_generator_variant(spark):
     )
     assert out.entry_name == "string_transformation_regex"
     assert out.accuracy == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Recorded-fixture replay through the LIVE client (no network): the
+# real request builder + response parser of OpenAICompatibleClient run
+# against captured chat-completions payloads, mirroring the reference's
+# forced-tool-call protocol (function_generator.py:44-92).
+# ---------------------------------------------------------------------------
+
+import json
+from pathlib import Path
+
+from efficient_llm_data_wrangling_spark.plans.client import OpenAICompatibleClient
+
+_FIXTURES = Path(__file__).parent / "fixtures" / "llm"
+
+
+def _replay_client(fixture: str) -> tuple[OpenAICompatibleClient, list[dict]]:
+    payload = json.loads((_FIXTURES / f"{fixture}.json").read_text())
+    requests: list[dict] = []
+
+    def transport(request: dict) -> dict:
+        requests.append(request)
+        return payload
+
+    return OpenAICompatibleClient(transport=transport), requests
+
+
+def test_live_client_request_shape():
+    """The request is byte-for-byte the reference protocol: forced
+    return_python tool call, temperature 0.2, seed 42, stream False
+    (function_generator.py:77-84)."""
+    client, requests = _replay_client("data_transformation")
+    client.complete([{"role": "user", "content": "demo"}])
+    (req,) = requests
+    assert req["temperature"] == 0.2 and req["seed"] == 42 and req["stream"] is False
+    assert req["tool_choice"] == {"type": "function", "function": {"name": "return_python"}}
+    (tool,) = req["tools"]
+    fn = tool["function"]
+    assert fn["name"] == "return_python"
+    assert set(fn["parameters"]["required"]) == {"reasoning", "python_code"}
+
+
+def test_live_client_parses_python_literal_arguments():
+    """Servers that emit Python-literal (single-quoted) arguments parse
+    through the ast.literal_eval fallback — the reference's actual
+    parse (function_generator.py:90)."""
+    client, _ = _replay_client("python_literal_arguments")
+    code = client.complete([{"role": "user", "content": "demo"}])
+    assert code.startswith("def string_transformation(")
+
+
+@pytest.mark.parametrize(
+    ("task", "demo_rows", "entry"),
+    [
+        ("data_transformation", [("abc", "ABC"), ("zed", "ZED")], "string_transformation"),
+        (
+            "entity_matching",
+            [
+                ("apple iphone 12 VS apple iphone 12 black", "Yes"),
+                ("dell xps 13 VS lenovo yoga 7", "No"),
+            ],
+            "input_output_converter",
+        ),
+        (
+            "data_imputation",
+            [
+                ("name: acme; city: berlin; zip: 10115", "berlin"),
+                ("name: globex; city: lyon; zip: 69001", "lyon"),
+            ],
+            "input_output_converter",
+        ),
+        (
+            "error_detection_spelling",
+            [("red", "no"), ("rred", "yes"), ("blue", "no")],
+            "detect_error",
+        ),
+        (
+            "regex_transformation",
+            [("2003-11-02", "02/11/2003"), ("1997-01-15", "15/01/1997")],
+            "string_transformation_regex",
+        ),
+    ],
+)
+def test_live_replay_end_to_end(spark, task, demo_rows, entry):
+    """Each task type's recorded payload drives the full synthesis loop
+    — live request builder, live parser, sandbox validation, scoring —
+    and lands a 100%-accurate compiled function."""
+    client, requests = _replay_client(task)
+    demos = spark.createDataFrame(demo_rows, "text string, label_str string")
+    out = SemanticCompiler(client=client).compile(task, demos, demo_rows)
+    assert out.entry_name == entry
+    assert out.accuracy == 1.0 and out.iterations == 1
+    assert len(requests) == 1 and requests[0]["messages"][0]["role"] == "system"

@@ -117,6 +117,27 @@ def test_pagerank_mass_conservation(spark):
     assert all(r.rank_nano > 0 for r in rows)
 
 
+def test_pagerank_broadcast_guard_regimes(spark):
+    """The |V|-row iteration vectors broadcast under the size guard and
+    degrade to keyed-shuffle joins above it — both regimes planned, and
+    both producing identical ranks (partitioning must never change the
+    integer math)."""
+    small = pagerank_trade_network(spark, SF_SMOKE)
+    p_small = _plan(small)
+    assert "BroadcastHashJoin" in p_small and "Cartesian" not in p_small
+
+    big = pagerank_trade_network(spark, SF_SMOKE, broadcast_max_v=0)
+    p_big = _plan(big)
+    # with the guard off every rank/deg/incoming join shuffles instead;
+    # dim-table broadcasts in the edge distillation may legitimately stay
+    assert "SortMergeJoin" in p_big or "ShuffledHashJoin" in p_big
+    assert "Cartesian" not in p_big
+
+    a = {(r.nationkey, r.rank_nano) for r in small.collect()}
+    b = {(r.nationkey, r.rank_nano) for r in big.collect()}
+    assert a == b
+
+
 def test_weighted_sample_prefers_heavy_rows(spark):
     """ES sampling with w = o_totalprice must over-represent expensive
     orders: the sampled mean price exceeds the population mean."""
