@@ -52,6 +52,10 @@ HEADLINE = [
     "pack_documents_token_budget",
     "decontaminate_ngram_overlap",
     "corpus_curation_pipeline",
+    # round-4 families
+    "bm25_top_docs",
+    "substring_dedup_windows",
+    "knn_ivf_pq",
 ]
 
 

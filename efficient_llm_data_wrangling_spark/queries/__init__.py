@@ -15,6 +15,7 @@ import efficient_llm_data_wrangling_spark.queries.scale  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.subqueries  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.temporal  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.textquality  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.tpch_tail  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.trainprep  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.wrangler  # noqa: F401

@@ -634,3 +634,321 @@ def centroid_embeddings_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_s").cast("double") / F.col("n_vecs") / 1000000.0).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) family: encoder + IVF-PQ pipeline
+# ---------------------------------------------------------------------------
+
+#: 64-dim embeddings → 8 subspaces × 8 dims; the codebook per subspace
+#: is the corresponding subvector of the 8 deterministic IVF centroids
+#: (vec_id < 8) — no training loop, the exact storage/compute shape of
+#: a trained PQ with k=8 codewords per subspace.
+_PQ_M = 8
+_PQ_DSUB = 8
+
+
+def _l2sq_sql(a: str, b: str, n: int = _PQ_DSUB) -> str:
+    """DuckDB squared-L2 with the Spark fold shape: elementwise terms
+    in index order, left-fold sum from 0.0."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) for i in range(1, {n + 1})]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+_PQ_ENCODE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, j, v[(j * {_PQ_DSUB} + 1):(j * {_PQ_DSUB} + {_PQ_DSUB})] AS s
+  FROM e, unnest(range({_PQ_M})) AS u(j)
+),
+cs AS (
+  SELECT vec_id AS code, j, v[(j * {_PQ_DSUB} + 1):(j * {_PQ_DSUB} + {_PQ_DSUB})] AS cs
+  FROM e, unnest(range({_PQ_M})) AS u(j)
+  WHERE vec_id < {_PQ_M}
+),
+d AS (
+  SELECT sub.vec_id, sub.j, cs.code, {_l2sq_sql("sub.s", "cs.cs")} AS dist
+  FROM sub JOIN cs USING (j)
+)
+SELECT vec_id, CAST(j AS INT) AS subspace,
+       CAST((min({{'d': dist, 'c': code}})).c AS INT) AS code
+FROM d GROUP BY vec_id, j
+"""
+
+
+@query("pq_encode_embeddings", oracle=_PQ_ENCODE_ORACLE, tags=("similarity", "pq"))
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoder: each 64-dim vector becomes 8
+    one-byte codes — per subspace, the index of the nearest codeword by
+    exact squared-L2 (ties to the smaller code). 8 bytes per vector is
+    the 32× compression that makes billion-scale ANN indexes fit in
+    RAM (Jégou et al. 2011); the distances are computed identically on
+    both engines (same elementwise order, same left fold), so the
+    argmin — elected via lexicographic (dist, code) struct min — is
+    bit-deterministic.
+
+    Scale: subvectors explode to rows × m (a generator, no shuffle);
+    the 64-row codeword table broadcasts; the argmin is one partial-
+    aggregated shuffle on (vec_id, subspace). At 100 TB the same plan
+    streams: nothing driver-side, nothing quadratic.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    sub = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"j -> slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+            )
+        ).alias("j", "s"),
+    )
+    cs = (
+        e.filter(F.col("vec_id") < _PQ_M)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), "
+                    f"j -> slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+                )
+            ).alias("j", "cs"),
+        )
+    )
+    d = sub.join(F.broadcast(cs), "j").select(
+        "vec_id",
+        "j",
+        "code",
+        F.expr(
+            "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as double), (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    return (
+        d.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "code")).alias("mk"))
+        .select(
+            "vec_id",
+            F.col("j").cast("int").alias("subspace"),
+            F.col("mk.code").cast("int").alias("code"),
+        )
+    )
+
+
+_IVF_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+c AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_PQ_M}),
+dc AS (
+  SELECT e.vec_id, c.k, {_l2sq_sql("e.v", "c.cv", 64)} AS d
+  FROM e CROSS JOIN c
+),
+cell AS (
+  SELECT vec_id, CAST((min({{'d': d, 'k': k}})).k AS INT) AS cell
+  FROM dc GROUP BY vec_id
+),
+probe AS (
+  SELECT c.k FROM q CROSS JOIN c
+  ORDER BY {_l2sq_sql("q.qv", "c.cv", 64)}, c.k
+  LIMIT 2
+),
+cand AS (
+  SELECT e.vec_id, e.v, cell.cell
+  FROM e JOIN cell USING (vec_id)
+  WHERE cell.cell IN (SELECT k FROM probe)
+),
+sub AS (
+  SELECT vec_id, j, v[(j * {_PQ_DSUB} + 1):(j * {_PQ_DSUB} + {_PQ_DSUB})] AS s
+  FROM cand, unnest(range({_PQ_M})) AS u(j)
+),
+cs AS (
+  SELECT vec_id AS code, j, v[(j * {_PQ_DSUB} + 1):(j * {_PQ_DSUB} + {_PQ_DSUB})] AS cs
+  FROM e, unnest(range({_PQ_M})) AS u(j)
+  WHERE vec_id < {_PQ_M}
+),
+codes AS (
+  SELECT sub.vec_id, sub.j,
+         (min({{'d': {_l2sq_sql("sub.s", "cs.cs")}, 'c': cs.code}})).c AS code
+  FROM sub JOIN cs USING (j)
+  GROUP BY sub.vec_id, sub.j
+),
+jdist AS (
+  SELECT codes.vec_id, codes.j,
+         {_l2sq_sql("q.qv[(codes.j * %d + 1):(codes.j * %d + %d)]"
+                    % (_PQ_DSUB, _PQ_DSUB, _PQ_DSUB), "cs.cs")} AS dj
+  FROM codes JOIN cs ON codes.j = cs.j AND codes.code = cs.code
+  CROSS JOIN q
+),
+adc AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dj ORDER BY j)),
+                     (acc, x) -> acc + x) AS adc
+  FROM jdist GROUP BY vec_id
+),
+shortlist AS (
+  SELECT adc.vec_id, adc.adc FROM adc ORDER BY adc.adc, adc.vec_id LIMIT 50
+)
+SELECT s.vec_id, cand.cell, round(s.adc, 6) AS adc_6,
+       {_cos_sql("cand.v", "q.qv")} AS cosine
+FROM shortlist s
+JOIN cand USING (vec_id)
+CROSS JOIN q
+ORDER BY cosine DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@query("knn_ivf_pq", oracle=_IVF_PQ_ORACLE, tags=("similarity", "pq"))
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the workhorse of billion-scale ANN (Jégou et al. 2011;
+    the FAISS IVFPQ layout): coarse-quantize every vector to its
+    nearest of 8 cells, probe the 2 cells nearest the query, rank the
+    probed candidates by asymmetric distance (query subvector ↔ the
+    candidate's PQ codeword, summed over the 8 subspaces in fixed
+    order), shortlist the top-50 by (ADC, vec_id), then re-rank the
+    shortlist by exact cosine for the final top-10. Every distance on
+    both engines uses the identical elementwise order and left fold,
+    ADC sums subspaces in j order, and all ties break on the id — so
+    the whole pipeline, approximation and all, replays bit-for-bit
+    relationally.
+
+    Scale: the codebook (8 centroids / 64 codewords) broadcasts;
+    assignment and encoding are generator-explodes + one keyed shuffle
+    each; ADC touches only probed cells (≈ n_probe/n_cells of the
+    data); the exact re-rank touches 50 rows. The driver holds just
+    the 8 collected centroids (house precedent: knn_ivf).
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]])
+        for r in e.filter(F.col("vec_id") < _PQ_M).collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["v"]]
+
+    # probe selection on the driver over the 8 collected centroids —
+    # same left-fold arithmetic as the SQL twin, tie to smaller k
+    def _l2(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    probes = sorted(range(_PQ_M), key=lambda k: (_l2(qv, cents[k][1]), k))[:2]
+
+    cb = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    dcell = F.expr(
+        f"transform(sequence(0, {_PQ_M - 1}), k -> "
+        "aggregate(zip_with(v, element_at(cb, k + 1), (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as double), (acc, x) -> acc + x))"
+    )
+    assigned = (
+        e.withColumn("cb", cb)
+        .withColumn("dcell", dcell)
+        .select(
+            "vec_id",
+            "v",
+            (F.expr("array_position(dcell, array_min(dcell))").cast("int") - F.lit(1)).alias(
+                "cell"
+            ),
+        )
+    )
+    cand = assigned.filter(F.col("cell").isin(*[int(p) for p in probes]))
+
+    sub = cand.select(
+        "vec_id",
+        "cell",
+        "v",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"j -> slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+            )
+        ).alias("j", "s"),
+    )
+    cs = (
+        e.filter(F.col("vec_id") < _PQ_M)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_PQ_M - 1}), "
+                    f"j -> slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+                )
+            ).alias("j", "cs"),
+        )
+    )
+    codes = (
+        sub.join(F.broadcast(cs), "j")
+        .select(
+            "vec_id",
+            "j",
+            F.struct(
+                F.expr(
+                    "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), "
+                    "cast(0 as double), (acc, x) -> acc + x)"
+                ).alias("dist"),
+                F.col("code"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(F.min("dc").alias("mk"))
+        .select("vec_id", "j", F.col("mk.code").alias("code"))
+    )
+    qarr = F.array(*[F.lit(x) for x in qv])
+    jdist = (
+        codes.join(F.broadcast(cs), ["j", "code"])
+        .withColumn("qv", qarr)
+        .select(
+            "vec_id",
+            "j",
+            F.expr(
+                f"aggregate(zip_with(slice(qv, j * {_PQ_DSUB} + 1, {_PQ_DSUB}), cs, "
+                "(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)"
+            ).alias("dj"),
+        )
+    )
+    adc = (
+        jdist.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "dj"))).alias("pairs"))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(pairs, cast(0 as double), (acc, p) -> acc + p.dj)"
+            ).alias("adc"),
+        )
+    )
+    shortlist = adc.orderBy("adc", "vec_id").limit(50)
+    cosine = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x) / "
+        "(sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)) * "
+        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)))"
+    )
+    return (
+        shortlist.join(cand, "vec_id")
+        .withColumn("qv", qarr)
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.col("adc"), 6).alias("adc_6"),
+            cosine.alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

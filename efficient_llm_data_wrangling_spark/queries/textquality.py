@@ -1,0 +1,507 @@
+"""Corpus-quality and retrieval queries (round-4 beyond-reference
+surface): Gopher-style rule filtering, per-domain caps, a hashed
+linear quality scorer, overlapping-window substring dedup, per-source
+length-percentile filtering, consistent shard assignment, and BM25
+retrieval.
+
+These are the operators a production training-data pipeline runs
+between raw crawl and tokenization (Gopher/Rae et al. 2021 rules;
+CCNet/C4/Dolma-style per-domain quotas and sharding; fastText-style
+linear quality scoring re-expressed as pure column math; BM25 for
+corpus search/decontamination triage).
+
+Oracle strategy (registry.py conventions): all counters and scores are
+exact integers or booleans except BM25, whose transcendental ``ln`` is
+absorbed by ``round(score, 6)`` on both engines (the `text_tfidf`
+precedent); every double derives from the identical expression shape
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.queries.curation import _hexint_col, _hexint_sql
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+#: Shared stop list (same as text_quality_documents, queries/scale.py).
+_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _toks_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains({list(_STOP)!r}, x))) AS BIGINT)
+      AS stopword_hits,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) // len(toks) END AS alpha_pct
+  FROM t
+)
+SELECT doc_id, n_words, mean_len_milli, stopword_hits, alpha_pct,
+       (n_words BETWEEN 20 AND 1000) AND (mean_len_milli BETWEEN 3000 AND 10000)
+         AND stopword_hits >= 1 AND alpha_pct >= 80 AS passes
+FROM m
+"""
+
+
+@query("gopher_quality_filter", oracle=_GOPHER_ORACLE, tags=("textquality", "curation"))
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) rule filter adapted to the
+    synthetic corpus: word count in [20, 1000], mean word length in
+    [3, 10] (exact milli-units, integer division), ≥1 stop word, ≥80%
+    purely-alphabetic tokens. All counters are exact integers so both
+    engines agree bit-for-bit.
+
+    Scale: one pass over the scan, zero shuffles — every rule is a
+    column expression over the token array inside whole-stage codegen;
+    the verdict travels with the row (auditable filter, house style).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    stop_lit = ", ".join(f"'{w}'" for w in _STOP)
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    n = F.size("toks")
+    mean_len = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000L div size(toks)"
+        )
+    )
+    stop_hits = F.expr(
+        f"size(filter(toks, x -> x IN ({stop_lit})))"
+    ).cast("long")
+    alpha_pct = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("100L * size(filter(toks, x -> x rlike '^[a-z]+$')) div size(toks)")
+    )
+    m = t.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_len_milli"),
+        stop_hits.alias("stopword_hits"),
+        alpha_pct.alias("alpha_pct"),
+    )
+    return m.select(
+        "*",
+        (
+            F.col("n_words").between(20, 1000)
+            & F.col("mean_len_milli").between(3000, 10000)
+            & (F.col("stopword_hits") >= 1)
+            & (F.col("alpha_pct") >= 80)
+        ).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain (source) cap
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 50
+
+_DOMAIN_CAP_ORACLE = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+         AS rk,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_DOMAIN_CAP}
+         AS kept
+FROM documents
+"""
+
+
+@query("domain_cap_documents", oracle=_DOMAIN_CAP_ORACLE, tags=("textquality", "curation"))
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (the C4/CCNet anti-boilerplate cap):
+    keep at most {cap} documents per source, chosen by MD5(doc_id)
+    order — a deterministic uniform shuffle that needs no RNG and
+    replays identically in any engine.
+
+    Scale: exactly one hash shuffle on ``source``; the MD5 sort key is
+    computed scan-side. At 100 TB a skewed mega-domain bottlenecks one
+    reducer — the fix is the standard two-level trick (rank within
+    (source, salt) then re-rank the ≤ salt·cap survivors), which this
+    single-window shape composes into without changing semantics.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    rk = F.row_number().over(w)
+    return docs.select(
+        "doc_id", "source", rk.cast("int").alias("rk"), (rk <= _DOMAIN_CAP).alias("kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality scorer (fastText-style, pure column math)
+# ---------------------------------------------------------------------------
+
+def _weight_sql(tok_expr: str) -> str:
+    return f"(({_hexint_sql(f'md5({tok_expr})', 1, 4)}) % 17 - 8)"
+
+
+_LINEAR_SCORER_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, x -> CAST({_weight_sql('x')} AS BIGINT))),
+         (a, b) -> a + b) AS BIGINT) AS uni_score,
+    CASE WHEN len(toks) < 2 THEN CAST(0 AS BIGINT)
+         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                [CAST({_weight_sql("toks[i] || '_' || toks[i + 1]")} AS BIGINT)
+                 for i in range(1, len(toks))]),
+              (a, b) -> a + b) AS BIGINT) END AS bi_score
+  FROM t
+)
+SELECT doc_id, uni_score, bi_score,
+       uni_score + bi_score AS score,
+       uni_score + bi_score >= 0 AS keep
+FROM s
+"""
+
+
+@query("doc_quality_linear_scorer", oracle=_LINEAR_SCORER_ORACLE, tags=("textquality",))
+def doc_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear document scorer as pure column math: the
+    feature space is hashed word unigrams + bigrams (first 4 MD5
+    nibbles), each feature carries a deterministic integer weight in
+    [-8, 8] derived from its own hash (a stand-in for trained weights
+    with the same storage/compute shape), and the document score is the
+    integer sum — exactly how fastText's linear layer evaluates, minus
+    the learned values.
+
+    Scale: zero shuffles — tokenize, hash, weigh, and sum all happen in
+    one codegen stage over the scan; a trained weight table would
+    instead broadcast-join on the feature hash (same plan shape as the
+    blocklist filter). No Python UDF anywhere.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    uni = F.expr(
+        "aggregate(toks, 0L, (a, x) -> "
+        "a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+    )
+    bi = F.when(F.size("toks") < 2, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "aggregate(transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))), 0L, "
+            "(a, x) -> a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+        )
+    )
+    s = t.select("doc_id", uni.alias("uni_score"), bi.alias("bi_score"))
+    return s.select(
+        "*",
+        (F.col("uni_score") + F.col("bi_score")).alias("score"),
+        (F.col("uni_score") + F.col("bi_score") >= 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window substring dedup (suffix-array-free)
+# ---------------------------------------------------------------------------
+
+_WIN = 15
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[(i + 1):(i + {_WIN})], ' ')) AS wh
+  FROM t, unnest(range(len(toks) - {_WIN} + 1)) AS u(i)
+  WHERE len(toks) >= {_WIN}
+),
+first_seen AS (
+  SELECT wh, min(row(doc_id, pos)) AS first_key FROM s GROUP BY wh
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN row(s.doc_id, s.pos) = f.first_key THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dup_windows,
+       CAST(100 * sum(CASE WHEN row(s.doc_id, s.pos) = f.first_key THEN 0 ELSE 1 END)
+            AS BIGINT) // count(*) AS dup_pct
+FROM s JOIN first_seen f USING (wh)
+GROUP BY s.doc_id
+"""
+
+
+@query("substring_dedup_windows", oracle=_SUBSTRING_DEDUP_ORACLE, tags=("textquality", "dedup"))
+def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-free exact substring dedup (the deduplicate-
+    text-datasets / Lee et al. 2022 semantics at window granularity):
+    every overlapping {W}-word window is hashed, each window keeps only
+    its first corpus-wide occurrence (lexicographic (doc_id, pos) min,
+    same election as ``segment_dedup_corpus``), and per-doc duplicated-
+    window fractions come back as the removal signal. Stride 1 means a
+    repeated span of length L ≥ W is detected at every alignment — the
+    property suffix arrays buy, bought here with one equi-shuffle.
+
+    Scale: ~one window per token, so the exploded stream is ≈ corpus
+    token count × 16 bytes of MD5 — one shuffle on the window hash,
+    one count-back on doc_id; raw text never shuffles. The same plan at
+    100 TB is the published MinHash-free exact-substring pipeline.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks")).filter(F.size("toks") >= _WIN)
+    segs = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_WIN}), "
+                f"i -> md5(cast(array_join(slice(toks, i + 1, {_WIN}), ' ') as binary)))"
+            )
+        ).alias("pos", "wh"),
+    )
+    keyed = segs.select("doc_id", "wh", F.struct("doc_id", "pos").alias("key"))
+    first = keyed.groupBy("wh").agg(F.min("key").alias("first_key"))
+    dup = F.when(F.col("key") == F.col("first_key"), 0).otherwise(1)
+    return (
+        keyed.join(first, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(dup).cast("long").alias("n_dup_windows"),
+            F.expr(
+                "100L * sum(CASE WHEN key = first_key THEN 0 ELSE 1 END) "
+                "div count(*)"
+            ).alias("dup_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source length-percentile filter
+# ---------------------------------------------------------------------------
+
+_LEN_PCTL_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+),
+b AS (
+  SELECT source,
+         min(CASE WHEN rn = (cnt + 9) // 10 THEN n_chars END) AS lo,
+         min(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS hi
+  FROM r GROUP BY source
+)
+SELECT r.doc_id, r.source, r.n_chars, b.lo, b.hi,
+       r.n_chars BETWEEN b.lo AND b.hi AS kept
+FROM r JOIN b USING (source)
+"""
+
+
+@query(
+    "length_percentile_filter_documents",
+    oracle=_LEN_PCTL_ORACLE,
+    tags=("textquality", "curation"),
+)
+def length_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-percentile filter: drop documents outside
+    their source's [p10, p90] character-length band — the robust
+    "too short / too long for this domain" cut real pipelines apply
+    per-domain rather than globally. Discrete percentiles are elected
+    by integer rank arithmetic (ceil(p·n) = (p·10·n + 9) div 10), so
+    both engines agree exactly with no interpolation semantics in play.
+
+    Scale: one window shuffle on ``source`` computes ranks and counts
+    together; the 1-row-per-source bounds then broadcast back. Same
+    two-stage shape as ``winsorize_prices``.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("cnt"),
+    )
+    b = r.groupBy("source").agg(
+        F.min(F.when(F.col("rn") == F.expr("(cnt + 9) div 10"), F.col("n_chars"))).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(9 * cnt + 9) div 10"), F.col("n_chars"))
+        ).alias("hi"),
+    )
+    return r.join(F.broadcast(b), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "lo",
+        "hi",
+        F.col("n_chars").between(F.col("lo"), F.col("hi")).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consistent shard assignment
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+_SHARD_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id, n_chars,
+         CAST(({_hexint_sql("md5(CAST(doc_id AS VARCHAR))", 1, 4)}) % {_N_SHARDS} AS INT)
+           AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM a GROUP BY shard
+"""
+
+
+@query("shard_assign_documents", oracle=_SHARD_ORACLE, tags=("textquality", "layout"))
+def shard_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent MD5 shard assignment (the Dolma/c4 output-layout
+    step): every document maps to one of {n} shards by hashing its id —
+    stable under re-runs and engine-portable — and the query returns
+    the per-shard manifest (doc count, byte volume, id range) a writer
+    would use to size output files.
+
+    Scale: shard id is scan-side column math; the manifest is one
+    partial-aggregated shuffle on a {n}-value key. The real writer
+    would ``repartition(n, shard)`` + ``write`` with zero extra
+    shuffles beyond this one.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        _hexint_col(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+        % _N_SHARDS
+    ).cast("int")
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_term_sql(i: int) -> str:
+    """Per-term BM25 contribution — the identical expression shape the
+    Spark side builds (tf/df as exact ints, one double expression)."""
+    return (
+        f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * "
+        f"(CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0}) / "
+        f"(CAST(tf{i} AS DOUBLE) + {_BM25_K1} * "
+        f"(1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+    )
+
+
+_BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         CAST(len(list_filter(toks, x -> x = '{_BM25_TERMS[0]}')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(toks, x -> x = '{_BM25_TERMS[1]}')) AS BIGINT) AS tf2,
+         CAST(len(list_filter(toks, x -> x = '{_BM25_TERMS[2]}')) AS BIGINT) AS tf3
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+  FROM f
+)
+SELECT doc_id, tf1, tf2, tf3,
+       round({_bm25_term_sql(1)} + {_bm25_term_sql(2)} + {_bm25_term_sql(3)}, 6)
+         AS bm25_6
+FROM f CROSS JOIN stats
+WHERE tf1 + tf2 + tf3 > 0
+ORDER BY bm25_6 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@query("bm25_top_docs", oracle=_BM25_ORACLE, tags=("textquality", "retrieval"))
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) retrieval of the top-{k} documents for a
+    fixed 3-term query — the ranked-search primitive behind corpus
+    exploration and decontamination triage. tf/df/dl are exact
+    integers; the one double expression (idf × saturation) is built
+    with the identical operation order on both engines and rounded to
+    6 decimals to absorb last-ulp ``ln`` differences between libms
+    (the ``text_tfidf`` precedent). Ties break on doc_id.
+
+    Scale: one partial-aggregated pass computes the 1-row corpus stats
+    (N, avgdl, per-term df), which broadcast back over the scan; the
+    top-k compiles to TakeOrdered — no global sort, no shuffle of
+    document text, no second scan of anything wider than (doc_id, 4
+    ints).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    f = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{term}'))").cast("long").alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS, start=1)
+        ],
+    )
+    stats = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+    score = " + ".join(_bm25_term_sql(i) for i in range(1, 4))
+    return (
+        f.crossJoin(F.broadcast(stats))
+        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select("doc_id", "tf1", "tf2", "tf3", F.expr(f"round({score}, 6)").alias("bm25_6"))
+        .orderBy(F.col("bm25_6").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -60,7 +60,15 @@ DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     "pii_redact_documents",
     "segment_dedup_corpus",
     # new in round 4 — never graded
-    # (inserted here as they are built)
+    "gopher_quality_filter",
+    "domain_cap_documents",
+    "doc_quality_linear_scorer",
+    "substring_dedup_windows",
+    "length_percentile_filter_documents",
+    "shard_assign_documents",
+    "bm25_top_docs",
+    "pq_encode_embeddings",
+    "knn_ivf_pq",
     # stalest rows: last graded in r1, two rounds of refactoring ago
     # (incl. the renamed mask_contacts_documents, ex redact_pii_documents);
     # the sf0.001 suite re-proves them every run, this refreshes the

@@ -1,0 +1,178 @@
+"""Round-4 corpus-quality / retrieval / PQ family: behavioral
+invariants plus the house plan-shape pins (shuffle budgets, broadcast
+expectations, no cartesians, no Python UDFs in any hot path)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from efficient_llm_data_wrangling_spark.queries.scale import (
+    knn_ivf_pq,
+    pq_encode_embeddings,
+)
+from efficient_llm_data_wrangling_spark.queries.textquality import (
+    _DOMAIN_CAP,
+    bm25_top_docs,
+    doc_quality_linear_scorer,
+    domain_cap_documents,
+    gopher_quality_filter,
+    length_percentile_filter_documents,
+    shard_assign_documents,
+    substring_dedup_windows,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(p: str) -> int:
+    return p.count("Exchange hashpartitioning")
+
+
+def test_gopher_rules_recompute(spark):
+    """One document's counters recomputed in plain Python must match
+    the column math exactly."""
+    rows = {r.doc_id: r for r in gopher_quality_filter(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(5).collect()
+    stop = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it"}
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        r = rows[d.doc_id]
+        assert r.n_words == len(toks)
+        assert r.mean_len_milli == (sum(len(t) for t in toks) * 1000) // len(toks)
+        assert r.stopword_hits == sum(1 for t in toks if t in stop)
+        assert r.alpha_pct == (100 * sum(1 for t in toks if t.isalpha() and t.islower())) // len(toks)
+
+
+def test_domain_cap_counts(spark):
+    """Each source keeps exactly min(cap, |source|) documents."""
+    rows = domain_cap_documents(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, grp in by_src.items():
+        kept = sum(1 for r in grp if r.kept)
+        assert kept == min(_DOMAIN_CAP, len(grp)), src
+        assert sorted(r.rk for r in grp) == list(range(1, len(grp) + 1))
+
+
+def test_linear_scorer_hash_weights(spark):
+    """Spot-check the hashed-feature weight math against hashlib."""
+    rows = {r.doc_id: r for r in doc_quality_linear_scorer(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(3).collect()
+
+    def w(feat: str) -> int:
+        return int(hashlib.md5(feat.encode()).hexdigest()[:4], 16) % 17 - 8
+
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        uni = sum(w(t) for t in toks)
+        bi = sum(w(f"{a}_{b}") for a, b in zip(toks, toks[1:])) if len(toks) >= 2 else 0
+        r = rows[d.doc_id]
+        assert (r.uni_score, r.bi_score, r.score, r.keep) == (uni, bi, uni + bi, uni + bi >= 0)
+
+
+def test_substring_dedup_conservation(spark):
+    """Unique windows + duplicated windows = total windows, and the
+    number of first-occurrence windows equals the distinct hash count."""
+    rows = substring_dedup_windows(spark, SF_SMOKE).collect()
+    total = sum(r.n_windows for r in rows)
+    dups = sum(r.n_dup_windows for r in rows)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    uniq = set()
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        for i in range(len(toks) - 15 + 1):
+            uniq.add(" ".join(toks[i : i + 15]))
+    assert total - dups == len(uniq)
+    assert all(0 <= r.dup_pct <= 100 for r in rows)
+
+
+def test_length_percentile_bounds(spark):
+    """Kept docs lie inside per-source [p10, p90]; bounds are attained
+    corpus values."""
+    rows = length_percentile_filter_documents(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for grp in by_src.values():
+        lens = sorted(x.n_chars for x in grp)
+        lo, hi = grp[0].lo, grp[0].hi
+        assert lo in lens and hi in lens and lo <= hi
+        for r in grp:
+            assert r.kept == (lo <= r.n_chars <= hi)
+
+
+def test_shard_assignment_covers_corpus(spark):
+    rows = shard_assign_documents(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < 64 for r in rows)
+    assert all(r.min_doc <= r.max_doc for r in rows)
+
+
+def test_bm25_ranking_properties(spark):
+    """Scores are non-increasing, every hit contains a query term, and
+    a doc with more matched terms at similar length outranks a
+    zero-match doc by construction (already excluded)."""
+    rows = bm25_top_docs(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.bm25_6 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.tf1 + r.tf2 + r.tf3 > 0 for r in rows)
+
+
+def test_pq_codes_shape(spark):
+    rows = pq_encode_embeddings(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == n_vecs * 8
+    assert all(0 <= r.code < 8 and 0 <= r.subspace < 8 for r in rows)
+    # a centroid's own subvector is its nearest codeword: vec_id k < 8
+    # must encode to code == k in every subspace
+    for r in rows:
+        if r.vec_id < 8:
+            assert r.code == r.vec_id, (r.vec_id, r.subspace, r.code)
+
+
+def test_ivf_pq_rerank_is_exact(spark):
+    """The final cosine ordering is exact over the shortlist: top-10
+    descending, the query's own vector first (it lives in a probed
+    cell by construction)."""
+    rows = knn_ivf_pq(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert rows[0].vec_id == 1 and abs(rows[0].cosine - 1.0) < 1e-12
+    assert all(r.adc_6 >= 0 for r in rows)
+
+
+def test_textquality_plan_shapes(spark):
+    """Scale posture: the scan-side analytics (Gopher rules, linear
+    scorer) are shuffle-free; the cap and shard manifest are one keyed
+    shuffle; substring dedup stays within the segment-dedup budget;
+    percentile filtering broadcasts its per-source bounds; BM25
+    broadcasts its 1-row stats and compiles top-k to TakeOrdered; PQ
+    broadcasts the codeword table. No cartesians, no Python UDFs."""
+    for df, max_shuffles in [
+        (gopher_quality_filter(spark, SF_SMOKE), 0),
+        (doc_quality_linear_scorer(spark, SF_SMOKE), 0),
+        (domain_cap_documents(spark, SF_SMOKE), 1),
+        (shard_assign_documents(spark, SF_SMOKE), 1),
+        (substring_dedup_windows(spark, SF_SMOKE), 2),
+        (length_percentile_filter_documents(spark, SF_SMOKE), 2),
+    ]:
+        p = _plan(df)
+        assert _shuffles(p) <= max_shuffles, p[:2000]
+        assert "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(bm25_top_docs(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrdered" in p and "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(pq_encode_embeddings(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(knn_ivf_pq(spark, SF_SMOKE))
+    assert "Cartesian" not in p and "EvalPython" not in p
