@@ -7,6 +7,7 @@ Importing this package registers every query into
 import efficient_llm_data_wrangling_spark.queries.analytics  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.behavior  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.clustering  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.corpusops  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.curation  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.etl  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.quality  # noqa: F401

@@ -1,0 +1,477 @@
+"""Second round-4 batch of corpus operations: incremental batch dedup,
+unigram-LM quality scoring, winnowing fingerprints, cosine-similarity
+histograms, triangle counting over the trade graph, and a per-source
+dataset card.
+
+These extend the curation surface toward the operations an ongoing
+(not one-shot) training-data pipeline needs: deduplicating each NEW
+batch against the standing corpus, perplexity-proxy filtering (CCNet's
+LM filter re-expressed with an in-corpus unigram model), MOSS-style
+winnowing document fingerprints, retrieval-diagnostics histograms, and
+the roll-up "dataset card" published with every release.
+
+Oracle strategy (registry.py conventions): exact integers/booleans
+throughout except the unigram log-probability (fold over ``ln`` terms
+in position order on both engines, rounded to 6 decimals — the
+``text_tfidf``/``bm25`` precedent) and the cosine histogram (identical
+double arithmetic → identical floor bucket on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+from efficient_llm_data_wrangling_spark.queries.scale import (
+    _CORPUS_SQL,
+    _cos_sql,
+    _corpus_with_dups,
+)
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _toks_col():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch dedup (new batch vs standing corpus)
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+existing AS (
+  SELECT DISTINCT md5(text) AS h FROM corpus WHERE doc_id < 1000000
+),
+batch AS (
+  SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= 1000000
+),
+firsts AS (
+  SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h
+)
+SELECT b.doc_id,
+       e.h IS NULL AS is_new_vs_corpus,
+       b.doc_id = f.first_id AS is_first_in_batch,
+       (e.h IS NULL) AND b.doc_id = f.first_id AS kept
+FROM batch b
+LEFT JOIN existing e USING (h)
+JOIN firsts f USING (h)
+"""
+
+
+@query("incremental_dedup_batch", oracle=_INCR_DEDUP_ORACLE, tags=("corpusops", "dedup"))
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the shape every
+    ONGOING ingestion pipeline runs: a new batch (the planted ids ≥
+    1e6) is admitted only where its text hash is absent from the
+    standing corpus AND it is the batch's own first occurrence
+    (min doc_id per hash). Both verdicts ride along per row — the
+    admission manifest, not just the survivors.
+
+    Scale: the standing corpus reduces to a DISTINCT hash set (16
+    bytes/doc — at 100 TB this is the persisted dedup index, not a
+    rescan); the batch side shuffles once on the hash for the
+    first-occurrence election and probes the corpus set with a hash
+    join. Raw text never shuffles.
+    """
+    tune(spark)
+    corpus = _corpus_with_dups(spark, sf_dir)
+    keyed = corpus.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    existing = keyed.filter(F.col("doc_id") < 1000000).select("h").distinct()
+    batch = keyed.filter(F.col("doc_id") >= 1000000)
+    firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    return (
+        batch.join(existing.withColumn("seen", F.lit(1)), "h", "left")
+        .join(firsts, "h")
+        .select(
+            "doc_id",
+            F.col("seen").isNull().alias("is_new_vs_corpus"),
+            (F.col("doc_id") == F.col("first_id")).alias("is_first_in_batch"),
+            (F.col("seen").isNull() & (F.col("doc_id") == F.col("first_id"))).alias("kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM log-probability (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
+      FROM t, unnest(range(len(toks))) AS u(i)),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w),
+scored AS (
+  SELECT w.doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(ln(CAST(v.cnt AS DOUBLE) / CAST(n.total AS DOUBLE)) ORDER BY w.pos)),
+           (a, x) -> a + x) AS lp,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM w JOIN vocab v USING (tok) CROSS JOIN n
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob_6
+FROM scored
+"""
+
+
+@query("unigram_logprob_documents", oracle=_UNIGRAM_ORACLE, tags=("corpusops", "textquality"))
+def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet LM-filter shape with
+    an in-corpus unigram model): each document's mean token log-probability
+    under the corpus unigram distribution. Low scores flag
+    out-of-distribution documents — the standard cheap stand-in for a
+    KenLM pass. The ``ln`` terms are folded in token-position order on
+    both engines and the mean is rounded to 6 decimals, so accumulated
+    last-ulp drift (≪ 1e-6) never reaches the output.
+
+    Scale: one explode + one shuffle builds the vocabulary (at 100 TB:
+    the persisted LM table); scoring joins tokens to counts — skew on
+    head words is bounded because the join output is (doc_id, pos,
+    cnt), never text — then one shuffle back on doc_id with the
+    position-ordered fold.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    w = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n = w.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    scored = (
+        w.join(vocab, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p")))
+            ).alias("pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "round(aggregate(pairs, cast(0 as double), (a, x) -> a + ln(x.p)) "
+                "/ cast(n_tokens as double), 6)"
+            ).alias("avg_logprob_6"),
+        )
+    )
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram length (tokens)
+_WIN_W = 4  # winnowing window (hashes)
+
+
+def _kgram_hash_sql(i: str) -> str:
+    return _hexint_sql(
+        f"md5(array_to_string(toks[({i} + 1):({i} + {_WIN_K})], ' '))", 1, 8
+    )
+
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [CAST({_kgram_hash_sql("i")} AS BIGINT)
+          for i in range(0, len(toks) - {_WIN_K} + 1)] AS hashes
+  FROM t WHERE len(toks) >= {_WIN_K}
+),
+w AS (
+  SELECT doc_id,
+         [list_aggregate(hashes[(j + 1):(j + {_WIN_W})], 'min')
+          for j in range(0, len(hashes) - {_WIN_W} + 1)] AS mins
+  FROM g WHERE len(hashes) >= {_WIN_W}
+)
+SELECT doc_id,
+       CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints,
+       CAST(list_aggregate(list_distinct(mins), 'min') AS BIGINT) AS min_fp,
+       CAST(list_aggregate(list_distinct(mins), 'max') AS BIGINT) AS max_fp
+FROM w
+"""
+
+
+@query("winnowing_fingerprint_documents", oracle=_WINNOW_ORACLE, tags=("corpusops", "dedup"))
+def winnowing_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer et al. 2003): hash every
+    {k}-token k-gram, slide a {w}-hash window, keep each window's
+    minimum — guaranteeing any shared run of ≥ k+w-1 tokens yields a
+    shared fingerprint, with a fixed ~2/(w+1) selection density. The
+    per-doc distinct fingerprint set (count + range here) is the
+    plagiarism/near-dup index a 100 TB pass would persist and self-join.
+
+    Scale: zero shuffles — k-gram hashing and window-min selection are
+    array expressions in one codegen stage; only the (doc_id, distinct
+    fingerprints) summary leaves the scan. The dedup pass that follows
+    (explode + equi-join on fingerprint) has exactly the
+    ``segment_dedup_corpus`` posture.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks")).filter(
+        F.size("toks") >= _WIN_K
+    )
+    g = t.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(toks) - {_WIN_K}), "
+            f"i -> cast(conv(substring(md5(cast(array_join(slice(toks, i + 1, {_WIN_K}), ' ') "
+            f"as binary)), 1, 8), 16, 10) as long))"
+        ).alias("hashes"),
+    ).filter(F.size("hashes") >= _WIN_W)
+    w = g.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, size(hashes) - {_WIN_W}), "
+            f"j -> array_min(slice(hashes, j + 1, {_WIN_W})))"
+        ).alias("mins"),
+    )
+    return w.select(
+        "doc_id",
+        F.expr("size(array_distinct(mins))").cast("long").alias("n_fingerprints"),
+        F.expr("array_min(array_distinct(mins))").cast("long").alias("min_fp"),
+        F.expr("array_max(array_distinct(mins))").cast("long").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine-similarity histogram (ANN diagnostics)
+# ---------------------------------------------------------------------------
+
+_COS_HIST_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id, {_cos_sql("e.embedding", "q.qv")} AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT CAST(floor(cosine * 10) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM c GROUP BY 1
+"""
+
+
+@query("cosine_histogram_embeddings", oracle=_COS_HIST_ORACLE, tags=("corpusops", "similarity"))
+def cosine_histogram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histogram of the corpus against a probe
+    vector (0.1-wide buckets) — the diagnostic behind every ANN recall
+    target and dedup threshold choice: where does the mass sit? The
+    cosine is computed with the shared fold shape, so both engines
+    produce the identical double and therefore the identical floor
+    bucket — no boundary flakes.
+
+    Scale: brute-force scan + broadcast 1-row query vector + one
+    64-ish-key aggregation; the histogram is the cheap full-scan
+    companion to the IVF/LSH indexes (and the tool that validates
+    them).
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = F.expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0 as double), (acc, x) -> acc + x) / "
+        "(sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)), "
+        "cast(0 as double), (acc, x) -> acc + x)) * "
+        "sqrt(aggregate(transform(qv, x -> cast(x as double) * cast(x as double)), "
+        "cast(0 as double), (acc, x) -> acc + x)))"
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.floor(cos * 10).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the trade graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH raw AS (
+  SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+und AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b
+),
+nodes AS (
+  SELECT DISTINCT v FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+"""
+
+
+@query("triangle_count_trade", oracle=_TRIANGLE_ORACLE, tags=("corpusops", "graph"))
+def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the undirected customer-nation ↔
+    supplier-nation trade graph — the clustering-coefficient numerator
+    and the canonical test of multi-way self-join planning. Edges are
+    oriented (a < b) so each triangle is counted exactly once by the
+    ordered wedge-close join.
+
+    Scale: the edge distillation is the fact-table-heavy part (same as
+    PageRank's); the triangle join is two self-joins on an oriented
+    edge list. At 100 TB-graph scale the orientation would be by
+    degree (count wedges at the low-degree endpoint — the standard
+    O(m^1.5) bound); id order is the degenerate stand-in on this
+    25-node graph and the join shape is identical.
+    """
+    tune(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    raw = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    und = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a"), F.col("e1.b"), F.col("e2.b").alias("c"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (per-source roll-up)
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, lang, md5(text) AS h, {_TOKS_SQL} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, lang, h,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                     (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mlen
+  FROM t
+),
+card AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(sum(mlen) AS BIGINT) // count(*) AS mean_wordlen_milli,
+         CAST(100 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           // count(*) AS pct_en
+  FROM m GROUP BY source
+),
+uniq AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_unique_texts
+  FROM (SELECT DISTINCT source, h FROM m) GROUP BY source
+)
+SELECT card.source, n_docs, total_tokens, mean_wordlen_milli, pct_en, n_unique_texts
+FROM card JOIN uniq USING (source)
+"""
+
+
+@query("dataset_card_by_source", oracle=_DATASET_CARD_ORACLE, tags=("corpusops", "curation"))
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card (what every corpus release ships):
+    document count, total tokens, mean word length (milli-units),
+    English share (integer percent), and distinct-text count (the
+    exact-dup rate's complement) — all exact integers, composed in one
+    plan from the same primitives the standalone queries grade.
+
+    Scale: token stats are scan-side column math; the card needs one
+    shuffle on ``source`` plus one on (source, text-hash) for the
+    distinct count — both partial-aggregated. The 20-row output is the
+    artifact a registry/catalog ingests.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        _toks_col().alias("toks"),
+    )
+    m = t.select(
+        "source",
+        "lang",
+        "h",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.when(F.size("toks") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000L div size(toks)")
+        )
+        .alias("mlen"),
+    )
+    uniq = (
+        m.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique_texts"))
+    )
+    card = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.expr("sum(mlen) div count(*)").cast("long").alias("mean_wordlen_milli"),
+        F.expr("(100 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)) div count(*)")
+        .cast("long")
+        .alias("pct_en"),
+    )
+    return card.join(uniq, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "mean_wordlen_milli",
+        "pct_en",
+        "n_unique_texts",
+    )

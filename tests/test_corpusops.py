@@ -1,0 +1,129 @@
+"""Round-4 batch 2 (corpus operations): behavioral invariants and
+plan-shape pins."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from efficient_llm_data_wrangling_spark.queries.corpusops import (
+    cosine_histogram_embeddings,
+    dataset_card_by_source,
+    incremental_dedup_batch,
+    triangle_count_trade,
+    unigram_logprob_documents,
+    winnowing_fingerprint_documents,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_incremental_dedup_admits_only_novel_firsts(spark):
+    """Every planted clone hashes into the standing corpus → rejected;
+    mutants are novel and first-in-batch → admitted."""
+    rows = incremental_dedup_batch(spark, SF_SMOKE).collect()
+    clones = [r for r in rows if 1_000_000 <= r.doc_id < 2_000_000]
+    mutants = [r for r in rows if r.doc_id >= 2_000_000]
+    assert clones and mutants
+    assert all(not r.is_new_vs_corpus and not r.kept for r in clones)
+    # a mutant can only be rejected if another mutant produced the same
+    # trimmed text first — novelty vs the corpus must hold regardless
+    assert all(r.kept == (r.is_new_vs_corpus and r.is_first_in_batch) for r in rows)
+    assert any(r.kept for r in mutants)
+
+
+def test_unigram_logprob_bounds(spark):
+    """Mean log-prob is negative (probabilities < 1) and bounded below
+    by ln(1/total); a doc of frequent tokens scores higher than ln of
+    the rarest probability."""
+    rows = unigram_logprob_documents(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    total = sum(len([t for t in d.text.split(" ") if t]) for d in docs)
+    lo = math.log(1.0 / total)
+    assert all(lo - 1e-6 <= r.avg_logprob_6 < 0 for r in rows)
+    assert len(rows) == len(docs)
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing selects at least one fingerprint per window and at
+    most one per k-gram; recomputing one document in Python matches."""
+    rows = {r.doc_id: r for r in winnowing_fingerprint_documents(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(3).collect()
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        if len(toks) < 5 + 4 - 1:
+            continue
+        hashes = [
+            int(hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()[:8], 16)
+            for i in range(len(toks) - 5 + 1)
+        ]
+        mins = {min(hashes[j : j + 4]) for j in range(len(hashes) - 4 + 1)}
+        r = rows[d.doc_id]
+        assert r.n_fingerprints == len(mins)
+        assert r.min_fp == min(mins) and r.max_fp == max(mins)
+
+
+def test_cosine_histogram_mass(spark):
+    rows = cosine_histogram_embeddings(spark, SF_SMOKE).collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert sum(r.n_vectors for r in rows) == n - 1  # probe excluded
+    assert all(-10 <= r.bucket <= 10 for r in rows)
+
+
+def test_triangle_count_sanity(spark):
+    """Triangles are bounded by C(n,3) and by the wedge count; the
+    dense 25-nation trade graph at smoke SF has plenty."""
+    row = triangle_count_trade(spark, SF_SMOKE).first()
+    n, m, t = row.n_nodes, row.n_edges, row.n_triangles
+    assert 0 < n <= 25
+    assert m <= n * (n - 1) // 2
+    assert 0 <= t <= n * (n - 1) * (n - 2) // 6
+    assert t > 0
+
+
+def test_dataset_card_consistency(spark):
+    """Card totals agree with direct recomputation."""
+    rows = {r.source: r for r in dataset_card_by_source(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    by_src: dict[str, list] = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d)
+    for src, grp in by_src.items():
+        r = rows[src]
+        assert r.n_docs == len(grp)
+        assert r.total_tokens == sum(len([t for t in d.text.split(" ") if t]) for d in grp)
+        assert r.n_unique_texts == len({d.text for d in grp})
+        en = sum(1 for d in grp if d.lang == "en")
+        assert r.pct_en == (100 * en) // len(grp)
+
+
+def test_corpusops_plan_shapes(spark):
+    """Winnowing is shuffle-free scan-side array math; the cosine
+    histogram is a broadcast probe + tiny agg; incremental dedup and
+    the dataset card stay within their stated shuffle budgets; nothing
+    plans a cartesian or a Python UDF. (The 1-row scalar crossJoins in
+    triangle/histogram are broadcast nested-loop by construction.)"""
+    p = _plan(winnowing_fingerprint_documents(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") == 0
+    assert "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(cosine_histogram_embeddings(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(incremental_dedup_batch(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(dataset_card_by_source(spark, SF_SMOKE))
+    assert p.count("Exchange hashpartitioning") <= 3
+    assert "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(unigram_logprob_documents(spark, SF_SMOKE))
+    assert "Cartesian" not in p and "EvalPython" not in p
+
+    p = _plan(triangle_count_trade(spark, SF_SMOKE))
+    assert "Cartesian" not in p and "EvalPython" not in p
