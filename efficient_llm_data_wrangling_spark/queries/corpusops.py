@@ -304,14 +304,14 @@ def cosine_histogram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TRIANGLE_ORACLE = """
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b
 ),
 nodes AS (
