@@ -18,7 +18,7 @@ Conventions that keep Spark↔DuckDB value-hashes identical:
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -11,7 +11,7 @@ calls: ≤ num_trials × depth per task; apply time: zero.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
