@@ -27,6 +27,7 @@ from efficient_llm_data_wrangling_spark.queries.scale import (
     _CORPUS_SQL,
     _cos_sql,
     _corpus_with_dups,
+    _shingles_sql,
 )
 from efficient_llm_data_wrangling_spark.registry import query
 from efficient_llm_data_wrangling_spark.session import tune
@@ -474,4 +475,210 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_wordlen_milli",
         "pct_en",
         "n_unique_texts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (the index quality gate as a first-class query)
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+brute AS (
+  SELECT e.vec_id FROM embeddings e, q
+  ORDER BY {_cos_sql("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_cos_sql("q.qv", "c.cvec")} AS sim FROM c, q
+  ) ORDER BY sim DESC, cid LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cid AS cell_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+ivf AS (
+  SELECT a.vec_id FROM assigned a, q JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.cell_id IN (SELECT cid FROM probes)
+  ORDER BY {_cos_sql("e.embedding", "q.qv")} DESC, a.vec_id
+  LIMIT 10
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM brute JOIN ivf USING (vec_id)) AS BIGINT)
+         AS n_overlap,
+       CAST((SELECT count(*) FROM brute JOIN ivf USING (vec_id)) * 10 AS BIGINT)
+         AS recall_pct
+"""
+
+
+@query("ann_recall_report", oracle=_RECALL_ORACLE, tags=("corpusops", "similarity"))
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against the exact brute-force top-10
+    for the same query — the acceptance gate every ANN deployment runs
+    before switching traffic, expressed as a graded query instead of a
+    test-only assertion. Integer overlap count and percent; both search
+    paths replay relationally in the oracle with identical tie-breaks.
+
+    Scale: the brute side is the one full scan (the thing the report
+    exists to retire); the IVF side touches 2/8 of the data. Both
+    reduce to 10-row sets before the overlap join — driver-sized.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.operators import similarity as SIM
+    from efficient_llm_data_wrangling_spark.queries.scale import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir, vec_id=1)
+    cents = [
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    brute = SIM.brute_force_top_k(emb, qv, k=10).select("vec_id")
+    ivf = SIM.ivf_top_k(emb, cents, qv, k=10, n_probe=2).select("vec_id")
+    overlap = brute.join(ivf, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_overlap",
+        (F.col("n_overlap") * 10).cast("long").alias("recall_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep (dedup tuning curve)
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+sets AS (
+  SELECT doc_id, lang, {_shingles_sql()} AS sh FROM corpus
+),
+pairs AS (
+  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT CAST(count(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_pairs_50,
+       CAST(count(*) FILTER (WHERE j >= 0.7) AS BIGINT) AS n_pairs_70,
+       CAST(count(*) FILTER (WHERE j >= 0.9) AS BIGINT) AS n_pairs_90
+FROM pairs
+"""
+
+
+@query("dedup_threshold_sweep", oracle=_SWEEP_ORACLE, tags=("corpusops", "dedup"))
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts at Jaccard ≥ {0.5, 0.7, 0.9} — the tuning
+    curve a pipeline owner reads before fixing the dedup threshold
+    (too low merges distinct docs, too high leaks near-dups). One
+    blocked pair join feeds all three counts via conditional
+    aggregation; the oracle replays the same sweep over raw shingle
+    sets.
+
+    Scale: same blocked-join posture as ``dedup_ngram_jaccard`` (the
+    LSH path generates candidates at 100 TB); the sweep adds zero extra
+    joins — thresholds are FILTER clauses over one pair stream.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _corpus_with_dups(spark, sf_dir), threshold=0.5, shingle_width=3
+    )
+    return pairs.agg(
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").alias("n_pairs_50"),
+        F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0)).cast("long").alias("n_pairs_70"),
+        F.sum(F.when(F.col("jaccard") >= 0.9, 1).otherwise(0)).cast("long").alias("n_pairs_90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew report (the diagnostics behind salting decisions)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+),
+h AS (
+  SELECT cnt, CAST(count(*) AS BIGINT) AS freq FROM k GROUP BY cnt
+),
+w AS (
+  SELECT cnt, freq,
+         sum(freq) OVER (ORDER BY cnt) AS cumfreq,
+         sum(freq) OVER () AS nk
+  FROM h
+),
+s AS (
+  SELECT CAST(sum(cnt * freq) AS BIGINT) AS total,
+         CAST(sum(freq) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_cnt,
+         CAST(min(CASE WHEN cumfreq >= (nk + 1) // 2 THEN cnt END) AS BIGINT) AS p50_cnt,
+         CAST(min(CASE WHEN cumfreq >= (99 * nk + 99) // 100 THEN cnt END) AS BIGINT) AS p99_cnt
+  FROM w
+)
+SELECT total, n_keys, max_cnt, p50_cnt, p99_cnt,
+       CAST(max_cnt * 1000000 AS BIGINT) // total AS top1_share_ppm,
+       CAST(max_cnt * n_keys * 1000 AS BIGINT) // total AS skew_ratio_milli
+FROM s
+"""
+
+
+@query("join_skew_report", oracle=_SKEW_ORACLE, tags=("corpusops", "diagnostics"))
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for the lineitem→supplier join key: key
+    count, max/median/p99 per-key rows (exact rank election), top-1
+    key share in ppm, and max/mean ratio in milli-units — the numbers
+    that decide between a plain shuffle join, AQE skew splitting, and
+    explicit salting. All integers; percentiles elected by
+    ceil-rank arithmetic over the count histogram (cumulative
+    frequency), so the only global window spans the distinct count
+    values — bounded and tiny — never the key table.
+
+    Scale: one partial-aggregated shuffle on the key, one narrow
+    window over the (already tiny) per-key count table. This report IS
+    the cheap pre-pass a planner-adjacent service would persist.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # percentile election over the count HISTOGRAM, not the key table:
+    # the only global window runs over |distinct per-key counts| rows
+    # (bounded, tiny), never over n_keys — the same reduction that
+    # keeps this viable when the key table itself is millions of rows
+    h = k.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    w = h.select(
+        "cnt",
+        "freq",
+        F.sum("freq").over(Window.orderBy("cnt")).alias("cumfreq"),
+        F.sum("freq").over(Window.partitionBy()).alias("nk"),
+    )
+    s = w.agg(
+        F.sum(F.col("cnt") * F.col("freq")).cast("long").alias("total"),
+        F.sum("freq").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.min(F.when(F.col("cumfreq") >= F.expr("(nk + 1) div 2"), F.col("cnt")))
+        .cast("long")
+        .alias("p50_cnt"),
+        F.min(F.when(F.col("cumfreq") >= F.expr("(99 * nk + 99) div 100"), F.col("cnt")))
+        .cast("long")
+        .alias("p99_cnt"),
+    )
+    return s.select(
+        "total",
+        "n_keys",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        F.expr("max_cnt * 1000000L div total").cast("long").alias("top1_share_ppm"),
+        F.expr("max_cnt * n_keys * 1000L div total").cast("long").alias("skew_ratio_milli"),
     )

@@ -127,3 +127,42 @@ def test_corpusops_plan_shapes(spark):
 
     p = _plan(triangle_count_trade(spark, SF_SMOKE))
     assert "Cartesian" not in p and "EvalPython" not in p
+
+
+def test_ann_recall_report_bounds(spark):
+    from efficient_llm_data_wrangling_spark.queries.corpusops import ann_recall_report
+
+    row = ann_recall_report(spark, SF_SMOKE).first()
+    assert row.k == 10 and 0 <= row.n_overlap <= 10
+    assert row.recall_pct == row.n_overlap * 10
+    # probing 2/8 cells must still find the query's own neighborhood
+    assert row.n_overlap >= 5
+
+
+def test_threshold_sweep_monotone(spark):
+    from efficient_llm_data_wrangling_spark.queries.corpusops import dedup_threshold_sweep
+
+    row = dedup_threshold_sweep(spark, SF_SMOKE).first()
+    assert row.n_pairs_50 >= row.n_pairs_70 >= row.n_pairs_90
+    assert row.n_pairs_90 > 0  # planted exact clones are jaccard 1.0
+
+
+def test_join_skew_report_consistency(spark):
+    from efficient_llm_data_wrangling_spark.queries.corpusops import join_skew_report
+
+    row = join_skew_report(spark, SF_SMOKE).first()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    counts = sorted(
+        r["cnt"] for r in li.groupBy("l_suppkey").count().withColumnRenamed("count", "cnt").collect()
+    )
+    assert row.total == sum(counts) and row.n_keys == len(counts)
+    assert row.max_cnt == counts[-1]
+    nk = len(counts)
+    assert row.p50_cnt == counts[(nk + 1) // 2 - 1]
+    assert row.p99_cnt == counts[(99 * nk + 99) // 100 - 1]
+    assert row.top1_share_ppm == row.max_cnt * 1_000_000 // row.total
+    # the skew window must be over the count histogram, not the keys
+    from tests.test_corpusops import _plan
+
+    p = _plan(join_skew_report(spark, SF_SMOKE))
+    assert "Cartesian" not in p and "EvalPython" not in p
