@@ -52,6 +52,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: round 4, then the 38 stalest rows (graded once, in r1, before two
 #: rounds of refactoring). 3 + new + 38 fills the 50 slots; queries
 #: not listed keep registry (import) order after these.
+#:
+#: r5 window plan: the 9 round-4 batch-2/3 queries with no driver row
+#: yet (corpusops.py: incremental_dedup_batch, unigram_logprob_documents,
+#: winnowing_fingerprint_documents, cosine_histogram_embeddings,
+#: triangle_count_trade, dataset_card_by_source, ann_recall_report,
+#: dedup_threshold_sweep, join_skew_report) first, then refresh the
+#: r2-graded rows (now the stalest).
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     # r3 additions that landed after the r3 window was pinned — the
     # only queries with no driver row anywhere (judge-verified green
