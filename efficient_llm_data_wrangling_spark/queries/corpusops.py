@@ -682,3 +682,100 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_cnt * 1000000L div total").cast("long").alias("top1_share_ppm"),
         F.expr("max_cnt * n_keys * 1000L div total").cast("long").alias("skew_ratio_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (ordered exponential fold) and k-anonymity
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS cents
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         list(cents ORDER BY ts, event_id) AS xs,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(xs, (a, x) -> 0.5 * x + 0.5 * a), 6) AS ewma_cents_6
+FROM s
+"""
+
+
+@query("ewma_user_value", oracle=_EWMA_ORACLE, tags=("corpusops", "temporal"))
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α = 0.5) of the
+    event value stream — the classic smoothing/anomaly baseline whose
+    fold is inherently ORDER-DEPENDENT, which is exactly what makes it
+    a good engine test: both sides fold the identical (ts, event_id)-
+    ordered value list with the identical ``0.5·x + 0.5·acc`` step
+    (first element seeds the accumulator), so the doubles agree
+    bit-for-bit before the 6-decimal rounding.
+
+    Scale: one shuffle on user_id; per-user state is the ordered value
+    array (bounded by events-per-user, the same assumption every
+    sessionizer makes). The streaming twin is
+    ``stream_stateful_user_totals``'s applyInPandasWithState shape.
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.struct("ts", "event_id",
+                 F.round(F.col("value") * 100).cast("long").cast("double").alias("cents"))
+        .alias("rec"),
+    )
+    s = e.groupBy("user_id").agg(
+        F.expr("transform(array_sort(collect_list(rec)), r -> r.cents)").alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return s.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "round(aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+            "(a, x) -> 0.5D * x + 0.5D * a), 6)"
+        ).alias("ewma_cents_6"),
+    )
+
+
+_K_ANON = 5
+
+_K_ANON_ORACLE = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       count(*) >= {_K_ANON} AS k_anonymous
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@query("k_anonymity_report", oracle=_K_ANON_ORACLE, tags=("corpusops", "privacy"))
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier pair: every equivalence class with fewer than {k}
+    members re-identifies its rows and must be suppressed or
+    generalized before release — the privacy gate that sits next to
+    PII redaction in any data-release pipeline.
+
+    Scale: one partial-aggregated shuffle on the QI tuple; the report
+    is |QI-space| rows. Generalization loops (coarsen, re-audit) rerun
+    the same single-shuffle plan.
+    """
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    ).select(
+        "nationkey",
+        "segment",
+        "group_size",
+        (F.col("group_size") >= _K_ANON).alias("k_anonymous"),
+    )

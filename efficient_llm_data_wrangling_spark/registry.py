@@ -57,8 +57,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: yet (corpusops.py: incremental_dedup_batch, unigram_logprob_documents,
 #: winnowing_fingerprint_documents, cosine_histogram_embeddings,
 #: triangle_count_trade, dataset_card_by_source, ann_recall_report,
-#: dedup_threshold_sweep, join_skew_report) first, then refresh the
-#: r2-graded rows (now the stalest).
+#: dedup_threshold_sweep, join_skew_report, ewma_user_value,
+#: k_anonymity_report) first, then refresh the r2-graded rows (now
+#: the stalest).
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
     # r3 additions that landed after the r3 window was pinned — the
     # only queries with no driver row anywhere (judge-verified green

@@ -166,3 +166,30 @@ def test_join_skew_report_consistency(spark):
 
     p = _plan(join_skew_report(spark, SF_SMOKE))
     assert "Cartesian" not in p and "EvalPython" not in p
+
+
+def test_ewma_matches_python_fold(spark):
+    from efficient_llm_data_wrangling_spark.queries.corpusops import ewma_user_value
+
+    rows = {r.user_id: r for r in ewma_user_value(spark, SF_SMOKE).collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    for uid, grp in list(by_user.items())[:5]:
+        grp.sort(key=lambda e: (e.ts, e.event_id))
+        acc = float(round(grp[0].value * 100))
+        for e in grp[1:]:
+            acc = 0.5 * float(round(e.value * 100)) + 0.5 * acc
+        r = rows[uid]
+        assert r.n_events == len(grp)
+        assert abs(r.ewma_cents_6 - round(acc, 6)) < 1e-9
+
+
+def test_k_anonymity_groups(spark):
+    from efficient_llm_data_wrangling_spark.queries.corpusops import k_anonymity_report
+
+    rows = k_anonymity_report(spark, SF_SMOKE).collect()
+    n = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
+    assert sum(r.group_size for r in rows) == n
+    assert all(r.k_anonymous == (r.group_size >= 5) for r in rows)
