@@ -247,19 +247,59 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Weighted sampling without replacement (Efraimidis–Spirakis, portable)
 # ---------------------------------------------------------------------------
 
+# --- portable ln for the ES sample key -------------------------------------
+#
+# libm ``ln`` differs by 1 ulp between the JVM and DuckDB's C library;
+# at 12-dp rounding that flips a boundary with probability ~1e-6 per
+# row — invisible at sf0.01, a near-certain mismatch by sf0.1 (150k
+# rows). Fix: compute ln with a FIXED atanh series over +,-,*,/ only
+# (IEEE-exact-rounded, so both engines produce the identical double):
+#
+#   u = v / 2^32, v ∈ [1, 2^32];  B = bitlength(v);  m = v / 2^(B-1)
+#   ln(u) = (B - 33)·ln2 + 2·atanh((m-1)/(m+1)),  z = (m-1)/(m+1) < 1/3
+#   atanh(z) ≈ z·Σ_{k=0..15} z^(2k)/(2k+1)   (truncation error < 6e-18)
+#
+# Engine-specific: only v (hex→int) and B (binary-string length); every
+# arithmetic stage below is the SAME template string evaluated by both.
+
+_LN2_SQL = "CAST('0.6931471805599453' AS DOUBLE)"
+
+
+def _horner_sql() -> str:
+    """Σ z^(2k)/(2k+1) over the staged __z2 column, Horner form."""
+    expr = f"CAST(1 AS DOUBLE)/CAST(31 AS DOUBLE)"
+    for k in range(29, 0, -2):
+        expr = f"CAST(1 AS DOUBLE)/CAST({k} AS DOUBLE) + __z2 * ({expr})"
+    return expr
+
+
+_M_SQL = "CAST(__v AS DOUBLE) / CAST(__shift AS DOUBLE)"
+_Z_SQL = "(__m - CAST(1 AS DOUBLE)) / (__m + CAST(1 AS DOUBLE))"
+_Z2_SQL = "__z * __z"
+_LNU_SQL = (
+    f"CAST(__b - 33 AS DOUBLE) * {_LN2_SQL} + CAST(2 AS DOUBLE) * (__z * ({{horner}}))"
+).format(horner="{horner}")
+
+
 _WSAMPLE_K = 100
 
 _WSAMPLE_ORACLE = f"""
 WITH t AS (
   SELECT o_orderkey, o_totalprice,
-         md5(CAST(o_orderkey AS VARCHAR)) AS h
+         ({"+".join(f"(instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), {1 + i}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8))})
+           + CAST(1 AS BIGINT) AS __v
   FROM orders
 ),
+b AS (SELECT *, length(bin(__v)) AS __b FROM t),
+sh AS (SELECT *, (CAST(1 AS BIGINT) << (__b - 1)) AS __shift FROM b),
+m AS (SELECT *, {_M_SQL} AS __m FROM sh),
+z AS (SELECT *, {_Z_SQL} AS __z FROM m),
+z2 AS (SELECT *, {_Z2_SQL} AS __z2 FROM z),
 keyed AS (
   SELECT o_orderkey, o_totalprice,
-         round(ln((({"+".join(f"(instr('0123456789abcdef', substr(h, {1 + i}, 1)) - 1) * {16 ** (7 - i)}" for i in range(8))}) + 1)
-                  / 4294967296.0) / o_totalprice, 12) AS sample_key
-  FROM t
+         round(({_LNU_SQL.format(horner=_horner_sql())}) / o_totalprice, 12)
+           + CAST(0 AS DOUBLE) AS sample_key
+  FROM z2
 )
 SELECT o_orderkey, o_totalprice, sample_key
 FROM keyed
@@ -272,9 +312,11 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis):
     key = ln(u)/w with u ∈ (0,1] derived from MD5 of the row key and
     w = o_totalprice; the top-k keys ARE a w-weighted sample. u is
-    exactly representable (32-bit integer / 2³²), so the only
-    cross-engine wobble is ≤1 ulp in libm ``ln`` — absorbed by the
-    12 dp rounding; ties broken by orderkey.
+    exactly representable (32-bit integer / 2³²) and ``ln`` is the
+    portable fixed atanh series above — every arithmetic stage is the
+    same template string on both engines, so the key is bit-identical
+    at ANY scale (libm ``ln`` flipped a 12-dp rounding boundary at
+    sf0.1's 150k rows); ties broken by orderkey.
 
     Scale: scan-side key computation + TakeOrdered(k) — per-partition
     top-k heaps, no global sort, no shuffle of non-winners. The same
@@ -284,10 +326,27 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     orders = load_table(spark, sf_dir, "orders")
     h = F.md5(F.col("o_orderkey").cast("string"))
-    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(4294967296.0)
-    key = F.round(F.log(u) / F.col("o_totalprice"), 12)
+    staged = (
+        orders.select("o_orderkey", "o_totalprice", h.alias("__h"))
+        .withColumn(
+            "__v",
+            F.expr("cast(conv(substring(__h, 1, 8), 16, 10) as bigint) + cast(1 as bigint)"),
+        )
+        .withColumn("__b", F.expr("length(conv(__v, 10, 2))").cast("int"))
+        .withColumn("__shift", F.expr("shiftleft(cast(1 as bigint), __b - 1)"))
+        .withColumn("__m", F.expr(_M_SQL))
+        .withColumn("__z", F.expr(_Z_SQL))
+        .withColumn("__z2", F.expr(_Z2_SQL))
+    )
+    # "+ 0.0" collapses IEEE negative zero to +0.0: a u ≈ 1 row rounds
+    # to ±0.0 differently across engines' round() (equal values, but the
+    # driver's repr hash distinguishes '-0.0' from '0.0')
+    key = F.expr(
+        f"round(({_LNU_SQL.format(horner=_horner_sql())}) / o_totalprice, 12) "
+        "+ CAST(0 AS DOUBLE)"
+    )
     return (
-        orders.select("o_orderkey", "o_totalprice", key.alias("sample_key"))
+        staged.select("o_orderkey", "o_totalprice", key.alias("sample_key"))
         .orderBy(F.desc("sample_key"), F.asc("o_orderkey"))
         .limit(_WSAMPLE_K)
     )
