@@ -519,33 +519,117 @@ def impute_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Statistical moments surface (corr / covar / stddev / variance)
 # --------------------------------------------------------------------------
 
-_MOMENTS_ORACLE = """
+#: Shared double-combine stage (identical template text on both
+#: engines) over EXACT integer sufficient statistics. "+ CAST(0 AS
+#: DOUBLE)" collapses IEEE -0.0 (corr/covar can round to zero from
+#: below and engines' round() may disagree on the sign of zero).
+_MOM_CORR_SQL = (
+    "round(CAST(__numxy AS DOUBLE) / (sqrt(CAST(__numxx AS DOUBLE)) * "
+    "sqrt(CAST(__numyy AS DOUBLE))), 6) + CAST(0 AS DOUBLE)"
+)
+_MOM_COVAR_SQL = (
+    "round(CAST(__numxy AS DOUBLE) / CAST(__nn1 AS DOUBLE) / "
+    "CAST(100 AS DOUBLE), 3) + CAST(0 AS DOUBLE)"
+)
+_MOM_SD_SQL = (
+    "round(sqrt(CAST(__numdd AS DOUBLE) / CAST(__nn1 AS DOUBLE)) / "
+    "CAST(100 AS DOUBLE), 6) + CAST(0 AS DOUBLE)"
+)
+_MOM_VAR_SQL = (
+    "round(CAST(__numxx AS DOUBLE) / CAST(__nn1 AS DOUBLE), 6) "
+    "+ CAST(0 AS DOUBLE)"
+)
+
+_MOMENTS_ORACLE = f"""
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+),
+a AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS __n,
+         CAST(sum(q) AS HUGEINT) AS sx,
+         CAST(sum(pc) AS HUGEINT) AS sy,
+         CAST(sum(q * q) AS HUGEINT) AS sxx,
+         CAST(sum(pc * pc) AS HUGEINT) AS syy,
+         CAST(sum(q * pc) AS HUGEINT) AS sxy,
+         CAST(sum(dc) AS HUGEINT) AS sd,
+         CAST(sum(dc * dc) AS HUGEINT) AS sdd
+  FROM r GROUP BY l_returnflag
+),
+x AS (
+  SELECT l_returnflag, __n,
+         __n * (__n - 1) AS __nn1,
+         __n * sxy - sx * sy AS __numxy,
+         __n * sxx - sx * sx AS __numxx,
+         __n * syy - sy * sy AS __numyy,
+         __n * sdd - sd * sd AS __numdd
+  FROM a
+)
 SELECT l_returnflag,
-  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-  round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
-  round(stddev_samp(l_discount), 6) AS sd_discount,
-  round(var_samp(l_quantity), 6) AS var_qty,
-  CAST(count(*) AS BIGINT) AS n
-FROM lineitem
-GROUP BY l_returnflag
+  {_MOM_CORR_SQL} AS corr_qty_price,
+  {_MOM_COVAR_SQL} AS covar_qty_price,
+  {_MOM_SD_SQL} AS sd_discount,
+  {_MOM_VAR_SQL} AS var_qty,
+  CAST(__n AS BIGINT) AS n
+FROM x
 """
 
 
 @query("stats_moments_lineitem", oracle=_MOMENTS_ORACLE, tags=("analytics", "agg"))
 def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregate surface: corr/covar_samp/stddev_samp/
-    var_samp per return flag — single-pass streaming co-moment
-    aggregates (map-side partials, one shuffle). Rounded because the
-    co-moment merge order differs between engines at the last few ulps
-    (corr at 1e-6 abs; covar at 1e-3, its magnitude is ~1e4)."""
+    var_samp per return flag, computed from EXACT integer sufficient
+    statistics (Σx, Σy, Σx², Σy², Σxy in quantity units / price cents /
+    discount centi-units; sums held in decimal(38)/HUGEINT — the
+    distributed-aggregation decomposition ``groupwise_trend_orders``
+    also uses). The engines' native streaming co-moment aggregates
+    merge partials in different orders (last-ulp drift that a rounding
+    boundary can expose at scale — the weighted-sample lesson); exact
+    integer numerators n·Σxy − ΣxΣy cast to double ONCE and combined
+    with identical template expressions are bit-stable at any SF.
+
+    Scale: one partial-aggregated shuffle on the group key; eight
+    integer sums instead of four co-moment states — same plan shape,
+    strictly portable results."""
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("covar_qty_price"),
-        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.count(F.lit(1)).alias("n"),
+    r = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("dc"),
+    )
+    dec = "decimal(38,0)"
+    a = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum("q").cast(dec).alias("sx"),
+        F.sum("pc").cast(dec).alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast(dec).alias("sxx"),
+        F.sum((F.col("pc") * F.col("pc")).cast(dec)).alias("syy"),
+        F.sum(F.col("q") * F.col("pc")).cast(dec).alias("sxy"),
+        F.sum("dc").cast(dec).alias("sd"),
+        F.sum(F.col("dc") * F.col("dc")).cast(dec).alias("sdd"),
+    )
+    x = a.select(
+        "l_returnflag",
+        "__n",
+        F.expr("__n * (__n - 1)").alias("__nn1"),
+        F.expr("__n * sxy - sx * sy").alias("__numxy"),
+        F.expr("__n * sxx - sx * sx").alias("__numxx"),
+        F.expr("__n * syy - sy * sy").alias("__numyy"),
+        F.expr("__n * sdd - sd * sd").alias("__numdd"),
+    )
+    return x.select(
+        "l_returnflag",
+        F.expr(_MOM_CORR_SQL).alias("corr_qty_price"),
+        F.expr(_MOM_COVAR_SQL).alias("covar_qty_price"),
+        F.expr(_MOM_SD_SQL).alias("sd_discount"),
+        F.expr(_MOM_VAR_SQL).alias("var_qty"),
+        F.col("__n").cast("bigint").alias("n"),
     )
 
 
