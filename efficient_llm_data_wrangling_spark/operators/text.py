@@ -170,13 +170,21 @@ def tf_idf(
             F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
         ).alias("term"),
     )
+    from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_rel = docs.agg(F.count(F.lit(1)).alias("__n"))
-    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    # smoothed idf ln((N+1)/(df+1)) = lnint(N+1) - lnint(df+1) via the
+    # bit-portable integer-ln series (libm-independent at any scale)
+    staged = tf.join(F.broadcast(df_rel), "term").crossJoin(F.broadcast(n_rel))
+    staged = PM.stage_spark_lnint(staged, "__n + 1", "__lnn_")
+    staged = PM.stage_spark_lnint(staged, "df + 1", "__lnd_")
+    idf = F.expr(
+        f"(({PM.lnint_sql('__lnn_')}) - ({PM.lnint_sql('__lnd_')})) + CAST(1 AS DOUBLE)"
+    )
     return (
-        tf.join(F.broadcast(df_rel), "term")
-        .crossJoin(F.broadcast(n_rel))
+        staged
         .select(
             F.col(id_col),
             "term",

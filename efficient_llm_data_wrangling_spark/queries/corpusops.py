@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from efficient_llm_data_wrangling_spark.functions import portable_math as PM
 from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
 from efficient_llm_data_wrangling_spark.queries.scale import (
     _CORPUS_SQL,
@@ -107,16 +108,24 @@ WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 w AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
       FROM t, unnest(range(len(toks))) AS u(i)),
 vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
-n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w),
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS total FROM w),
+base AS (
+  SELECT w.doc_id, w.pos, v.cnt, nrel.total
+  FROM w JOIN vocab v USING (tok) CROSS JOIN nrel
+),
+{PM.duck_lnint_ctes("base", "s0", "cnt", "__lnc_")},
+{PM.duck_lnint_ctes("s0", "s1", "total", "__lnt_")},
+terms AS (
+  SELECT doc_id, pos,
+         ({PM.lnint_sql("__lnc_")}) - ({PM.lnint_sql("__lnt_")}) AS term
+  FROM s1
+),
 scored AS (
-  SELECT w.doc_id,
-         list_reduce(
-           list_prepend(CAST(0 AS DOUBLE),
-             list(ln(CAST(v.cnt AS DOUBLE) / CAST(n.total AS DOUBLE)) ORDER BY w.pos)),
-           (a, x) -> a + x) AS lp,
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY pos)),
+                     (a, x) -> a + x) AS lp,
          CAST(count(*) AS BIGINT) AS n_tokens
-  FROM w JOIN vocab v USING (tok) CROSS JOIN n
-  GROUP BY w.doc_id
+  FROM terms GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
        round(lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob_6
@@ -130,9 +139,10 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-corpus unigram model): each document's mean token log-probability
     under the corpus unigram distribution. Low scores flag
     out-of-distribution documents — the standard cheap stand-in for a
-    KenLM pass. The ``ln`` terms are folded in token-position order on
-    both engines and the mean is rounded to 6 decimals, so accumulated
-    last-ulp drift (≪ 1e-6) never reaches the output.
+    KenLM pass. Each ``ln`` is the bit-portable integer series
+    (functions/portable_math.py) and the terms are folded in
+    token-position order on both engines, so the mean is bit-identical
+    before its 6-decimal rounding — libm-independent at any SF.
 
     Scale: one explode + one shuffle builds the vocabulary (at 100 TB:
     the persisted LM table); scoring joins tokens to counts — skew on
@@ -146,21 +156,24 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     vocab = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     n = w.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    staged = w.join(vocab, "tok").crossJoin(F.broadcast(n))
+    # ln(cnt/total) = lnint(cnt) - lnint(total): bit-portable integer-ln
+    # series (functions/portable_math.py) — libm-independent at any SF
+    staged = PM.stage_spark_lnint(staged, "cnt", "__lnc_")
+    staged = PM.stage_spark_lnint(staged, "total", "__lnt_")
+    term = F.expr(f"({PM.lnint_sql('__lnc_')}) - ({PM.lnint_sql('__lnt_')})")
     scored = (
-        w.join(vocab, "tok")
-        .crossJoin(F.broadcast(n))
+        staged.select("doc_id", "pos", term.alias("term"))
         .groupBy("doc_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("p")))
-            ).alias("pairs"),
+            F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("pairs"),
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
         .select(
             "doc_id",
             "n_tokens",
             F.expr(
-                "round(aggregate(pairs, cast(0 as double), (a, x) -> a + ln(x.p)) "
+                "round(aggregate(pairs, cast(0 as double), (a, x) -> a + x.term) "
                 "/ cast(n_tokens as double), 6)"
             ).alias("avg_logprob_6"),
         )

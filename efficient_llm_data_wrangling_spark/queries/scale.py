@@ -563,28 +563,38 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TFIDF_ORACLE = """
+from efficient_llm_data_wrangling_spark.functions import portable_math as _PM
+
+_TFIDF_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
 dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
-SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
-       round(tf.tf * (ln((n.n + 1.0) / (dfx.df + 1.0)) + 1.0), 6) AS tfidf
-FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n
-WHERE tf.doc_id < 50
+nrel AS (SELECT CAST(count(*) AS BIGINT) AS __n FROM documents),
+base AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df, nrel.__n
+  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN nrel
+  WHERE tf.doc_id < 50
+),
+{_PM.duck_lnint_ctes("base", "s0", "__n + 1", "__lnn_")},
+{_PM.duck_lnint_ctes("s0", "s1", "df + 1", "__lnd_")}
+SELECT doc_id, term, tf, df,
+       round(tf * ((({_PM.lnint_sql("__lnn_")}) - ({_PM.lnint_sql("__lnd_")}))
+                   + CAST(1 AS DOUBLE)), 6) AS tfidf
+FROM s1
 """
 
 
 @query("text_tfidf", oracle=_TFIDF_ORACLE, tags=("text",))
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF, fully relational (explode → groupBy → broadcast
-    df/N back). The oracle recomputes the identical formula; rounding
-    to 6 decimals absorbs last-ulp ln() differences between libm
-    implementations. Restricted to doc_id < 50 to keep the compare set
-    bounded (the plan is identical at any cardinality)."""
+    df/N back). The oracle recomputes the identical formula; the idf
+    ``ln`` uses the bit-portable integer series (libm-independent at
+    any scale — functions/portable_math.py). Restricted to doc_id < 50
+    to keep the compare set bounded (the plan is identical at any
+    cardinality)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     out = TX.tf_idf(docs)

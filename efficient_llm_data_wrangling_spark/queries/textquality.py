@@ -10,11 +10,11 @@ CCNet/C4/Dolma-style per-domain quotas and sharding; fastText-style
 linear quality scoring re-expressed as pure column math; BM25 for
 corpus search/decontamination triage).
 
-Oracle strategy (registry.py conventions): all counters and scores are
-exact integers or booleans except BM25, whose transcendental ``ln`` is
-absorbed by ``round(score, 6)`` on both engines (the `text_tfidf`
-precedent); every double derives from the identical expression shape
-on both sides.
+Oracle strategy (registry.py conventions): all counters and scores
+are exact integers or booleans except BM25, whose idf ``ln`` uses the
+bit-portable integer-ln series (functions/portable_math.py) so the
+score is libm-independent; every double derives from the identical
+expression shape on both sides.
 """
 
 from __future__ import annotations
@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from efficient_llm_data_wrangling_spark.functions import portable_math as PM
 from efficient_llm_data_wrangling_spark.queries.curation import _hexint_col, _hexint_sql
 from efficient_llm_data_wrangling_spark.registry import query
 from efficient_llm_data_wrangling_spark.session import tune
@@ -422,11 +423,14 @@ _BM25_TOPK = 20
 
 
 def _bm25_term_sql(i: int) -> str:
-    """Per-term BM25 contribution — the identical expression shape the
-    Spark side builds (tf/df as exact ints, one double expression)."""
+    """Per-term BM25 contribution — the identical expression shape on
+    both engines (tf/df as exact ints, one double expression). The idf
+    ``ln((N-df+0.5)/(df+0.5) + 1) = ln(2N+2) - ln(2df+1)`` uses the
+    bit-portable integer-ln series (functions/portable_math.py) staged
+    under the ``__lnn_`` / ``__ld{i}_`` prefixes, so the score is
+    libm-independent at any scale."""
     return (
-        f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5) / "
-        f"(CAST(df{i} AS DOUBLE) + 0.5) + 1.0) * "
+        f"(({PM.lnint_sql('__lnn_')}) - ({PM.lnint_sql(f'__ld{i}_')})) * "
         f"(CAST(tf{i} AS DOUBLE) * {_BM25_K1 + 1.0}) / "
         f"(CAST(tf{i} AS DOUBLE) + {_BM25_K1} * "
         f"(1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
@@ -451,11 +455,16 @@ stats AS (
          CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
          CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
   FROM f
-)
+),
+base AS (SELECT * FROM f CROSS JOIN stats),
+{PM.duck_lnint_ctes("base", "s0", "2 * n + 2", "__lnn_")},
+{PM.duck_lnint_ctes("s0", "s1", "2 * df1 + 1", "__ld1_")},
+{PM.duck_lnint_ctes("s1", "s2", "2 * df2 + 1", "__ld2_")},
+{PM.duck_lnint_ctes("s2", "s3", "2 * df3 + 1", "__ld3_")}
 SELECT doc_id, tf1, tf2, tf3,
        round({_bm25_term_sql(1)} + {_bm25_term_sql(2)} + {_bm25_term_sql(3)}, 6)
          AS bm25_6
-FROM f CROSS JOIN stats
+FROM s3
 WHERE tf1 + tf2 + tf3 > 0
 ORDER BY bm25_6 DESC, doc_id
 LIMIT {_BM25_TOPK}
@@ -468,9 +477,10 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed 3-term query — the ranked-search primitive behind corpus
     exploration and decontamination triage. tf/df/dl are exact
     integers; the one double expression (idf × saturation) is built
-    with the identical operation order on both engines and rounded to
-    6 decimals to absorb last-ulp ``ln`` differences between libms
-    (the ``text_tfidf`` precedent). Ties break on doc_id.
+    with the identical operation order on both engines, the idf ``ln``
+    uses the bit-portable integer series (libm-independent — see
+    functions/portable_math.py), and the 6-decimal rounding is then
+    purely presentational. Ties break on doc_id.
 
     Scale: one partial-aggregated pass computes the 1-row corpus stats
     (N, avgdl, per-term df), which broadcast back over the scan; the
@@ -498,9 +508,12 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     score = " + ".join(_bm25_term_sql(i) for i in range(1, 4))
+    staged = f.crossJoin(F.broadcast(stats))
+    staged = PM.stage_spark_lnint(staged, "2 * n + 2", "__lnn_")
+    for i in range(1, 4):
+        staged = PM.stage_spark_lnint(staged, f"2 * df{i} + 1", f"__ld{i}_")
     return (
-        f.crossJoin(F.broadcast(stats))
-        .filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        staged.filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
         .select("doc_id", "tf1", "tf2", "tf3", F.expr(f"round({score}, 6)").alias("bm25_6"))
         .orderBy(F.col("bm25_6").desc(), "doc_id")
         .limit(_BM25_TOPK)
