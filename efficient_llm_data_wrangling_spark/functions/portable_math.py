@@ -17,8 +17,13 @@ For an integer v ≥ 1 (up to 2^53):
     ln(v) = (B-1)·ln2 + 2·atanh(z),   z = (m-1)/(m+1) ∈ [0, 1/3)
     atanh(z) ≈ z · Σ_{k=0..15} z^(2k) / (2k+1)
 
-Truncation error < 6e-18 — irrelevant for matching (both engines share
-it) and far below every rounding resolution used by callers.
+Series-truncation error < 6e-18; TOTAL deviation from true ln is
+larger — the LN2 literal is 1/2-ulp off ln(2) exactly and the Horner
+fold accumulates rounding, so absolute error measures up to ~1e-14
+over random 53-bit inputs. Both are irrelevant for matching: the whole
+deviation is SHARED (both engines evaluate the identical expression,
+so they land on the identical double), and ~1e-14 is far below every
+rounding resolution used by callers.
 
 The stage templates below are SHARED STRINGS: the Spark side evaluates
 them with ``F.expr`` over staged columns, the DuckDB side splices them

@@ -20,6 +20,7 @@ operators/dedup.cosine_sim (engine-portable, see registry.py).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -106,9 +107,16 @@ def ivf_top_k(
     top-k within them. Deterministic: probes and ties break on ids."""
 
     def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
+        # bit-pinned to the oracle's _cos_sql: left-fold accumulation
+        # from 0.0 and math.sqrt (correctly rounded), never pow(x, 0.5)
+        # (libm pow is not guaranteed correctly rounded — a near-tie in
+        # centroid similarity could elect different probe cells)
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        na, nb = math.sqrt(na), math.sqrt(nb)
         return dot / (na * nb) if na and nb else -2.0
 
     probed = sorted(

@@ -604,15 +604,18 @@ def stats_moments_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("bigint").alias("dc"),
     )
     dec = "decimal(38,0)"
+    # every sum accumulates in decimal(38,0) (cast BEFORE F.sum): the
+    # oracle's HUGEINT accumulation is exact, and at ~6e11 rows
+    # sum(q*pc) ≈ 5.8e19 > int64 — a post-sum cast would wrap first
     a = r.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast(dec).alias("__n"),
-        F.sum("q").cast(dec).alias("sx"),
-        F.sum("pc").cast(dec).alias("sy"),
-        F.sum(F.col("q") * F.col("q")).cast(dec).alias("sxx"),
+        F.sum(F.col("q").cast(dec)).alias("sx"),
+        F.sum(F.col("pc").cast(dec)).alias("sy"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sxx"),
         F.sum((F.col("pc") * F.col("pc")).cast(dec)).alias("syy"),
-        F.sum(F.col("q") * F.col("pc")).cast(dec).alias("sxy"),
-        F.sum("dc").cast(dec).alias("sd"),
-        F.sum(F.col("dc") * F.col("dc")).cast(dec).alias("sdd"),
+        F.sum((F.col("q") * F.col("pc")).cast(dec)).alias("sxy"),
+        F.sum(F.col("dc").cast(dec)).alias("sd"),
+        F.sum((F.col("dc") * F.col("dc")).cast(dec)).alias("sdd"),
     )
     x = a.select(
         "l_returnflag",

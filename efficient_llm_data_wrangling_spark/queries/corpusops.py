@@ -128,7 +128,7 @@ scored AS (
   FROM terms GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       round(lp / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob_6
+       round(lp / CAST(n_tokens AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_logprob_6
 FROM scored
 """
 
@@ -174,7 +174,7 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.expr(
                 "round(aggregate(pairs, cast(0 as double), (a, x) -> a + x.term) "
-                "/ cast(n_tokens as double), 6)"
+                "/ cast(n_tokens as double), 6) + cast(0 as double)"
             ).alias("avg_logprob_6"),
         )
     )
@@ -363,10 +363,14 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
+    # no broadcast hints on customer/supplier: they scale linearly with
+    # SF (unconditional broadcast OOMs at the 100 TB posture) — AQE
+    # promotes them to broadcast joins at runtime while they fit, the
+    # same degrade-gracefully posture as pagerank's _bc() |V| guard
     raw = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, lineitem["l_suppkey"] == supplier["s_suppkey"])
         .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
         .distinct()
     )
@@ -714,7 +718,8 @@ s AS (
   FROM e GROUP BY user_id
 )
 SELECT user_id, n_events,
-       round(list_reduce(xs, (a, x) -> 0.5 * x + 0.5 * a), 6) AS ewma_cents_6
+       round(list_reduce(xs, (a, x) -> 0.5 * x + 0.5 * a), 6)
+         + CAST(0 AS DOUBLE) AS ewma_cents_6
 FROM s
 """
 
@@ -751,7 +756,7 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.expr(
             "round(aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
-            "(a, x) -> 0.5D * x + 0.5D * a), 6)"
+            "(a, x) -> 0.5D * x + 0.5D * a), 6) + cast(0 as double)"
         ).alias("ewma_cents_6"),
     )
 
