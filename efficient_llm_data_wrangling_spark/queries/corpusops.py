@@ -572,15 +572,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup threshold sweep (dedup tuning curve)
 # ---------------------------------------------------------------------------
 
+#: Oracle = EXACT unblocked all-pairs sweep. The join predicate keeps
+#: only length-compatible pairs — J ≥ 0.5 ⇒ min(|A|,|B|)/max ≥ 0.5,
+#: so the prefilter is lossless for every swept threshold (classic
+#: prefix/length filtering); it exists purely to keep the small-scale
+#: oracle cheap, not to change its answer.
 _SWEEP_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
 sets AS (
-  SELECT doc_id, lang, {_shingles_sql()} AS sh FROM corpus
+  SELECT doc_id, {_shingles_sql()} AS sh FROM corpus
 ),
 pairs AS (
   SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM sets a JOIN sets b
+    ON a.doc_id < b.doc_id
+   AND 2 * len(a.sh) >= len(b.sh) AND 2 * len(b.sh) >= len(a.sh)
 )
 SELECT CAST(count(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_pairs_50,
        CAST(count(*) FILTER (WHERE j >= 0.7) AS BIGINT) AS n_pairs_70,
@@ -588,26 +595,47 @@ SELECT CAST(count(*) FILTER (WHERE j >= 0.5) AS BIGINT) AS n_pairs_50,
 FROM pairs
 """
 
+#: Candidate floor for the sweep: 128 bands × 2 rows (256 minhashes).
+#: Miss probability for a pair at similarity s is (1 - s²)^128 —
+#: ≤ 1.0e-16 at the lowest swept threshold J = 0.5 (and vanishing
+#: above it), so the banded candidate set provably contains every
+#: counted pair on any corpus this side of 10^15 pairs.
+_SWEEP_HASHES = 256
+_SWEEP_BANDS = 128
+
 
 @query("dedup_threshold_sweep", oracle=_SWEEP_ORACLE, tags=("corpusops", "dedup"))
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair counts at Jaccard ≥ {0.5, 0.7, 0.9} — the tuning
     curve a pipeline owner reads before fixing the dedup threshold
-    (too low merges distinct docs, too high leaks near-dups). One
-    blocked pair join feeds all three counts via conditional
-    aggregation; the oracle replays the same sweep over raw shingle
-    sets.
+    (too low merges distinct docs, too high leaks near-dups).
 
-    Scale: same blocked-join posture as ``dedup_ngram_jaccard`` (the
-    LSH path generates candidates at 100 TB); the sweep adds zero extra
-    joins — thresholds are FILTER clauses over one pair stream.
+    The pair stream is the SAME candidate pipeline the 100 TB dedup
+    run uses: unblocked MinHash-LSH banding (no lang block, no
+    within-block all-pairs) at a floor below the lowest sweep point —
+    128 bands × 2 rows puts the miss probability at J = 0.5 below
+    1e-16 (``_SWEEP_BANDS`` note) — then ONE exact-Jaccard
+    verification; the three thresholds are conditional aggregates over
+    that single verified stream. The oracle recomputes the sweep as
+    exact all-pairs, so hash-equality proves the banded candidate set
+    lost nothing.
+
+    Scale: the only data-sized shuffle is the bucket equi-join on
+    (band, signature) — uniformly distributed keys, never O(n²) and
+    never bounded by a block's cardinality (a 30-language corpus still
+    has billion-doc language blocks; banding doesn't care).
     """
     tune(spark)
-    from efficient_llm_data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
-
-    pairs = ngram_jaccard_pairs(
-        _corpus_with_dups(spark, sf_dir), threshold=0.5, shingle_width=3
+    from efficient_llm_data_wrangling_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        verify_pairs_jaccard,
     )
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    cands = minhash_candidate_pairs(
+        corpus, num_hashes=_SWEEP_HASHES, bands=_SWEEP_BANDS, block_col=None
+    )
+    pairs = verify_pairs_jaccard(cands, corpus, threshold=0.5)
     return pairs.agg(
         F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).cast("long").alias("n_pairs_50"),
         F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0)).cast("long").alias("n_pairs_70"),

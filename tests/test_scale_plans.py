@@ -107,6 +107,24 @@ def test_minhash_join_is_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_threshold_sweep_is_unblocked_lsh(spark):
+    """The dedup tuning sweep must consume LSH band-bucket candidates,
+    not a blocked all-pairs join: no cartesian/nested-loop, the
+    candidate join keyed on the banded ``__bucket`` hash, and no
+    ``lang`` blocking anywhere in the plan (a language block is still
+    quadratic within a block — billions of docs per language at
+    100 TB)."""
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        dedup_threshold_sweep,
+    )
+
+    plan = _plan(dedup_threshold_sweep(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan  # candidate join keyed on band buckets
+    assert "lang" not in plan  # no language blocking in the pipeline
+
+
 def test_sessionize_single_exchange(spark):
     """Gap sessionization must be ONE shuffle on user_id: lag window,
     running-sum window, and the groupBy all reuse the same hash
