@@ -690,6 +690,13 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-aggregated shuffle on the key, one narrow
     window over the (already tiny) per-key count table. This report IS
     the cheap pre-pass a planner-adjacent service would persist.
+
+    The single-partition window (Spark warns "No Partition Defined")
+    is acceptable BY PLAN SHAPE, not by argument: its input is the
+    post-aggregation (cnt, freq) histogram — |distinct per-key counts|
+    rows, bounded by the count range — never the key table.
+    ``test_join_skew_report_window_input_is_histogram`` pins exactly
+    one SinglePartition exchange fed by the cnt-keyed aggregate.
     """
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")

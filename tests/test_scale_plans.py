@@ -125,6 +125,26 @@ def test_threshold_sweep_is_unblocked_lsh(spark):
     assert "lang" not in plan  # no language blocking in the pipeline
 
 
+def test_join_skew_report_window_input_is_histogram(spark):
+    """join_skew_report's only single-partition stage must be the
+    percentile-election window, and its input must be the
+    POST-AGGREGATION count histogram (|distinct per-key counts| rows —
+    bounded by the count range, never by n_keys). This is the evidence
+    behind the WindowExec \"No Partition Defined\" warning being
+    acceptable-by-design: the data that crosses the single partition is
+    the tiny histogram, not the key table."""
+    from efficient_llm_data_wrangling_spark.queries.corpusops import join_skew_report
+
+    plan = _plan(join_skew_report(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert len(single) == 1, plan  # exactly one global stage
+    # the first operator feeding that exchange is the cnt-keyed
+    # histogram aggregate — the key table itself never goes global
+    below = "\n".join(lines[single[0] + 1 : single[0] + 3])
+    assert "HashAggregate(keys=[cnt#" in below, plan
+
+
 def test_sessionize_single_exchange(spark):
     """Gap sessionization must be ONE shuffle on user_id: lag window,
     running-sum window, and the groupBy all reuse the same hash
