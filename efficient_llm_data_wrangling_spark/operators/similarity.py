@@ -94,6 +94,55 @@ def assign_ivf_cells(
     return df.select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell_id"))
 
 
+def l2sq_int(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two micro-unit (BIGINT) vectors.
+    Every term is exact, so fold order is irrelevant; bounded by
+    dims × (2e6)² per pair — int64-safe independent of corpus size."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells_by_codebook(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "x",
+    cell_col: str = "c",
+    cvec_col: str = "mu",
+) -> DataFrame:
+    """IVF coarse assignment against a codebook TABLE — the scale form
+    of :func:`assign_ivf_cells`. The literal-array variant embeds O(C)
+    expression nodes per row, which caps out around k≈tens; this one
+    broadcast-joins the codebook DataFrame (C rows of integer
+    micro-unit centroids — a few MB even at FAISS-scale C=65536) and
+    elects the nearest cell with ``min(struct(dist, cell))`` — a
+    partial-aggregatable top-1 (map-side combine collapses the ×C
+    fanout before any exchange; no window, no global sort).
+
+    ``vectors``: (id, micro-unit BIGINT array); ``codebook``: (cell id,
+    micro-unit BIGINT array), e.g. a Lloyd update from
+    queries/clustering.py. Returns (id, vec, cell_id). Exact integer
+    distances ⇒ bit-identical assignment on any engine or cluster
+    layout; ties break to the smallest cell id.
+    """
+    scored = vectors.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col),
+        F.struct(
+            l2sq_int(F.col(vec_col), F.col(cvec_col)).alias("d"),
+            F.col(cell_col).alias("c"),
+            F.col(vec_col).alias("x"),
+        ).alias("s"),
+    )
+    return scored.groupBy(id_col).agg(F.min("s").alias("m")).select(
+        F.col(id_col),
+        F.col("m.x").alias(vec_col),
+        F.col("m.c").alias("cell_id"),
+    )
+
+
 def ivf_top_k(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

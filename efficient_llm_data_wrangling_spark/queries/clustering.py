@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from efficient_llm_data_wrangling_spark.operators import similarity as SIM
 from efficient_llm_data_wrangling_spark.registry import query
 from efficient_llm_data_wrangling_spark.session import tune
 from efficient_llm_data_wrangling_spark.sources.catalog import load_table
@@ -47,17 +48,11 @@ def _sq_dist(x_col: str, mu_col: str) -> F.Column:
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """One assignment step: nearest centroid per vector, ties broken
-    by smallest cluster id. The centroid side is k rows → broadcast;
-    the argmin is ``min(struct(dist, c, x))`` — a partial-aggregatable
-    per-key top-1 (map-side combine collapses the ×k fanout before any
-    exchange; no window, no global sort)."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        F.struct(_sq_dist("x", "mu").alias("d"), F.col("c"), F.col("x")).alias("s"),
-    )
-    return scored.groupBy("vec_id").agg(F.min("s").alias("m")).select(
-        "vec_id", F.col("m.c").alias("c"), F.col("m.x").alias("x")
-    )
+    by smallest cluster id — the shared codebook-table operator
+    (broadcast codebook + ``min(struct)`` partial-aggregatable argmin;
+    see operators/similarity.assign_cells_by_codebook)."""
+    out = SIM.assign_cells_by_codebook(vectors, centroids)
+    return out.select("vec_id", F.col("cell_id").alias("c"), "x")
 
 
 def _update(assigned: DataFrame) -> DataFrame:
@@ -89,8 +84,10 @@ def _assign_sql(src: str, mus: str) -> str:
   ) WHERE rn = 1"""
 
 
-_KMEANS_ORACLE = f"""
-WITH xi AS (
+#: Shared oracle prefix: micro-unit vectors, seed centroids, one full
+#: Lloyd round (assign → integer-mean update) ⇒ the fitted codebook
+#: ``mu1`` and the final assignment ``a2``.
+_FIT_CTES = f"""xi AS (
   SELECT vec_id,
          [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
           for i in range(1, len(embedding) + 1)] AS x
@@ -107,7 +104,10 @@ s1 AS (
   FROM u1 GROUP BY c, j
 ),
 mu1 AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM s1 GROUP BY c),
-a2 AS ({_assign_sql('xi', 'mu1')})
+a2 AS ({_assign_sql('xi', 'mu1')})"""
+
+_KMEANS_ORACLE = f"""
+WITH {_FIT_CTES}
 SELECT c AS cluster_id,
        CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(vec_id) AS BIGINT) AS vec_id_sum,
@@ -149,4 +149,75 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum("vec_id").alias("vec_id_sum"),
         F.sum(F.col("x")[0]).alias("x0_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF search through the fitted codebook TABLE (no literal arrays)
+# ---------------------------------------------------------------------------
+
+_N_PROBE = 2
+_IVF_TBL_K = 10
+
+_IVF_TBL_ORACLE = f"""
+WITH {_FIT_CTES},
+q AS (SELECT x AS qx FROM xi WHERE vec_id = 1),
+probes AS (
+  SELECT c FROM mu1 CROSS JOIN q
+  ORDER BY {_dist_sql('mu', 'qx')}, c LIMIT {_N_PROBE}
+),
+cand AS (SELECT a.vec_id, a.c, a.x FROM a2 a JOIN probes p USING (c))
+SELECT vec_id, c AS cell_id,
+       CAST({_dist_sql('x', 'qx')} AS BIGINT) AS l2sq_micro
+FROM cand CROSS JOIN q
+ORDER BY l2sq_micro, vec_id
+LIMIT {_IVF_TBL_K}
+"""
+
+
+@query("knn_ivf_codebook_table", oracle=_IVF_TBL_ORACLE, tags=("similarity", "clustering", "ann"))
+def knn_ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nearest-neighbor search where the codebook stays a TABLE
+    end-to-end: k-means fit (one Lloyd round) → coarse assignment via
+    ``assign_cells_by_codebook`` (broadcast codebook join, never O(C)
+    literal expression nodes per row) → probe election computed
+    DISTRIBUTED (codebook × 1-row query, top-{_N_PROBE} by exact
+    integer distance) → BroadcastHashJoin semi-join of assignments
+    against the probed cells → exact re-rank, top-{_IVF_TBL_K} by
+    (distance, vec_id). This is the scale fallback the literal-array
+    ``assign_ivf_cells`` documents: at FAISS-scale C=65536 the codebook
+    is a few-MB broadcast table and every stage above is unchanged.
+
+    Exactness: all distances are integer micro-unit squared-L2, so
+    assignment, probe election, and ranking are bit-identical on both
+    engines; no driver-side collect anywhere — the query vector and
+    probe list flow as (broadcast) 1-row/{_N_PROBE}-row DataFrames.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    seeds = vectors.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("mu")
+    )
+    codebook = _update(_assign(vectors, seeds))  # fitted mu1, a TABLE
+    assigned = SIM.assign_cells_by_codebook(vectors, codebook)
+
+    q = vectors.filter(F.col("vec_id") == 1).select(F.col("x").alias("qx"))
+    probes = (
+        codebook.crossJoin(F.broadcast(q))
+        .select("c", SIM.l2sq_int(F.col("mu"), F.col("qx")).alias("d"))
+        .orderBy("d", "c")
+        .limit(_N_PROBE)
+        .select(F.col("c").alias("cell_id"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cell_id", "left_semi")
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell_id",
+            SIM.l2sq_int(F.col("x"), F.col("qx")).alias("l2sq_micro"),
+        )
+        .orderBy("l2sq_micro", "vec_id")
+        .limit(_IVF_TBL_K)
     )

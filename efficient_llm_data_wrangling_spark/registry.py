@@ -47,79 +47,86 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-4 window: the 3 queries that have never had a driver
-#: row (added after r3's window was pinned), then every query new in
-#: round 4, then the 38 stalest rows (graded once, in r1, before two
-#: rounds of refactoring). 3 + new + 38 fills the 50 slots; queries
-#: not listed keep registry (import) order after these.
+#: round. Round-5 window, maintained as three segments so that every
+#: new query is pinned into the window IN THE SAME COMMIT that
+#: registers it (the r3/r4 lesson: batches landing after the pin were
+#: the only source of formally-ungraded rows):
 #:
-#: r5 window plan: the 9 round-4 batch-2/3 queries with no driver row
-#: yet (corpusops.py: incremental_dedup_batch, unigram_logprob_documents,
-#: winnowing_fingerprint_documents, cosine_histogram_embeddings,
-#: triangle_count_trade, dataset_card_by_source, ann_recall_report,
-#: dedup_threshold_sweep, join_skew_report, ewma_user_value,
-#: k_anonymity_report) first, then refresh the r2-graded rows (now
-#: the stalest).
-DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
-    # r3 additions that landed after the r3 window was pinned — the
-    # only queries with no driver row anywhere (judge-verified green
-    # at sf0.01; this converts them to hard evidence)
-    "blocklist_filter_documents",
-    "pii_redact_documents",
-    "segment_dedup_corpus",
-    # new in round 4 — never graded
-    "gopher_quality_filter",
-    "domain_cap_documents",
-    "doc_quality_linear_scorer",
-    "substring_dedup_windows",
-    "length_percentile_filter_documents",
-    "shard_assign_documents",
-    "bm25_top_docs",
-    "pq_encode_embeddings",
-    "knn_ivf_pq",
-    # stalest rows: last graded in r1, two rounds of refactoring ago
-    # (incl. the renamed mask_contacts_documents, ex redact_pii_documents);
-    # the sf0.001 suite re-proves them every run, this refreshes the
-    # formal driver evidence so max row age stays <=2 rounds
-    "ntile_customer_acctbal",
-    "datetime_functions_orders",
-    "histogram_totalprice",
-    "connected_components_halving",
-    "impute_mean_acctbal",
-    "stats_moments_lineitem",
-    "variant_shred_events",
-    "udtf_bigrams_documents",
-    "window_rank_functions_orders",
-    "sql_scalar_udf_charge",
-    "upsert_snapshot_orders",
-    "snapshot_diff_orders",
-    "lang_share_by_source",
-    "string_functions_customer",
-    "mask_contacts_documents",
-    "word_counts_documents",
-    "date_spine_order_counts",
-    "outlier_iqr_prices",
-    "weighted_mean_pandas_udaf",
-    "cogroup_customer_orders",
-    "repetition_ratio_documents",
-    "pair_join_text",
-    "serialize_keyed_part",
-    "serialize_values_customer",
-    "filter_project_lineitem",
-    "derived_label_orders",
-    "label_counts",
-    "min_class_count",
-    "group_mean_qty",
-    "pricing_summary",
-    "top_orders",
-    "multi_key_rank_events",
-    "union_all_topup",
-    "semi_join_customers",
-    "anti_join_customers",
-    "window_top_order_per_customer",
-    "json_extract_events",
-    "sample_head_k",
+#: 1. ``_NEVER_GRADED``  — round-4 batch-2-4 queries with no driver
+#:    row anywhere (judge-verified green at sf0.01; a driver row
+#:    converts them to hard evidence);
+#: 2. ``_NEW_IN_R5``     — queries registered this round (extend this
+#:    tuple in the registering commit);
+#: 3. ``_STALE_FILL``    — rows last graded in r2, stalest first-ish;
+#:    the slice keeps exactly 50 names, so growth in segment 2
+#:    displaces fills from the tail automatically (they roll to r6).
+_NEVER_GRADED: tuple[str, ...] = (
+    "incremental_dedup_batch",
+    "unigram_logprob_documents",
+    "winnowing_fingerprint_documents",
+    "cosine_histogram_embeddings",
+    "triangle_count_trade",
+    "dataset_card_by_source",
+    "ann_recall_report",
+    "dedup_threshold_sweep",
+    "join_skew_report",
+    "ewma_user_value",
+    "k_anonymity_report",
 )
+
+_NEW_IN_R5: tuple[str, ...] = (
+    "knn_ivf_codebook_table",
+)
+
+_STALE_FILL: tuple[str, ...] = (
+    "wrangler_e2e_transformation",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_exact_documents",
+    "dedup_embedding_cosine",
+    "entity_match_jaccard",
+    "knn_brute_force",
+    "knn_ivf",
+    "text_quality_documents",
+    "text_lang_id",
+    "text_token_counts",
+    "text_tfidf",
+    "text_fingerprint",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "chunk_documents_overlap",
+    "pack_documents_token_budget",
+    "split_assign_documents",
+    "split_rest_customers",
+    "stratified_sample_orders",
+    "class_balance_orders",
+    "asof_join_events",
+    "range_join_events",
+    "salted_join_orders",
+    "correlated_avg_qty_filter",
+    "scalar_subquery_acctbal",
+    "nested_agg_nations_above_avg",
+    "having_large_orders",
+    "argmin_part_per_type",
+    "centroid_embeddings_by_label",
+    "levenshtein_match_parts",
+    "detect_error_suppliers",
+    "dq_expectations_orders",
+    "profile_orders",
+    "impute_priority_word",
+    "apply_transformation_dates",
+    "stream_tumbling_counts",
+    "stream_stream_attribution",
+    "stream_dedup_watermark",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "stream_stateful_user_totals",
+    "stream_static_enrich",
+    "stream_upsert_sink_totals",
+)
+
+DRIVER_GRADE_PRIORITY: tuple[str, ...] = (_NEVER_GRADED + _NEW_IN_R5 + _STALE_FILL)[:50]
 
 
 def _ordered_names() -> list[str]:

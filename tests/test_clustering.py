@@ -58,6 +58,33 @@ def test_kmeans_improves_or_holds_inertia(spark):
     assert inertia(a2, mu1) <= inertia(a1, seeds)
 
 
+def test_ivf_codebook_table_plan(spark):
+    """The codebook-as-table ANN path must (a) semi-join assignments
+    against the probed cells with a genuine BroadcastHashJoin on
+    cell_id, (b) broadcast the codebook TABLE into the assignment
+    (BroadcastNestedLoopJoin over C rows — the honest shape of
+    score-every-centroid), and (c) contain no O(C) literal centroid
+    arrays (the plan must not embed micro-unit vector literals)."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_ivf_codebook_table,
+    )
+
+    df = knn_ivf_codebook_table(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # literal-array codebooks embed centroid micro-units as plan
+    # literals — a 7-digit integer literal list would appear; the
+    # table path must not have any
+    import re
+
+    assert not re.search(r"\[-?\d{6,}(,\s*-?\d{6,}){3,}\]", plan), "literal codebook in plan"
+    # and it must still compute the right thing: top-1 is the query itself
+    rows = df.collect()
+    assert rows[0]["vec_id"] == 1 and rows[0]["l2sq_micro"] == 0
+
+
 def test_kmeans_plan_broadcasts_centroids(spark):
     plan = (
         kmeans_lloyd_embeddings(spark, SF_SMOKE)
