@@ -19,6 +19,23 @@ Scale mechanics (the parts that matter at 100 TB):
   time long before data size matters;
 * convergence test is a monotone aggregate (labels only decrease), so
   one tiny ``agg(sum)`` action per round, no full materialize-compare.
+
+Storage posture of the checkpoints (billion-edge regime):
+``localCheckpoint`` persists at MEMORY_AND_DISK — partitions that
+don't fit in executor memory SPILL to local disk rather than OOM, so
+the symmetrized edge list (2·|E| rows of two longs) and the |V|-row
+label frames are disk-bounded, not memory-bounded
+(``test_cc_checkpoints_are_spill_capable`` pins useDisk on every
+persisted block). The trade-off vs reliable ``checkpoint()``: blocks
+live on executors with replication 1, so losing an executor kills the
+job instead of recomputing (there is no lineage left to replay). For
+the CC loop that is the right default — rounds are minutes, restarts
+are cheap, and reliable checkpointing would write 2·|E| rows to the
+distributed store every round. A multi-hour run on unreliable
+preemptible nodes should flip ``sym``'s round-0 checkpoint (the only
+expensive recompute) to ``df.checkpoint()`` with
+``sparkContext.setCheckpointDir``; the per-round label checkpoints
+stay local either way.
 """
 
 from __future__ import annotations

@@ -35,6 +35,30 @@ def test_star_and_cycle(spark):
     assert {got[i] for i in (7, 8, 9)} == {7}
 
 
+def test_cc_checkpoints_are_spill_capable(spark):
+    """Storage posture (billion-edge regime, see module docstring):
+    every block the CC loop persists — the symmetrized edge list and
+    the per-round label checkpoints — must be MEMORY_AND_DISK, i.e.
+    spill-capable: an edge list bigger than executor memory degrades
+    to disk instead of OOM. Runs the real graded query's doubling
+    graph at the largest test SF so the checkpoints actually hold
+    multi-partition data."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        connected_components_halving,
+    )
+    from tests.conftest import SF_CORRECT
+
+    sc = spark.sparkContext
+    sc._jsc.sc().cleaner().get()  # ensure the context is live
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    connected_components_halving(spark, SF_CORRECT).count()
+    infos = [i for i in sc._jsc.sc().getRDDStorageInfo() if i.id() not in before]
+    assert infos, "CC run persisted no blocks — checkpoints disappeared?"
+    for info in infos:
+        lvl = info.storageLevel()
+        assert lvl.useDisk(), f"RDD {info.id()} persisted without spill: {lvl}"
+
+
 def test_cc_matches_union_find_on_random_graphs(spark):
     """Property check: the distributed algorithm agrees with a plain
     union-find on pseudo-random graphs (fixed seeds — deterministic)."""
