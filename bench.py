@@ -91,6 +91,40 @@ R3_RATIOS = {
 }
 
 
+#: Round-4 per-query ratios to the fixed calibration workload
+#: (BENCH_r04.json medians / calibration 0.239 s) — covers ALL 26
+#: headline queries including the three round-4 additions, so every
+#: r5 number has a host-normalized baseline.
+R4_RATIOS = {
+    "pair_join_text": 2.402,
+    "pricing_summary": 3.368,
+    "comparator_tolerance": 7.247,
+    "window_top_order_per_customer": 1.151,
+    "filter_project_lineitem": 0.732,
+    "dedup_exact_documents": 1.138,
+    "dedup_minhash_lsh": 7.682,
+    "text_quality_documents": 3.017,
+    "knn_brute_force": 1.619,
+    "asof_join_events": 1.46,
+    "rollup_pricing": 3.498,
+    "multimodal_decode": 2.142,
+    "stream_tumbling_counts": 3.967,
+    "sessionize_events": 1.565,
+    "upsert_snapshot_orders": 1.372,
+    "connected_components_halving": 13.088,
+    "correlated_avg_qty_filter": 3.146,
+    "repetition_ratio_documents": 3.0,
+    "stream_stream_attribution": 8.782,
+    "chunk_documents_overlap": 1.314,
+    "pack_documents_token_budget": 0.996,
+    "decontaminate_ngram_overlap": 3.577,
+    "corpus_curation_pipeline": 3.167,
+    "bm25_top_docs": 2.912,
+    "substring_dedup_windows": 8.259,
+    "knn_ivf_pq": 5.238,
+}
+
+
 def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     """N wall-time samples (sorted). The median is the headline number
     — robust to one-off JIT/GC noise in either direction; min and max
@@ -162,6 +196,9 @@ def main() -> None:
     ratio_vs_r3 = {
         n: round(r / R3_RATIOS[n], 3) for n, r in ratios.items() if n in R3_RATIOS
     }
+    ratio_vs_r4 = {
+        n: round(r / R4_RATIOS[n], 3) for n, r in ratios.items() if n in R4_RATIOS
+    }
     print(
         json.dumps(
             {
@@ -174,6 +211,7 @@ def main() -> None:
                 "calibration_scan_agg_sec": cal,
                 "calibration_ratios": ratios,
                 "ratio_vs_r3": ratio_vs_r3,
+                "ratio_vs_r4": ratio_vs_r4,
                 "sf": sf,
             }
         )

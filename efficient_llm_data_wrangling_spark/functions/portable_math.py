@@ -69,6 +69,28 @@ def lnint_sql(p: str) -> str:
     )
 
 
+def lnint_inline_sql(v_sql: str) -> str:
+    """Self-contained ``ln(v)`` expression over an integer SQL
+    expression — for positions where the staged-column form can't
+    reach (inside higher-order-function lambdas, e.g. a fold over
+    array elements). Textually substitutes the SAME template the
+    staged form evaluates, so the arithmetic (and therefore every
+    bit of the result) is identical; the cost is repeated
+    subexpressions (~10 kB of expression text per call site), paid
+    once at plan time. Spark-side only — DuckDB oracles keep using
+    ``duck_lnint_ctes`` (CTE staging), which is the same arithmetic.
+    """
+    b = f"CAST(length(conv(CAST({v_sql} AS BIGINT), 10, 2)) AS INT)"
+    shift = f"shiftleft(cast(1 as bigint), {b} - 1)"
+    m = f"(CAST({v_sql} AS DOUBLE) / CAST({shift} AS DOUBLE))"
+    z = f"(({m} - CAST(1 AS DOUBLE)) / ({m} + CAST(1 AS DOUBLE)))"
+    z2 = f"({z} * {z})"
+    return (
+        f"(CAST({b} - 1 AS DOUBLE) * {LN2_SQL} "
+        f"+ CAST(2 AS DOUBLE) * ({z} * ({horner_sql(z2)})))"
+    )
+
+
 def stage_spark_lnint(df: DataFrame, v_sql: str, prefix: str) -> DataFrame:
     """Append the ln-stage columns for integer expression ``v_sql``;
     the final value is available as ``F.expr(lnint_sql(prefix))``."""

@@ -84,16 +84,17 @@ def _assign_sql(src: str, mus: str) -> str:
   ) WHERE rn = 1"""
 
 
-#: Shared oracle prefix: micro-unit vectors, seed centroids, one full
-#: Lloyd round (assign → integer-mean update) ⇒ the fitted codebook
-#: ``mu1`` and the final assignment ``a2``.
-_FIT_CTES = f"""xi AS (
+def _fit_ctes(k: int) -> str:
+    """Shared oracle prefix: micro-unit vectors, ``k`` seed centroids,
+    one full Lloyd round (assign → integer-mean update) ⇒ the fitted
+    codebook ``mu1`` and the final assignment ``a2``."""
+    return f"""xi AS (
   SELECT vec_id,
          [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
           for i in range(1, len(embedding) + 1)] AS x
   FROM embeddings
 ),
-mu0 AS (SELECT vec_id AS c, x AS mu FROM xi WHERE vec_id < {_K}),
+mu0 AS (SELECT vec_id AS c, x AS mu FROM xi WHERE vec_id < {k}),
 a1 AS ({_assign_sql('xi', 'mu0')}),
 u1 AS (
   SELECT a.c, j.j, a.x[j.j] AS v
@@ -105,6 +106,9 @@ s1 AS (
 ),
 mu1 AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM s1 GROUP BY c),
 a2 AS ({_assign_sql('xi', 'mu1')})"""
+
+
+_FIT_CTES = _fit_ctes(_K)
 
 _KMEANS_ORACLE = f"""
 WITH {_FIT_CTES}
@@ -220,4 +224,97 @@ def knn_ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l2sq_micro", "vec_id")
         .limit(_IVF_TBL_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters
+# ---------------------------------------------------------------------------
+
+_SEM_K = 64       # finer than _K: clusters bound the pair space
+_SEM_THRESH = "0.35"  # cosine threshold (house precedent: dedup_embedding_cosine)
+
+
+def _cos_int_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two micro-unit BIGINT vectors: exact
+    integer dot/norms (order-free), one double division — identical
+    expression shape to the Spark side."""
+    def ssum(x: str, y: str) -> str:
+        return (
+            f"CAST(list_sum([{x}[i] * {y}[i] "
+            f"for i in range(1, len({x}) + 1)]) AS DOUBLE)"
+        )
+
+    return f"({ssum(a, b)} / (sqrt({ssum(a, a)}) * sqrt({ssum(b, b)})))"
+
+
+_SEMDEDUP_ORACLE = f"""
+WITH {_fit_ctes(_SEM_K)},
+p AS (
+  SELECT b.vec_id AS rid
+  FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id < b.vec_id
+  WHERE {_cos_int_sql('a.x', 'b.x')} >= {_SEM_THRESH}
+),
+d AS (SELECT DISTINCT rid FROM p)
+SELECT a2.vec_id, a2.c AS cell_id, d.rid IS NULL AS is_kept
+FROM a2 LEFT JOIN d ON a2.vec_id = d.rid
+"""
+
+
+def _cos_int_col(a: str, b: str) -> F.Column:
+    def ssum(x: str, y: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+
+    return ssum(a, b) / (F.sqrt(ssum(a, a)) * F.sqrt(ssum(b, b)))
+
+
+@query("semdedup_clustered", oracle=_SEMDEDUP_ORACLE, tags=("similarity", "clustering", "dedup"))
+def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    where k-means clusters bound the pair space — embed, cluster, and
+    compare only WITHIN each cluster, dropping every vector that has a
+    lower-id neighbor above the cosine threshold. Output is the full
+    admission manifest (vec_id, cell_id, is_kept), not just survivors.
+
+    Exactness: micro-unit integer dot products and norms (order-free
+    exact BIGINTs), one double division per pair with IEEE sqrt —
+    bit-identical verdicts on both engines at any scale.
+
+    Scale: the quadratic lives strictly inside clusters — k is the
+    knob (here {_SEM_K}; at 100 TB pick k so clusters hold ~10⁴ docs:
+    the SemDeDup paper runs 50k clusters over 5B embeddings). The
+    cluster equi-join shuffles on cell id; skewed (over-full) clusters
+    are exactly the AQE skew-join case, and the fit is the same
+    broadcast-codebook Lloyd round the kmeans query grades.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    seeds = vectors.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("mu")
+    )
+    assigned = _assign(vectors, _update(_assign(vectors, seeds)))
+    a = assigned.select(
+        F.col("c").alias("__c"), F.col("vec_id").alias("left_id"), F.col("x").alias("__xa")
+    )
+    b = assigned.select(
+        F.col("c").alias("__c"), F.col("vec_id").alias("rid"), F.col("x").alias("__xb")
+    )
+    dropped = (
+        a.join(b, ["__c"])
+        .filter(F.col("left_id") < F.col("rid"))
+        .filter(_cos_int_col("__xa", "__xb") >= float(_SEM_THRESH))
+        .select("rid")
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__hit", F.lit(1)), assigned["vec_id"] == dropped["rid"], "left"
+    ).select(
+        "vec_id",
+        F.col("c").alias("cell_id"),
+        F.col("__hit").isNull().alias("is_kept"),
     )

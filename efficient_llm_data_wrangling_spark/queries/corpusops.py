@@ -103,8 +103,9 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram-LM log-probability (perplexity-proxy quality filter)
 # ---------------------------------------------------------------------------
 
-_UNIGRAM_ORACLE = f"""
-WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+#: Shared CTE prefix: corpus unigram model + per-doc position-ordered
+#: log-probability fold ⇒ ``scored(doc_id, lp, n_tokens)``.
+_UNIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
 w AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok
       FROM t, unnest(range(len(toks))) AS u(i)),
 vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
@@ -126,7 +127,10 @@ scored AS (
                      (a, x) -> a + x) AS lp,
          CAST(count(*) AS BIGINT) AS n_tokens
   FROM terms GROUP BY doc_id
-)
+)"""
+
+_UNIGRAM_ORACLE = f"""
+WITH {_UNIGRAM_CTES}
 SELECT doc_id, n_tokens,
        round(lp / CAST(n_tokens AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_logprob_6
 FROM scored
@@ -151,6 +155,20 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-ordered fold.
     """
     tune(spark)
+    return _doc_logprob(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "round(lp / cast(n_tokens as double), 6) + cast(0 as double)"
+        ).alias("avg_logprob_6"),
+    )
+
+
+def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, lp): per-doc total log-probability under the
+    corpus unigram model, folded in token-position order (bit-portable
+    integer-ln terms — the Spark twin of ``_UNIGRAM_CTES``'s
+    ``scored``)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _toks_col().alias("toks"))
     w = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
@@ -162,7 +180,7 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = PM.stage_spark_lnint(staged, "cnt", "__lnc_")
     staged = PM.stage_spark_lnint(staged, "total", "__lnt_")
     term = F.expr(f"({PM.lnint_sql('__lnc_')}) - ({PM.lnint_sql('__lnt_')})")
-    scored = (
+    return (
         staged.select("doc_id", "pos", term.alias("term"))
         .groupBy("doc_id")
         .agg(
@@ -172,13 +190,90 @@ def unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.expr(
-                "round(aggregate(pairs, cast(0 as double), (a, x) -> a + x.term) "
-                "/ cast(n_tokens as double), 6) + cast(0 as double)"
-            ).alias("avg_logprob_6"),
+            F.expr("aggregate(pairs, cast(0 as double), (a, x) -> a + x.term)").alias("lp"),
         )
     )
-    return scored
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = f"""
+WITH {_UNIGRAM_CTES},
+ml AS (
+  SELECT doc_id, n_tokens,
+         CAST(round(lp / CAST(n_tokens AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)
+           AS lp_milli
+  FROM scored
+),
+hist AS (SELECT lp_milli AS v, CAST(count(*) AS BIGINT) AS freq FROM ml GROUP BY lp_milli),
+hw AS (
+  SELECT v, freq,
+         sum(freq) OVER (ORDER BY v DESC) AS cum,
+         sum(freq) OVER () AS d
+  FROM hist
+),
+cuts AS (
+  SELECT CAST(max(CASE WHEN cum >= (d + 2) // 3 THEN v END) AS BIGINT) AS c1,
+         CAST(max(CASE WHEN cum >= (2 * d + 2) // 3 THEN v END) AS BIGINT) AS c2
+  FROM hw
+)
+SELECT ml.doc_id, ml.n_tokens, ml.lp_milli,
+       CASE WHEN ml.lp_milli >= cuts.c1 THEN 'head'
+            WHEN ml.lp_milli >= cuts.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ml CROSS JOIN cuts
+"""
+
+
+@query("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE, tags=("corpusops", "textquality"))
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document by LM score (here the in-corpus unigram log-probability,
+    milli-units — an exact BIGINT derived from the bit-portable fold)
+    and assign tertile buckets. Cutoffs are elected from the
+    SCORE HISTOGRAM by ceil-rank arithmetic — c1/c2 are the largest
+    milli-scores whose descending cumulative count reaches ⌈D/3⌉ and
+    ⌈2D/3⌉ — so boundary ties share a bucket deterministically.
+
+    Scale: the global sort CCNet does per shard is replaced by the
+    join_skew_report pattern — the only single-partition stage is the
+    window over the DISTINCT milli-score histogram (bounded by the
+    score range, ~10⁴ rows at any corpus size), and the two cutoffs
+    broadcast back as one row. Documents are never globally sorted.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    ml = _doc_logprob(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "CAST(round(lp / CAST(n_tokens AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)"
+        ).alias("lp_milli"),
+    )
+    hist = ml.groupBy(F.col("lp_milli").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = hist.select(
+        "v",
+        F.sum("freq").over(Window.orderBy(F.desc("v"))).alias("cum"),
+        F.sum("freq").over(Window.partitionBy()).alias("d"),
+    )
+    cuts = w.agg(
+        F.max(F.expr("CASE WHEN cum >= (d + 2) div 3 THEN v END")).cast("long").alias("c1"),
+        F.max(F.expr("CASE WHEN cum >= (2 * d + 2) div 3 THEN v END")).cast("long").alias("c2"),
+    )
+    return ml.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "lp_milli",
+        F.expr(
+            "CASE WHEN lp_milli >= c1 THEN 'head' "
+            "WHEN lp_milli >= c2 THEN 'middle' ELSE 'tail' END"
+        ).alias("bucket"),
+    )
 
 
 # ---------------------------------------------------------------------------

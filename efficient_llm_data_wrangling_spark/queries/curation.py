@@ -766,3 +766,64 @@ def segment_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_segments"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fractional-epoch upsampling (per-source repeat factors)
+# ---------------------------------------------------------------------------
+
+#: Per-source epoch factor in milli-epochs, derived deterministically
+#: from the source's numeric suffix: 1000 + 250·(suffix mod 5) ⇒
+#: 1.0×–2.0× epochs. (Stands in for the hand-tuned table a real
+#: mixture uses, e.g. LLaMA's ~2.45 epochs of books vs 1.0 of crawl.)
+_EPOCH_F_SQL = "1000 + 250 * (CAST(substring(source, 4) AS BIGINT) % 5)"
+
+_EPOCH_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, source, CAST({_EPOCH_F_SQL} AS BIGINT) AS f_milli
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, f_milli,
+         CAST(f_milli // 1000
+              + CASE WHEN doc_id % 1000 < f_milli % 1000 THEN 1 ELSE 0 END
+           AS BIGINT) AS n_rep
+  FROM f
+)
+SELECT doc_id, source, f_milli, CAST(i.i AS BIGINT) AS copy_ix
+FROM r, LATERAL (SELECT unnest(range(1, n_rep + 1)) AS i) i
+"""
+
+
+@query("epoch_upsample_by_source", oracle=_EPOCH_ORACLE, tags=("curation", "sampling"))
+def epoch_upsample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling — the mixture step that repeats
+    high-value sources a non-integer number of times (LLaMA-style
+    "epochs" per source): every document emits ⌊f⌋ copies plus one
+    more for a deterministic ``doc_id mod 1000 < frac`` slice of the
+    source, so a 1.25× source repeats exactly the same 25% of itself
+    on every engine and every run (no RNG, replayable admission).
+    Output is (doc_id, source, f_milli, copy_ix) — the materialized
+    sampling manifest a sequence-packing stage consumes.
+
+    Scale: pure scan-side ``explode(sequence(1, n_rep))`` — zero
+    shuffles, output size is exactly the token budget the mixture
+    dictates, and the fractional slice needs no sort or sampling pass.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.expr(_EPOCH_F_SQL).cast("long").alias("f_milli")
+    ).withColumn(
+        "__n_rep",
+        F.expr(
+            "CAST(f_milli div 1000 "
+            "+ (CASE WHEN doc_id % 1000 < f_milli % 1000 THEN 1 ELSE 0 END) AS BIGINT)"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "f_milli",
+        F.explode(F.expr("sequence(1L, __n_rep)")).alias("copy_ix"),
+    )

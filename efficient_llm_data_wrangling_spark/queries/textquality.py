@@ -518,3 +518,97 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_6").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy (compression-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = f"""
+WITH ch AS (
+  SELECT doc_id, length(text) AS n_chars, substring(text, i.i, 1) AS c
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i
+),
+cnt AS (
+  SELECT doc_id, max(n_chars) AS n_chars, c, CAST(count(*) AS BIGINT) AS v
+  FROM ch GROUP BY doc_id, c
+),
+hist AS (
+  SELECT doc_id, max(n_chars) AS n_chars, v, CAST(count(*) AS BIGINT) AS m
+  FROM cnt GROUP BY doc_id, v
+),
+{PM.duck_lnint_ctes("hist", "h1", "v", "__lnv_")},
+terms AS (
+  SELECT doc_id, n_chars, v, m,
+         CAST(m AS DOUBLE) * CAST(v AS DOUBLE) * ({PM.lnint_sql("__lnv_")}) AS term
+  FROM h1
+),
+s AS (
+  SELECT doc_id, max(n_chars) AS n_chars, CAST(sum(m) AS BIGINT) AS n_distinct,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY v)),
+                     (a, x) -> a + x) AS acc
+  FROM terms GROUP BY doc_id
+),
+{PM.duck_lnint_ctes("s", "s2", "n_chars", "__lnn_")}
+SELECT doc_id, n_chars, n_distinct,
+       round(({PM.lnint_sql("__lnn_")}) - acc / CAST(n_chars AS DOUBLE), 6)
+         + CAST(0 AS DOUBLE) AS entropy6
+FROM s2
+"""
+
+
+@query("char_entropy_documents", oracle=_ENTROPY_ORACLE, tags=("textquality", "curation"))
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    compression-ratio proxy quality signal: machine-generated or
+    template spam sits far below natural-language entropy, binary
+    junk far above. H = ln(N) − (Σ_v m_v·v·ln v)/N computed from the
+    per-document histogram OF COUNTS (m_v = how many characters occur
+    exactly v times), so the float fold runs over integer-sorted count
+    values — no string collation anywhere near the fold order, and
+    each ``ln`` is the bit-portable integer series evaluated INLINE
+    (``portable_math.lnint_inline_sql``) inside the row.
+
+    Scale: ZERO shuffles — the character histogram, the count-of-counts
+    reduction, and the entropy fold are all expression-tree array ops
+    inside one scan projection (entropy is a per-row scalar; shipping
+    per-char rows through an exchange, as the oracle restatement does,
+    would be pure shuffle waste at 100 TB).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lnv = PM.lnint_inline_sql("p.v")
+    expr = f"""
+      aggregate(
+        transform(
+          array_sort(array_distinct(__counts)),
+          v -> struct(v AS v, size(filter(__counts, c -> c = v)) AS m)),
+        CAST(0 AS DOUBLE),
+        (a, p) -> a + CAST(p.m AS DOUBLE) * CAST(p.v AS DOUBLE) * {lnv})
+    """
+    staged = (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"), "text")
+        .withColumn(
+            "__chars",
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"),
+        )
+        .withColumn(
+            "__counts",
+            F.expr(
+                "transform(array_distinct(__chars),"
+                " d -> CAST(size(filter(__chars, x -> x = d)) AS BIGINT))"
+            ),
+        )
+        .withColumn("n_distinct", F.size("__counts").cast("long"))
+        .withColumn("__acc", F.expr(expr))
+    )
+    staged = PM.stage_spark_lnint(staged, "n_chars", "__lnn_")
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct",
+        F.expr(
+            f"round(({PM.lnint_sql('__lnn_')}) - __acc / CAST(n_chars AS DOUBLE), 6)"
+            " + CAST(0 AS DOUBLE)"
+        ).alias("entropy6"),
+    )

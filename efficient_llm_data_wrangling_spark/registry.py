@@ -76,6 +76,10 @@ _NEVER_GRADED: tuple[str, ...] = (
 
 _NEW_IN_R5: tuple[str, ...] = (
     "knn_ivf_codebook_table",
+    "char_entropy_documents",
+    "ccnet_perplexity_buckets",
+    "semdedup_clustered",
+    "epoch_upsample_by_source",
 )
 
 _STALE_FILL: tuple[str, ...] = (
