@@ -56,6 +56,10 @@ HEADLINE = [
     "bm25_top_docs",
     "substring_dedup_windows",
     "knn_ivf_pq",
+    # round-5 families (no prior-round ratio baseline yet — these rows
+    # seed the r5 calibration history for r6's comparison)
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
 ]
 
 

@@ -927,3 +927,134 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") >= _K_ANON).alias("k_anonymous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram target/raw log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature bucket count. DSIR (Xie et al. 2023) uses 1e4-1e8
+#: buckets; 64 keeps real collisions at test vocab size. The portable
+#: char-fold hash ((a*31 + ascii) mod 1000003) evaluates bit-identically
+#: on both engines (integers only).
+_DSIR_K = 64
+
+_DSIR_BUCKET_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, c) -> (a * 31 + c) % 1000003) % {_DSIR_K}"
+)
+
+_DSIR_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, lang, i AS pos, toks[i + 1] AS tok
+      FROM t, unnest(range(len(toks))) AS u(i)),
+vocab AS (SELECT DISTINCT tok FROM w),
+vb AS (SELECT tok, CAST({_DSIR_BUCKET_SQL} AS BIGINT) AS bucket FROM vocab),
+occ AS (SELECT w.doc_id, w.lang, w.pos, vb.bucket FROM w JOIN vb USING (tok)),
+bc AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM occ GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS t_total, CAST(sum(cr) AS BIGINT) AS r_total
+  FROM bc
+),
+bx AS (SELECT bc.*, tot.t_total, tot.r_total FROM bc CROSS JOIN tot),
+{PM.duck_lnint_ctes("bx", "d0", "ct + 1", "__lct_")},
+{PM.duck_lnint_ctes("d0", "d1", f"t_total + {_DSIR_K}", "__ltt_")},
+{PM.duck_lnint_ctes("d1", "d2", "cr + 1", "__lcr_")},
+{PM.duck_lnint_ctes("d2", "d3", f"r_total + {_DSIR_K}", "__lrr_")},
+lr AS (
+  SELECT bucket,
+         (({PM.lnint_sql("__lct_")}) - ({PM.lnint_sql("__ltt_")}))
+         - (({PM.lnint_sql("__lcr_")}) - ({PM.lnint_sql("__lrr_")})) AS term
+  FROM d3
+)
+SELECT o.doc_id,
+       any_value(o.lang) AS lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lr.term ORDER BY o.pos)),
+                         (a, x) -> a + x), 6) + CAST(0 AS DOUBLE) AS dsir_weight_6
+FROM occ o JOIN lr USING (bucket)
+GROUP BY o.doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("corpusops", "curation", "sampling"))
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a TARGET distribution (here the
+    ``lang = 'en'`` slice standing in for the high-quality target set)
+    against the RAW corpus, over HASHED unigram features — the cheap,
+    model-free data-selection signal used to pick pretraining subsets
+    that match a target domain. Per bucket b: lr(b) =
+    ln((ct+1)/(T+K)) - ln((cr+1)/(R+K)) (Laplace-smoothed), and each
+    document sums lr over its token occurrences in position order.
+
+    Portability: the feature hash is an integer char-fold (identical
+    on both engines), every ln is the bit-portable integer series
+    (functions/portable_math.py), and the per-doc sum folds in token
+    position order — bit-identical before 6-decimal rounding at any SF.
+
+    Scale: token occurrences reduce to (doc_id, pos, bucket) right
+    after a broadcast join through the DISTINCT-token → bucket map
+    (vocab-sized); bucket statistics are K rows, and the K-row
+    log-ratio table broadcasts back into the scoring join. The only
+    data-sized shuffles are the distinct-vocab aggregate and the
+    per-doc fold — raw text never shuffles.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", _toks_col().alias("toks"))
+    w = t.select("doc_id", "lang", F.posexplode("toks").alias("pos", "tok"))
+    vb = (
+        w.select("tok")
+        .distinct()
+        .select("tok", F.expr(
+            "aggregate(split(tok, ''), CAST(7 AS BIGINT), "
+            f"(a, c) -> (a * 31 + CAST(ascii(c) AS BIGINT)) % 1000003) % {_DSIR_K}"
+        ).cast("long").alias("bucket"))
+    )
+    occ = w.join(F.broadcast(vb), "tok").select("doc_id", "lang", "pos", "bucket")
+    bc = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").cast("long").alias("t_total"),
+        F.sum("cr").cast("long").alias("r_total"),
+    )
+    bx = bc.crossJoin(F.broadcast(tot))
+    bx = PM.stage_spark_lnint(bx, "ct + 1", "__lct_")
+    bx = PM.stage_spark_lnint(bx, f"t_total + {_DSIR_K}", "__ltt_")
+    bx = PM.stage_spark_lnint(bx, "cr + 1", "__lcr_")
+    bx = PM.stage_spark_lnint(bx, f"r_total + {_DSIR_K}", "__lrr_")
+    lr = bx.select(
+        "bucket",
+        F.expr(
+            f"(({PM.lnint_sql('__lct_')}) - ({PM.lnint_sql('__ltt_')}))"
+            f" - (({PM.lnint_sql('__lcr_')}) - ({PM.lnint_sql('__lrr_')}))"
+        ).alias("term"),
+    )
+    return (
+        occ.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("__pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(
+                "round(aggregate(__pairs, CAST(0 AS DOUBLE), (a, x) -> a + x.term), 6)"
+                " + CAST(0 AS DOUBLE)"
+            ).alias("dsir_weight_6"),
+        )
+    )

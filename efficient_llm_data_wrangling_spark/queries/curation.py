@@ -827,3 +827,68 @@ def epoch_upsample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_milli",
         F.explode(F.expr("sequence(1L, __n_rep)")).alias("copy_ix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture weights (alpha sampling)
+# ---------------------------------------------------------------------------
+
+_TEMPERATURE_ORACLE = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+d AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+                        list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+           (a, x) -> a + x) AS denom
+  FROM c
+)
+SELECT c.source, c.n_docs,
+       round(sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom, 6) + CAST(0 AS DOUBLE)
+         AS weight_6,
+       CAST(floor(sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom
+                  * CAST(t.total AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS expected_docs
+FROM c CROSS JOIN d CROSS JOIN t
+"""
+
+
+@query("temperature_mixture_weights", oracle=_TEMPERATURE_ORACLE, tags=("curation", "sampling"))
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual alpha-sampling
+    rule of mC4 / XLM-R: sample source s with probability proportional
+    to p_s^alpha), at alpha = 1/2 so the power is ``sqrt`` — an
+    IEEE-754 correctly-rounded primitive, hence bit-identical across
+    engines with no portable-series machinery. Emits, per source, the
+    raw document count, the normalized sampling weight, and the
+    expected documents drawn per epoch (floor(x+0.5) exact rounding).
+    The normalizing denominator folds the per-source sqrts in SOURCE
+    ORDER on both engines, so the float sum is order-pinned.
+
+    Scale: one count aggregate over the corpus; everything after runs
+    on |sources| rows (tens) — the weight table is the driver-sized
+    artifact a mixture-sampling stage broadcasts. No data-sized
+    shuffle beyond the count itself.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    c = c.withColumn("__s", F.expr("sqrt(CAST(n_docs AS DOUBLE))"))
+    g = c.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, __s))),"
+            " CAST(0 AS DOUBLE), (a, x) -> a + x.__s)"
+        ).alias("denom"),
+    )
+    return c.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        F.expr("round(__s / denom, 6) + CAST(0 AS DOUBLE)").alias("weight_6"),
+        F.expr(
+            "CAST(floor(__s / denom * CAST(total AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("expected_docs"),
+    )

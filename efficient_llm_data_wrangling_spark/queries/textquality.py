@@ -612,3 +612,79 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(0 AS DOUBLE)"
         ).alias("entropy6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / tokenizer-fertility report per language
+# ---------------------------------------------------------------------------
+
+#: Top-V vocabulary size. 16 is the test-scale stand-in for the 32k-64k
+#: entries of a real tokenizer vocabulary; the election and the report
+#: are V-independent.
+_VOCAB_V = 16
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT lang, unnest(toks) AS tok FROM t),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
+topv AS (SELECT tok FROM vocab ORDER BY cnt DESC, tok LIMIT {_VOCAB_V}),
+cov AS (
+  SELECT w.lang,
+         CAST(count(*) AS BIGINT) AS tok_total,
+         CAST(count(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS oov_total
+  FROM w LEFT JOIN topv v USING (tok)
+  GROUP BY w.lang
+),
+dl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+SELECT cov.lang, dl.n_docs, cov.tok_total, cov.oov_total,
+       cov.oov_total * 1000 // cov.tok_total AS oov_permille,
+       cov.tok_total * 1000 // dl.n_docs AS toks_per_doc_milli
+FROM cov JOIN dl USING (lang)
+"""
+
+
+@query("vocab_coverage_by_lang", oracle=_VOCAB_COVERAGE_ORACLE, tags=("textquality", "curation"))
+def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit per language: elect the
+    top-V corpus vocabulary (count-desc, token-asc tiebreak — fully
+    deterministic), then report per language the token volume, the
+    out-of-vocabulary occurrence count, OOV rate in exact per-mille,
+    and mean tokens/document in exact milli-units. This is the fertility
+    / coverage report every multilingual corpus build publishes before
+    committing to a tokenizer (high OOV or fertility in a language
+    means its text fragments into bytes and trains poorly).
+
+    Scale: the vocabulary aggregate is the only data-sized shuffle; the
+    top-V election is a TakeOrdered (no single-partition sort of the
+    vocab), and the V-row vocabulary broadcasts into the coverage join
+    — the exploded token stream joins map-side, then reduces to
+    |langs| rows. All counters exact integers.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(_toks_col()).alias("tok"))
+    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    topv = (
+        vocab.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(1).alias("__in_v"))
+    )
+    cov = (
+        w.join(F.broadcast(topv), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tok_total"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_total"),
+        )
+    )
+    dl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return cov.join(F.broadcast(dl), "lang").select(
+        "lang",
+        "n_docs",
+        "tok_total",
+        "oov_total",
+        F.expr("oov_total * 1000 div tok_total").alias("oov_permille"),
+        F.expr("tok_total * 1000 div n_docs").alias("toks_per_doc_milli"),
+    )

@@ -80,6 +80,9 @@ _NEW_IN_R5: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "semdedup_clustered",
     "epoch_upsample_by_source",
+    "temperature_mixture_weights",
+    "vocab_coverage_by_lang",
+    "dsir_importance_weights",
 )
 
 _STALE_FILL: tuple[str, ...] = (

@@ -193,3 +193,24 @@ def test_k_anonymity_groups(spark):
     n = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").count()
     assert sum(r.group_size for r in rows) == n
     assert all(r.k_anonymous == (r.group_size >= 5) for r in rows)
+
+
+def test_dsir_target_scores_above_raw(spark):
+    """DSIR property: documents drawn from the TARGET slice (lang='en')
+    must average a higher importance weight than non-target documents —
+    the whole point of the log-likelihood-ratio score. Also: weights of
+    a uniform-ish corpus stay finite and the per-doc token count
+    matches the whitespace tokenization."""
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        dsir_importance_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = dsir_importance_weights(spark, SF_SMOKE).collect()
+    assert rows
+    en = [r.dsir_weight_6 for r in rows if r.lang == "en"]
+    other = [r.dsir_weight_6 for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    assert all(abs(r.dsir_weight_6) < 1e6 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)

@@ -262,3 +262,25 @@ def test_temporal_behavior_plan_shapes(spark):
     assert shuffles(p) == 0 and "TakeOrdered" in p
     for q in (funnel_view_click_purchase, markov_event_transitions, pagerank_trade_network):
         assert "Cartesian" not in _plan(q(spark, SF_SMOKE))
+
+
+def test_temperature_weights_normalize_and_flatten(spark):
+    """Alpha-sampling invariants: weights sum to 1 (up to fold
+    rounding), every weight is positive, and α=½ FLATTENS the mixture —
+    the max/min weight ratio must not exceed sqrt(max/min count)."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        temperature_mixture_weights,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = temperature_mixture_weights(spark, SF_SMOKE).collect()
+    assert rows
+    s = sum(r.weight_6 for r in rows)
+    assert abs(s - 1.0) < 1e-4  # round-6 per-row truncation accumulates
+    assert all(r.weight_6 > 0 for r in rows)
+    hi, lo = max(rows, key=lambda r: r.n_docs), min(rows, key=lambda r: r.n_docs)
+    assert hi.weight_6 / lo.weight_6 <= math.sqrt(hi.n_docs / lo.n_docs) + 1e-6
+    total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.expected_docs for r in rows) - total) <= len(rows)

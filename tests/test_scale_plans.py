@@ -145,6 +145,32 @@ def test_join_skew_report_window_input_is_histogram(spark):
     assert "HashAggregate(keys=[cnt#" in below, plan
 
 
+def test_ccnet_window_input_is_histogram(spark):
+    """ccnet_perplexity_buckets reuses the join_skew_report pattern: the
+    tertile cutoffs are elected by a window over the DISTINCT milli-score
+    histogram, never by globally sorting documents. Pin that the only
+    single-partition exchanges feed off the lp_milli-keyed histogram
+    aggregate (bounded by the score range, ~1e4 rows at any corpus size)."""
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        ccnet_perplexity_buckets,
+    )
+
+    plan = _plan(ccnet_perplexity_buckets(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert single, plan
+    for i in single:
+        below = "\n".join(lines[i + 1 : i + 3])
+        # every global stage must be row-bounded: either a scalar
+        # aggregate (keys=[] — one partial row per input partition) or
+        # the milli-score histogram aggregate (|distinct scores| rows)
+        assert (
+            "HashAggregate(keys=[]" in below
+            or "HashAggregate(keys=[lp_milli" in below
+        ), plan
+    assert "Sort [lp_milli" not in plan  # no global doc sort anywhere
+
+
 def test_sessionize_single_exchange(spark):
     """Gap sessionization must be ONE shuffle on user_id: lag window,
     running-sum window, and the groupBy all reuse the same hash

@@ -176,3 +176,27 @@ def test_textquality_plan_shapes(spark):
 
     p = _plan(knn_ivf_pq(spark, SF_SMOKE))
     assert "Cartesian" not in p and "EvalPython" not in p
+
+
+def test_vocab_coverage_conservation(spark):
+    """Coverage-report invariants: per-lang token totals sum to the
+    corpus token count, OOV never exceeds the total, and the per-mille/
+    milli units are the exact integer divisions of their parts."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _toks_col,
+        vocab_coverage_by_lang,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = vocab_coverage_by_lang(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus_toks = docs.select(F.explode(_toks_col()).alias("t")).count()
+    assert sum(r.tok_total for r in rows) == corpus_toks
+    for r in rows:
+        assert 0 <= r.oov_total <= r.tok_total
+        assert r.oov_permille == r.oov_total * 1000 // r.tok_total
+        assert r.toks_per_doc_milli == r.tok_total * 1000 // r.n_docs
