@@ -1,0 +1,57 @@
+"""CLI twin of the reference run_wrangler.py (cli.py): argparse surface,
+task dispatch by path segment, and a hermetic end-to-end run with the
+offline golden client over a synthetic transformation benchmark dir."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from efficient_llm_data_wrangling_spark.cli import build_parser, main, task_for_dir
+
+
+def test_task_dispatch_by_segment():
+    assert task_for_dir("data/datasets/entity_matching/structured/Beer") == "entity_matching"
+    assert task_for_dir("/x/data_imputation/Buy") == "data_imputation"
+    assert task_for_dir("/x/error_detection/Hospital") == "error_detection_spelling"
+    assert task_for_dir("/x/data_transformation/benchmark-y") == "data_transformation"
+    with pytest.raises(ValueError):
+        task_for_dir("/x/unknown/dir")
+
+
+def test_parser_matches_reference_surface():
+    """run_wrangler.py:61-112 flags, same defaults."""
+    args = build_parser().parse_args(["--data_dir", "/x/data_transformation/b"])
+    assert (args.k, args.d, args.num_iter, args.num_run) == (3, 100, 1, -1)
+    assert (args.num_trials, args.sample_method, args.seed) == (1, "random", 1234)
+    assert (args.sep_tok, args.nan_tok, args.class_balanced) == ("^", "nan", False)
+
+
+def test_cli_end_to_end_offline_golden(spark, tmp_path):
+    """Full lifecycle through the CLI: read a transformation benchmark
+    file (// instruction + input\\t\\toutput rows in the golden date
+    format), synthesize via the offline golden client, apply, score.
+    The golden function is exactly right, so acc == 1.0."""
+    bench = tmp_path / "data_transformation" / "benchmark-dates"
+    bench.mkdir(parents=True)
+    rows = ["// reformat the date"]
+    for i in range(1, 21):
+        rows.append(f"2024-03-{i:02d} 00:00:00\t\tMar {i:02d}, 2024")
+    (bench / "dates.txt").write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "out"
+    report = main([
+        "--data_dir", str(bench),
+        "--output_dir", str(out),
+        "--offline-golden",
+        "--k", "3",
+        "--d", "5",
+        "--master", "local[4]",
+    ])
+    assert report["task"] == "data_transformation"
+    assert len(report["tasks"]) == 1
+    t = report["tasks"][0]
+    assert t["total"] == 17  # 20 rows - k=3 train
+    assert t["crc"] == t["total"] and t["acc"] == 1.0
+    assert (out / "metrics.json").exists()
