@@ -291,3 +291,52 @@ def stream_upsert_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="elldw_upsert_sink_")
     latest = S.upsert_totals_to_parquet(S.stream_events(spark, sf_dir), base)
     return spark.read.parquet(latest)
+
+
+_INGEST_DEDUP_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+existing AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+SELECT d.doc_id, e.h IS NULL AS is_new_vs_corpus
+FROM documents d LEFT JOIN existing e ON md5(d.text) = e.h
+"""
+
+
+@query("stream_ingest_dedup", oracle=_INGEST_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup probe — the streaming twin of
+    ``incremental_dedup_batch``: the documents table ARRIVES as a file
+    stream and every document is checked against the standing corpus's
+    hash index (here the planted clone/mutant population of the
+    synthetic corpus, ids ≥ 1e6). Clones share text with a streamed doc
+    → flagged duplicate; mutants are trimmed → new. Stateless
+    stream-static left join, so unlike the watermark-bounded
+    ``stream_dedup_watermark`` the verdict is a pure function of the
+    input — which is what makes this the ONE streaming dedup with a
+    full value-hash oracle.
+
+    Scale: the standing index is the persisted dedup artifact the
+    batch op maintains (16 bytes/doc); it broadcasts while it fits and
+    degrades to a shuffled stream-static join (with a Bloom prefilter)
+    beyond that. Only (doc_id, h) flows through the stream."""
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
+
+    standing = (
+        _corpus_with_dups(spark, sf_dir)
+        .filter(F.col("doc_id") >= 1000000)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    out = S.run_to_memory(
+        S.ingest_dedup_probe(S.stream_documents(spark, sf_dir), standing),
+        _sink("ingest_dedup"),
+        "append",
+    )
+    return out

@@ -83,6 +83,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "temperature_mixture_weights",
     "vocab_coverage_by_lang",
     "dsir_importance_weights",
+    "stream_ingest_dedup",
 )
 
 _STALE_FILL: tuple[str, ...] = (

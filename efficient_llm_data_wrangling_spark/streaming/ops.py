@@ -64,21 +64,33 @@ from pyspark.sql.types import (
 
 from efficient_llm_data_wrangling_spark.session import tune
 
-def _stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, table: str = "events") -> str:
     """File-stream sources monitor a DIRECTORY; the test data ships
-    ``events`` as a single parquet file. Mirror it (symlink) into a
+    each table as a single parquet file. Mirror it (symlink) into a
     per-sf temp directory — the exact shape a production drop-folder /
     object-store prefix source has, with zero data copying."""
-    src = Path(sf_dir.rstrip("/")) / "events.parquet"
-    mirror = Path(tempfile.gettempdir()) / "elldw_stream" / src.parent.name / "events"
+    src = Path(sf_dir.rstrip("/")) / f"{table}.parquet"
+    mirror = Path(tempfile.gettempdir()) / "elldw_stream" / src.parent.name / table
     mirror.mkdir(parents=True, exist_ok=True)
-    link = mirror / "events.parquet"
+    link = mirror / f"{table}.parquet"
     if not link.exists():
         try:
             link.symlink_to(src)
         except FileExistsError:
             pass
     return str(mirror)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file stream — the arriving-batch side
+    of ingest-time operators (dedup probe, quality gating). No event
+    time exists on documents, so downstream ops must be stateless or
+    carry their own keys; schema comes from the parquet footer like
+    :func:`stream_events`."""
+    tune(spark)
+    path = _stream_dir(sf_dir, table="documents")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,6 +301,28 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
         ["user_id", "event_type"]
     )
     return deduped.select("user_id", "event_type")
+
+
+def ingest_dedup_probe(stream_docs: DataFrame, standing_hashes: DataFrame) -> DataFrame:
+    """Ingest-time dedup probe: every arriving document is checked
+    against the STANDING corpus's hash index (a static frame of
+    distinct text hashes, column ``h``) — the streaming half of
+    ``incremental_dedup_batch``. Stateless stream-static left join:
+    no watermark, no state store; the verdict rides along per row as
+    the admission manifest.
+
+    Scale: the standing index is the persisted dedup artifact (16
+    bytes/doc), broadcast when it fits, shuffled-join otherwise; a
+    Bloom prefilter (operators/dedup.py's portable Bloom) in front
+    drops the obvious-new majority before the join at full corpus
+    size. Raw text never leaves the scan — only (doc_id, h) flows."""
+    keyed = stream_docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    probed = keyed.join(
+        F.broadcast(standing_hashes.withColumn("__seen", F.lit(1))), "h", "left"
+    )
+    return probed.select("doc_id", F.col("__seen").isNull().alias("is_new_vs_corpus"))
 
 
 # ---------------------------------------------------------------------------

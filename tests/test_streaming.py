@@ -233,3 +233,33 @@ def test_upsert_sink_multibatch_snapshot_equals_batch_groupby(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_ingest_dedup_probe_is_stateless_and_exact(spark):
+    """The ingest-time dedup probe must (a) flag EXACTLY the streamed
+    documents whose text a standing-corpus clone shares (doc_id % 7 ==
+    0 in the synthetic corpus — mutants are trimmed, so they never
+    match), and (b) run stateless: a pure stream-static join keeps no
+    state store, so the probe's cost per micro-batch is the join alone,
+    independent of how long the stream has been running."""
+    from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
+
+    standing = (
+        _corpus_with_dups(spark, SF_SMOKE)
+        .filter(F.col("doc_id") >= 1000000)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    out = S.run_to_memory(
+        S.ingest_dedup_probe(S.stream_documents(spark, SF_SMOKE), standing),
+        "t_ingest_dedup_test",
+        "append",
+    )
+    rows = {r.doc_id: r.is_new_vs_corpus for r in out.collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()
+    assert set(rows) == {r.doc_id for r in docs}  # every arrival gets a verdict
+    for doc_id, is_new in rows.items():
+        assert is_new == (doc_id % 7 != 0), doc_id
+    # stateless: no state-store operator in the last executed plan
+    q = [q for q in spark.streams.active]
+    assert not q  # availableNow drained and stopped
