@@ -688,3 +688,75 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("oov_total * 1000 div tok_total").alias("oov_permille"),
         F.expr("tok_total * 1000 div n_docs").alias("toks_per_doc_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair-count merge round (tokenizer training core step)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS tok FROM t),
+types AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
+pairs AS (
+  SELECT substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b, cnt
+  FROM types, unnest(range(1, length(tok))) AS u(i)
+),
+pc AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_count FROM pairs GROUP BY a, b),
+win AS (
+  SELECT a AS wa, b AS wb FROM pc
+  ORDER BY pair_count DESC, a, b LIMIT 1
+)
+SELECT pc.a, pc.b, pc.pair_count,
+       pc.a = win.wa AND pc.b = win.wb AS is_top_pair
+FROM pc CROSS JOIN win
+"""
+
+
+@query("bpe_merge_round", oracle=_BPE_ORACLE, tags=("textquality", "curation"))
+def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round (Sennrich et al. 2016): count adjacent
+    character-pair frequencies across the corpus — weighted by WORD
+    TYPE frequency, the standard formulation — and elect the merge
+    winner by (count DESC, pair ASC), fully deterministic. Output is
+    the whole pair table with the winner flagged: the artifact a
+    tokenizer-training loop consumes per round.
+
+    Scale: the corpus reduces to the word-type histogram in one
+    shuffle (the same vocab aggregate every text query shares at 100
+    TB — word TYPES number millions, not trillions); pair explosion
+    and counting run on the vocab, not the corpus, and the 1-row
+    winner broadcasts back. Subsequent rounds would re-tokenize the
+    type table only — corpus text is never touched again.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(_toks_col()).alias("tok"))
+    types = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # length >= 2 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where
+    # DuckDB's range(1, 1) is empty — 1-char tokens have no pairs
+    pairs = (
+        types.filter(F.length("tok") >= 2)
+        .select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> struct(substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b))"
+                )
+            ).alias("__pos", "p"),
+            "cnt",
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+    )
+    pc = pairs.groupBy("a", "b").agg(F.sum("cnt").cast("long").alias("pair_count"))
+    win = (
+        pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    )
+    return pc.crossJoin(F.broadcast(win)).select(
+        "a",
+        "b",
+        "pair_count",
+        ((F.col("a") == F.col("wa")) & (F.col("b") == F.col("wb"))).alias("is_top_pair"),
+    )

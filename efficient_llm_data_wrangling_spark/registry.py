@@ -84,6 +84,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "vocab_coverage_by_lang",
     "dsir_importance_weights",
     "stream_ingest_dedup",
+    "bpe_merge_round",
 )
 
 _STALE_FILL: tuple[str, ...] = (
