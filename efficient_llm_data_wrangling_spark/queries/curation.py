@@ -892,3 +892,137 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
         ).alias("expected_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report (per-stage attrition)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+firsts AS (SELECT md5(text) AS h, min(doc_id) AS first_id FROM documents GROUP BY 1),
+m AS (
+  SELECT t.doc_id, t.n_chars,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                     (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mean_len_milli,
+         CAST(len(list_filter(toks, x -> list_contains(
+           ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+           AS stopword_hits,
+         CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+                   AS BIGINT) // len(toks) END AS alpha_pct,
+         t.doc_id = f.first_id AS is_first
+  FROM t JOIN firsts f ON md5(t.text) = f.h
+),
+c AS (
+  SELECT m.*,
+         is_first AS c1,
+         is_first AND (n_words BETWEEN 20 AND 1000)
+           AND (mean_len_milli BETWEEN 3000 AND 10000)
+           AND stopword_hits >= 1 AND alpha_pct >= 80 AS c2
+  FROM m
+),
+cc AS (
+  SELECT c.*,
+         c2 AND (n_words - n_distinct) * 2 < n_words AS c3
+  FROM c
+),
+ccc AS (SELECT cc.*, c3 AND n_chars BETWEEN 100 AND 2000 AS c4 FROM cc),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS s0,
+         CAST(count(*) FILTER (WHERE c1) AS BIGINT) AS s1,
+         CAST(count(*) FILTER (WHERE c2) AS BIGINT) AS s2,
+         CAST(count(*) FILTER (WHERE c3) AS BIGINT) AS s3,
+         CAST(count(*) FILTER (WHERE c4) AS BIGINT) AS s4
+  FROM ccc
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_ix, 'raw' AS stage, s0 AS n_docs,
+         CAST(0 AS BIGINT) AS dropped_vs_prev FROM agg
+  UNION ALL
+  SELECT 1, 'exact_dedup', s1, s0 - s1 FROM agg
+  UNION ALL
+  SELECT 2, 'gopher_rules', s2, s1 - s2 FROM agg
+  UNION ALL
+  SELECT 3, 'repetition', s3, s2 - s3 FROM agg
+  UNION ALL
+  SELECT 4, 'length_band', s4, s3 - s4 FROM agg
+)
+"""
+
+
+@query("curation_funnel_report", oracle=_FUNNEL_ORACLE, tags=("curation", "quality"))
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition through the cumulative curation funnel —
+    the release artifact a pipeline owner reviews before committing a
+    filter chain (every published pipeline reports one: C4's table 1,
+    Gopher A1, RefinedWeb fig. 2). Stages compose the engine's own
+    graded filters: exact first-occurrence dedup → Gopher rule filter
+    (reusing ``gopher_quality_filter``'s per-doc frame) → duplicate-
+    word-ratio < 0.5 in exact integers ((n_words − n_distinct)·2 <
+    n_words — no doubles anywhere) → n_chars length band. Output is
+    (stage_ix, stage, n_docs, dropped_vs_prev).
+
+    Scale: one corpus pass computes all per-doc flags (the dedup flag
+    is the usual 16-byte hash group-min join — raw text never
+    shuffles), ONE single-row aggregate holds the five cumulative
+    counts, and the 5-row funnel explodes from that row. No
+    per-stage rescans — the funnel costs the same as one filter.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        gopher_quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda t: t != "")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    firsts = keyed.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", "n_words", "passes"
+    )
+    flags = (
+        keyed.join(firsts, "h")
+        .join(g, "doc_id")
+        .select(
+            (F.col("doc_id") == F.col("first_id")).alias("c1"),
+            "passes", "n_words", "n_distinct", "n_chars",
+        )
+        .withColumn("c2", F.col("c1") & F.col("passes"))
+        .withColumn(
+            "c3", F.col("c2") & ((F.col("n_words") - F.col("n_distinct")) * 2 < F.col("n_words"))
+        )
+        .withColumn("c4", F.col("c3") & F.col("n_chars").between(100, 2000))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("s0"),
+        F.sum(F.when(F.col("c1"), 1).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("c2"), 1).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(F.col("c3"), 1).otherwise(0)).cast("long").alias("s3"),
+        F.sum(F.when(F.col("c4"), 1).otherwise(0)).cast("long").alias("s4"),
+    )
+    stages = F.expr(
+        "array(named_struct('stage_ix', 0L, 'stage', 'raw', 'n_docs', s0, 'dropped_vs_prev', 0L),"
+        " named_struct('stage_ix', 1L, 'stage', 'exact_dedup', 'n_docs', s1, 'dropped_vs_prev', s0 - s1),"
+        " named_struct('stage_ix', 2L, 'stage', 'gopher_rules', 'n_docs', s2, 'dropped_vs_prev', s1 - s2),"
+        " named_struct('stage_ix', 3L, 'stage', 'repetition', 'n_docs', s3, 'dropped_vs_prev', s2 - s3),"
+        " named_struct('stage_ix', 4L, 'stage', 'length_band', 'n_docs', s4, 'dropped_vs_prev', s3 - s4))"
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage_ix").alias("stage_ix"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_docs").alias("n_docs"),
+        F.col("s.dropped_vs_prev").alias("dropped_vs_prev"),
+    )

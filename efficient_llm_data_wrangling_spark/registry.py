@@ -85,6 +85,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "dsir_importance_weights",
     "stream_ingest_dedup",
     "bpe_merge_round",
+    "curation_funnel_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
