@@ -365,3 +365,83 @@ def repetition_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-store hygiene audit
+# --------------------------------------------------------------------------
+
+_NORM_REPORT_ORACLE = """
+WITH n AS (
+  SELECT label,
+         len(embedding) AS dims,
+         len(list_filter(embedding, x -> x IS NULL)) AS n_null_elems,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+            for i in range(1, len(embedding) + 1)]),
+           (x, y) -> x + y) AS norm2
+  FROM embeddings
+),
+m AS (
+  SELECT label, dims, n_null_elems,
+         CAST(floor(sqrt(norm2) * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           AS norm_milli,
+         norm2 = CAST(0 AS DOUBLE) AS is_zero
+  FROM n
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dims) AS BIGINT) AS dims_min,
+       CAST(max(dims) AS BIGINT) AS dims_max,
+       CAST(min(norm_milli) AS BIGINT) AS norm_milli_min,
+       CAST(max(norm_milli) AS BIGINT) AS norm_milli_max,
+       CAST(sum(norm_milli) AS BIGINT) // count(*) AS norm_milli_mean,
+       CAST(count(*) FILTER (WHERE is_zero) AS BIGINT) AS n_zero_vecs,
+       CAST(sum(n_null_elems) AS BIGINT) AS n_null_elems
+FROM m GROUP BY label
+"""
+
+
+@query("embedding_norm_report", oracle=_NORM_REPORT_ORACLE, tags=("quality", "similarity"))
+def embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store hygiene audit — the per-label report an embedding
+    pipeline publishes before an index build: vector counts, dimension
+    min/max (a mismatch means a broken producer), L2-norm distribution
+    in milli-units (exact integers after one identical-shape fold +
+    sqrt per row), zero-vector and null-element counts (both break
+    cosine ANN silently). Norm folds element-wise left-to-right with
+    per-element double casts — the same shape as the cosine fold every
+    similarity query uses, so the milli bucketing is bit-stable.
+
+    Scale: per-row scan-side math then ONE partial-aggregated shuffle
+    of |labels| rows; the wide embedding column never shuffles.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "label",
+        F.size("embedding").cast("long").alias("dims"),
+        F.expr("size(filter(embedding, x -> x is null))").cast("long").alias("n_null_elems"),
+        F.expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (x, y) -> x + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))"
+        ).alias("norm2"),
+    ).select(
+        "label",
+        "dims",
+        "n_null_elems",
+        F.expr(
+            "CAST(floor(sqrt(norm2) * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        ).alias("norm_milli"),
+        (F.col("norm2") == 0.0).alias("is_zero"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dims").cast("long").alias("dims_min"),
+        F.max("dims").cast("long").alias("dims_max"),
+        F.min("norm_milli").cast("long").alias("norm_milli_min"),
+        F.max("norm_milli").cast("long").alias("norm_milli_max"),
+        F.expr("CAST(sum(norm_milli) AS BIGINT) div count(1)").alias("norm_milli_mean"),
+        F.sum(F.when(F.col("is_zero"), 1).otherwise(0)).cast("long").alias("n_zero_vecs"),
+        F.sum("n_null_elems").cast("long").alias("n_null_elems"),
+    )

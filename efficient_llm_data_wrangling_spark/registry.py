@@ -86,6 +86,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "stream_ingest_dedup",
     "bpe_merge_round",
     "curation_funnel_report",
+    "embedding_norm_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
