@@ -203,3 +203,53 @@ def sample_frames(assets: DataFrame, every: int = 10) -> DataFrame:
         assets.filter(n_frames > 0)
         .select("doc_id", n_frames.alias("n_frames"), F.explode(idx).alias("frame_idx"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: per-frame energy over the payload body as 8-bit PCM
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 16  # samples per frame (test-scale stand-in for e.g. 400)
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak_frame", T.LongType()),
+        T.StructField("peak_energy", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(assets: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Audio feature extraction with the exact batch shape a real
+    librosa/torchaudio UDF has (binary Arrow in, per-asset scalars
+    out): the payload body is interpreted as unsigned 8-bit PCM,
+    framed at ``frame`` samples (trailing partial frame included),
+    and each frame's energy is Σ(b−128)² — exact integers end to end,
+    so the DuckDB oracle can recompute it from the hex of the same
+    bytes. Peak election is first-max (lowest frame index on ties),
+    matching a deterministic ``ORDER BY e DESC, f`` restatement.
+
+    Scale: mapInPandas streams Arrow batches; output is 5 scalars per
+    asset, so the wide payload never survives past this stage."""
+
+    def energize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"].values, "n_frames": [], "peak_frame": [],
+                   "peak_energy": [], "total_energy": []}
+            for buf in pdf["payload"]:
+                body = np.frombuffer(buf, dtype=np.uint8)[HEADER_LEN:].astype(np.int64)
+                sq = (body - 128) ** 2
+                starts = np.arange(0, len(sq), frame)
+                e = np.add.reduceat(sq, starts) if len(sq) else np.array([], dtype=np.int64)
+                out["n_frames"].append(len(e))
+                out["peak_frame"].append(int(np.argmax(e)) if len(e) else -1)
+                out["peak_energy"].append(int(e.max()) if len(e) else 0)
+                out["total_energy"].append(int(sq.sum()))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(assets).mapInPandas(energize, AUDIO_ENERGY_SCHEMA)

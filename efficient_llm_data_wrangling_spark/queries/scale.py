@@ -544,6 +544,52 @@ GROUP BY hx.doc_id
 )
 
 
+_MM_AUDIO_ORACLE = """
+WITH hx AS (SELECT doc_id, to_hex(encode(text)) AS h FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(t.p AS BIGINT) AS bi,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * t.p + 1 AS BIGINT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * t.p + 2 AS BIGINT), 1)) - 1) AS byte
+  FROM hx, unnest(range(0, length(h) // 2)) AS t(p)
+),
+fr AS (
+  SELECT doc_id, bi // 16 AS f,
+         CAST(sum((byte - 128) * (byte - 128)) AS BIGINT) AS e
+  FROM b GROUP BY 1, 2
+),
+pk AS (
+  SELECT doc_id, f, e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY e DESC, f) AS rn
+  FROM fr
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(e) AS BIGINT) AS total_energy
+  FROM fr GROUP BY doc_id
+)
+SELECT agg.doc_id, agg.n_frames, CAST(pk.f AS BIGINT) AS peak_frame,
+       pk.e AS peak_energy, agg.total_energy
+FROM agg JOIN pk ON agg.doc_id = pk.doc_id AND pk.rn = 1
+"""
+
+
+@query("multimodal_audio_energy", oracle=_MM_AUDIO_ORACLE, tags=("multimodal",))
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over the binary payload column: body
+    bytes as unsigned 8-bit PCM, framed at 16 samples, per-frame energy
+    Σ(b−128)² — exact integers end to end, so the oracle recomputes the
+    identical frames from ``to_hex(encode(text))``. Peak election is
+    first-max (ORDER BY e DESC, f), deterministic on both engines. The
+    Arrow-batched ``mapInPandas`` has the exact shape a librosa UDF
+    would have; only 5 scalars per asset survive the stage — the
+    payload never widens past the scan (the invariant that matters at
+    100 TB of audio)."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.audio_frame_energy(MM.with_payload(docs))
+
+
 @query("multimodal_byte_histogram", oracle=_MM_HIST_ORACLE, tags=("multimodal",))
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bin byte histogram per payload body — a real (non-stub)

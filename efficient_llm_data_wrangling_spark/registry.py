@@ -87,6 +87,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "bpe_merge_round",
     "curation_funnel_report",
     "embedding_norm_report",
+    "multimodal_audio_energy",
 )
 
 _STALE_FILL: tuple[str, ...] = (

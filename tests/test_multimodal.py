@@ -53,3 +53,19 @@ def test_decode_rejects_unknown_format():
     except ValueError:
         return
     raise AssertionError("expected ValueError for unknown payload format")
+
+
+def test_audio_energy_matches_python_recompute(spark):
+    """Exact per-frame PCM energy recompute: frames of 16 bytes, energy
+    = sum (b-128)^2, peak = first max, trailing partial frame counted."""
+    assets = _assets(spark)
+    got = {r["doc_id"]: r for r in MM.audio_frame_energy(assets).collect()}
+    for r in assets.collect():
+        body = bytes(r["payload"])[MM.HEADER_LEN:]
+        frames = [body[i : i + 16] for i in range(0, len(body), 16)]
+        energies = [sum((b - 128) ** 2 for b in f) for f in frames]
+        g = got[r["doc_id"]]
+        assert g["n_frames"] == len(energies)
+        assert g["total_energy"] == sum(energies)
+        assert g["peak_energy"] == max(energies)
+        assert g["peak_frame"] == energies.index(max(energies))
