@@ -945,8 +945,8 @@ _DSIR_BUCKET_SQL = (
     f"(a, c) -> (a * 31 + c) % 1000003) % {_DSIR_K}"
 )
 
-_DSIR_ORACLE = f"""
-WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+_DSIR_CTES = f"""
+t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
 w AS (SELECT doc_id, lang, i AS pos, toks[i + 1] AS tok
       FROM t, unnest(range(len(toks))) AS u(i)),
 vocab AS (SELECT DISTINCT tok FROM w),
@@ -973,40 +973,31 @@ lr AS (
          - (({PM.lnint_sql("__lcr_")}) - ({PM.lnint_sql("__lrr_")})) AS term
   FROM d3
 )
-SELECT o.doc_id,
-       any_value(o.lang) AS lang,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lr.term ORDER BY o.pos)),
-                         (a, x) -> a + x), 6) + CAST(0 AS DOUBLE) AS dsir_weight_6
-FROM occ o JOIN lr USING (bucket)
-GROUP BY o.doc_id
+,
+wdoc AS (
+  SELECT o.doc_id,
+         any_value(o.lang) AS lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lr.term ORDER BY o.pos)),
+                     (a, x) -> a + x) AS w
+  FROM occ o JOIN lr USING (bucket)
+  GROUP BY o.doc_id
+)
+"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_CTES.strip()}
+SELECT doc_id, lang, n_tokens,
+       round(w, 6) + CAST(0 AS DOUBLE) AS dsir_weight_6
+FROM wdoc
 """
 
 
-@query("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("corpusops", "curation", "sampling"))
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): score every document
-    by the log-likelihood ratio of a TARGET distribution (here the
-    ``lang = 'en'`` slice standing in for the high-quality target set)
-    against the RAW corpus, over HASHED unigram features — the cheap,
-    model-free data-selection signal used to pick pretraining subsets
-    that match a target domain. Per bucket b: lr(b) =
-    ln((ct+1)/(T+K)) - ln((cr+1)/(R+K)) (Laplace-smoothed), and each
-    document sums lr over its token occurrences in position order.
-
-    Portability: the feature hash is an integer char-fold (identical
-    on both engines), every ln is the bit-portable integer series
-    (functions/portable_math.py), and the per-doc sum folds in token
-    position order — bit-identical before 6-decimal rounding at any SF.
-
-    Scale: token occurrences reduce to (doc_id, pos, bucket) right
-    after a broadcast join through the DISTINCT-token → bucket map
-    (vocab-sized); bucket statistics are K rows, and the K-row
-    log-ratio table broadcasts back into the scoring join. The only
-    data-sized shuffles are the distinct-vocab aggregate and the
-    per-doc fold — raw text never shuffles.
-    """
+def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, w): per-doc DSIR log-likelihood-ratio
+    weight, position-ordered fold, UNROUNDED — the Spark twin of the
+    ``wdoc`` CTE in ``_DSIR_CTES``. Shared by the weight report and the
+    top-k selection."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", _toks_col().alias("toks"))
@@ -1053,8 +1044,98 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_tokens",
             F.expr(
-                "round(aggregate(__pairs, CAST(0 AS DOUBLE), (a, x) -> a + x.term), 6)"
-                " + CAST(0 AS DOUBLE)"
-            ).alias("dsir_weight_6"),
+                "aggregate(__pairs, CAST(0 AS DOUBLE), (a, x) -> a + x.term)"
+            ).alias("w"),
         )
+    )
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("corpusops", "curation", "sampling"))
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a TARGET distribution (here the
+    ``lang = 'en'`` slice standing in for the high-quality target set)
+    against the RAW corpus, over HASHED unigram features — the cheap,
+    model-free data-selection signal used to pick pretraining subsets
+    that match a target domain. Per bucket b: lr(b) =
+    ln((ct+1)/(T+K)) - ln((cr+1)/(R+K)) (Laplace-smoothed), and each
+    document sums lr over its token occurrences in position order.
+
+    Portability: the feature hash is an integer char-fold (identical
+    on both engines), every ln is the bit-portable integer series
+    (functions/portable_math.py), and the per-doc sum folds in token
+    position order — bit-identical before 6-decimal rounding at any SF.
+
+    Scale: token occurrences reduce to (doc_id, pos, bucket) right
+    after a broadcast join through the DISTINCT-token → bucket map
+    (vocab-sized); bucket statistics are K rows, and the K-row
+    log-ratio table broadcasts back into the scoring join. The only
+    data-sized shuffles are the distinct-vocab aggregate and the
+    per-doc fold — raw text never shuffles.
+    """
+    return _dsir_doc_weights(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("round(w, 6) + CAST(0 AS DOUBLE)").alias("dsir_weight_6"),
+    )
+
+
+_DSIR_TOPK_ORACLE = f"""
+WITH {_DSIR_CTES.strip()},
+ml AS (
+  SELECT doc_id, lang,
+         CAST(round(w * CAST(1000 AS DOUBLE)) AS BIGINT) AS w_milli
+  FROM wdoc
+),
+hist AS (SELECT w_milli AS v, CAST(count(*) AS BIGINT) AS freq FROM ml GROUP BY w_milli),
+hw AS (
+  SELECT v, sum(freq) OVER (ORDER BY v DESC) AS cum, sum(freq) OVER () AS d
+  FROM hist
+),
+cut AS (
+  SELECT CAST(max(CASE WHEN cum >= (d + 3) // 4 THEN v END) AS BIGINT) AS c
+  FROM hw
+)
+SELECT ml.doc_id, ml.lang, ml.w_milli, ml.w_milli >= cut.c AS selected
+FROM ml CROSS JOIN cut
+"""
+
+
+@query("dsir_select_topk", oracle=_DSIR_TOPK_ORACLE, tags=("corpusops", "curation", "sampling"))
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR end-to-end: turn the importance weights into the SELECTION
+    MANIFEST a pipeline materializes — admit the top ~25% of documents
+    by weight. The cut is elected from the milli-weight HISTOGRAM by
+    ceil-rank arithmetic (largest milli-weight whose descending
+    cumulative count reaches ⌈D/4⌉ — boundary ties share a verdict),
+    the same bounded-histogram pattern as ``ccnet_perplexity_buckets``
+    and ``join_skew_report``: documents are never globally sorted, and
+    the only single-partition stage spans the distinct milli-weights.
+
+    Scale: inherits the DSIR scoring plan (vocab-bucket broadcast, K-row
+    ratio table) plus one bounded-histogram election; the 1-row cut
+    broadcasts back. Output is the replayable admission manifest.
+    """
+    from pyspark.sql import Window
+
+    ml = _dsir_doc_weights(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(round(w * CAST(1000 AS DOUBLE)) AS BIGINT)").alias("w_milli"),
+    )
+    hist = ml.groupBy(F.col("w_milli").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    hw = hist.select(
+        "v",
+        F.sum("freq").over(Window.orderBy(F.desc("v"))).alias("cum"),
+        F.sum("freq").over(Window.partitionBy()).alias("d"),
+    )
+    cut = hw.agg(
+        F.max(F.expr("CASE WHEN cum >= (d + 3) div 4 THEN v END")).cast("long").alias("c")
+    )
+    return ml.crossJoin(F.broadcast(cut)).select(
+        "doc_id", "lang", "w_milli", (F.col("w_milli") >= F.col("c")).alias("selected")
     )

@@ -88,6 +88,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "curation_funnel_report",
     "embedding_norm_report",
     "multimodal_audio_energy",
+    "dsir_select_topk",
 )
 
 _STALE_FILL: tuple[str, ...] = (
