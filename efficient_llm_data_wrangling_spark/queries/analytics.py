@@ -1099,3 +1099,109 @@ def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") >= F.col("exact_count")).alias("overestimate_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate-percentile sketch accuracy report
+# --------------------------------------------------------------------------
+
+_APPROXQ_ORACLE = """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem
+),
+qs AS (SELECT unnest([50, 95]) AS qm),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY g),
+hist AS (SELECT g, c AS v, CAST(count(*) AS BIGINT) AS freq FROM c GROUP BY g, c),
+hw AS (
+  SELECT g, v, sum(freq) OVER (PARTITION BY g ORDER BY v) AS cum
+  FROM hist
+),
+exact AS (
+  SELECT hw.g, qs.qm,
+         CAST(min(CASE WHEN hw.cum >= (n.n * qs.qm + 99) // 100 THEN hw.v END) AS BIGINT)
+           AS exact_cents
+  FROM hw JOIN n USING (g) CROSS JOIN qs
+  GROUP BY hw.g, qs.qm
+)
+SELECT exact.g AS l_returnflag, CAST(exact.qm AS BIGINT) AS qm, n.n,
+       exact.exact_cents, TRUE AS ok_rank_bound
+FROM exact JOIN n USING (g)
+"""
+
+
+@query("approx_quantile_report", oracle=_APPROXQ_ORACLE, tags=("analytics", "sketch"))
+def approx_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gate for Spark's ``percentile_approx`` (the
+    Greenwald–Khanna quantile sketch — the O(1/ε)-memory single-pass
+    path a 100 TB percentile query MUST take): for p50/p95 of price
+    cents per return flag, compute the sketch estimate AND its exact
+    rank interval, then assert the GK guarantee — the estimate's rank
+    is within ±(n/accuracy + 1) of the target ceil-rank. The oracle
+    recomputes the exact quantiles by histogram rank election and
+    pins ``ok_rank_bound`` to TRUE, so a sketch drifting out of its
+    contract hash-mismatches (the ``countmin_user_counts`` precedent:
+    grade the BOUND, not the engine-specific estimate).
+
+    Scale: one pass for the sketch, one histogram aggregate + per-group
+    bounded window for the exact side, one broadcast join-back of 6
+    estimate rows for the rank probe. Exact values are integer cents.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+    )
+    approx = (
+        li.groupBy("g")
+        .agg(
+            F.percentile_approx("c", [0.5, 0.95], 1000).alias("aq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "g",
+            "n",
+            F.explode(
+                F.arrays_zip(F.array(F.lit(50), F.lit(95)).alias("qm"), F.col("aq").alias("a"))
+            ).alias("z"),
+        )
+        .select("g", "n", F.col("z.qm").cast("long").alias("qm"), F.col("z.a").cast("long").alias("a"))
+    )
+    ranks = (
+        li.join(F.broadcast(approx), "g")
+        .groupBy("g", "qm", "n", "a")
+        .agg(
+            F.sum(F.when(F.col("c") < F.col("a"), 1).otherwise(0)).cast("long").alias("rank_lo"),
+            F.sum(F.when(F.col("c") <= F.col("a"), 1).otherwise(0)).cast("long").alias("rank_hi"),
+        )
+    )
+    hist = li.groupBy("g", F.col("c").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    hw = hist.select(
+        "g", "v", F.sum("freq").over(Window.partitionBy("g").orderBy("v")).alias("cum")
+    )
+    exact = (
+        hw.join(F.broadcast(approx.select("g", "qm", "n").distinct()), "g")
+        .groupBy("g", "qm", "n")
+        .agg(
+            F.min(
+                F.expr("CASE WHEN cum >= (n * qm + 99) div 100 THEN v END")
+            ).cast("long").alias("exact_cents")
+        )
+    )
+    return (
+        ranks.join(exact, ["g", "qm", "n"])
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "qm",
+            "n",
+            "exact_cents",
+            (
+                (F.col("rank_hi") >= (F.expr("(n * qm + 99) div 100") - (F.col("n") / 1000).cast("long") - 1))
+                & (F.col("rank_lo") <= (F.expr("(n * qm + 99) div 100") + (F.col("n") / 1000).cast("long") + 1))
+            ).alias("ok_rank_bound"),
+        )
+    )

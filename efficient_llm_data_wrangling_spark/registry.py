@@ -89,6 +89,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "embedding_norm_report",
     "multimodal_audio_energy",
     "dsir_select_topk",
+    "approx_quantile_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
