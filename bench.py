@@ -56,8 +56,7 @@ HEADLINE = [
     "bm25_top_docs",
     "substring_dedup_windows",
     "knn_ivf_pq",
-    # round-5 families (no prior-round ratio baseline yet — these rows
-    # seed the r5 calibration history for r6's comparison)
+    # round-5 families (baselined in R5_RATIOS)
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
 ]
@@ -126,6 +125,42 @@ R4_RATIOS = {
     "bm25_top_docs": 2.912,
     "substring_dedup_windows": 8.259,
     "knn_ivf_pq": 5.238,
+}
+
+
+#: Round-5 per-query ratios to the fixed calibration workload (the
+#: builder's final r5 run: medians / calibration 0.267 s) — covers all
+#: 28 headline queries including the two round-5 additions, so every
+#: r6 number has a host-normalized baseline.
+R5_RATIOS = {
+    "pair_join_text": 2.213,
+    "pricing_summary": 2.697,
+    "comparator_tolerance": 5.929,
+    "window_top_order_per_customer": 1.037,
+    "filter_project_lineitem": 0.689,
+    "dedup_exact_documents": 0.925,
+    "dedup_minhash_lsh": 7.015,
+    "text_quality_documents": 2.551,
+    "knn_brute_force": 1.236,
+    "asof_join_events": 1.39,
+    "rollup_pricing": 3.056,
+    "multimodal_decode": 1.97,
+    "stream_tumbling_counts": 4.371,
+    "sessionize_events": 1.476,
+    "upsert_snapshot_orders": 1.442,
+    "connected_components_halving": 12.779,
+    "correlated_avg_qty_filter": 3.18,
+    "repetition_ratio_documents": 3.157,
+    "stream_stream_attribution": 9.993,
+    "chunk_documents_overlap": 0.944,
+    "pack_documents_token_budget": 0.828,
+    "decontaminate_ngram_overlap": 3.918,
+    "corpus_curation_pipeline": 3.356,
+    "bm25_top_docs": 3.509,
+    "substring_dedup_windows": 9.573,
+    "knn_ivf_pq": 5.637,
+    "ccnet_perplexity_buckets": 5.67,
+    "dsir_importance_weights": 6.176,
 }
 
 
@@ -203,6 +238,9 @@ def main() -> None:
     ratio_vs_r4 = {
         n: round(r / R4_RATIOS[n], 3) for n, r in ratios.items() if n in R4_RATIOS
     }
+    ratio_vs_r5 = {
+        n: round(r / R5_RATIOS[n], 3) for n, r in ratios.items() if n in R5_RATIOS
+    }
     print(
         json.dumps(
             {
@@ -216,6 +254,7 @@ def main() -> None:
                 "calibration_ratios": ratios,
                 "ratio_vs_r3": ratio_vs_r3,
                 "ratio_vs_r4": ratio_vs_r4,
+                "ratio_vs_r5": ratio_vs_r5,
                 "sf": sf,
             }
         )
