@@ -760,3 +760,73 @@ def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_count",
         ((F.col("a") == F.col("wa")) & (F.col("b") == F.col("wb"))).alias("is_top_pair"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token → character-offset mapping (span-annotation substrate)
+# ---------------------------------------------------------------------------
+
+_OFFSETS_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, text, i AS pos, toks[i + 1] AS tok,
+             CAST(length(toks[i + 1]) AS BIGINT) AS tlen
+      FROM t, unnest(range(len(toks))) AS u(i)),
+o AS (
+  SELECT doc_id, text, pos, tok, tlen,
+         CAST(coalesce(sum(tlen + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_char
+  FROM w
+)
+SELECT doc_id, pos, tok, start_char, start_char + tlen AS end_char,
+       substr(text, CAST(start_char + 1 AS BIGINT), CAST(tlen AS BIGINT)) = tok
+         AS matches_source
+FROM o
+"""
+
+
+@query("token_offsets_documents", oracle=_OFFSETS_ORACLE, tags=("textquality", "text"))
+def token_offsets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → character-offset map — the substrate every
+    span-annotation / span-dedup / NER-labeling pipeline needs before
+    it can project token-level labels back onto source text. Offsets
+    are over the single-space reconstruction (start = Σ preceding
+    lengths + separators, exact integers); ``matches_source``
+    round-trips each span through ``substr`` so any tokenizer/offset
+    drift is caught row-wise rather than downstream.
+
+    Scale: the cumulative offsets are built SCAN-SIDE as one
+    ``aggregate``-fold array per document (no window, no shuffle —
+    the oracle's window restatement is the semantic spec, not the
+    plan), then zipped and exploded. Zero exchanges end to end.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", _toks_col().alias("toks"))
+    withoffs = t.select(
+        "doc_id",
+        "text",
+        "toks",
+        F.expr(
+            "aggregate(toks, array(0L),"
+            " (acc, x) -> concat(acc, array(element_at(acc, -1) + length(x) + 1)))"
+        ).alias("__cum"),
+    )
+    z = withoffs.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.expr("zip_with(toks, slice(__cum, 1, size(toks)), (t, s) -> struct(t AS tok, s AS start_char))")
+        ).alias("pos", "z"),
+    )
+    return z.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("z.tok").alias("tok"),
+        F.col("z.start_char").cast("long").alias("start_char"),
+        (F.col("z.start_char") + F.length("z.tok")).cast("long").alias("end_char"),
+        (
+            F.expr("substring(text, z.start_char + 1, length(z.tok))") == F.col("z.tok")
+        ).alias("matches_source"),
+    )

@@ -90,6 +90,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "multimodal_audio_energy",
     "dsir_select_topk",
     "approx_quantile_report",
+    "token_offsets_documents",
 )
 
 _STALE_FILL: tuple[str, ...] = (
