@@ -830,3 +830,128 @@ def token_offsets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, z.start_char + 1, length(z.tok))") == F.col("z.tok")
         ).alias("matches_source"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-removal manifest (dup windows → merged character spans)
+# ---------------------------------------------------------------------------
+
+_SPAN_MANIFEST_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+w AS (SELECT doc_id, i AS pos, toks[i + 1] AS tok,
+             CAST(length(toks[i + 1]) AS BIGINT) AS tlen
+      FROM t, unnest(range(len(toks))) AS u(i)),
+o AS (
+  SELECT doc_id, pos, tlen,
+         CAST(coalesce(sum(tlen + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_char
+  FROM w
+),
+s AS (
+  SELECT t.doc_id, i AS pos,
+         md5(array_to_string(toks[(i + 1):(i + {_WIN})], ' ')) AS wh
+  FROM t, unnest(range(len(toks) - {_WIN} + 1)) AS u(i)
+  WHERE len(toks) >= {_WIN}
+),
+first_seen AS (
+  SELECT wh, min(row(doc_id, pos)) AS first_key FROM s GROUP BY wh
+),
+dups AS (
+  SELECT s.doc_id, s.pos,
+         so.start_char AS span_start,
+         eo.start_char + eo.tlen AS span_end
+  FROM s
+  JOIN first_seen f USING (wh)
+  JOIN o so ON so.doc_id = s.doc_id AND so.pos = s.pos
+  JOIN o eo ON eo.doc_id = s.doc_id AND eo.pos = s.pos + {_WIN} - 1
+  WHERE row(s.doc_id, s.pos) <> f.first_key
+),
+g AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN max(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start, span_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR span_start > max(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start, span_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS newgrp
+  FROM dups
+),
+gg AS (
+  SELECT doc_id, span_start, span_end,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM g
+)
+SELECT doc_id,
+       CAST(min(span_start) AS BIGINT) AS span_start,
+       CAST(max(span_end) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM gg GROUP BY doc_id, grp
+"""
+
+
+@query("span_removal_manifest", oracle=_SPAN_MANIFEST_ORACLE, tags=("textquality", "dedup"))
+def span_removal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact exact-substring dedup actually SHIPS (Lee et al.
+    2022's deduplicate-text-datasets emits byte ranges to cut): every
+    duplicated {W}-word window (non-first corpus-wide occurrence, same
+    election as ``substring_dedup_windows``) is mapped to its character
+    span over the single-space reconstruction (the
+    ``token_offsets_documents`` offsets, built scan-side from the same
+    token array — no offsets join), then overlapping/adjacent spans
+    merge per document into maximal removal regions via the classic
+    interval-merge (running max(prev end) window → group id → min/max).
+
+    Scale: one shuffle on the window hash for the election, one on
+    doc_id for the interval merge (both windows partition by doc_id —
+    bounded per document, never global). Raw text never shuffles; the
+    output is exactly the byte-range manifest a rewrite job consumes.
+    """
+    tune(spark)
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks")).filter(F.size("toks") >= _WIN)
+    t = t.withColumn(
+        "__cum",
+        F.expr(
+            "aggregate(toks, array(0L),"
+            " (acc, x) -> concat(acc, array(element_at(acc, -1) + length(x) + 1)))"
+        ),
+    )
+    s = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_WIN}), i -> struct("
+                f"md5(cast(array_join(slice(toks, i + 1, {_WIN}), ' ') as binary)) AS wh,"
+                f"element_at(__cum, i + 1) AS span_start,"
+                f"element_at(__cum, i + {_WIN}) + length(element_at(toks, i + {_WIN})) AS span_end))"
+            )
+        ).alias("pos", "z"),
+    ).select("doc_id", "pos", "z.wh", "z.span_start", "z.span_end")
+    first = s.select("wh", F.struct("doc_id", "pos").alias("key")).groupBy("wh").agg(
+        F.min("key").alias("first_key")
+    )
+    dups = (
+        s.withColumn("key", F.struct("doc_id", "pos"))
+        .join(first, "wh")
+        .filter(F.col("key") != F.col("first_key"))
+        .select("doc_id", "span_start", "span_end")
+    )
+    w1 = W.partitionBy("doc_id").orderBy("span_start", "span_end")
+    prev_end = F.max("span_end").over(w1.rowsBetween(W.unboundedPreceding, -1))
+    g = dups.withColumn(
+        "newgrp",
+        F.when(prev_end.isNull() | (F.col("span_start") > prev_end), 1).otherwise(0),
+    ).withColumn("grp", F.sum("newgrp").over(w1.rowsBetween(W.unboundedPreceding, 0)))
+    return g.groupBy("doc_id", "grp").agg(
+        F.min("span_start").cast("long").alias("span_start"),
+        F.max("span_end").cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

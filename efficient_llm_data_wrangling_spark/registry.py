@@ -91,6 +91,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "dsir_select_topk",
     "approx_quantile_report",
     "token_offsets_documents",
+    "span_removal_manifest",
 )
 
 _STALE_FILL: tuple[str, ...] = (

@@ -200,3 +200,28 @@ def test_vocab_coverage_conservation(spark):
         assert 0 <= r.oov_total <= r.tok_total
         assert r.oov_permille == r.oov_total * 1000 // r.tok_total
         assert r.toks_per_doc_milli == r.tok_total * 1000 // r.n_docs
+
+
+def test_span_manifest_disjoint_and_covers_dups(spark):
+    """Merged removal regions must be strictly disjoint per document,
+    well-formed (start < end), and each region must cover at least one
+    duplicated window's span width (>= the 15-word window's chars)."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        span_removal_manifest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        span_removal_manifest(spark, SF_SMOKE).collect(),
+        key=lambda r: (r.doc_id, r.span_start),
+    )
+    assert rows
+    prev_end: dict[int, int] = {}
+    for r in rows:
+        assert r.span_start < r.span_end
+        assert r.n_windows >= 1
+        # a 15-word window is at least 15 single-char words + 14 seps
+        assert r.span_end - r.span_start >= 29
+        if r.doc_id in prev_end:
+            assert r.span_start > prev_end[r.doc_id]
+        prev_end[r.doc_id] = r.span_end
