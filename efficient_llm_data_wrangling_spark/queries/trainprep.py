@@ -192,3 +192,75 @@ def split_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Packing efficiency report
+# --------------------------------------------------------------------------
+
+_PACK_REPORT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT source, CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS pack_id,
+         n_tokens
+  FROM c
+),
+bins AS (
+  SELECT source, pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+  FROM p GROUP BY source, pack_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+       CAST(sum(bin_tokens) * 1000 // (count(*) * {_BUDGET}) AS BIGINT)
+         AS fill_permille
+FROM bins GROUP BY source
+"""
+
+
+@query("packing_efficiency_report", oracle=_PACK_REPORT_ORACLE, tags=("trainprep", "agg"))
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acceptance report for the sequence-packing stage: per
+    source, bin count, document count, total tokens, the largest bin
+    (greedy preceding-cumsum packing lets a bin overflow by its last
+    document — max_bin_tokens bounds the overflow a trainer must
+    truncate or spill), and fill rate in exact per-mille of the
+    {budget}-token budget. Everything derives from the SAME window
+    cumsum the graded packing query uses, so the report grades the
+    exact bins the pipeline would ship.
+
+    Scale: one window cumsum per source partition (the packing plan),
+    then two keyed reductions (source, pack_id) → source — map-side
+    combined, |sources| output rows. All integers exact.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        pack_documents_token_budget,
+    )
+
+    packed = pack_documents_token_budget(spark, sf_dir)
+    bins = packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+    return bins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+        F.expr(f"sum(bin_tokens) * 1000L div (count(1) * {_BUDGET})").alias("fill_permille"),
+    )

@@ -92,6 +92,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "approx_quantile_report",
     "token_offsets_documents",
     "span_removal_manifest",
+    "packing_efficiency_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
