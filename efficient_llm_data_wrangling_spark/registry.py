@@ -93,6 +93,13 @@ _NEW_IN_R5: tuple[str, ...] = (
     "token_offsets_documents",
     "span_removal_manifest",
     "packing_efficiency_report",
+    "local_supplier_volume",
+    "nation_pair_volume",
+    "market_share_by_year",
+    "profit_by_nation_year",
+    "returned_item_customers",
+    "customer_order_distribution",
+    "top_supplier_revenue",
 )
 
 _STALE_FILL: tuple[str, ...] = (
