@@ -457,3 +457,56 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_u")
     )
+
+
+# --------------------------------------------------------------------------
+# Q6 shape — forecast revenue change (pure pushdown scan-aggregate)
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_u,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+@query("forecast_revenue_change", oracle=_Q6_ORACLE, tags=("agg", "pushdown", "tpch"))
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-aggregate — every predicate
+    (shipdate range, discount band, quantity cap) must reach the
+    parquet scan as a pushed filter, and the whole query is one
+    whole-stage-codegen pass plus a 1-row aggregate. Revenue is
+    summed both as the exact integer unit (price-cents ×
+    discount-cents) and as the decimal report.
+
+    Scale: the definitional minimum-work query — if this plans
+    anything beyond scan→filter→partial-agg→1-row exchange, the
+    engine is broken. Plan test pins PushedFilters.
+    """
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(round(l_discount * 100) AS BIGINT)"
+            )
+        ).cast("long").alias("revenue_u"),
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue"),
+    )

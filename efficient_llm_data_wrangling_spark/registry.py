@@ -100,6 +100,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "returned_item_customers",
     "customer_order_distribution",
     "top_supplier_revenue",
+    "forecast_revenue_change",
 )
 
 _STALE_FILL: tuple[str, ...] = (

@@ -54,3 +54,16 @@ def test_q15_returns_all_max_ties(spark):
     rows = top_supplier_revenue(spark, SF_SMOKE).collect()
     assert rows
     assert len({r.total_revenue_u for r in rows}) == 1  # all rows share the max
+
+
+def test_q6_filters_reach_the_scan(spark):
+    from efficient_llm_data_wrangling_spark.queries.tpch_tail2 import (
+        forecast_revenue_change,
+    )
+
+    plan = _plan(forecast_revenue_change(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1][:400], plan
+    assert "Exchange SinglePartition" in plan  # 1-row final aggregate only
+    assert plan.count("Exchange") == 1
