@@ -59,6 +59,9 @@ HEADLINE = [
     # round-5 families (baselined in R5_RATIOS)
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
+    # round-5 TPC-H tail 2 representative (multi-way broadcast star
+    # join; no prior ratio — BENCH_r05 seeds its baseline)
+    "local_supplier_volume",
 ]
 
 
