@@ -1139,3 +1139,109 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ml.crossJoin(F.broadcast(cut)).select(
         "doc_id", "lang", "w_milli", (F.col("w_milli") >= F.col("c")).alias("selected")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM log-probability (one order closer to the KenLM filter)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tb AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+bg AS (SELECT doc_id, i AS pos, toks[i + 1] AS a, toks[i + 2] AS b
+       FROM tb, unnest(range(len(toks) - 1)) AS u(i)),
+bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY a, b),
+ctx AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM bg GROUP BY a),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+base AS (
+  SELECT bg.doc_id, bg.pos, bc.cb, ctx.ca, vocab.v
+  FROM bg JOIN bc USING (a, b) JOIN ctx USING (a) CROSS JOIN vocab
+),
+{PM.duck_lnint_ctes("base", "b0", "cb + 1", "__lcb_")},
+{PM.duck_lnint_ctes("b0", "b1", "ca + v", "__lca_")},
+terms AS (
+  SELECT doc_id, pos,
+         ({PM.lnint_sql("__lcb_")}) - ({PM.lnint_sql("__lca_")}) AS term
+  FROM b1
+),
+bscored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY pos)),
+                     (x, y) -> x + y) AS lp,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM terms GROUP BY doc_id
+)"""
+
+_BIGRAM_ORACLE = f"""
+WITH {_BIGRAM_CTES}
+SELECT doc_id, n_bigrams,
+       round(lp / CAST(n_bigrams AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+         AS avg_bigram_logprob_6
+FROM bscored
+"""
+
+
+@query("bigram_logprob_documents", oracle=_BIGRAM_ORACLE, tags=("corpusops", "textquality"))
+def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score — one Markov order closer to the KenLM
+    5-gram CCNet actually runs than ``unigram_logprob_documents``: each
+    document's mean Laplace-smoothed bigram log-probability
+    ln((c(a,b)+1)/(ctx(a)+V)) under the in-corpus bigram model, folded
+    in position order (bit-portable integer-ln terms, round-6).
+    Documents need ≥ 2 tokens to emit a row.
+
+    Scale: bigram pairs build SCAN-SIDE from adjacent array slices
+    (no lag window, no pre-join shuffle); the bigram and context
+    count tables are vocab²-bounded and join back on their keys; the
+    only data-sized shuffles are those two count aggregates and the
+    per-doc fold — the exact topology the unigram scorer pinned,
+    one order up.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    tb = t.filter(F.size("toks") >= 2)
+    bg = tb.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("pos", "p"),
+    ).select("doc_id", "pos", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    ctx = bg.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    vocab = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    # bc/ctx are vocab²/vocab-bounded — small here but NOT at a real
+    # corpus's millions of types, so no broadcast hint: AQE picks
+    # broadcast while they fit and shuffled-hash beyond. Only the
+    # 1-row vocab scalar is force-broadcast.
+    base = (
+        bg.join(bc, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+    )
+    base = PM.stage_spark_lnint(base, "cb + 1", "__lcb_")
+    base = PM.stage_spark_lnint(base, "ca + v", "__lca_")
+    term = F.expr(f"({PM.lnint_sql('__lcb_')}) - ({PM.lnint_sql('__lca_')})")
+    return (
+        base.select("doc_id", "pos", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("__pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "round(aggregate(__pairs, CAST(0 AS DOUBLE), (x, y) -> x + y.term)"
+                " / CAST(n_bigrams AS DOUBLE), 6) + CAST(0 AS DOUBLE)"
+            ).alias("avg_bigram_logprob_6"),
+        )
+    )

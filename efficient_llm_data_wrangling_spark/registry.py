@@ -101,6 +101,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "customer_order_distribution",
     "top_supplier_revenue",
     "forecast_revenue_change",
+    "bigram_logprob_documents",
 )
 
 _STALE_FILL: tuple[str, ...] = (
