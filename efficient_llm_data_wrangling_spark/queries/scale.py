@@ -1008,3 +1008,48 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANGID_ORACLE}),
+j AS (
+  SELECT d.lang, p.lang_pred FROM documents d JOIN pred p USING (doc_id)
+),
+cm AS (
+  SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM j GROUP BY lang, lang_pred
+),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS lang_total FROM j GROUP BY lang)
+SELECT cm.lang, cm.lang_pred, cm.n_docs,
+       cm.n_docs * 1000 // tot.lang_total AS share_permille
+FROM cm JOIN tot USING (lang)
+"""
+
+
+@query("lang_confusion_report", oracle=_LANG_CONFUSION_ORACLE, tags=("text", "quality"))
+def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix for the heuristic language
+    ID: predicted vs labeled language with per-cell counts and
+    row-share in exact per-mille — the acceptance report a pipeline
+    publishes before trusting a lang filter to route documents (CCNet
+    audits its fastText LID exactly this way). Composes the graded
+    ``text_lang_id`` prediction column directly.
+
+    Scale: the prediction is scan-side column math (no shuffle); the
+    matrix is one |langs|²-bounded aggregate plus a broadcast of the
+    |langs|-row totals.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_lang_id(spark, sf_dir)
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    cm = j.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = j.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("lang_total"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.expr("n_docs * 1000L div lang_total").alias("share_permille"),
+    )

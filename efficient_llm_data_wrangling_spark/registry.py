@@ -102,6 +102,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "top_supplier_revenue",
     "forecast_revenue_change",
     "bigram_logprob_documents",
+    "lang_confusion_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
