@@ -205,3 +205,73 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Anomaly flags via cross-multiplied integer z-score
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS v_cents
+  FROM events
+),
+st AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v_cents) AS BIGINT) AS s,
+         CAST(sum(v_cents * v_cents) AS BIGINT) AS ss
+  FROM v GROUP BY user_id
+)
+SELECT v.event_id, v.user_id, v.v_cents,
+       st.n >= 2 AND
+       (v.v_cents * st.n - st.s) * (v.v_cents * st.n - st.s)
+         > 9 * (st.n * st.ss - st.s * st.s) AS is_outlier
+FROM v JOIN st USING (user_id)
+"""
+
+
+@query("event_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("behavior", "quality"))
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user |z| > 3 anomaly flags WITHOUT ever computing a float:
+    z² > 9 cross-multiplies to (v·n − s)² > 9(n·ss − s²) over integer
+    cents — exact sufficient statistics, no σ, no division, no
+    rounding boundary for engines to disagree on (the
+    ``groupwise_trend_orders`` decomposition applied to outlier
+    detection). Every event rides out with its verdict — the audit
+    manifest, not just the anomalies.
+
+    Scale: one user-keyed aggregate (map-side combined to 3 numbers
+    per user) joined back to the stream on the same key — at scale the
+    join reuses the aggregate's hash partitioning, so the stats pass
+    and the flag pass share one shuffle.
+
+    Domain bound: the cross-multiplied products stay exact in int64
+    while a user's n·|v|max < ~3e9 cents; a corpus where single users
+    exceed that swaps the sums and products to decimal(38,0) — the
+    ``stats_moments_lineitem`` precedent, same expressions wider type.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v_cents"),
+    )
+    st = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_cents").cast("long").alias("s"),
+        F.sum(F.expr("v_cents * v_cents")).cast("long").alias("ss"),
+    )
+    return ev.join(st, "user_id").select(
+        "event_id",
+        "user_id",
+        "v_cents",
+        (
+            (F.col("n") >= 2)
+            & (
+                (F.col("v_cents") * F.col("n") - F.col("s"))
+                * (F.col("v_cents") * F.col("n") - F.col("s"))
+                > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            )
+        ).alias("is_outlier"),
+    )

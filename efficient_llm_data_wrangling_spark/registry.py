@@ -103,6 +103,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "forecast_revenue_change",
     "bigram_logprob_documents",
     "lang_confusion_report",
+    "event_anomaly_zscore",
 )
 
 _STALE_FILL: tuple[str, ...] = (
