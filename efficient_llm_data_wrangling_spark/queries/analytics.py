@@ -1205,3 +1205,99 @@ def approx_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ok_rank_bound"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation (three scalable ntiles, no global window)
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH m AS (SELECT max(o_orderdate) AS mx FROM orders),
+cu AS (
+  SELECT o.o_custkey AS c_custkey,
+         CAST(date_diff('day', max(o.o_orderdate), m.mx) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+  FROM orders o CROSS JOIN m
+  GROUP BY o.o_custkey, m.mx
+),
+q AS (
+  SELECT c_custkey, spend_cents,
+         ntile(4) OVER (ORDER BY recency_days, c_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY n_orders, c_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY spend_cents, c_custkey) AS m_q
+  FROM cu
+)
+SELECT 'R' || r_q || 'F' || f_q || 'M' || m_q AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(spend_cents) AS BIGINT) AS spend_cents_total
+FROM q GROUP BY segment
+"""
+
+
+def _ntile_rank(rank_col: str, n: int, k: int) -> Column:
+    """SQL ntile bucket from a 1-based global rank: the first ``n % k``
+    tiles get ``n//k + 1`` rows (the ``ntile_customer_acctbal``
+    arithmetic, factored for reuse)."""
+    q, r = divmod(n, k)
+    qd = max(q, 1)
+    return (
+        F.when(
+            F.col(rank_col) <= r * (q + 1),
+            ((F.col(rank_col) - 1) / (q + 1)).cast("bigint"),
+        )
+        .otherwise(r + ((F.col(rank_col) - r * (q + 1) - 1) / qd).cast("bigint"))
+        + 1
+    ).cast("int")
+
+
+@query("rfm_customer_segments", oracle=_RFM_ORACLE, tags=("analytics", "behavior", "scale"))
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic behavioral rollup: per customer,
+    recency (days since last order vs the corpus max date), frequency
+    (order count), and monetary (exact spend cents) each quartiled,
+    then segment cells ('R1F4M4' …) reported with counts and exact
+    spend totals. Every quartile is a SCALABLE ntile: global rank from
+    ``sampling.global_rank`` (range exchange + local rank + driver
+    offsets) and the ntile bucket as pure rank arithmetic — the
+    single-partition window DuckDB's native ntile implies never
+    appears in the plan (the ``ntile_customer_acctbal`` pattern ×3).
+
+    Scale: one custkey aggregate over orders, three range exchanges
+    over the customer-dimension-sized RFM frame, one ≤4³-row segment
+    aggregate.
+    """
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("__mx"))
+    cu = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.expr("CAST(datediff(max(__mx), max(o_orderdate)) AS BIGINT)").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("spend_cents"),
+        )
+    )
+    n = cu.count()  # scalar, same class as global_rank's offsets
+    ranked = SAMP.global_rank(cu, ["recency_days", "c_custkey"], out_col="__rr")
+    ranked = SAMP.global_rank(ranked, ["n_orders", "c_custkey"], out_col="__rf")
+    ranked = SAMP.global_rank(ranked, ["spend_cents", "c_custkey"], out_col="__rm")
+    seg = ranked.select(
+        "spend_cents",
+        F.concat(
+            F.lit("R"), _ntile_rank("__rr", n, 4).cast("string"),
+            F.lit("F"), _ntile_rank("__rf", n, 4).cast("string"),
+            F.lit("M"), _ntile_rank("__rm", n, 4).cast("string"),
+        ).alias("segment"),
+    )
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend_cents").cast("long").alias("spend_cents_total"),
+    )

@@ -104,6 +104,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "bigram_logprob_documents",
     "lang_confusion_report",
     "event_anomaly_zscore",
+    "rfm_customer_segments",
 )
 
 _STALE_FILL: tuple[str, ...] = (
