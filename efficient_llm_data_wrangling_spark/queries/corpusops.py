@@ -1245,3 +1245,70 @@ def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_bigram_logprob_6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report (the number a dedup run publishes)
+# ---------------------------------------------------------------------------
+
+_DEDUP_SAVINGS_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+k AS (
+  SELECT md5(text) AS h,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM corpus
+),
+g AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(n_tokens) AS BIGINT) AS tok
+  FROM k GROUP BY h
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(cnt - 1) AS BIGINT) AS n_dup_docs,
+       CAST(sum(cnt * tok) AS BIGINT) AS tokens_total,
+       CAST(sum((cnt - 1) * tok) AS BIGINT) AS tokens_saved,
+       CAST(sum((cnt - 1) * tok) * 1000 // sum(cnt * tok) AS BIGINT)
+         AS savings_permille
+FROM g
+"""
+
+
+@query("dedup_savings_report", oracle=_DEDUP_SAVINGS_ORACLE, tags=("corpusops", "dedup"))
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row summary every dedup run publishes: documents
+    before/after, duplicates removed, and the TOKEN savings — the
+    number that actually justifies the compute (duplicate docs share
+    identical text, so saved tokens = (count−1)·tokens per group),
+    with the rate in exact per-mille. Runs over the planted-duplicate
+    synthetic corpus so the savings are non-trivial and exactly
+    checkable.
+
+    Scale: the shuffle carries (16-byte hash, token count) — never
+    text; one hash-keyed aggregate then a single-row reduction. This
+    is the accounting pass that rides along with any of the graded
+    dedup pipelines for free.
+    """
+    tune(spark)
+    corpus = _corpus_with_dups(spark, sf_dir)
+    k = corpus.select(
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    g = k.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("n_tokens").cast("long").alias("tok"),
+    )
+    return g.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.expr("cnt - 1")).cast("long").alias("n_dup_docs"),
+        F.sum(F.expr("cnt * tok")).cast("long").alias("tokens_total"),
+        F.sum(F.expr("(cnt - 1) * tok")).cast("long").alias("tokens_saved"),
+        F.expr(
+            "CAST(sum((cnt - 1) * tok) * 1000L div sum(cnt * tok) AS BIGINT)"
+        ).alias("savings_permille"),
+    )

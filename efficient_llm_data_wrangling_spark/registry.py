@@ -105,6 +105,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "lang_confusion_report",
     "event_anomaly_zscore",
     "rfm_customer_segments",
+    "dedup_savings_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
