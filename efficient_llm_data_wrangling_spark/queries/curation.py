@@ -1026,3 +1026,82 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_docs").alias("n_docs"),
         F.col("s.dropped_vs_prev").alias("dropped_vs_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture drift monitor (KL vs declared target)
+# ---------------------------------------------------------------------------
+
+_MIX_DRIFT_ORACLE_TMPL = """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_sources
+  FROM c
+),
+base AS (SELECT c.source, c.n_docs, t.total, t.n_sources FROM c CROSS JOIN t),
+{ln_c},
+{ln_s},
+{ln_t}
+SELECT source, n_docs,
+       n_docs * 1000 // total AS share_permille,
+       round((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+             * (({lnc}) + ({lns}) - ({lnt})), 6) + CAST(0 AS DOUBLE)
+         AS kl_term_6
+FROM l2
+"""
+
+
+def _mix_drift_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+
+    return _MIX_DRIFT_ORACLE_TMPL.format(
+        ln_c=PM.duck_lnint_ctes("base", "l0", "n_docs", "__lc_"),
+        ln_s=PM.duck_lnint_ctes("l0", "l1", "n_sources", "__ls_"),
+        ln_t=PM.duck_lnint_ctes("l1", "l2", "total", "__lt_"),
+        lnc=PM.lnint_sql("__lc_"),
+        lns=PM.lnint_sql("__ls_"),
+        lnt=PM.lnint_sql("__lt_"),
+    )
+
+
+@query("mixture_drift_report", oracle=_mix_drift_oracle(), tags=("curation", "sampling"))
+def mixture_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture drift monitor: per-source KL(actual ‖ target)
+    contribution against the declared mixture (uniform target here —
+    the stand-in for the weights table a real pipeline pins): term =
+    (c_s/T)·ln(c_s·|S|/T), with the log expanded to
+    lnint(c_s)+lnint(|S|)−lnint(T) so every transcendental is the
+    bit-portable integer series and the only floats are one exact IEEE
+    division and one multiplication per source. Positive terms flag
+    over-represented sources — the alert a continuously-ingesting
+    pipeline pages on before the mixture silently skews.
+
+    Scale: one count aggregate; everything else runs on |sources|
+    rows. The target table swaps in by joining declared weights
+    instead of the uniform 1/|S| — same plan.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    base = c.crossJoin(F.broadcast(t))
+    base = PM.stage_spark_lnint(base, "n_docs", "__lc_")
+    base = PM.stage_spark_lnint(base, "n_sources", "__ls_")
+    base = PM.stage_spark_lnint(base, "total", "__lt_")
+    return base.select(
+        "source",
+        "n_docs",
+        F.expr("n_docs * 1000L div total").alias("share_permille"),
+        F.expr(
+            f"round((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))"
+            f" * (({PM.lnint_sql('__lc_')}) + ({PM.lnint_sql('__ls_')})"
+            f" - ({PM.lnint_sql('__lt_')})), 6) + CAST(0 AS DOUBLE)"
+        ).alias("kl_term_6"),
+    )

@@ -106,6 +106,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "event_anomaly_zscore",
     "rfm_customer_segments",
     "dedup_savings_report",
+    "mixture_drift_report",
 )
 
 _STALE_FILL: tuple[str, ...] = (
