@@ -340,3 +340,72 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+_INGEST_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+      AS stopword_hits,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) // len(toks) END AS alpha_pct
+  FROM t
+)
+SELECT doc_id,
+       (n_words BETWEEN 20 AND 1000) AND (mean_len_milli BETWEEN 3000 AND 10000)
+         AND stopword_hits >= 1 AND alpha_pct >= 80 AS passes
+FROM m
+"""
+
+
+@query("stream_quality_gate", oracle=_INGEST_QUALITY_ORACLE, tags=("streaming", "textquality"))
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time quality gating — the second half of the streaming
+    admission pipeline next to ``stream_ingest_dedup``: documents
+    ARRIVE as a file stream and every arrival carries its Gopher-rule
+    verdict (word count, mean word length, stop-word hits, alpha
+    ratio — the exact ``gopher_quality_filter`` semantics) computed as
+    pure scan-side column expressions inside the micro-batch. No
+    state, no watermark — the verdict is a pure function of the row,
+    so the streaming output carries a full value-hash oracle.
+
+    Scale: per-micro-batch cost is the codegen'd expressions alone;
+    at ingest rates the gate adds zero shuffles and zero state — the
+    property that lets it run inline on the firehose.
+    """
+    tune(spark)
+    sdocs = S.stream_documents(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = sdocs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    stop_lit = ", ".join(
+        f"'{w}'" for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    )
+    mean_len = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000L div size(toks)")
+    )
+    stop_hits = F.expr(f"size(filter(toks, x -> x IN ({stop_lit})))").cast("long")
+    alpha_pct = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("100L * size(filter(toks, x -> x rlike '^[a-z]+$')) div size(toks)")
+    )
+    gated = t.select(
+        "doc_id",
+        (
+            n.cast("long").between(20, 1000)
+            & mean_len.between(3000, 10000)
+            & (stop_hits >= 1)
+            & (alpha_pct >= 80)
+        ).alias("passes"),
+    )
+    return S.run_to_memory(gated, _sink("quality_gate"), "append")

@@ -107,6 +107,7 @@ _NEW_IN_R5: tuple[str, ...] = (
     "rfm_customer_segments",
     "dedup_savings_report",
     "mixture_drift_report",
+    "stream_quality_gate",
 )
 
 _STALE_FILL: tuple[str, ...] = (
