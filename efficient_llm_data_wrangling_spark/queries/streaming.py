@@ -385,27 +385,12 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     property that lets it run inline on the firehose.
     """
     tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _toks_col,
+        gopher_metric_cols,
+    )
+
     sdocs = S.stream_documents(spark, sf_dir)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    t = sdocs.select("doc_id", toks.alias("toks"))
-    n = F.size("toks")
-    stop_lit = ", ".join(
-        f"'{w}'" for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    )
-    mean_len = F.when(n == 0, F.lit(0).cast("long")).otherwise(
-        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000L div size(toks)")
-    )
-    stop_hits = F.expr(f"size(filter(toks, x -> x IN ({stop_lit})))").cast("long")
-    alpha_pct = F.when(n == 0, F.lit(0).cast("long")).otherwise(
-        F.expr("100L * size(filter(toks, x -> x rlike '^[a-z]+$')) div size(toks)")
-    )
-    gated = t.select(
-        "doc_id",
-        (
-            n.cast("long").between(20, 1000)
-            & mean_len.between(3000, 10000)
-            & (stop_hits >= 1)
-            & (alpha_pct >= 80)
-        ).alias("passes"),
-    )
+    t = sdocs.select("doc_id", _toks_col().alias("toks"))
+    gated = t.select("doc_id", gopher_metric_cols()["passes"].alias("passes"))
     return S.run_to_memory(gated, _sink("quality_gate"), "append")

@@ -38,6 +38,37 @@ def _toks_col():
     return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
 
 
+def gopher_metric_cols() -> dict[str, F.Column]:
+    """The four Gopher rule metrics over a staged ``toks`` array column
+    plus the composite ``passes`` verdict — ONE definition shared by
+    the batch filter, the curation funnel, and the streaming ingest
+    gate, so the rule semantics cannot drift between surfaces. All
+    exact integers (registry.py conventions)."""
+    stop_lit = ", ".join(f"'{w}'" for w in _STOP)
+    n = F.size("toks")
+    mean_len = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000L div size(toks)")
+    )
+    stop_hits = F.expr(f"size(filter(toks, x -> x IN ({stop_lit})))").cast("long")
+    alpha_pct = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("100L * size(filter(toks, x -> x rlike '^[a-z]+$')) div size(toks)")
+    )
+    n_words = n.cast("long")
+    passes = (
+        n_words.between(20, 1000)
+        & mean_len.between(3000, 10000)
+        & (stop_hits >= 1)
+        & (alpha_pct >= 80)
+    )
+    return {
+        "n_words": n_words,
+        "mean_len_milli": mean_len,
+        "stopword_hits": stop_hits,
+        "alpha_pct": alpha_pct,
+        "passes": passes,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style rule filter
 # ---------------------------------------------------------------------------
@@ -79,26 +110,14 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
-    stop_lit = ", ".join(f"'{w}'" for w in _STOP)
     t = docs.select("doc_id", _toks_col().alias("toks"))
-    n = F.size("toks")
-    mean_len = F.when(n == 0, F.lit(0).cast("long")).otherwise(
-        F.expr(
-            "aggregate(toks, 0L, (a, x) -> a + length(x)) * 1000L div size(toks)"
-        )
-    )
-    stop_hits = F.expr(
-        f"size(filter(toks, x -> x IN ({stop_lit})))"
-    ).cast("long")
-    alpha_pct = F.when(n == 0, F.lit(0).cast("long")).otherwise(
-        F.expr("100L * size(filter(toks, x -> x rlike '^[a-z]+$')) div size(toks)")
-    )
+    g = gopher_metric_cols()
     m = t.select(
         "doc_id",
-        n.cast("long").alias("n_words"),
-        mean_len.alias("mean_len_milli"),
-        stop_hits.alias("stopword_hits"),
-        alpha_pct.alias("alpha_pct"),
+        g["n_words"].alias("n_words"),
+        g["mean_len_milli"].alias("mean_len_milli"),
+        g["stopword_hits"].alias("stopword_hits"),
+        g["alpha_pct"].alias("alpha_pct"),
     )
     return m.select(
         "*",
