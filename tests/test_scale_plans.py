@@ -328,3 +328,39 @@ def test_sql_udf_inlines_into_codegen_plan(spark):
     plan = _plan(sql_scalar_udf_charge(spark, SF_CORRECT))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan  # whole pipeline stayed relational
+
+
+def test_dsir_topk_window_input_is_histogram(spark):
+    """dsir_select_topk's cut election must follow the ccnet pattern:
+    every single-partition exchange feeds either a scalar aggregate or
+    the milli-weight histogram — documents never sort or go global."""
+    from efficient_llm_data_wrangling_spark.queries.corpusops import dsir_select_topk
+
+    plan = _plan(dsir_select_topk(spark, SF_SMOKE))
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert single, plan
+    for i in single:
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert (
+            "HashAggregate(keys=[]" in below
+            or "HashAggregate(keys=[w_milli" in below
+        ), plan
+    assert "Sort [w_milli" not in plan  # no global doc sort
+
+
+def test_span_manifest_windows_partition_by_doc(spark):
+    """span_removal_manifest's interval merge must run inside per-doc
+    window partitions — no unpartitioned window anywhere — and the
+    only data-sized shuffles are the window-hash election and the
+    doc-keyed merge."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        span_removal_manifest,
+    )
+
+    plan = _plan(span_removal_manifest(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in plan, plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" in m.group(1), m.group(0)  # every window doc-partitioned
