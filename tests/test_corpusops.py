@@ -214,3 +214,48 @@ def test_dsir_target_scores_above_raw(spark):
     assert sum(en) / len(en) > sum(other) / len(other)
     assert all(abs(r.dsir_weight_6) < 1e6 for r in rows)
     assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_bpe_top_pair_matches_python(spark):
+    """Brute-force recompute of the BPE merge winner: adjacent char
+    pairs weighted by word-type frequency, max by (count, pair asc)."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import bpe_merge_round
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    types: Counter = Counter()
+    for r in docs:
+        for tok in r.text.split(" "):
+            if tok:
+                types[tok] += 1
+    pairs: Counter = Counter()
+    for tok, cnt in types.items():
+        for a, b in zip(tok, tok[1:]):
+            pairs[(a, b)] += cnt
+    # tie-break: count desc, pair asc
+    best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    rows = bpe_merge_round(spark, SF_SMOKE).collect()
+    got = {(r.a, r.b): r.pair_count for r in rows}
+    assert got == dict(pairs)
+    winners = [(r.a, r.b) for r in rows if r.is_top_pair]
+    assert winners == [best[0]]
+
+
+def test_mixture_drift_terms_form_nonneg_kl(spark):
+    """Gibbs' inequality: the KL terms must sum to ≥ 0 (up to round-6
+    truncation), and shares must sum to the corpus."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        mixture_drift_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = mixture_drift_report(spark, SF_SMOKE).collect()
+    assert rows
+    kl = sum(r.kl_term_6 for r in rows)
+    assert kl >= -1e-4 * len(rows)  # nonneg up to per-row rounding
+    assert sum(r.n_docs for r in rows) == 500

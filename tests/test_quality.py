@@ -71,3 +71,32 @@ def test_observed_metrics_piggyback_on_action(spark, tmp_path):
     assert got["n"] == o.count()
     assert got["null_keys"] == 0
     assert got["max_price"] > 0
+
+
+def test_embedding_norms_match_numpy(spark):
+    """Exact recompute: per-label norm-milli stats from numpy over the
+    raw vectors (same left-to-right fold order as the query)."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.quality import (
+        embedding_norm_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    per_label: dict[int, list[int]] = {}
+    for r in emb:
+        acc = 0.0
+        for x in r.embedding:
+            acc = acc + float(x) * float(x)
+        milli = math.floor(math.sqrt(acc) * 1000.0 + 0.5)
+        per_label.setdefault(r.label, []).append(milli)
+    got = {r.label: r for r in embedding_norm_report(spark, SF_SMOKE).collect()}
+    for label, millis in per_label.items():
+        g = got[label]
+        assert g.n_vecs == len(millis)
+        assert g.norm_milli_min == min(millis)
+        assert g.norm_milli_max == max(millis)
+        assert g.norm_milli_mean == sum(millis) // len(millis)
+        assert g.n_zero_vecs == sum(1 for m in millis if m == 0)
