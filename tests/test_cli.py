@@ -55,3 +55,36 @@ def test_cli_end_to_end_offline_golden(spark, tmp_path):
     assert t["total"] == 17  # 20 rows - k=3 train
     assert t["crc"] == t["total"] and t["acc"] == 1.0
     assert (out / "metrics.json").exists()
+
+
+def test_cli_entity_matching_path(spark, tmp_path):
+    """CLI lifecycle over the entity-matching benchmark layout:
+    tableA/tableB + blocked train/test pairs flow through
+    read_blocked_pairs (broadcast joins + ^-serialization), the trial
+    loop, and the confusion metrics. The recorded golden matcher
+    splits on ' @@ ' which never occurs in ^-serialized pairs, so its
+    verdict is deterministically 'No' — labels are all 0, making the
+    expected metrics exact (acc 1.0, tp 0, tn = |test|)."""
+    bench = tmp_path / "entity_matching" / "structured" / "Tiny"
+    bench.mkdir(parents=True)
+    rows_a = ["id,name"] + [f"{i},alpha beta gamma {i}" for i in range(10)]
+    rows_b = ["id,name"] + [f"{i},alpha beta delta {i}" for i in range(10)]
+    (bench / "tableA.csv").write_text("\n".join(rows_a) + "\n")
+    (bench / "tableB.csv").write_text("\n".join(rows_b) + "\n")
+    pairs = ["ltable_id,rtable_id,label"] + [f"{i},{i},0" for i in range(10)]
+    (bench / "train.csv").write_text("\n".join(pairs) + "\n")
+    (bench / "test.csv").write_text("\n".join(pairs) + "\n")
+
+    out = tmp_path / "out"
+    report = main([
+        "--data_dir", str(bench),
+        "--output_dir", str(out),
+        "--offline-golden",
+        "--k", "2",
+        "--d", "4",
+        "--master", "local[4]",
+    ])
+    assert report["task"] == "entity_matching"
+    t = report["tasks"][0]
+    assert t["total"] == 10
+    assert t["tn"] == 10 and t["tp"] == 0 and t["acc"] == 1.0
