@@ -233,7 +233,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # host-load-normalized view: each query as a multiple of the fixed
-    # calibration workload, plus the change vs the r3 ratio baseline
+    # calibration workload, plus the change vs prior-round ratio
+    # baselines
     ratios = {n: round(t / cal, 3) for n, t in timings.items()} if cal > 0 else {}
     ratio_vs_r3 = {
         n: round(r / R3_RATIOS[n], 3) for n, r in ratios.items() if n in R3_RATIOS
@@ -244,24 +245,57 @@ def main() -> None:
     ratio_vs_r5 = {
         n: round(r / R5_RATIOS[n], 3) for n, r in ratios.items() if n in R5_RATIOS
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "n_per_query": repeats,
-                "calibration_scan_agg_sec": cal,
-                "calibration_ratios": ratios,
-                "ratio_vs_r3": ratio_vs_r3,
-                "ratio_vs_r4": ratio_vs_r4,
-                "ratio_vs_r5": ratio_vs_r5,
-                "sf": sf,
-            }
-        )
+
+    def _summ(d: dict[str, float]) -> dict:
+        """Median / worst scalar summary of a per-query ratio dict —
+        small enough for the one-line driver record."""
+        if not d:
+            return {}
+        vals = sorted(d.values())
+        worst = max(d, key=d.get)
+        return {
+            "median": round(vals[len(vals) // 2], 3),
+            "max": d[worst],
+            "max_query": worst,
+            "n": len(d),
+        }
+
+    # The driver keeps only the final ~2000 chars of stdout and parses
+    # the JSON line out of that tail; BENCH_r03..r05 all recorded
+    # "parsed": null because the full per-query runs/ratio dicts pushed
+    # the line past the window (r1/r2, with fewer fields, parsed fine).
+    # So: the PRINTED line carries the driver contract (metric, value,
+    # unit, queries, sf) plus scalar summaries only, and the complete
+    # per-query detail goes to BENCH_DETAIL.json beside this script.
+    detail = {
+        "runs": runs,
+        "n_per_query": repeats,
+        "calibration_scan_agg_sec": cal,
+        "calibration_ratios": ratios,
+        "ratio_vs_r3": ratio_vs_r3,
+        "ratio_vs_r4": ratio_vs_r4,
+        "ratio_vs_r5": ratio_vs_r5,
+        "sf": sf,
+        "queries": timings,
+    }
+    (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=1)
     )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration_sec": cal,
+            "vs_r4": _summ(ratio_vs_r4),
+            "vs_r5": _summ(ratio_vs_r5),
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -47,76 +47,31 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-5 window, maintained as three segments so that every
+#: round. Round-6 window, maintained as three segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
 #: registers it (the r3/r4 lesson: batches landing after the pin were
 #: the only source of formally-ungraded rows):
 #:
-#: 1. ``_NEVER_GRADED``  — round-4 batch-2-4 queries with no driver
-#:    row anywhere (judge-verified green at sf0.01; a driver row
-#:    converts them to hard evidence);
-#: 2. ``_NEW_IN_R5``     — queries registered this round (extend this
-#:    tuple in the registering commit);
-#: 3. ``_STALE_FILL``    — rows last graded in r2, stalest first-ish;
-#:    the slice keeps exactly 50 names, so growth in segment 2
-#:    displaces fills from the tail automatically (they roll to r6).
-_NEVER_GRADED: tuple[str, ...] = (
-    "incremental_dedup_batch",
-    "unigram_logprob_documents",
-    "winnowing_fingerprint_documents",
-    "cosine_histogram_embeddings",
-    "triangle_count_trade",
-    "dataset_card_by_source",
-    "ann_recall_report",
-    "dedup_threshold_sweep",
-    "join_skew_report",
-    "ewma_user_value",
-    "k_anonymity_report",
-)
-
-_NEW_IN_R5: tuple[str, ...] = (
-    "knn_ivf_codebook_table",
-    "char_entropy_documents",
-    "ccnet_perplexity_buckets",
-    "semdedup_clustered",
-    "epoch_upsample_by_source",
-    "temperature_mixture_weights",
-    "vocab_coverage_by_lang",
-    "dsir_importance_weights",
-    "stream_ingest_dedup",
-    "bpe_merge_round",
-    "curation_funnel_report",
-    "embedding_norm_report",
-    "multimodal_audio_energy",
-    "dsir_select_topk",
-    "approx_quantile_report",
-    "token_offsets_documents",
-    "span_removal_manifest",
-    "packing_efficiency_report",
-    "local_supplier_volume",
-    "nation_pair_volume",
-    "market_share_by_year",
+#: 1. ``_NEW_OR_CHANGED_IN_R6`` — queries registered OR semantically
+#:    rebuilt this round (extend this tuple in the registering
+#:    commit; growth displaces fills from the tail automatically);
+#: 2. ``_STALE_R2`` — the 39 rows whose most recent driver grade is
+#:    round 2 (streams, text, knn, multimodal, subqueries, temporal
+#:    joins, samplers — every one re-verified green in the judge's
+#:    r5 189/189 sweep; a driver row converts that to hard evidence);
+#: 3. ``_STALE_R3_FILL`` — stalest r3 rows, fronted by the five that
+#:    failed in r1/r2 before their r3 fix (most valuable to
+#:    re-confirm) and the one repeated-calibration-drift watch item.
+_NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
+    # TPC-H partsupp family on the deterministic surrogate
+    # (queries/tpch_partsupp.py): Q11/Q20 are new; Q9 is rebuilt on
+    # the real pair-key topology (values changed → must re-grade).
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_stock",
     "profit_by_nation_year",
-    "returned_item_customers",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "forecast_revenue_change",
-    "bigram_logprob_documents",
-    "lang_confusion_report",
-    "event_anomaly_zscore",
-    "rfm_customer_segments",
-    "dedup_savings_report",
-    "mixture_drift_report",
-    "stream_quality_gate",
 )
 
-_STALE_FILL: tuple[str, ...] = (
-    "wrangler_e2e_transformation",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_exact_documents",
-    "dedup_embedding_cosine",
-    "entity_match_jaccard",
+_STALE_R2: tuple[str, ...] = (
     "knn_brute_force",
     "knn_ivf",
     "text_quality_documents",
@@ -158,7 +113,23 @@ _STALE_FILL: tuple[str, ...] = (
     "stream_upsert_sink_totals",
 )
 
-DRIVER_GRADE_PRIORITY: tuple[str, ...] = (_NEVER_GRADED + _NEW_IN_R5 + _STALE_FILL)[:50]
+_STALE_R3_FILL: tuple[str, ...] = (
+    "approx_percentile_price",
+    "dedup_simhash",
+    "knn_hyperplane_lsh",
+    "multimodal_byte_histogram",
+    "approx_distinct_events",
+    "decontaminate_ngram_overlap",
+    "comparator_tolerance",
+    "regex_transform_dates",
+    "kmeans_lloyd_embeddings",
+    "sessionize_events",
+    "corpus_curation_pipeline",
+)
+
+DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
+    _NEW_OR_CHANGED_IN_R6 + _STALE_R2 + _STALE_R3_FILL
+)[:50]
 
 
 def _ordered_names() -> list[str]:
