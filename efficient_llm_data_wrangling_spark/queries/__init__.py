@@ -17,6 +17,7 @@ import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.subqueries  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.temporal  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.textquality  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.tpch_partsupp  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.tpch_tail  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.tpch_tail2  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.trainprep  # noqa: F401

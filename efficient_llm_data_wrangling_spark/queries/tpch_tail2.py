@@ -251,62 +251,10 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q9 shape — profit by nation and year (supplycost stand-in)
+# Q9 shape moved to tpch_partsupp.py (round 6): rebuilt on the
+# deterministic partsupp surrogate, retiring the p_retailprice/2
+# supplycost stand-in this module carried in round 5.
 # --------------------------------------------------------------------------
-
-#: No partsupp table ships with the testdata; the documented stand-in
-#: for ps_supplycost is p_retailprice / 2, kept exact by working in
-#: hundredths of cents: cost_u = qty × retail_cents × 50.
-_PROFIT_U_SQL = (
-    f"({_REV_U_SQL})"
-    " - CAST(round(l_quantity) AS BIGINT)"
-    " * CAST(round(p_retailprice * 100) AS BIGINT) * 50"
-)
-
-_Q9_ORACLE = f"""
-SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(sum({_PROFIT_U_SQL}) AS BIGINT) AS profit_u
-FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
-JOIN supplier s ON s.s_suppkey = l.l_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN orders o ON o.o_orderkey = l.l_orderkey
-GROUP BY nation, o_year
-"""
-
-
-@query("profit_by_nation_year", oracle=_Q9_ORACLE, tags=("join", "agg", "tpch"))
-def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit (revenue − cost) per supplier nation per
-    order year, for one part type. The testdata has no partsupp, so
-    supplycost is the documented ``p_retailprice/2`` stand-in —
-    identical join/aggregate topology, and the profit stays an exact
-    integer in hundredths of cents (qty × retail_cents × 50 subtracted
-    from integer revenue units; no decimal multiplication width to
-    disagree on).
-
-    Scale: part filter broadcasts and prunes the fact before the one
-    orders⋈lineitem shuffle; supplier/nation broadcast.
-    """
-    tune(spark)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
-        "p_partkey", "p_retailprice"
-    )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    j = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-    )
-    return j.groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year")).agg(
-        F.sum(F.expr(_PROFIT_U_SQL)).cast("long").alias("profit_u")
-    )
 
 
 # --------------------------------------------------------------------------
