@@ -782,6 +782,156 @@ def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative BPE trainer: N merge rounds over the word-type histogram
+# ---------------------------------------------------------------------------
+
+#: Symbol delimiter for the BPE merge representation: a word is kept
+#: as a single string with every SYMBOL bracketed by the unit
+#: separator — "low" ⇒ "␟l␟o␟w␟". Merging pair (a, b) is then ONE
+#: string replace of "␟a␟b␟" with "␟ab␟": both engines' ``replace``
+#: scans left-to-right non-overlapping, which is EXACTLY the greedy
+#: leftmost-first merge of Sennrich et al. 2016 ("aaa" + merge (a,a)
+#: ⇒ "(aa)a", never "a(aa)"), and the shared middle delimiter makes
+#: adjacent occurrences non-overlapping by construction. chr(31)
+#: never occurs in whitespace-split tokens.
+_BPE_D = "\x1f"
+
+#: Training rounds. 8 is the test-scale stand-in for the 30k-50k
+#: merges of a production tokenizer; the loop is N-independent.
+_BPE_ROUNDS = 8
+
+
+def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts (weighted by word-type count) from
+    the delimited representation — split to symbols, pair up by
+    position, aggregate. All JVM-side higher-order functions."""
+    px = syms.select(
+        F.filter(F.split(F.col("sym"), _BPE_D), lambda x: x != "").alias("ss"), "cnt"
+    ).filter(F.size("ss") >= 2)
+    pairs = px.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ss) - 1),"
+                " i -> struct(element_at(ss, i) AS a, element_at(ss, i + 1) AS b))"
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "cnt")
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+    )
+
+
+def _bpe_apply_merge(syms: DataFrame, win: DataFrame) -> DataFrame:
+    """Apply the 1-row winner merge to every word: broadcast the
+    winner, one JVM `replace` per word string (greedy leftmost
+    non-overlapping — see ``_BPE_D``)."""
+    return syms.crossJoin(F.broadcast(win.select("a", "b"))).select(
+        F.expr(
+            "replace(sym, concat(chr(31), a, chr(31), b, chr(31)),"
+            " concat(chr(31), a, b, chr(31)))"
+        ).alias("sym"),
+        "cnt",
+    )
+
+
+def _bpe_oracle_rounds(n: int) -> str:
+    """The DuckDB twin: the same N rounds unrolled as chained CTEs
+    (pair-count → winner → replace), over the identical delimited
+    representation."""
+    ctes = [
+        f"t AS (SELECT {_TOKS_SQL} AS toks FROM documents)",
+        "w AS (SELECT unnest(toks) AS tok FROM t)",
+        "types AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok)",
+        (
+            "s0 AS (SELECT chr(31) || regexp_replace(tok, '(.)', '\\1' || chr(31), 'g')"
+            " AS sym, cnt FROM types)"
+        ),
+    ]
+    finals = []
+    for r in range(1, n + 1):
+        ctes.append(
+            f"px{r} AS (SELECT list_filter(str_split(sym, chr(31)), x -> x <> '')"
+            f" AS ss, cnt FROM s{r - 1})"
+        )
+        ctes.append(
+            f"pc{r} AS (SELECT ss[i] AS a, ss[i + 1] AS b,"
+            f" CAST(sum(cnt) AS BIGINT) AS pair_count"
+            f" FROM px{r}, unnest(range(1, len(ss))) AS u(i) GROUP BY a, b)"
+        )
+        ctes.append(
+            f"win{r} AS (SELECT a, b, pair_count FROM pc{r}"
+            f" ORDER BY pair_count DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT replace(sym,"
+            f" chr(31) || w.a || chr(31) || w.b || chr(31),"
+            f" chr(31) || w.a || w.b || chr(31)) AS sym, cnt"
+            f" FROM s{r - 1} CROSS JOIN win{r} w)"
+        )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_round, a, b, pair_count FROM win{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+_BPE_TRAIN_ORACLE = _bpe_oracle_rounds(_BPE_ROUNDS)
+
+
+@query("bpe_train_rounds", oracle=_BPE_TRAIN_ORACLE, tags=("textquality", "curation", "iterative"))
+def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE trainer (Sennrich et al. 2016), N =
+    ``_BPE_ROUNDS`` merge rounds — the loop that ``bpe_merge_round``
+    is one step of. Each round: adjacent-symbol pair counts weighted
+    by word-TYPE frequency → deterministic winner (count DESC, pair
+    ASC) → greedy leftmost merge applied to every word. Output is the
+    learned merge table: (merge_round, a, b, pair_count) — the
+    artifact a tokenizer ships.
+
+    Scale: the corpus collapses to the word-type histogram in ONE
+    shuffle and is never touched again — every round runs on the type
+    table (millions of rows at 100 TB, not trillions), with the 1-row
+    winner broadcast back into a single JVM ``replace`` per word.
+    ``localCheckpoint`` truncates lineage each round (the
+    ``connected_components_halving`` pattern), so plan depth stays
+    constant in N; total work is O(N · |types|), all JVM-side
+    (pinned: no Python in the round plan).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(_toks_col()).alias("tok"))
+    types = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    syms = types.select(
+        F.concat(
+            F.lit(_BPE_D), F.regexp_replace(F.col("tok"), "(.)", "$1" + _BPE_D)
+        ).alias("sym"),
+        "cnt",
+    ).localCheckpoint()
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pc = _bpe_pair_counts(syms)
+        win = (
+            pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        if win.isEmpty():  # corpus fully merged — convergence guard
+            break
+        merges.append(
+            win.select(
+                F.lit(r).cast("long").alias("merge_round"), "a", "b", "pair_count"
+            )
+        )
+        syms = _bpe_apply_merge(syms, win).localCheckpoint()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Token → character-offset mapping (span-annotation substrate)
 # ---------------------------------------------------------------------------
 

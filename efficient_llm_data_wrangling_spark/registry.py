@@ -69,6 +69,9 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "tpch_q11_important_stock",
     "tpch_q20_excess_stock",
     "profit_by_nation_year",
+    # iterative BPE trainer (queries/textquality.py): the N-round loop
+    # that r5's bpe_merge_round was one step of.
+    "bpe_train_rounds",
 )
 
 _STALE_R2: tuple[str, ...] = (

@@ -225,3 +225,91 @@ def test_span_manifest_disjoint_and_covers_dups(spark):
         if r.doc_id in prev_end:
             assert r.span_start > prev_end[r.doc_id]
         prev_end[r.doc_id] = r.span_end
+
+
+def test_bpe_merge_replace_is_greedy_leftmost(spark):
+    """The delimiter-string replace must implement Sennrich's greedy
+    leftmost non-overlapping merge: "aaa" with merge (a,a) becomes
+    (aa)a — one merge, never two overlapping — and boundary symbols
+    never match inside multi-char symbols ("ba c" must not merge
+    (a,c))."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BPE_D,
+        _bpe_apply_merge,
+        _bpe_pair_counts,
+    )
+
+    d = _BPE_D
+
+    def sym(*symbols):
+        return d + d.join(symbols) + d
+
+    syms = spark.createDataFrame(
+        [(sym("a", "a", "a"), 1), (sym("ba", "c"), 1)], "sym string, cnt long"
+    )
+    win = spark.createDataFrame([("a", "a")], "a string, b string")
+    merged = {r.sym: r.cnt for r in _bpe_apply_merge(syms, win).collect()}
+    assert sym("aa", "a") in merged  # greedy leftmost: (aa)a
+    assert sym("ba", "c") in merged  # untouched: no (a,c) inside "ba"
+
+    # pair counts after the merge see the NEW symbols
+    pc = {
+        (r.a, r.b): r.pair_count
+        for r in _bpe_pair_counts(
+            spark.createDataFrame([(sym("aa", "a"), 3)], "sym string, cnt long")
+        ).collect()
+    }
+    assert pc == {("aa", "a"): 3}
+
+
+def test_bpe_round_plan_is_jvm_side(spark):
+    """One un-checkpointed training round (pair count → winner →
+    merge apply) must plan with zero Python operators and no
+    cartesian product — the per-round work the trainer repeats."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _bpe_apply_merge,
+        _bpe_pair_counts,
+        _toks_col,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    types = (
+        docs.select(F.explode(_toks_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    syms = types.select(
+        F.concat(
+            F.lit("\x1f"), F.regexp_replace(F.col("tok"), "(.)", "$1\x1f")
+        ).alias("sym"),
+        "cnt",
+    )
+    pc = _bpe_pair_counts(syms)
+    win = pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b")).limit(1)
+    plan = _bpe_apply_merge(syms, win)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_train_rounds_monotone_and_consistent(spark):
+    """The merge table must have one row per round, and each round's
+    winning pair count can only shrink or hold as merges consume
+    pairs it overlaps — never grow (new pairs created by a merge are
+    strict sub-contexts of existing occurrences)."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BPE_ROUNDS,
+        bpe_train_rounds,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(bpe_train_rounds(spark, SF_SMOKE).collect(), key=lambda r: r.merge_round)
+    assert [r.merge_round for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+    assert all(r.pair_count > 0 for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.pair_count <= prev.pair_count
