@@ -342,6 +342,80 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_ADMISSION_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+existing AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+t AS (
+  SELECT d.doc_id,
+         list_filter(string_split(d.text, ' '), x -> x <> '') AS toks,
+         e.h IS NULL AS is_new
+  FROM documents d LEFT JOIN existing e ON md5(d.text) = e.h
+),
+m AS (
+  SELECT doc_id, is_new,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+      AS stopword_hits,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) // len(toks) END AS alpha_pct
+  FROM t
+)
+SELECT doc_id, n_words, mean_len_milli, stopword_hits, alpha_pct
+FROM m
+WHERE is_new AND (n_words BETWEEN 20 AND 1000)
+  AND (mean_len_milli BETWEEN 3000 AND 10000)
+  AND stopword_hits >= 1 AND alpha_pct >= 80
+"""
+
+
+@query("stream_admission_pipeline", oracle=_ADMISSION_ORACLE, tags=("streaming", "dedup", "textquality", "sink"))
+def stream_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ingest-admission pipeline, end-to-end: documents
+    ARRIVE as a file stream, each is (1) dedup-probed against the
+    standing corpus hash index, (2) Gopher-rule scored, and (3) the
+    admitted survivors MERGE doc_id-idempotently into a versioned
+    parquet manifest via foreachBatch — the full firehose→training-set
+    admission story whose two halves (``stream_ingest_dedup``,
+    ``stream_quality_gate``) graded separately in round 5. The graded
+    frame is the SNAPSHOT a downstream reader sees; because both
+    verdicts are pure functions of the row, it carries a full
+    value-hash oracle (restated as join + metrics + filter in SQL).
+
+    Scale: stateless micro-batches (broadcast probe + codegen'd
+    metrics, no state stores); the sink rewrite is the parquet
+    trade-off, swapped for a metadata commit on a table format.
+    """
+    tune(spark)
+    import tempfile
+
+    from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
+
+    standing = (
+        _corpus_with_dups(spark, sf_dir)
+        .filter(F.col("doc_id") >= 1000000)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    base = tempfile.mkdtemp(prefix="elldw_admission_")
+    latest = S.admission_manifest_to_parquet(
+        S.stream_documents(spark, sf_dir), standing, base
+    )
+    return spark.read.parquet(latest)
+
+
 _INGEST_QUALITY_ORACLE = """
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

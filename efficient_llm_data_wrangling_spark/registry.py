@@ -72,6 +72,9 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     # iterative BPE trainer (queries/textquality.py): the N-round loop
     # that r5's bpe_merge_round was one step of.
     "bpe_train_rounds",
+    # composed streaming admission e2e (queries/streaming.py): dedup
+    # probe → Gopher gate → versioned parquet manifest, full oracle.
+    "stream_admission_pipeline",
 )
 
 _STALE_R2: tuple[str, ...] = (

@@ -325,6 +325,105 @@ def ingest_dedup_probe(stream_docs: DataFrame, standing_hashes: DataFrame) -> Da
     return probed.select("doc_id", F.col("__seen").isNull().alias("is_new_vs_corpus"))
 
 
+def admission_verdicts(stream_docs: DataFrame, standing_hashes: DataFrame) -> DataFrame:
+    """The full streaming admission pipeline, fused: every arriving
+    document carries (a) its dedup verdict against the standing
+    corpus's hash index (:func:`ingest_dedup_probe` semantics) and (b)
+    its Gopher rule metrics (``gopher_metric_cols`` — the same column
+    definitions the batch filter uses), with ``admitted`` = new AND
+    passing. Stateless: the whole verdict is scan-side column
+    expressions plus one stream-static broadcast join, so it runs
+    inline on the firehose with zero state stores.
+
+    Scale: identical posture to the two halves it composes — the
+    standing index broadcasts while it fits (16 bytes/doc) and
+    degrades to a shuffled stream-static join beyond; the Gopher
+    metrics are codegen'd per-row expressions.
+    """
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _toks_col,
+        gopher_metric_cols,
+    )
+
+    keyed = stream_docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        _toks_col().alias("toks"),
+    )
+    probed = keyed.join(
+        F.broadcast(standing_hashes.withColumn("__seen", F.lit(1))), "h", "left"
+    )
+    g = gopher_metric_cols()
+    return probed.select(
+        "doc_id",
+        g["n_words"].alias("n_words"),
+        g["mean_len_milli"].alias("mean_len_milli"),
+        g["stopword_hits"].alias("stopword_hits"),
+        g["alpha_pct"].alias("alpha_pct"),
+        (F.col("__seen").isNull() & g["passes"]).alias("admitted"),
+    )
+
+
+def admission_manifest_to_parquet(
+    stream_docs: DataFrame, standing_hashes: DataFrame, base_dir: str
+) -> str:
+    """Drive :func:`admission_verdicts` end-to-end into the versioned
+    parquet sink (the :func:`upsert_totals_to_parquet` discipline):
+    each micro-batch's ADMITTED rows merge doc_id-idempotently into
+    the snapshot, every batch writes a new immutable ``v{batch_id}``
+    directory, and the latest complete version is the manifest a
+    downstream training-data builder reads. Retried batches re-insert
+    the same doc_ids and dedupe away — exactly-once at the sink
+    without sink-side transactions.
+    """
+    from pathlib import Path
+
+    verdicts = admission_verdicts(stream_docs, standing_hashes)
+    spark = stream_docs.sparkSession
+    root = Path(base_dir)
+
+    def _latest() -> str | None:
+        versions = sorted(
+            (d for d in root.glob("v*") if (d / "_SUCCESS").exists()),
+            key=lambda d: int(d.name[1:]),
+        )
+        return str(versions[-1]) if versions else None
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = batch_df.filter(F.col("admitted")).drop("admitted")
+        prev = _latest()
+        if prev is not None:
+            admitted = spark.read.parquet(prev).unionByName(admitted)
+        admitted.dropDuplicates(["doc_id"]).write.mode("overwrite").parquet(
+            str(root / f"v{batch_id}")
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    nparts = _stream_partitions()
+    if nparts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+    try:
+        writer = (
+            verdicts.writeStream.outputMode("append")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+        )
+        ckpt = _fast_checkpoint_dir()
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        writer.start().awaitTermination()
+    finally:
+        if nparts is not None and prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if ckpt is not None:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    latest = _latest()
+    assert latest is not None, "admission stream produced no snapshot version"
+    return latest
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

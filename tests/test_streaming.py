@@ -263,3 +263,39 @@ def test_ingest_dedup_probe_is_stateless_and_exact(spark):
     # stateless: no state-store operator in the last executed plan
     q = [q for q in spark.streams.active]
     assert not q  # availableNow drained and stopped
+
+
+def test_admission_pipeline_snapshot_is_admitted_only_and_versioned(spark):
+    """The end-to-end admission manifest must (a) contain only rows
+    that clear BOTH gates (every snapshot row passes the Gopher rule
+    thresholds; no doc_id from the standing-corpus clone population),
+    (b) be doc_id-unique (idempotent merge), and (c) live under an
+    immutable v{batch_id} directory with a _SUCCESS marker."""
+    import tempfile
+    from pathlib import Path
+
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
+    from efficient_llm_data_wrangling_spark.streaming import ops as S
+    from tests.conftest import SF_SMOKE
+
+    standing = (
+        _corpus_with_dups(spark, SF_SMOKE)
+        .filter(F.col("doc_id") >= 1000000)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    base = tempfile.mkdtemp(prefix="elldw_admission_test_")
+    latest = S.admission_manifest_to_parquet(
+        S.stream_documents(spark, SF_SMOKE), standing, base
+    )
+    assert Path(latest).name.startswith("v") and (Path(latest) / "_SUCCESS").exists()
+    rows = spark.read.parquet(latest).collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))  # idempotent doc_id merge
+    for r in rows:
+        assert 20 <= r.n_words <= 1000
+        assert 3000 <= r.mean_len_milli <= 10000
+        assert r.stopword_hits >= 1 and r.alpha_pct >= 80
