@@ -248,6 +248,94 @@ def tpch_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q2 shape — minimum-cost supplier (correlated-min decorrelation)
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = f"""
+WITH {_PS_CTES},
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cand AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost_c, eu.s_suppkey, eu.s_name,
+         eu.s_acctbal, eu.nation
+  FROM ps
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+             AND p.p_size <= 15 AND p.p_type = 'LARGE'
+  JOIN eu ON eu.s_suppkey = ps.ps_suppkey
+),
+mn AS (
+  SELECT ps_partkey, min(ps_supplycost_c) AS min_cost_c
+  FROM cand GROUP BY ps_partkey
+)
+SELECT c.s_acctbal, c.s_name, c.nation, c.ps_partkey, c.ps_supplycost_c
+FROM cand c
+JOIN mn ON mn.ps_partkey = c.ps_partkey AND c.ps_supplycost_c = mn.min_cost_c
+"""
+
+
+@query("tpch_q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("join", "subquery", "tpch"))
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every part of one type within a size band, the
+    region-local supplier(s) offering the MINIMUM supplycost — the
+    classic correlated scalar-min subquery, decorrelated as candidate
+    set → per-part min aggregate → join-back on (partkey, cost). All
+    min-cost ties are returned (per spec); the cost compares as the
+    exact integer cents column so the argmin boundary cannot drift.
+
+    Scale: part and supplier⋈nation⋈region filters prune the surrogate
+    BEFORE the per-part aggregate; every join side here is
+    dimension-sized and broadcasts; the aggregate reduces to |parts
+    matching size∧type| rows. No window, no global sort — the same
+    aggregate→join-back election as ``top_supplier_revenue`` (Q15).
+    """
+    tune(spark)
+    ps = partsupp_surrogate(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "nation")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(F.broadcast(eu), ps["ps_suppkey"] == F.col("s_suppkey"))
+        .select("ps_partkey", "ps_supplycost_c", "s_name", "s_acctbal", "nation")
+    )
+    mn = cand.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+        F.min("ps_supplycost_c").alias("__min_cost_c")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("ps_partkey") == F.col("__pk"))
+            & (F.col("ps_supplycost_c") == F.col("__min_cost_c")),
+        )
+        .select("s_acctbal", "s_name", "nation", "ps_partkey", "ps_supplycost_c")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q9 shape — profit by nation and year, rebuilt on the surrogate
 # --------------------------------------------------------------------------
 

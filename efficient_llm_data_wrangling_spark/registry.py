@@ -68,6 +68,7 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     # the real pair-key topology (values changed → must re-grade).
     "tpch_q11_important_stock",
     "tpch_q20_excess_stock",
+    "tpch_q2_min_cost_supplier",
     "profit_by_nation_year",
     # iterative BPE trainer (queries/textquality.py): the N-round loop
     # that r5's bpe_merge_round was one step of.

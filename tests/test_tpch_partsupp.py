@@ -83,3 +83,20 @@ def test_q9_joins_partsupp_on_the_pair_key(spark):
     # ps joins broadcast at test scale; the pair key appears in a
     # single BroadcastHashJoin condition
     assert "BroadcastHashJoin [l_partkey" in plan or "BroadcastHashJoin [knownnotnull" in plan or plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q2_returns_all_min_cost_ties_per_part(spark):
+    from collections import defaultdict
+
+    from efficient_llm_data_wrangling_spark.queries.tpch_partsupp import (
+        tpch_q2_min_cost_supplier,
+    )
+
+    rows = tpch_q2_min_cost_supplier(spark, SF_CORRECT).collect()
+    assert rows
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r.ps_partkey].append(r.ps_supplycost_c)
+    # every returned row carries its part's single minimum cost
+    for costs in by_part.values():
+        assert len(set(costs)) == 1
