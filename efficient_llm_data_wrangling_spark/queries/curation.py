@@ -112,6 +112,16 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs against a 100 TB corpus — so its distinct gram hashes
     broadcast; the corpus side is a scan-side explode with no shuffle
     before the per-doc count. Gram hashing keeps the explode narrow.
+
+    r6 drift audit (the only repeated >1.1 calibration ratio in
+    r4/r5 driver rounds): interleaved A/B at sf0.1 measured the old
+    shape (pre-join distinct on the FULL train gram stream) at 1.21 s
+    median vs 1.26 s for this shape — parity; the recorded drift was
+    host-load noise between non-interleaved runs. This shape is still
+    kept because its first shuffle carries only grams that MATCHED the
+    broadcast eval set (the contaminated sliver), where the old one
+    shuffled every train gram — the difference is invisible at sf0.1
+    and decisive at corpus scale.
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
@@ -137,11 +147,17 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     testg = grams.filter(F.col("bucket") == 15).select("gh").distinct()
-    traing = grams.filter(F.col("bucket") < 13).select("doc_id", "gh").distinct()
+    # join the RAW train gram stream against the broadcast eval set and
+    # count DISTINCT matched grams per doc in one aggregate — the
+    # pre-r6 shape ran a full-width distinct on (doc_id, gh) first,
+    # which is a second data-sized shuffle for no information gain
+    # (countDistinct partial-aggregates map-side; the broadcast join
+    # already pruned the stream to contaminated grams only)
     hits = (
-        traing.join(F.broadcast(testg), "gh")
+        grams.filter(F.col("bucket") < 13)
+        .join(F.broadcast(testg), "gh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct(F.col("gh")).alias("n_overlap"))
     )
     return (
         t.filter(F.col("bucket") < 13)
