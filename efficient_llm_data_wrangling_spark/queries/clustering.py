@@ -288,7 +288,10 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob (here {_SEM_K}; at 100 TB pick k so clusters hold ~10⁴ docs:
     the SemDeDup paper runs 50k clusters over 5B embeddings). The
     cluster equi-join shuffles on cell id; skewed (over-full) clusters
-    are exactly the AQE skew-join case, and the fit is the same
+    are exactly the AQE skew-join case — PROVEN, not argued:
+    test_semdedup_overfull_cluster_is_aqe_skew_split plants a ~99%
+    cluster and asserts the executed plan shows
+    ``SortMergeJoin(skew=true)`` — and the fit is the same
     broadcast-codebook Lloyd round the kmeans query grades.
     """
     tune(spark)

@@ -94,3 +94,70 @@ def test_kmeans_plan_broadcasts_centroids(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan  # argmin must be the combinable min(struct)
+
+
+def test_semdedup_overfull_cluster_is_aqe_skew_split(spark):
+    """semdedup_clustered's docstring argues an over-full cluster in
+    the within-cluster pair join "is exactly the AQE skew-join case".
+    Prove it: plant one cluster holding ~99% of rows (the shape a bad
+    k or a degenerate embedding space produces), run the same
+    cluster-keyed self-join, and assert the executed adaptive plan
+    actually skew-split it. Local-scale notes baked in: (a) thresholds
+    are lowered because skew detection reads COMPRESSED shuffle sizes
+    and defaults to 256 MB; (b) the payload must be per-row
+    incompressible — a constant pad compresses to nothing and the
+    skewed partition never crosses the threshold (found empirically);
+    (c) broadcast is disabled so the join stays sort-merge, the only
+    shape OptimizeSkewedJoin handles."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        n_skew, n_rest = 4000, 50
+        pad = F.concat(
+            *[
+                F.sha2(F.concat(F.col("vec_id").cast("string"), F.lit(str(i))), 256)
+                for i in range(8)
+            ]
+        )
+        rows = (
+            spark.range(n_skew)
+            .select(F.lit(0).alias("c"), F.col("id").alias("vec_id"))
+            .unionAll(
+                spark.range(n_rest).select(
+                    (F.col("id") % 50 + 1).alias("c"),
+                    (F.col("id") + 100000).alias("vec_id"),
+                )
+            )
+        )
+        a = rows.select("c", F.col("vec_id").alias("left_id"), pad.alias("pad"))
+        b = rows.select("c", F.col("vec_id").alias("rid"))
+        j = (
+            a.join(b, ["c"])
+            .filter(F.col("left_id") < F.col("rid"))
+            .agg(F.sum(F.length("pad")).alias("s"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan  # the AQEShuffleRead split the partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
