@@ -827,30 +827,68 @@ def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
 def _bpe_apply_merge(syms: DataFrame, win: DataFrame) -> DataFrame:
     """Apply the 1-row winner merge to every word: broadcast the
     winner, one JVM `replace` per word string (greedy leftmost
-    non-overlapping — see ``_BPE_D``)."""
+    non-overlapping — see ``_BPE_D``). Every non-``sym`` column rides
+    along unchanged (the encoder carries ``tok``)."""
+    keep = [c for c in syms.columns if c != "sym"]
     return syms.crossJoin(F.broadcast(win.select("a", "b"))).select(
         F.expr(
             "replace(sym, concat(chr(31), a, chr(31), b, chr(31)),"
             " concat(chr(31), a, b, chr(31)))"
         ).alias("sym"),
-        "cnt",
+        *keep,
     )
 
 
-def _bpe_oracle_rounds(n: int) -> str:
-    """The DuckDB twin: the same N rounds unrolled as chained CTEs
-    (pair-count → winner → replace), over the identical delimited
-    representation."""
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+    """The shared training loop: run ``_BPE_ROUNDS`` merge rounds over
+    the word-type histogram. Returns (per-round 1-row winner frames,
+    final ``(tok, sym, cnt)`` state) — the trainer grades the winners,
+    the encoder consumes the final symbol table."""
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(_toks_col()).alias("tok"))
+    types = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    syms = types.select(
+        "tok",
+        F.concat(
+            F.lit(_BPE_D), F.regexp_replace(F.col("tok"), "(.)", "$1" + _BPE_D)
+        ).alias("sym"),
+        "cnt",
+    ).localCheckpoint()
+    merges: list[DataFrame] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pc = _bpe_pair_counts(syms)
+        win = (
+            pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        if win.isEmpty():  # corpus fully merged — convergence guard
+            break
+        merges.append(
+            win.select(
+                F.lit(r).cast("long").alias("merge_round"), "a", "b", "pair_count"
+            )
+        )
+        syms = _bpe_apply_merge(syms, win).localCheckpoint()
+    return merges, syms
+
+
+def _bpe_oracle_ctes(n: int) -> str:
+    """The DuckDB twin of :func:`_bpe_fit`: the same N rounds unrolled
+    as chained CTEs (pair-count → winner → replace) over the identical
+    delimited representation. ``t`` keeps doc_id and ``s{r}`` keeps
+    tok so both the trainer's winners (``win1..winN``) and the
+    encoder's final symbol table (``s{n}``) compose on top."""
     ctes = [
-        f"t AS (SELECT {_TOKS_SQL} AS toks FROM documents)",
+        f"t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)",
         "w AS (SELECT unnest(toks) AS tok FROM t)",
         "types AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok)",
         (
-            "s0 AS (SELECT chr(31) || regexp_replace(tok, '(.)', '\\1' || chr(31), 'g')"
+            "s0 AS (SELECT tok, chr(31) || regexp_replace(tok, '(.)', '\\1' || chr(31), 'g')"
             " AS sym, cnt FROM types)"
         ),
     ]
-    finals = []
     for r in range(1, n + 1):
         ctes.append(
             f"px{r} AS (SELECT list_filter(str_split(sym, chr(31)), x -> x <> '')"
@@ -866,18 +904,23 @@ def _bpe_oracle_rounds(n: int) -> str:
             f" ORDER BY pair_count DESC, a, b LIMIT 1)"
         )
         ctes.append(
-            f"s{r} AS (SELECT replace(sym,"
+            f"s{r} AS (SELECT tok, replace(sym,"
             f" chr(31) || w.a || chr(31) || w.b || chr(31),"
             f" chr(31) || w.a || w.b || chr(31)) AS sym, cnt"
             f" FROM s{r - 1} CROSS JOIN win{r} w)"
         )
-        finals.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_round, a, b, pair_count FROM win{r}"
-        )
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+    return ",\n".join(ctes)
 
 
-_BPE_TRAIN_ORACLE = _bpe_oracle_rounds(_BPE_ROUNDS)
+_BPE_TRAIN_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(_BPE_ROUNDS)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, a, b, pair_count FROM win{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
 
 
 @query("bpe_train_rounds", oracle=_BPE_TRAIN_ORACLE, tags=("textquality", "curation", "iterative"))
@@ -899,36 +942,81 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant in N; total work is O(N · |types|), all JVM-side
     (pinned: no Python in the round plan).
     """
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(F.explode(_toks_col()).alias("tok"))
-    types = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    syms = types.select(
-        F.concat(
-            F.lit(_BPE_D), F.regexp_replace(F.col("tok"), "(.)", "$1" + _BPE_D)
-        ).alias("sym"),
-        "cnt",
-    ).localCheckpoint()
-    merges = []
-    for r in range(1, _BPE_ROUNDS + 1):
-        pc = _bpe_pair_counts(syms)
-        win = (
-            pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .localCheckpoint()
-        )
-        if win.isEmpty():  # corpus fully merged — convergence guard
-            break
-        merges.append(
-            win.select(
-                F.lit(r).cast("long").alias("merge_round"), "a", "b", "pair_count"
-            )
-        )
-        syms = _bpe_apply_merge(syms, win).localCheckpoint()
+    merges, _ = _bpe_fit(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+_BPE_ENCODE_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(_BPE_ROUNDS)
+    + f""",
+enc AS (
+  SELECT tok,
+         CAST(len(list_filter(str_split(sym, chr(31)), x -> x <> '')) AS BIGINT)
+           AS n_sym,
+         CAST(length(tok) AS BIGINT) AS n_chars_word
+  FROM s{_BPE_ROUNDS}
+),
+wd AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+g AS (
+  SELECT doc_id,
+         CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_chars_word) AS BIGINT) AS n_char_units
+  FROM wd JOIN enc USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_char_units, n_bpe_tokens,
+       (n_char_units - n_bpe_tokens) * 1000 // n_char_units AS saved_permille
+FROM g
+"""
+)
+
+
+@query("bpe_encode_documents", oracle=_BPE_ENCODE_ORACLE, tags=("textquality", "curation"))
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the ENCODE
+    half of the tokenizer story ``bpe_train_rounds`` trains: every
+    document's token count under the 8-round merge table versus the
+    character-level baseline, with the compression reported in exact
+    per-mille. This is the number a tokenizer-selection study actually
+    compares (fertility drop per merge budget).
+
+    Scale: encoding never touches document text with the merge loop —
+    the final symbol table lives on the word-TYPE histogram (the fit's
+    O(N · |types|) loop, amortized across every document containing
+    the type), and the corpus pass is one explode + one vocab-bounded
+    join (AQE-broadcast while the type table fits) + one per-doc sum.
+    A real tokenizer service does exactly this: fit once, join the
+    vocab everywhere.
+    """
+    _, syms = _bpe_fit(spark, sf_dir)
+    enc = syms.select(
+        "tok",
+        F.size(F.filter(F.split(F.col("sym"), _BPE_D), lambda x: x != ""))
+        .cast("long")
+        .alias("n_sym"),
+        F.length("tok").cast("long").alias("n_chars_word"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    wd = docs.select("doc_id", F.explode(_toks_col()).alias("tok"))
+    g = (
+        wd.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum("n_chars_word").cast("long").alias("n_char_units"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_char_units",
+        "n_bpe_tokens",
+        F.expr("(n_char_units - n_bpe_tokens) * 1000 div n_char_units").alias(
+            "saved_permille"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

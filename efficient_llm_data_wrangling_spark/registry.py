@@ -76,6 +76,8 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     # composed streaming admission e2e (queries/streaming.py): dedup
     # probe → Gopher gate → versioned parquet manifest, full oracle.
     "stream_admission_pipeline",
+    # tokenizer ENCODE half: learned merges applied back to the corpus.
+    "bpe_encode_documents",
 )
 
 _STALE_R2: tuple[str, ...] = (

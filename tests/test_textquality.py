@@ -313,3 +313,31 @@ def test_bpe_train_rounds_monotone_and_consistent(spark):
     assert all(r.pair_count > 0 for r in rows)
     for prev, cur in zip(rows, rows[1:]):
         assert cur.pair_count <= prev.pair_count
+
+
+def test_bpe_encode_compresses_and_is_consistent(spark):
+    """Encoder invariants: BPE token counts never exceed the
+    character-unit baseline (merges only shrink), every doc with >= 1
+    token appears, and the per-mille saving matches the integer
+    arithmetic of its own row."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _toks_col,
+        bpe_encode_documents,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = bpe_encode_documents(spark, SF_SMOKE).collect()
+    n_docs_with_toks = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select(F.size(_toks_col()).alias("n"))
+        .filter(F.col("n") >= 1)
+        .count()
+    )
+    assert len(rows) == n_docs_with_toks
+    assert any(r.n_bpe_tokens < r.n_char_units for r in rows)  # merges bit
+    for r in rows:
+        assert 0 < r.n_bpe_tokens <= r.n_char_units
+        assert r.saved_permille == (r.n_char_units - r.n_bpe_tokens) * 1000 // r.n_char_units
