@@ -321,3 +321,168 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("cell_id"),
         F.col("__hit").isNull().alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (greedy relevance/diversity selection)
+# ---------------------------------------------------------------------------
+
+_MMR_C = 20  # candidate pool (top-C by relevance feeds the greedy loop)
+_MMR_K = 5  # diversified selections
+#: MMR score = λ·rel − (1−λ)·max-sim with λ = 0.7, integer-scaled ×10:
+#: score_u = 7·rel_u − 3·maxsim_u — exact BIGINTs end to end.
+_MMR_REL_W, _MMR_DIV_W = 7, 3
+
+
+def _dot_int_sql(a: str, b: str) -> str:
+    """DuckDB exact integer dot product of two micro-unit vectors."""
+    return (
+        f"CAST(list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)]) AS BIGINT)"
+    )
+
+
+def _dot_int_col(a: str, b: str) -> F.Column:
+    """Spark twin of :func:`_dot_int_sql` (order-free exact BIGINT)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda u, v: u * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _mmr_oracle() -> str:
+    ctes = [
+        """xi AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x
+  FROM embeddings
+)""",
+        "q AS (SELECT x AS qx FROM xi WHERE vec_id = 0)",
+        f"""cand AS (
+  SELECT m.vec_id, m.x, {_dot_int_sql('m.x', 'q.qx')} AS rel_u
+  FROM xi m CROSS JOIN q WHERE m.vec_id <> 0
+  ORDER BY rel_u DESC, vec_id LIMIT {_MMR_C}
+)""",
+        f"""sel1 AS (
+  SELECT vec_id, x, rel_u, CAST({_MMR_REL_W} AS BIGINT) * rel_u AS score_u
+  FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1
+)""",
+        "all1 AS (SELECT vec_id, x FROM sel1)",
+    ]
+    for r in range(2, _MMR_K + 1):
+        ctes.append(
+            f"""sc{r} AS (
+  SELECT c.vec_id, c.rel_u,
+         {_MMR_REL_W} * c.rel_u - {_MMR_DIV_W} * max({_dot_int_sql('c.x', 's.x')})
+           AS score_u
+  FROM cand c CROSS JOIN all{r - 1} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM all{r - 1})
+  GROUP BY c.vec_id, c.rel_u
+)""",
+        )
+        ctes.append(
+            f"""sel{r} AS (
+  SELECT vec_id, rel_u, score_u FROM sc{r}
+  ORDER BY score_u DESC, vec_id LIMIT 1
+)""",
+        )
+        ctes.append(
+            f"all{r} AS (SELECT vec_id, x FROM all{r - 1} UNION ALL"
+            f" SELECT c.vec_id, c.x FROM cand c JOIN sel{r} USING (vec_id))",
+        )
+    finals = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel_u, score_u FROM sel1"]
+    finals += [
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, rel_u, score_u FROM sel{r}"
+        for r in range(2, _MMR_K + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+_MMR_ORACLE = _mmr_oracle()
+
+
+@query("mmr_diversified_topk", oracle=_MMR_ORACLE, tags=("similarity", "ann", "iterative"))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    diversified re-rank every retrieval-augmented pipeline runs on top
+    of ANN: from the top-{_MMR_C} candidates by relevance to the query
+    vector, greedily pick {_MMR_K} results maximizing λ·relevance −
+    (1−λ)·max-similarity-to-already-picked (λ=0.7, ×10 integer
+    scaling). Relevance and similarity are exact integer micro-unit
+    dot products, so every greedy argmax boundary is bit-identical on
+    both engines (tie-break vec_id ASC). Output is the ranked
+    selection with its marginal score.
+
+    Scale: the candidate pool is TakeOrdered over the corpus-wide
+    relevance scan (one pass, never a global sort); the greedy loop
+    then runs on C rows with ≤K-row broadcasts — driver-side unroll
+    over lazy plans with localCheckpoint per round, the
+    ``connected_components_halving`` pattern. At 100 TB the corpus
+    pass is the ANN stage (IVF/LSH prune first); MMR cost is O(C·K)
+    dot products regardless of corpus size.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    q = vectors.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    cand = (
+        vectors.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "x", _dot_int_col("x", "qx").alias("rel_u"))
+        .orderBy(F.desc("rel_u"), F.asc("vec_id"))
+        .limit(_MMR_C)
+        .localCheckpoint()
+    )
+    sel1 = (
+        cand.orderBy(F.desc("rel_u"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "x",
+            "rel_u",
+            (F.lit(_MMR_REL_W).cast("long") * F.col("rel_u")).alias("score_u"),
+        )
+        .localCheckpoint()
+    )
+    picked = [
+        sel1.select(F.lit(1).cast("long").alias("rank"), "vec_id", "rel_u", "score_u")
+    ]
+    selected = sel1.select("vec_id", "x").localCheckpoint()
+    for r in range(2, _MMR_K + 1):
+        remaining = cand.join(
+            selected.select(F.col("vec_id").alias("__sid")),
+            cand["vec_id"] == F.col("__sid"),
+            "left_anti",
+        )
+        maxsim = (
+            remaining.crossJoin(F.broadcast(selected.select(F.col("x").alias("sx"))))
+            .select("vec_id", "rel_u", _dot_int_col("x", "sx").alias("sim_u"))
+            .groupBy("vec_id", "rel_u")
+            .agg(F.max("sim_u").alias("maxsim_u"))
+        )
+        win = (
+            maxsim.select(
+                "vec_id",
+                "rel_u",
+                (
+                    F.lit(_MMR_REL_W).cast("long") * F.col("rel_u")
+                    - F.lit(_MMR_DIV_W).cast("long") * F.col("maxsim_u")
+                ).alias("score_u"),
+            )
+            .orderBy(F.desc("score_u"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        picked.append(
+            win.select(
+                F.lit(r).cast("long").alias("rank"), "vec_id", "rel_u", "score_u"
+            )
+        )
+        selected = selected.unionAll(
+            cand.join(win.select("vec_id"), "vec_id").select("vec_id", "x")
+        ).localCheckpoint()
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionAll(p)
+    return out

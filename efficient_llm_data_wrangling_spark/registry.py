@@ -78,6 +78,8 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "stream_admission_pipeline",
     # tokenizer ENCODE half: learned merges applied back to the corpus.
     "bpe_encode_documents",
+    # greedy MMR diversified re-rank (queries/clustering.py).
+    "mmr_diversified_topk",
 )
 
 _STALE_R2: tuple[str, ...] = (

@@ -161,3 +161,41 @@ def test_semdedup_overfull_cluster_is_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mmr_diversifies_and_marginals_decrease(spark):
+    """Greedy MMR invariants: (a) rank-1 is the pure-relevance argmax,
+    (b) marginal scores are non-increasing in rank (each round's
+    winner was available earlier with a no-larger penalty), and (c)
+    the selection diverges from the pure top-k by relevance — the
+    diversity term must actually change the picks on real data."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _MMR_K,
+        _dot_int_col,
+        _micro_units,
+        mmr_diversified_topk,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(mmr_diversified_topk(spark, SF_SMOKE).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, _MMR_K + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.score_u <= prev.score_u
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    q = vectors.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    topk_rel = [
+        r.vec_id
+        for r in vectors.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _dot_int_col("x", "qx").alias("rel_u"))
+        .orderBy(F.desc("rel_u"), F.asc("vec_id"))
+        .limit(_MMR_K)
+        .collect()
+    ]
+    assert rows[0].vec_id == topk_rel[0]
+    assert [r.vec_id for r in rows] != topk_rel
