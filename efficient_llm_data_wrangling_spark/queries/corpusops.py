@@ -929,6 +929,61 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L_DIV = 3
+
+_L_DIVERSITY_ORACLE = f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS group_size,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+         AS n_sensitive,
+       count(*) >= {_K_ANON}
+         AND count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= {_L_DIV}
+         AS releasable
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+@query("l_diversity_report", oracle=_L_DIVERSITY_ORACLE, tags=("corpusops", "privacy"))
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    gate k-anonymity alone misses: a ≥k group whose SENSITIVE value is
+    uniform still leaks it (homogeneity attack). Over the same
+    (nation, market-segment) quasi-identifier as ``k_anonymity_report``
+    with the account-balance band (floor(bal/1000), an exact bucket on
+    identical parquet doubles) as the sensitive attribute: a group is
+    releasable iff it has ≥{_K_ANON} members AND ≥{_L_DIV} distinct
+    sensitive bands.
+
+    Scale: one shuffle on the QI tuple with a partial-aggregated
+    distinct count; the report stays |QI-space| rows. The
+    generalization loop (coarsen bands, re-audit) reruns this single
+    plan.
+    """
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct(band).cast("long").alias("n_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "segment",
+            "group_size",
+            "n_sensitive",
+            (
+                (F.col("group_size") >= _K_ANON) & (F.col("n_sensitive") >= _L_DIV)
+            ).alias("releasable"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (hashed n-gram target/raw log-likelihood ratio)
 # ---------------------------------------------------------------------------
@@ -1311,4 +1366,111 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(sum((cnt - 1) * tok) * 1000L div sum(cnt * tok) AS BIGINT)"
         ).alias("savings_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-LM log-probability (completes the unigram→bigram→trigram ladder)
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_CTES = f"""t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tt AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+tg AS (SELECT doc_id, i AS pos, toks[i + 1] AS a, toks[i + 2] AS b, toks[i + 3] AS c
+       FROM tt, unnest(range(len(toks) - 2)) AS u(i)),
+tc AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS ct FROM tg GROUP BY a, b, c),
+ctx AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM tg GROUP BY a, b),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+base AS (
+  SELECT tg.doc_id, tg.pos, tc.ct, ctx.cab, vocab.v
+  FROM tg JOIN tc USING (a, b, c) JOIN ctx USING (a, b) CROSS JOIN vocab
+),
+{PM.duck_lnint_ctes("base", "t0", "ct + 1", "__lct_")},
+{PM.duck_lnint_ctes("t0", "t1", "cab + v", "__lcab_")},
+terms AS (
+  SELECT doc_id, pos,
+         ({PM.lnint_sql("__lct_")}) - ({PM.lnint_sql("__lcab_")}) AS term
+  FROM t1
+),
+tscored AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY pos)),
+                     (x, y) -> x + y) AS lp,
+         CAST(count(*) AS BIGINT) AS n_trigrams
+  FROM terms GROUP BY doc_id
+)"""
+
+_TRIGRAM_ORACLE = f"""
+WITH {_TRIGRAM_CTES}
+SELECT doc_id, n_trigrams,
+       round(lp / CAST(n_trigrams AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+         AS avg_trigram_logprob_6
+FROM tscored
+"""
+
+
+@query("trigram_logprob_documents", oracle=_TRIGRAM_ORACLE, tags=("corpusops", "textquality"))
+def trigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM quality score — completes the in-corpus LM ladder
+    (unigram → bigram → trigram) toward the KenLM 5-gram CCNet runs:
+    mean Laplace-smoothed trigram log-probability
+    ln((c(a,b,c)+1)/(ctx(a,b)+V)) per document, folded in position
+    order with the bit-portable integer-ln series. Documents need ≥ 3
+    tokens to emit a row.
+
+    Scale: identical topology to ``bigram_logprob_documents`` one
+    order up — trigram tuples build scan-side from array slices, the
+    count tables are vocab-bounded and join back on their keys with no
+    broadcast hint (AQE picks broadcast while they fit), and the only
+    data-sized shuffles are the two count aggregates plus the per-doc
+    fold. Context sparsity grows with order, which is precisely the
+    production motivation for hashed features (``dsir_*``) or backoff.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    tt = t.filter(F.size("toks") >= 3)
+    tg = tt.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "zip_with(zip_with(slice(toks, 1, size(toks) - 2),"
+                " slice(toks, 2, size(toks) - 2), (x, y) -> struct(x AS a, y AS b)),"
+                " slice(toks, 3, size(toks) - 2),"
+                " (p, z) -> struct(p.a AS a, p.b AS b, z AS c))"
+            )
+        ).alias("pos", "p"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("p.a").alias("a"),
+        F.col("p.b").alias("b"),
+        F.col("p.c").alias("c"),
+    )
+    tc = tg.groupBy("a", "b", "c").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    ctx = tg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    vocab = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    base = tg.join(tc, ["a", "b", "c"]).join(ctx, ["a", "b"]).crossJoin(F.broadcast(vocab))
+    base = PM.stage_spark_lnint(base, "ct + 1", "__lct_")
+    base = PM.stage_spark_lnint(base, "cab + v", "__lcab_")
+    term = F.expr(f"({PM.lnint_sql('__lct_')}) - ({PM.lnint_sql('__lcab_')})")
+    return (
+        base.select("doc_id", "pos", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("__pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr(
+                "round(aggregate(__pairs, CAST(0 AS DOUBLE), (x, y) -> x + y.term)"
+                " / CAST(n_trigrams AS DOUBLE), 6) + CAST(0 AS DOUBLE)"
+            ).alias("avg_trigram_logprob_6"),
+        )
     )

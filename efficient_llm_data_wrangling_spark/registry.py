@@ -80,6 +80,10 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "bpe_encode_documents",
     # greedy MMR diversified re-rank (queries/clustering.py).
     "mmr_diversified_topk",
+    # privacy gate beyond k-anonymity + the LM-ladder completion
+    # (queries/corpusops.py).
+    "l_diversity_report",
+    "trigram_logprob_documents",
 )
 
 _STALE_R2: tuple[str, ...] = (

@@ -259,3 +259,51 @@ def test_mixture_drift_terms_form_nonneg_kl(spark):
     kl = sum(r.kl_term_6 for r in rows)
     assert kl >= -1e-4 * len(rows)  # nonneg up to per-row rounding
     assert sum(r.n_docs for r in rows) == 500
+
+
+def test_l_diversity_refines_k_anonymity(spark):
+    """l-diversity must audit the SAME equivalence classes as the
+    k-anonymity report, and a releasable group is necessarily
+    k-anonymous (the sensitive-diversity condition only tightens)."""
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        k_anonymity_report,
+        l_diversity_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    k = {
+        (r.nationkey, r.segment): r.k_anonymous
+        for r in k_anonymity_report(spark, SF_SMOKE).collect()
+    }
+    rows = l_diversity_report(spark, SF_SMOKE).collect()
+    assert {(r.nationkey, r.segment) for r in rows} == set(k)
+    for r in rows:
+        assert 1 <= r.n_sensitive <= r.group_size
+        if r.releasable:
+            assert k[(r.nationkey, r.segment)]
+
+
+def test_trigram_rows_and_counts(spark):
+    """One row per document with >= 3 tokens; n_trigrams is exactly
+    len(toks) - 2 for that document."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        trigram_logprob_documents,
+    )
+    from efficient_llm_data_wrangling_spark.queries.textquality import _toks_col
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    expected = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(_toks_col()).alias("n"))
+        .filter(F.col("n") >= 3)
+        .collect()
+    }
+    rows = trigram_logprob_documents(spark, SF_SMOKE).collect()
+    assert {r.doc_id for r in rows} == set(expected)
+    for r in rows:
+        assert r.n_trigrams == expected[r.doc_id] - 2
+        assert r.avg_trigram_logprob_6 < 0  # log-probs are negative
