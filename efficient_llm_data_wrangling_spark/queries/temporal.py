@@ -474,3 +474,65 @@ def pagerank_trade_network(
     return ranks.join(_bc(nodes), "k").select(
         F.col("k").alias("nationkey"), "n_name", F.col("r").alias("rank_nano")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day per-user window (RANGE frame over event time)
+# ---------------------------------------------------------------------------
+
+_ROLL_SEC = 7 * 86400
+
+_ROLLING_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, sec,
+       CAST(count(*) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN {_ROLL_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_user_value_7d", oracle=_ROLLING_ORACLE, tags=("temporal", "window"))
+def rolling_user_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day activity (count + exact integer cents)
+    per user — the RANGE-frame window every feature store and fraud
+    monitor computes, distinct from the ROWS frames elsewhere in the
+    registry: peers at the same second aggregate together on both
+    engines by RANGE semantics, so the result is deterministic even
+    under same-timestamp ties. Event time reduces to integer epoch
+    SECONDS on both sides (truncation, all-positive), eliminating the
+    ns-vs-us parquet precision mismatch from the frame arithmetic.
+
+    Scale: one shuffle on user_id, then a single ordered pass per
+    partition with a sliding two-pointer frame — state is the frame's
+    rows, bounded by a user's 7-day event volume (the same assumption
+    the sessionizer makes). No global window, no cross-user state.
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        # NTZ → epoch seconds via the UTC session tz (pinned in
+        # session.RUNTIME_CONFS), matching the oracle's naive epoch_ns
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_ROLL_SEC, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.sum("cents").over(w).cast("long").alias("cents_7d"),
+    )

@@ -1212,3 +1212,123 @@ def span_removal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("span_end").cast("long").alias("span_end"),
         F.count(F.lit(1)).cast("long").alias("n_windows"),
     ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+# ---------------------------------------------------------------------------
+# Scorer calibration report (reliability diagram for the linear scorer)
+# ---------------------------------------------------------------------------
+
+_CAL_BIN_W = 25  # score units per calibration bucket
+_CAL_LO, _CAL_HI = -8, 7  # clamped bucket range (16 buckets)
+
+_CALIBRATION_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, x -> CAST((({{h}}) % 17 - 8) AS BIGINT))),
+         (a, b) -> a + b) AS BIGINT)
+      + CASE WHEN len(toks) < 2 THEN CAST(0 AS BIGINT)
+             ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [CAST((({{hb}}) % 17 - 8) AS BIGINT)
+                     for i in range(1, len(toks))]),
+                  (a, b) -> a + b) AS BIGINT) END AS score
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+      AS stopword_hits,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) // len(toks) END AS alpha_pct
+  FROM t
+),
+j AS (
+  SELECT s.doc_id, s.score,
+         (m.n_words BETWEEN 20 AND 1000) AND (m.mean_len_milli BETWEEN 3000 AND 10000)
+           AND m.stopword_hits >= 1 AND m.alpha_pct >= 80 AS label
+  FROM s JOIN m USING (doc_id)
+),
+b AS (
+  SELECT greatest(least(CAST(floor(CAST(score AS DOUBLE) / {_CAL_BIN_W}) AS BIGINT),
+                        {_CAL_HI}), {_CAL_LO}) AS bucket,
+         score, label
+  FROM j
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE label) AS BIGINT) AS n_pass,
+       count(*) FILTER (WHERE label) * 1000 // count(*) AS pass_permille,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM b GROUP BY bucket
+""".format(
+    h=_hexint_sql("md5(x)", 1, 4),
+    hb=_hexint_sql("md5(toks[i] || '_' || toks[i + 1])", 1, 4),
+)
+
+
+@query("scorer_calibration_report", oracle=_CALIBRATION_ORACLE, tags=("textquality", "curation"))
+def scorer_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed linear scorer against the
+    Gopher rule verdict as reference label — the calibration check an
+    ML-curation pipeline publishes before trusting a learned quality
+    score as a sampling weight: per clamped score bucket (width
+    {_CAL_BIN_W}, floor division so negative scores bucket identically
+    on both engines), the document count, rule-pass count, and exact
+    per-mille pass rate. A well-calibrated scorer shows pass_permille
+    monotone in bucket.
+
+    Scale: both signals are zero-shuffle scan-side column math over
+    the same pass; the only shuffle is the ≤16-row bucket aggregate.
+    Swapping in a TRAINED scorer keeps the exact plan (weights
+    broadcast-join on feature hash).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    uni = F.expr(
+        "aggregate(toks, 0L, (a, x) -> "
+        "a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+    )
+    bi = F.when(F.size("toks") < 2, F.lit(0).cast("long")).otherwise(
+        F.expr(
+            "aggregate(transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))), 0L, "
+            "(a, x) -> a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+        )
+    )
+    g = gopher_metric_cols()
+    j = t.select("doc_id", (uni + bi).alias("score"), g["passes"].alias("label"))
+    bucket = F.greatest(
+        F.least(
+            F.floor(F.col("score").cast("double") / _CAL_BIN_W).cast("long"),
+            F.lit(_CAL_HI).cast("long"),
+        ),
+        F.lit(_CAL_LO).cast("long"),
+    )
+    return (
+        j.select(bucket.alias("bucket"), "score", "label")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pass"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * 1000 div n_docs").alias("pass_permille"),
+            "min_score",
+            "max_score",
+        )
+    )

@@ -84,6 +84,10 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     # (queries/corpusops.py).
     "l_diversity_report",
     "trigram_logprob_documents",
+    # scorer reliability diagram (queries/textquality.py) + trailing
+    # RANGE-frame window (queries/temporal.py).
+    "scorer_calibration_report",
+    "rolling_user_value_7d",
 )
 
 _STALE_R2: tuple[str, ...] = (

@@ -65,3 +65,22 @@ def test_having_filter_runs_before_join_back(spark):
     ), plan
     m = re.search(r"FileScan parquet \[([^\]]*)\][^\n]*lineitem", plan)
     assert m and len(m.group(1).split(",")) == 2, m.group(1) if m else plan
+
+
+def test_rolling_7d_window_is_trailing_and_exact(spark):
+    """Brute-force one user: every row's trailing stats must equal the
+    count/sum of that user's events in [sec - 7d, sec]."""
+    from efficient_llm_data_wrangling_spark.queries.temporal import (
+        _ROLL_SEC,
+        rolling_user_value_7d,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = rolling_user_value_7d(spark, SF_SMOKE).collect()
+    assert rows
+    uid = rows[0].user_id
+    mine = [r for r in rows if r.user_id == uid]
+    secs = sorted(r.sec for r in mine)
+    for r in mine:
+        expect_n = sum(1 for s in secs if r.sec - _ROLL_SEC <= s <= r.sec)
+        assert r.n_7d == expect_n

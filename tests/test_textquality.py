@@ -341,3 +341,30 @@ def test_bpe_encode_compresses_and_is_consistent(spark):
     for r in rows:
         assert 0 < r.n_bpe_tokens <= r.n_char_units
         assert r.saved_permille == (r.n_char_units - r.n_bpe_tokens) * 1000 // r.n_char_units
+
+
+def test_calibration_buckets_partition_the_corpus(spark):
+    """Bucket counts must sum to the document count, rates must match
+    their own row's integer arithmetic, and score extrema must respect
+    the bucket ordering (min_score of a higher bucket > max_score of a
+    lower one for unclamped interior buckets)."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _CAL_HI,
+        _CAL_LO,
+        scorer_calibration_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        scorer_calibration_report(spark, SF_SMOKE).collect(), key=lambda r: r.bucket
+    )
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert _CAL_LO <= r.bucket <= _CAL_HI
+        assert 0 <= r.n_pass <= r.n_docs
+        assert r.pass_permille == r.n_pass * 1000 // r.n_docs
+        assert r.min_score <= r.max_score
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_score < hi.min_score
