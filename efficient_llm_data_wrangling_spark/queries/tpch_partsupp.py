@@ -134,9 +134,11 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ps is dimension-derived; supplier⋈nation broadcasts into
     it, the ONLY shuffle is the ps_partkey aggregate, and the global
-    total is a 1-row broadcast — no second pass over ps, no global
-    sort. HAVING share-of-total at 100 TB stays two map-side-combined
-    aggregates and one broadcast.
+    total is a 1-row broadcast. ``val`` is materialized
+    (localCheckpoint) before the total is derived — without it the
+    planner evaluates the whole ps→aggregate subtree TWICE, once for
+    the values and once for the total (caught in the round-6 PLANS.md
+    audit); with it, both consumers read the |parts|-row aggregate.
     """
     tune(spark)
     ps = partsupp_surrogate(spark, sf_dir)
@@ -155,7 +157,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_u")
         )
-    )
+    ).localCheckpoint()
     tot = val.agg(F.sum("value_u").cast("long").alias("total_u"))
     return (
         val.crossJoin(F.broadcast(tot))

@@ -389,6 +389,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one suppkey aggregate over the pruned quarter, a 1-row
     broadcast, and a dimension join-back — no window, no global sort.
+    ``srev`` is materialized before the max is derived: the lazy shape
+    evaluated the lineitem-scan-plus-aggregate subtree twice (once for
+    the view, once for the max — 2 fact scans, no runtime
+    ReusedExchange; round-6 tools/fact_scan_audit.py finding), while
+    the checkpoint is only |suppliers-in-quarter| rows.
     """
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -397,7 +402,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     srev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev_u()).cast("long").alias("total_revenue_u")
-    )
+    ).localCheckpoint()
     m = srev.agg(F.max("total_revenue_u").alias("__mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
