@@ -300,7 +300,11 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = vectors.filter(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("c"), F.col("x").alias("mu")
     )
-    assigned = _assign(vectors, _update(_assign(vectors, seeds)))
+    # materialized once: the pair join's BOTH sides and the final
+    # manifest consume the assignment; lazily each branch re-runs the
+    # two Lloyd assigns (embeddings scanned 9x - fact_scan_audit, r6).
+    # At corpus scale the assignment IS the persisted artifact.
+    assigned = _assign(vectors, _update(_assign(vectors, seeds))).localCheckpoint()
     a = assigned.select(
         F.col("c").alias("__c"), F.col("vec_id").alias("left_id"), F.col("x").alias("__xa")
     )

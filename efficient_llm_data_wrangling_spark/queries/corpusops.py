@@ -252,7 +252,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round(lp / CAST(n_tokens AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)"
         ).alias("lp_milli"),
-    )
+    ).localCheckpoint()
+    # ml materialized once: hist AND the final bucket join consume it;
+    # lazily each would re-run the whole LM scoring subtree (no runtime
+    # exchange reuse - tools/fact_scan_audit.py, round 6)
     hist = ml.groupBy(F.col("lp_milli").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     )
@@ -1179,7 +1182,8 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.expr("CAST(round(w * CAST(1000 AS DOUBLE)) AS BIGINT)").alias("w_milli"),
-    )
+    ).localCheckpoint()
+    # materialized once for the same reason as ccnet_perplexity_buckets
     hist = ml.groupBy(F.col("w_milli").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     )
