@@ -786,13 +786,19 @@ def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: Symbol delimiter for the BPE merge representation: a word is kept
-#: as a single string with every SYMBOL bracketed by the unit
-#: separator — "low" ⇒ "␟l␟o␟w␟". Merging pair (a, b) is then ONE
-#: string replace of "␟a␟b␟" with "␟ab␟": both engines' ``replace``
-#: scans left-to-right non-overlapping, which is EXACTLY the greedy
-#: leftmost-first merge of Sennrich et al. 2016 ("aaa" + merge (a,a)
-#: ⇒ "(aa)a", never "a(aa)"), and the shared middle delimiter makes
-#: adjacent occurrences non-overlapping by construction. chr(31)
+#: as a single string with every SYMBOL individually bracketed by the
+#: unit separator — "low" ⇒ "␟l␟␟o␟␟w␟". Merging pair (a, b) is then
+#: ONE string replace of "␟a␟␟b␟" with "␟ab␟": both engines'
+#: ``replace`` scans left-to-right non-overlapping, which is EXACTLY
+#: the greedy leftmost-first merge of Sennrich et al. 2016 ("aaa" +
+#: merge (a,a) ⇒ "(aa)a", never "a(aa)"). Each symbol must carry BOTH
+#: its own brackets: an earlier shared-middle-delimiter encoding
+#: ("␟l␟o␟w␟") made CONSECUTIVE occurrences of a self-overlapping
+#: pair share a delimiter char, so one replace pass merged only every
+#: other occurrence of (a,a) in "a a a a" — caught by the hypothesis
+#: twin in test_properties (both engines agreed, both were wrong vs
+#: the list-based reference). With full bracketing, string matches
+#: are disjoint exactly when the symbol pairs are disjoint. chr(31)
 #: never occurs in whitespace-split tokens.
 _BPE_D = "\x1f"
 
@@ -832,7 +838,7 @@ def _bpe_apply_merge(syms: DataFrame, win: DataFrame) -> DataFrame:
     keep = [c for c in syms.columns if c != "sym"]
     return syms.crossJoin(F.broadcast(win.select("a", "b"))).select(
         F.expr(
-            "replace(sym, concat(chr(31), a, chr(31), b, chr(31)),"
+            "replace(sym, concat(chr(31), a, chr(31), chr(31), b, chr(31)),"
             " concat(chr(31), a, b, chr(31)))"
         ).alias("sym"),
         *keep,
@@ -850,9 +856,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFra
     types = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     syms = types.select(
         "tok",
-        F.concat(
-            F.lit(_BPE_D), F.regexp_replace(F.col("tok"), "(.)", "$1" + _BPE_D)
-        ).alias("sym"),
+        F.regexp_replace(F.col("tok"), "(.)", _BPE_D + "$1" + _BPE_D).alias("sym"),
         "cnt",
     ).localCheckpoint()
     merges: list[DataFrame] = []
@@ -885,7 +889,7 @@ def _bpe_oracle_ctes(n: int) -> str:
         "w AS (SELECT unnest(toks) AS tok FROM t)",
         "types AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok)",
         (
-            "s0 AS (SELECT tok, chr(31) || regexp_replace(tok, '(.)', '\\1' || chr(31), 'g')"
+            "s0 AS (SELECT tok, regexp_replace(tok, '(.)', chr(31) || '\\1' || chr(31), 'g')"
             " AS sym, cnt FROM types)"
         ),
     ]
@@ -905,7 +909,7 @@ def _bpe_oracle_ctes(n: int) -> str:
         )
         ctes.append(
             f"s{r} AS (SELECT tok, replace(sym,"
-            f" chr(31) || w.a || chr(31) || w.b || chr(31),"
+            f" chr(31) || w.a || chr(31) || chr(31) || w.b || chr(31),"
             f" chr(31) || w.a || w.b || chr(31)) AS sym, cnt"
             f" FROM s{r - 1} CROSS JOIN win{r} w)"
         )

@@ -143,3 +143,79 @@ def test_lnint_series_tracks_math_log(v):
     got = float(b - 1) * ln2 + 2.0 * (z * acc)
     want = math.log(v)
     assert abs(got - want) <= 1e-13 * max(1.0, abs(want)) + 1e-13
+
+
+@_slow
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(1, 5),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_rounds_match_pure_python_reference(spark, words):
+    """The delimiter-string BPE round (pair count → winner → greedy
+    leftmost merge) must agree with a direct list-based Python
+    implementation of Sennrich's algorithm for any word/count multiset
+    over a tiny alphabet (maximally collision- and tie-prone)."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BPE_D,
+        _bpe_apply_merge,
+        _bpe_pair_counts,
+    )
+
+    # collapse duplicate words (the engine operates on the type table)
+    types: dict[str, int] = {}
+    for w, c in words:
+        types[w] = types.get(w, 0) + c
+
+    # --- pure-Python reference on symbol lists -------------------------
+    py_syms = {w: [ch for ch in w] for w in types}
+
+    def py_round():
+        counts: dict[tuple, int] = {}
+        for w, syms in py_syms.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + types[w]
+        if not counts:
+            return None
+        win = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        for w, syms in py_syms.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == win:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            py_syms[w] = out
+        return win
+
+    # --- engine on the delimited-string representation -----------------
+    sdf = spark.createDataFrame(
+        [("".join(_BPE_D + ch + _BPE_D for ch in w), c) for w, c in types.items()],
+        "sym string, cnt long",
+    )
+    for _ in range(3):
+        pc = _bpe_pair_counts(sdf)
+        win_rows = (
+            pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b")).limit(1).collect()
+        )
+        py_win = py_round()
+        if not win_rows:
+            assert py_win is None
+            break
+        assert (win_rows[0].a, win_rows[0].b) == py_win
+        win_df = spark.createDataFrame(
+            [(win_rows[0].a, win_rows[0].b)], "a string, b string"
+        )
+        sdf = _bpe_apply_merge(sdf, win_df)
+    got = sorted(
+        (tuple(x for x in r.sym.split(_BPE_D) if x), r.cnt) for r in sdf.collect()
+    )
+    want = sorted((tuple(syms), types[w]) for w, syms in py_syms.items())
+    assert got == want

@@ -244,15 +244,20 @@ def test_bpe_merge_replace_is_greedy_leftmost(spark):
     d = _BPE_D
 
     def sym(*symbols):
-        return d + d.join(symbols) + d
+        return "".join(d + s + d for s in symbols)
 
     syms = spark.createDataFrame(
-        [(sym("a", "a", "a"), 1), (sym("ba", "c"), 1)], "sym string, cnt long"
+        [(sym("a", "a", "a"), 1), (sym("ba", "c"), 1), (sym("a", "a", "a", "a"), 1)],
+        "sym string, cnt long",
     )
     win = spark.createDataFrame([("a", "a")], "a string, b string")
     merged = {r.sym: r.cnt for r in _bpe_apply_merge(syms, win).collect()}
     assert sym("aa", "a") in merged  # greedy leftmost: (aa)a
     assert sym("ba", "c") in merged  # untouched: no (a,c) inside "ba"
+    # the full-bracketing regression: CONSECUTIVE self-overlapping
+    # occurrences must both merge ("a a a a" → "(aa)(aa)"); the old
+    # shared-middle-delimiter encoding merged only the first
+    assert sym("aa", "aa") in merged
 
     # pair counts after the merge see the NEW symbols
     pc = {
@@ -285,9 +290,7 @@ def test_bpe_round_plan_is_jvm_side(spark):
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     syms = types.select(
-        F.concat(
-            F.lit("\x1f"), F.regexp_replace(F.col("tok"), "(.)", "$1\x1f")
-        ).alias("sym"),
+        F.regexp_replace(F.col("tok"), "(.)", "\x1f$1\x1f").alias("sym"),
         "cnt",
     )
     pc = _bpe_pair_counts(syms)
