@@ -68,6 +68,8 @@ HEADLINE = [
     "bpe_train_rounds",
     "stream_admission_pipeline",
     "tpch_q11_important_stock",
+    # round-6 layout family: Z-order zone-map pruning report
+    "zorder_layout_report",
 ]
 
 

@@ -13,6 +13,7 @@ import efficient_llm_data_wrangling_spark.queries.etl  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.quality  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.relational  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.scale  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.layout  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.subqueries  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.temporal  # noqa: F401

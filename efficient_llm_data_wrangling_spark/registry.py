@@ -88,6 +88,8 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     # RANGE-frame window (queries/temporal.py).
     "scorer_calibration_report",
     "rolling_user_value_7d",
+    # Z-order clustering / zone-map pruning report (queries/layout.py).
+    "zorder_layout_report",
 )
 
 _STALE_R2: tuple[str, ...] = (

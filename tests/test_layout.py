@@ -1,0 +1,57 @@
+"""Data-layout family: Z-order clustering report semantics + plan."""
+
+from __future__ import annotations
+
+from efficient_llm_data_wrangling_spark.queries.layout import (
+    _ZBITS,
+    _ZFILES,
+    _z_interleave,
+    zorder_layout_report,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_z_interleave_formula_matches_bit_twiddling():
+    """The div/mod interleave expression must equal the classic
+    bit-twiddled Morton code for every pair in a corner-heavy grid."""
+    expr = _z_interleave("x", "y", "//")
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(_ZBITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [0, 1, 2, 3, 5, 255, 256, 32767, 32768, 65534, 65535]
+    for x in pts:
+        for y in pts:
+            assert eval(expr) == morton(x, y)  # noqa: S307 — our own expr
+
+
+def test_zorder_prunes_secondary_column(spark):
+    """The whole point: under a customer-key slab predicate the
+    Z-order layout must scan strictly fewer files than the date-sorted
+    layout (which, having no custkey locality, scans all of them)."""
+    rows = {r.layout: r for r in zorder_layout_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"zorder", "date_sorted"}
+    for r in rows.values():
+        assert r.n_files == _ZFILES
+        assert 0 < r.files_scanned <= r.n_files
+        assert r.rows_scanned > 0
+    assert rows["date_sorted"].files_scanned == _ZFILES  # no locality
+    assert rows["zorder"].files_scanned < rows["date_sorted"].files_scanned
+    assert rows["zorder"].rows_scanned < rows["date_sorted"].rows_scanned
+
+
+def test_zorder_plan_single_pass_no_cartesian(spark):
+    """One orders scan feeds both layout aggregates (the bounds row is
+    a broadcast, not a cartesian), and everything stays JVM-side."""
+    plan = (
+        zorder_layout_report(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
