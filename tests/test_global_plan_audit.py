@@ -17,6 +17,15 @@ stream to completion and their plans live in the micro-batch runtime
 excluded because building them runs the synthesis loop (covered by
 test_compiler.py) — their apply path is the same compile-once pandas
 UDF audited via ``apply_transformation_dates``.
+
+Known blind spot (round 6): queries that ``localCheckpoint`` a heavy
+subtree (iterative loops, argmax join-backs, histogram elections)
+show that subtree as ``Scan ExistingRDD`` here — the audit sees only
+the post-checkpoint plan. Those subtrees execute during the BUILD
+this test performs (so a cartesian/Python regression would still blow
+up wall-clock), and their per-stage shapes are pinned by the family
+tests (test_tpch_partsupp, test_textquality BPE round pin,
+test_clustering, test_corpusops).
 """
 
 from __future__ import annotations
