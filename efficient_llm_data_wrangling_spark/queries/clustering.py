@@ -203,7 +203,10 @@ def knn_ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = vectors.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("c"), F.col("x").alias("mu")
     )
-    codebook = _update(_assign(vectors, seeds))  # fitted mu1, a TABLE
+    # fitted mu1, a TABLE — materialized once: the K-row codebook
+    # carries a full assignment pass in its lineage and both the
+    # coarse assignment and the probe election consume it
+    codebook = _update(_assign(vectors, seeds)).localCheckpoint()
     assigned = SIM.assign_cells_by_codebook(vectors, codebook)
 
     q = vectors.filter(F.col("vec_id") == 1).select(F.col("x").alias("qx"))

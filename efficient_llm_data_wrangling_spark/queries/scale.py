@@ -1043,10 +1043,17 @@ def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pred = text_lang_id(spark, sf_dir)
     j = docs.select("doc_id", "lang").join(pred, "doc_id")
-    cm = j.groupBy("lang", "lang_pred").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # the |langs|²-bounded matrix is materialized once — it carries
+    # the corpus-sized prediction join, and both the row totals and
+    # the final select consume it
+    cm = (
+        j.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()
     )
-    tot = j.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("lang_total"))
+    # row totals roll up from the matrix itself — re-aggregating `j`
+    # would run the corpus join a second time
+    tot = cm.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("lang_total"))
     return cm.join(F.broadcast(tot), "lang").select(
         "lang",
         "lang_pred",

@@ -435,12 +435,17 @@ def pagerank_trade_network(
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
+    # materialize the fact-join distillation ONCE: edges is ≤|N|²
+    # rows but its lineage is the heavy lineitem⋈orders join, and it
+    # feeds deg plus every iteration — without the checkpoint each of
+    # the 3 rounds re-scans the fact tables (6 scans at 100 TB)
     edges = (
         lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = nation.select(F.col("n_nationkey").alias("k"), "n_name")
