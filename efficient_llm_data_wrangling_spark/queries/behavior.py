@@ -61,20 +61,30 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(*)s). Emits the stage reached per user plus the exact
     microsecond view→purchase latency for completers.
 
-    Scale: three per-user min-aggregates, each keyed on user_id — the
-    same partitioning throughout, so AQE reuses one exchange; no
+    Scale: three per-user min-aggregates, each keyed on user_id — no
     window over raw events, no self-join explosion (each stage joins
-    the per-user scalar from the previous stage).
+    the per-user scalar from the previous stage). The stage-1/stage-2
+    scalars feed BOTH the next stage and the final report join, and
+    runtime exchange reuse does not cover the aggregate subtrees
+    (measured), so each is materialized once — a |users|-row
+    (user_id, ts) frame, far cheaper than re-running its
+    events-sized aggregation.
     """
     tune(spark)
     ev = load_table(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
+    )
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

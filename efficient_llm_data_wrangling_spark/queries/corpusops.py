@@ -83,7 +83,12 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     corpus = _corpus_with_dups(spark, sf_dir)
-    keyed = corpus.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    # the 16-byte/doc hash index is materialized once: three
+    # consumers (corpus probe set, batch, batch election) hang off it
+    # and each would otherwise re-evaluate the 3-branch corpus union
+    keyed = corpus.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    ).localCheckpoint()
     existing = keyed.filter(F.col("doc_id") < 1000000).select("h").distinct()
     batch = keyed.filter(F.col("doc_id") >= 1000000)
     firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
@@ -172,8 +177,15 @@ def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _toks_col().alias("toks"))
     w = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    vocab = w.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    n = w.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    # the unigram model is materialized once (vocab-bounded, carries
+    # the data-sized token aggregate, two consumers below), and the
+    # corpus total rolls up from it instead of re-counting the stream
+    vocab = (
+        w.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    n = vocab.agg(F.sum("cnt").cast("long").alias("total"))
     staged = w.join(vocab, "tok").crossJoin(F.broadcast(n))
     # ln(cnt/total) = lnint(cnt) - lnint(total): bit-portable integer-ln
     # series (functions/portable_math.py) — libm-independent at any SF
@@ -1065,6 +1077,9 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "lang", _toks_col().alias("toks"))
     w = t.select("doc_id", "lang", F.posexplode("toks").alias("pos", "tok"))
+    # the DISTINCT-token → bucket map is materialized once: it is
+    # vocab-bounded but carries a data-sized distinct shuffle, and the
+    # token stream joins through it twice (model build + scoring)
     vb = (
         w.select("tok")
         .distinct()
@@ -1072,12 +1087,15 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(split(tok, ''), CAST(7 AS BIGINT), "
             f"(a, c) -> (a * 31 + CAST(ascii(c) AS BIGINT)) % 1000003) % {_DSIR_K}"
         ).cast("long").alias("bucket"))
+        .localCheckpoint()
     )
     occ = w.join(F.broadcast(vb), "tok").select("doc_id", "lang", "pos", "bucket")
+    # the K-row bucket-count model likewise: its lineage is a full
+    # stream aggregate and both the totals and the ratio table read it
     bc = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
         F.count(F.lit(1)).cast("long").alias("cr"),
-    )
+    ).localCheckpoint()
     tot = bc.agg(
         F.sum("ct").cast("long").alias("t_total"),
         F.sum("cr").cast("long").alias("r_total"),

@@ -20,8 +20,11 @@ How to read the output — a repeated scan is NOT automatically a bug:
   subtrees (verified empirically — 0 reuse in the executed plans), so
   the fix is a ``localCheckpoint`` of the aggregate, which is tiny
   compared to a second fact scan. Round 6 applied this to
-  ``tpch_q11_important_stock`` (val) and ``top_supplier_revenue``
-  (srev).
+  ``tpch_q11_important_stock`` (val), ``top_supplier_revenue``
+  (srev), the pagerank/triangle edge distillations, the
+  unigram/bigram/trigram/DSIR count models, the lang-ID confusion
+  matrix, the IVF codebook fit, the funnel stage scalars, and the
+  incremental-dedup hash index.
 
 Usage: python tools/fact_scan_audit.py [--sf-dir /root/testdata/sf0.001]
 """
