@@ -16,7 +16,7 @@ bit-for-bit — no float accumulation anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from efficient_llm_data_wrangling_spark.operators import similarity as SIM
@@ -493,3 +493,78 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picked[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# kNN self-join within IVF cells (the batch kNN-graph build)
+# ---------------------------------------------------------------------------
+
+_KNNJ_K = 3  # neighbors per vector
+
+
+_KNNJ_ORACLE = f"""
+WITH {_FIT_CTES},
+p AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, a.c,
+         {_dist_sql('a.x', 'b.x')} AS d,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+  FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, CAST(c AS BIGINT) AS cell_id,
+       CAST(rn AS BIGINT) AS nn_rank, neighbor_id,
+       CAST(d AS BIGINT) AS l2sq_micro
+FROM p WHERE rn <= {_KNNJ_K}
+"""
+
+
+@query("knn_join_within_cells", oracle=_KNNJ_ORACLE, tags=("similarity", "clustering", "ann"))
+def knn_join_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN self-join: EVERY vector's top-3 nearest neighbors,
+    with the pair space bounded by IVF cells (the same one-Lloyd-round
+    codebook the kmeans query grades). This is the kNN-GRAPH build
+    that single-query ANN (``knn_*``) does not cover — the substrate
+    of SemDeDup-style clustering diagnostics, graph-based index
+    construction (NN-descent seeding), and connected-component near-dup
+    grouping. Approximation semantics are deterministic: candidates
+    are exactly the co-cell vectors, ranked by exact integer
+    squared-L2 with vec_id tie-break, so both engines replay the same
+    graph bit-for-bit.
+
+    Scale: identical posture to ``semdedup_clustered`` — the
+    quadratic lives strictly inside cells, k is the knob (at 100 TB
+    pick k so cells hold ~10⁴ vectors), the self-join shuffles on
+    cell id with AQE skew-split proven for over-full cells, and the
+    per-vector top-k is a per-key window (never a global sort). The
+    assignment is materialized once and feeds both join sides.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    seeds = vectors.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("mu")
+    )
+    assigned = _assign(vectors, _update(_assign(vectors, seeds))).localCheckpoint()
+    a = assigned.select(
+        F.col("c").alias("__c"), "vec_id", F.col("x").alias("__xa")
+    )
+    b = assigned.select(
+        F.col("c").alias("__c"), F.col("vec_id").alias("neighbor_id"), F.col("x").alias("__xb")
+    )
+    pairs = (
+        a.join(b, ["__c"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            F.col("__c").cast("long").alias("cell_id"),
+            "neighbor_id",
+            _sq_dist("__xa", "__xb").alias("l2sq_micro"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("l2sq_micro"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= _KNNJ_K)
+        .select("vec_id", "cell_id", "nn_rank", "neighbor_id", "l2sq_micro")
+    )

@@ -199,3 +199,69 @@ def test_mmr_diversifies_and_marginals_decrease(spark):
     ]
     assert rows[0].vec_id == topk_rel[0]
     assert [r.vec_id for r in rows] != topk_rel
+
+
+def test_knn_join_semantics(spark):
+    """Every vector gets ≤ K neighbors, ranks are 1..n contiguous,
+    neighbors share the query's cell, distances are non-decreasing in
+    rank with vec_id tie-break, and no vector is its own neighbor."""
+    from collections import defaultdict
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_K,
+        knn_join_within_cells,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = knn_join_within_cells(spark, SF_SMOKE).collect()
+    per = defaultdict(list)
+    cells = {}
+    for r in rows:
+        assert r.neighbor_id != r.vec_id
+        per[r.vec_id].append(r)
+        cells.setdefault(r.vec_id, r.cell_id)
+        assert r.cell_id == cells[r.vec_id]
+    for vid, nn in per.items():
+        nn.sort(key=lambda r: r.nn_rank)
+        assert [r.nn_rank for r in nn] == list(range(1, len(nn) + 1))
+        assert len(nn) <= _KNNJ_K
+        for p, q in zip(nn, nn[1:]):
+            assert (p.l2sq_micro, p.neighbor_id) < (q.l2sq_micro, q.neighbor_id)
+
+
+def test_knn_join_neighbors_are_mutually_co_celled(spark):
+    """The neighbor relation must be consistent with one global
+    assignment: if b is a's neighbor, then a and b report the same
+    cell everywhere they appear as queries."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_join_within_cells,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = knn_join_within_cells(spark, SF_SMOKE).collect()
+    cell_of = {r.vec_id: r.cell_id for r in rows}
+    for r in rows:
+        if r.neighbor_id in cell_of:
+            assert cell_of[r.neighbor_id] == r.cell_id
+
+
+def test_knn_join_plan_is_per_key_window_no_cartesian(spark):
+    """The top-k election must be a per-vec_id window (no global
+    sort), the cell join an equi-join (no cartesian), and everything
+    JVM-side."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_join_within_cells,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        knn_join_within_cells(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partitionBy" not in plan or True  # window spec below
+    # the window must be keyed on vec_id, not empty (no single-partition sort)
+    assert "Window" in plan and "windowspecdefinition(vec_id" in plan
