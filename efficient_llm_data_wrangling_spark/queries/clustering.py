@@ -568,3 +568,106 @@ def knn_join_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= _KNNJ_K)
         .select("vec_id", "cell_id", "nn_rank", "neighbor_id", "l2sq_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph recall gate (blocking quality of the cell-bounded join)
+# ---------------------------------------------------------------------------
+
+_KNNJ_PROBES = 32  # fixed probe set: vec_id < 32
+
+
+_KNNJ_RECALL_ORACLE = f"""
+WITH {_FIT_CTES},
+pb AS (SELECT vec_id AS pid, x AS px FROM xi WHERE vec_id < {_KNNJ_PROBES}),
+ex AS (
+  SELECT pid, vec_id AS nid FROM (
+    SELECT p.pid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {_dist_sql('e.x', 'p.px')}, e.vec_id) AS rn
+    FROM xi e JOIN pb p ON e.vec_id <> p.pid
+  ) WHERE rn <= {_KNNJ_K}
+),
+ap AS (
+  SELECT vec_id AS pid, neighbor_id AS nid FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+    FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < {_KNNJ_PROBES}
+  ) WHERE rn <= {_KNNJ_K}
+)
+SELECT CAST({_KNNJ_K} AS BIGINT) AS k,
+       CAST({_KNNJ_PROBES} AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM ex JOIN ap USING (pid, nid)) AS BIGINT)
+         AS n_overlap,
+       CAST((SELECT count(*) FROM ex JOIN ap USING (pid, nid))
+            * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
+"""
+
+
+@query(
+    "knn_graph_recall_report",
+    oracle=_KNNJ_RECALL_ORACLE,
+    tags=("similarity", "clustering", "ann"),
+)
+def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_KNNJ_K} of the cell-bounded kNN graph against the
+    exact neighbors, over a fixed {_KNNJ_PROBES}-probe set — the
+    acceptance gate for ``knn_join_within_cells``' blocking
+    approximation, graded as a query the way ``ann_recall_report``
+    gates the IVF index. One number decides whether the cell count is
+    too aggressive for the corpus's cluster structure.
+
+    Scale: the exact side never builds an all-pairs join — the probe
+    set broadcasts (32 rows) against one corpus scan, and the top-k
+    per probe is an ITERATED min-struct election ({_KNNJ_K} rounds of
+    a map-side-combinable ``min(struct(d, id))`` + broadcast
+    anti-filter) instead of a 32-partition skewed window, so each
+    round is a full-parallelism scan-aggregate. The approximate side
+    composes the graded kNN join directly, restricted to the probes.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    base = vectors.join(
+        F.broadcast(pb), vectors["vec_id"] != pb["pid"]
+    ).select("pid", "vec_id", _sq_dist("x", "px").alias("d"))
+    exact_ranks: list[DataFrame] = []
+    rem = base
+    for _ in range(_KNNJ_K):
+        top = (
+            rem.groupBy("pid")
+            .agg(F.min(F.struct("d", "vec_id")).alias("m"))
+            .select("pid", F.col("m.vec_id").alias("nid"))
+            .localCheckpoint()
+        )
+        exact_ranks.append(top)
+        rem = (
+            rem.join(F.broadcast(top.withColumnRenamed("nid", "__drop")), "pid")
+            .filter(F.col("vec_id") != F.col("__drop"))
+            .drop("__drop")
+        )
+    exact = exact_ranks[0]
+    for t in exact_ranks[1:]:
+        exact = exact.unionAll(t)
+    approx = knn_join_within_cells(spark, sf_dir).filter(
+        F.col("vec_id") < _KNNJ_PROBES
+    ).select(F.col("vec_id").alias("pid"), F.col("neighbor_id").alias("nid"))
+    return (
+        exact.join(approx, ["pid", "nid"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            F.lit(_KNNJ_K).cast("long").alias("k"),
+            F.lit(_KNNJ_PROBES).cast("long").alias("n_probes"),
+            "n_overlap",
+            F.expr(f"n_overlap * 1000000 div {_KNNJ_PROBES * _KNNJ_K}").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -90,8 +90,10 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "rolling_user_value_7d",
     # Z-order clustering / zone-map pruning report (queries/layout.py).
     "zorder_layout_report",
-    # batch kNN-graph build within IVF cells (queries/clustering.py).
+    # batch kNN-graph build within IVF cells (queries/clustering.py)
+    # plus its recall acceptance gate.
     "knn_join_within_cells",
+    "knn_graph_recall_report",
 )
 
 _STALE_R2: tuple[str, ...] = (

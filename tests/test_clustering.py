@@ -265,3 +265,49 @@ def test_knn_join_plan_is_per_key_window_no_cartesian(spark):
     assert "partitionBy" not in plan or True  # window spec below
     # the window must be keyed on vec_id, not empty (no single-partition sort)
     assert "Window" in plan and "windowspecdefinition(vec_id" in plan
+
+
+def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
+    """The recall row must be internally consistent (overlap ≤
+    probes×k, ppm = floor arithmetic) and the iterated min-struct
+    exact side must equal a brute-force Python recompute of the
+    probe neighborhoods."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        _micro_units,
+        knn_graph_recall_report,
+        knn_join_within_cells,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    row = knn_graph_recall_report(spark, SF_SMOKE).collect()[0]
+    assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
+    assert 0 <= row.n_overlap <= _KNNJ_PROBES * _KNNJ_K
+    assert row.recall_ppm == row.n_overlap * 1000000 // (_KNNJ_PROBES * _KNNJ_K)
+
+    # brute-force the exact neighborhoods in Python and recount
+    vecs = {
+        r.vec_id: r.x
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    }
+    exact = set()
+    for pid in range(_KNNJ_PROBES):
+        px = vecs[pid]
+        cand = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(x, px)), vid)
+            for vid, x in vecs.items()
+            if vid != pid
+        )[:_KNNJ_K]
+        exact.update((pid, vid) for _, vid in cand)
+    approx = {
+        (r.vec_id, r.neighbor_id)
+        for r in knn_join_within_cells(spark, SF_SMOKE).collect()
+        if r.vec_id < _KNNJ_PROBES
+    }
+    assert row.n_overlap == len(exact & approx)
