@@ -598,12 +598,40 @@ ap AS (
     FROM a2 a JOIN a2 b ON a.c = b.c AND a.vec_id <> b.vec_id
     WHERE a.vec_id < {_KNNJ_PROBES}
   ) WHERE rn <= {_KNNJ_K}
+),
+prq AS (
+  SELECT vec_id, x, c FROM (
+    SELECT t.vec_id, t.x, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM xi t CROSS JOIN mu1 m
+  ) WHERE rn <= 2
+),
+ap2 AS (
+  SELECT vec_id AS pid, neighbor_id AS nid FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+    FROM prq a JOIN a2 b ON a.c = b.c AND a.vec_id <> b.vec_id
+    WHERE a.vec_id < {_KNNJ_PROBES}
+  ) WHERE rn <= {_KNNJ_K}
 )
-SELECT CAST({_KNNJ_K} AS BIGINT) AS k,
+SELECT 'cell1' AS variant,
+       CAST({_KNNJ_K} AS BIGINT) AS k,
        CAST({_KNNJ_PROBES} AS BIGINT) AS n_probes,
        CAST((SELECT count(*) FROM ex JOIN ap USING (pid, nid)) AS BIGINT)
          AS n_overlap,
        CAST((SELECT count(*) FROM ex JOIN ap USING (pid, nid))
+            * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
+UNION ALL
+SELECT 'probe2' AS variant,
+       CAST({_KNNJ_K} AS BIGINT) AS k,
+       CAST({_KNNJ_PROBES} AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM ex JOIN ap2 USING (pid, nid)) AS BIGINT)
+         AS n_overlap,
+       CAST((SELECT count(*) FROM ex JOIN ap2 USING (pid, nid))
             * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
 """
 
@@ -616,10 +644,13 @@ SELECT CAST({_KNNJ_K} AS BIGINT) AS k,
 def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_KNNJ_K} of the cell-bounded kNN graph against the
     exact neighbors, over a fixed {_KNNJ_PROBES}-probe set — the
-    acceptance gate for ``knn_join_within_cells``' blocking
-    approximation, graded as a query the way ``ann_recall_report``
-    gates the IVF index. One number decides whether the cell count is
-    too aggressive for the corpus's cluster structure.
+    acceptance gate for the batch kNN joins' blocking approximation,
+    graded as a query the way ``ann_recall_report`` gates the IVF
+    index. One row per variant: single-cell blocking
+    (``knn_join_within_cells``) and 2-probe
+    (``knn_join_multiprobe``) — the pair of numbers that drives the
+    cell-count/probe-count knobs; probe2 recall is provably ≥ cell1
+    (its candidate set is a superset).
 
     Scale: the exact side never builds an all-pairs join — the probe
     set broadcasts (32 rows) against one corpus scan, and the top-k
@@ -656,18 +687,121 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_ranks[0]
     for t in exact_ranks[1:]:
         exact = exact.unionAll(t)
-    approx = knn_join_within_cells(spark, sf_dir).filter(
-        F.col("vec_id") < _KNNJ_PROBES
-    ).select(F.col("vec_id").alias("pid"), F.col("neighbor_id").alias("nid"))
-    return (
-        exact.join(approx, ["pid", "nid"], "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
-        .select(
-            F.lit(_KNNJ_K).cast("long").alias("k"),
-            F.lit(_KNNJ_PROBES).cast("long").alias("n_probes"),
-            "n_overlap",
-            F.expr(f"n_overlap * 1000000 div {_KNNJ_PROBES * _KNNJ_K}").alias(
-                "recall_ppm"
-            ),
+
+    def _variant_row(tag: str, approx: DataFrame) -> DataFrame:
+        pairs = approx.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+            F.col("vec_id").alias("pid"), F.col("neighbor_id").alias("nid")
         )
+        return (
+            exact.join(pairs, ["pid", "nid"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .select(
+                F.lit(tag).alias("variant"),
+                F.lit(_KNNJ_K).cast("long").alias("k"),
+                F.lit(_KNNJ_PROBES).cast("long").alias("n_probes"),
+                "n_overlap",
+                F.expr(f"n_overlap * 1000000 div {_KNNJ_PROBES * _KNNJ_K}").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+
+    return _variant_row("cell1", knn_join_within_cells(spark, sf_dir)).unionAll(
+        _variant_row("probe2", _knn_multiprobe_pairs(spark, sf_dir))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe kNN self-join (the recall knob the gate motivates)
+# ---------------------------------------------------------------------------
+
+_KNNJ_NPROBE = 2  # query-side probe cells
+
+
+_KNNJ_MP_ORACLE = f"""
+WITH {_FIT_CTES},
+pr AS (
+  SELECT vec_id, x, c FROM (
+    SELECT t.vec_id, t.x, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM xi t CROSS JOIN mu1 m
+  ) WHERE rn <= {_KNNJ_NPROBE}
+),
+p AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         {_dist_sql('a.x', 'b.x')} AS d,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+  FROM pr a JOIN a2 b ON a.c = b.c AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, CAST(rn AS BIGINT) AS nn_rank, neighbor_id,
+       CAST(d AS BIGINT) AS l2sq_micro
+FROM p WHERE rn <= {_KNNJ_K}
+"""
+
+
+def _knn_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, neighbor_id, l2sq_micro, nn_rank ≤ K): the multi-probe
+    candidate ranking shared by the graded join and the recall gate.
+    Query side probes its {_KNNJ_NPROBE} nearest cells; index side
+    keeps its primary cell, so each (query, neighbor) pair arises at
+    most once and no dedup shuffle is needed."""
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    seeds = vectors.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("c"), F.col("x").alias("mu")
+    )
+    # fitted codebook, materialized once: feeds BOTH the probe
+    # election and the index assignment (the knn_ivf_codebook_table
+    # precedent)
+    cb = _update(_assign(vectors, seeds)).localCheckpoint()
+    wc = W.partitionBy("vec_id").orderBy(F.asc("__dc"), F.asc("__pc"))
+    probes = (
+        vectors.crossJoin(F.broadcast(cb.select(F.col("c").alias("__pc"), "mu")))
+        .select("vec_id", "x", "__pc", _sq_dist("x", "mu").alias("__dc"))
+        .withColumn("__prn", F.row_number().over(wc))
+        .filter(F.col("__prn") <= _KNNJ_NPROBE)
+        .select("vec_id", "x", F.col("__pc").alias("__c"))
+    )
+    index = _assign(vectors, cb).select(
+        F.col("c").alias("__c"), F.col("vec_id").alias("neighbor_id"), F.col("x").alias("__xb")
+    )
+    pairs = (
+        probes.join(index, ["__c"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", _sq_dist("x", "__xb").alias("l2sq_micro"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("l2sq_micro"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= _KNNJ_K)
+    )
+
+
+@query(
+    "knn_join_multiprobe",
+    oracle=_KNNJ_MP_ORACLE,
+    tags=("similarity", "clustering", "ann"),
+)
+def knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe batch kNN self-join: identical contract to
+    ``knn_join_within_cells`` but the query side searches its
+    {_KNNJ_NPROBE} nearest cells instead of one — the standard
+    IVF recall knob (FAISS ``nprobe``), which
+    ``knn_graph_recall_report`` quantifies against the 1-cell
+    blocking. Candidate cost scales linearly with the probe count;
+    everything else (exact integer distances, id tie-breaks, per-key
+    window election, AQE skew posture) is unchanged, so the recall
+    gain is attributable to blocking alone.
+
+    Scale: the probe election is a per-vector window over the
+    |codebook| broadcast rows (bounded by k, never data-sized); the
+    cell equi-join shuffles ≈ nprobe× the single-cell candidates.
+    """
+    return _knn_multiprobe_pairs(spark, sf_dir).select(
+        "vec_id", "nn_rank", "neighbor_id", "l2sq_micro"
     )

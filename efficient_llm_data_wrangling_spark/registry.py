@@ -91,8 +91,9 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     # Z-order clustering / zone-map pruning report (queries/layout.py).
     "zorder_layout_report",
     # batch kNN-graph build within IVF cells (queries/clustering.py)
-    # plus its recall acceptance gate.
+    # plus the multi-probe variant and their recall acceptance gate.
     "knn_join_within_cells",
+    "knn_join_multiprobe",
     "knn_graph_recall_report",
 )
 

@@ -284,10 +284,17 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     from efficient_llm_data_wrangling_spark.sources.catalog import load_table
     from tests.conftest import SF_SMOKE
 
-    row = knn_graph_recall_report(spark, SF_SMOKE).collect()[0]
-    assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
-    assert 0 <= row.n_overlap <= _KNNJ_PROBES * _KNNJ_K
-    assert row.recall_ppm == row.n_overlap * 1000000 // (_KNNJ_PROBES * _KNNJ_K)
+    rows = {r.variant: r for r in knn_graph_recall_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"cell1", "probe2"}
+    for row in rows.values():
+        assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
+        assert 0 <= row.n_overlap <= _KNNJ_PROBES * _KNNJ_K
+        assert row.recall_ppm == row.n_overlap * 1000000 // (_KNNJ_PROBES * _KNNJ_K)
+    # probe2's candidate set is a superset of cell1's, so its recall
+    # cannot be lower (any exact-top-k member can only be displaced by
+    # globally closer vectors, which are themselves exact-top-k)
+    assert rows["probe2"].n_overlap >= rows["cell1"].n_overlap
+    row = rows["cell1"]
 
     # brute-force the exact neighborhoods in Python and recount
     vecs = {
