@@ -1004,6 +1004,148 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T_CLOSE_NUM, _T_CLOSE_DEN = 1, 5  # t = 0.2
+
+_T_CLOSENESS_ORACLE = f"""
+WITH gb AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+grps AS (
+  SELECT nationkey, segment, CAST(sum(cnt) AS BIGINT) AS group_size
+  FROM gb GROUP BY 1, 2
+),
+bands AS (SELECT DISTINCT band FROM gb),
+gl AS (
+  SELECT band, CAST(sum(cnt) AS BIGINT) AS gcnt FROM gb GROUP BY band
+),
+gcum AS (
+  SELECT band, CAST(sum(gcnt) OVER (ORDER BY band) AS BIGINT) AS cumg
+  FROM gl
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(DISTINCT band) AS BIGINT) AS b
+  FROM gb
+),
+grid AS (
+  SELECT g.nationkey, g.segment, g.group_size, b.band,
+         coalesce(x.cnt, 0) AS cnt
+  FROM grps g CROSS JOIN bands b
+  LEFT JOIN gb x ON x.nationkey = g.nationkey AND x.segment = g.segment
+                AND x.band = b.band
+),
+cums AS (
+  SELECT nationkey, segment, group_size, band,
+         CAST(sum(cnt) OVER (PARTITION BY nationkey, segment ORDER BY band)
+              AS BIGINT) AS cump
+  FROM grid
+),
+emd AS (
+  SELECT c.nationkey, c.segment, c.group_size,
+         CAST(sum(abs(c.cump * t.n - g.cumg * c.group_size)) AS BIGINT) AS emd_num,
+         CAST(max(c.group_size * t.n * (t.b - 1)) AS BIGINT) AS emd_den
+  FROM cums c JOIN gcum g USING (band) CROSS JOIN tot t
+  GROUP BY 1, 2, 3
+)
+SELECT nationkey, segment, group_size,
+       CAST(emd_num * 1000000 // emd_den AS BIGINT) AS emd_micro,
+       emd_num * {_T_CLOSE_DEN} <= emd_den * {_T_CLOSE_NUM} AS t_close
+FROM emd
+"""
+
+
+@query("t_closeness_report", oracle=_T_CLOSENESS_ORACLE, tags=("corpusops", "privacy"))
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the last rung of the
+    privacy ladder after ``k_anonymity_report`` and
+    ``l_diversity_report``: a group can be k-anonymous AND l-diverse
+    yet still leak if its SENSITIVE distribution is skewed far from
+    the table's (skewness attack). Per (nation, market-segment) group,
+    the Earth Mover's Distance between the group's account-balance
+    band distribution and the global one, over the ordered bands; the
+    group passes iff EMD ≤ t = {_T_CLOSE_NUM}/{_T_CLOSE_DEN}.
+
+    Exactness: the 1-D ordered EMD is the mean |CDF difference|, and
+    both CDFs are cross-multiplied to integers (``cum_g·N −
+    cum_global·N_g``), so the distance numerator/denominator, the
+    micro-unit report value, and the verdict are exact BIGINTs —
+    no float ever compares. Int64 domain bound: |terms| ≤ N_g·N per
+    band, safe while N_g·N·bands < 2⁶³ (at 1.5e9 customers that is
+    every group under ~6e8 rows — document-scale QI groups).
+
+    Scale: one shuffle on (QI, band) builds the bounded count cube;
+    everything after runs on report-sized frames — the dense
+    group×band grid is |QI-space|·bands rows, the global CDF is a
+    bands-row single-partition window (bounded histogram, house
+    pattern), and the per-group CDF is a per-key window on the grid.
+    """
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    gb = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()  # bounded cube; five consumers below
+    )
+    grps = gb.groupBy("nationkey", "segment").agg(
+        F.sum("cnt").cast("long").alias("group_size")
+    )
+    bands = gb.select("band").distinct()
+    glob = gb.groupBy("band").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    gcum = glob.select(
+        "band",
+        F.sum("gcnt").over(W.orderBy("band")).cast("long").alias("cumg"),
+    )
+    tot = gb.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.countDistinct("band").cast("long").alias("b"),
+    )
+    grid = (
+        grps.crossJoin(F.broadcast(bands))
+        .join(gb, ["nationkey", "segment", "band"], "left")
+        .select(
+            "nationkey",
+            "segment",
+            "group_size",
+            "band",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    cump = F.sum("cnt").over(
+        W.partitionBy("nationkey", "segment").orderBy("band")
+    ).cast("long")
+    cums = grid.select("nationkey", "segment", "group_size", "band", cump.alias("cump"))
+    emd = (
+        cums.join(F.broadcast(gcum), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nationkey", "segment", "group_size")
+        .agg(
+            F.sum(F.abs(F.col("cump") * F.col("n") - F.col("cumg") * F.col("group_size")))
+            .cast("long")
+            .alias("emd_num"),
+            F.max(F.col("group_size") * F.col("n") * (F.col("b") - 1))
+            .cast("long")
+            .alias("emd_den"),
+        )
+    )
+    return emd.select(
+        "nationkey",
+        "segment",
+        "group_size",
+        F.expr("emd_num * 1000000 div emd_den").alias("emd_micro"),
+        (
+            F.col("emd_num") * _T_CLOSE_DEN <= F.col("emd_den") * _T_CLOSE_NUM
+        ).alias("t_close"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance weights (hashed n-gram target/raw log-likelihood ratio)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,8 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "knn_join_within_cells",
     "knn_join_multiprobe",
     "knn_graph_recall_report",
+    # t-closeness completes the privacy ladder (queries/corpusops.py).
+    "t_closeness_report",
 )
 
 _STALE_R2: tuple[str, ...] = (

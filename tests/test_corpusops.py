@@ -307,3 +307,61 @@ def test_trigram_rows_and_counts(spark):
     for r in rows:
         assert r.n_trigrams == expected[r.doc_id] - 2
         assert r.avg_trigram_logprob_6 < 0  # log-probs are negative
+
+
+def test_t_closeness_emd_matches_python_recompute(spark):
+    """The cross-multiplied integer EMD must equal a direct float EMD
+    recompute per group (mean |CDF difference| over ordered bands),
+    and the verdict must be exactly EMD ≤ 0.2 on the integer form."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        t_closeness_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {(r.nationkey, r.segment): r for r in t_closeness_report(spark, SF_SMOKE).collect()}
+
+    cust = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+        )
+        .collect()
+    )
+    by_group: dict = defaultdict(Counter)
+    global_c: Counter = Counter()
+    for r in cust:
+        by_group[(r.c_nationkey, r.c_mktsegment)][r.band] += 1
+        global_c[r.band] += 1
+    bands = sorted(global_c)
+    n = sum(global_c.values())
+    for key, cnts in by_group.items():
+        ng = sum(cnts.values())
+        cump = cumg = 0
+        emd_num = 0
+        for b in bands:
+            cump += cnts.get(b, 0)
+            cumg += global_c[b]
+            emd_num += abs(cump * n - cumg * ng)
+        den = ng * n * (len(bands) - 1)
+        row = rows[key]
+        assert row.group_size == ng
+        assert row.emd_micro == emd_num * 1000000 // den
+        assert row.t_close == (emd_num * 5 <= den)
+        # cross-multiplied form ≡ float mean-|CDF-diff| EMD
+        emd_f = sum(
+            abs(
+                sum(cnts.get(b, 0) for b in bands[: i + 1]) / ng
+                - sum(global_c[b] for b in bands[: i + 1]) / n
+            )
+            for i in range(len(bands))
+        ) / (len(bands) - 1)
+        assert math.isclose(emd_num / den, emd_f, rel_tol=1e-12, abs_tol=1e-12)
+    assert len(rows) == len(by_group)
