@@ -609,6 +609,126 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_HAM = 3  # near-dup iff hamming(sig_a, sig_b) ≤ 3
+
+_MM_PHASH_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+hx AS (
+  SELECT doc_id, to_hex(encode(text)) AS h FROM corpus
+  WHERE octet_length(encode(text)) > 0
+),
+by AS (
+  SELECT doc_id,
+         CAST(t.p AS BIGINT) AS j,
+         CAST(length(h) // 2 AS BIGINT) AS n,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * t.p + 1 AS BIGINT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * t.p + 2 AS BIGINT), 1)) - 1) AS byte
+  FROM hx, unnest(range(0, length(h) // 2)) AS t(p)
+),
+bsum AS (
+  SELECT doc_id, n, j * 64 // n AS b,
+         CAST(sum(byte) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM by GROUP BY 1, 2, 3
+),
+tt AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM bsum GROUP BY 1),
+bandv AS (
+  SELECT bs.doc_id, bs.b // 16 AS k,
+         CAST(sum(CASE WHEN bs.s * bs.n > t.total * bs.c
+                       THEN 1 << CAST(bs.b % 16 AS INT) ELSE 0 END) AS BIGINT) AS v
+  FROM bsum bs JOIN tt t USING (doc_id) GROUP BY 1, 2
+),
+ph AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN k = 0 THEN v END), 0) AS BIGINT) AS b0,
+         CAST(coalesce(sum(CASE WHEN k = 1 THEN v END), 0) AS BIGINT) AS b1,
+         CAST(coalesce(sum(CASE WHEN k = 2 THEN v END), 0) AS BIGINT) AS b2,
+         CAST(coalesce(sum(CASE WHEN k = 3 THEN v END), 0) AS BIGINT) AS b3
+  FROM bandv GROUP BY doc_id
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS aid, y.doc_id AS bid
+  FROM bandv x JOIN bandv y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id
+),
+ham AS (
+  SELECT p.bid
+  FROM pairs p JOIN ph pa ON pa.doc_id = p.aid JOIN ph pb ON pb.doc_id = p.bid
+  WHERE bit_count(xor(pa.b0, pb.b0)) + bit_count(xor(pa.b1, pb.b1))
+      + bit_count(xor(pa.b2, pb.b2)) + bit_count(xor(pa.b3, pb.b3)) <= {_PHASH_HAM}
+),
+dropped AS (SELECT DISTINCT bid FROM ham)
+SELECT ph.doc_id, ph.b0, ph.b1, ph.b2, ph.b3,
+       d.bid IS NULL AS is_kept
+FROM ph LEFT JOIN dropped d ON ph.doc_id = d.bid
+"""
+
+
+@query("multimodal_phash_dedup", oracle=_MM_PHASH_ORACLE, tags=("multimodal", "dedup"))
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup over the binary payload column — the
+    missing multimodal member of the dedup family: a block-mean
+    perceptual hash (64 bits as 4×16-bit bands, computed in the same
+    Arrow-batched ``mapInPandas`` shape a real pHash/DCT UDF has, every
+    bit integer-exact so the oracle replays it from hex), then
+    hamming-bounded near-dup blocking. Pigeonhole makes the blocking
+    EXACT, not approximate: hamming ≤ {_PHASH_HAM} over 4 bands forces
+    at least one identical band, so the band equi-join provably covers
+    every qualifying pair. Runs over the planted-duplicates corpus the
+    dedup family shares (``_corpus_with_dups``): every clone's body is
+    byte-identical to its original, so its signature collides at
+    hamming 0 and the manifest provably drops it. Output is the
+    admission manifest (doc_id, signature bands, is_kept) — dropped
+    iff a lower-id neighbor within hamming {_PHASH_HAM} exists.
+
+    Scale: signatures are 4 small ints per asset (the payload never
+    survives the feature stage); the dedup shuffles only
+    (band_idx, band_value) keys — the simhash pigeonhole posture —
+    and verification is integer xor/popcount on candidate pairs.
+    """
+    tune(spark)
+    docs = _corpus_with_dups(spark, sf_dir).filter(F.length("text") > 0)
+    # signature table materialized once: the band explode (both join
+    # sides) and the final manifest all consume it, and its lineage
+    # carries the Python feature stage
+    ph = MM.phash_features(MM.with_payload(docs)).localCheckpoint()
+    bands = ph.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "v"),
+    )
+    x = bands.select(F.col("doc_id").alias("aid"), "k", "v")
+    y = bands.select(F.col("doc_id").alias("bid"), "k", "v")
+    pairs = (
+        x.join(y, ["k", "v"])
+        .filter(F.col("aid") < F.col("bid"))
+        .select("aid", "bid")
+        .distinct()
+    )
+    pa = ph.select(
+        F.col("doc_id").alias("aid"),
+        *[F.col(c).alias(f"__a{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    pb = ph.select(
+        F.col("doc_id").alias("bid"),
+        *[F.col(c).alias(f"__b{c}") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hd = sum(
+        F.bit_count(F.expr(f"__a{c} ^ __b{c}")) for c in ("b0", "b1", "b2", "b3")
+    )
+    dropped = (
+        pairs.join(pa, "aid")
+        .join(pb, "bid")
+        .filter(hd <= _PHASH_HAM)
+        .select("bid")
+        .distinct()
+    )
+    return ph.join(
+        dropped.withColumnRenamed("bid", "doc_id").withColumn("__hit", F.lit(1)),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", "b0", "b1", "b2", "b3", F.col("__hit").isNull().alias("is_kept")
+    )
+
+
 from efficient_llm_data_wrangling_spark.functions import portable_math as _PM
 
 _TFIDF_ORACLE = f"""

@@ -97,6 +97,8 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "knn_graph_recall_report",
     # t-closeness completes the privacy ladder (queries/corpusops.py).
     "t_closeness_report",
+    # perceptual-hash image near-dup dedup (queries/scale.py).
+    "multimodal_phash_dedup",
 )
 
 _STALE_R2: tuple[str, ...] = (

@@ -69,3 +69,83 @@ def test_audio_energy_matches_python_recompute(spark):
         assert g["total_energy"] == sum(energies)
         assert g["peak_energy"] == max(energies)
         assert g["peak_frame"] == energies.index(max(energies))
+
+
+def test_phash_identical_bodies_collide_and_dedup_drops_clones(spark):
+    """Byte-identical bodies must produce identical signatures, the
+    planted clones must all be dropped (hamming 0 to their lower-id
+    originals), and every original must be kept unless it has a
+    lower-id near-dup."""
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        multimodal_phash_dedup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in multimodal_phash_dedup(spark, SF_SMOKE).collect()}
+    clones = [d for d in rows if 1000000 <= d < 2000000]
+    assert clones
+    for d in clones:
+        orig = rows[d - 1000000]
+        c = rows[d]
+        assert (c.b0, c.b1, c.b2, c.b3) == (orig.b0, orig.b1, orig.b2, orig.b3)
+        assert not c.is_kept  # lower-id original exists at hamming 0
+
+
+def test_phash_band_layout_pigeonholes_hamming_3():
+    """With 64 bits in 4 bands, any pair at hamming ≤ 3 shares at
+    least one identical band — the property that makes the band
+    equi-join blocking EXACT for the ≤3 threshold."""
+    import itertools
+
+    from efficient_llm_data_wrangling_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_BLOCKS,
+    )
+
+    assert PHASH_BANDS * PHASH_BAND_BITS == PHASH_BLOCKS
+    base = (123 << 48) | (456 << 32) | (789 << 16) | 321
+    for flips in itertools.combinations(range(PHASH_BLOCKS), 3):
+        other = base
+        for b in flips:
+            other ^= 1 << b
+        shares = any(
+            (base >> (k * PHASH_BAND_BITS)) & 0xFFFF
+            == (other >> (k * PHASH_BAND_BITS)) & 0xFFFF
+            for k in range(PHASH_BANDS)
+        )
+        assert shares
+
+
+def test_phash_features_match_python_recompute(spark):
+    """The Arrow-batched signature must equal a direct Python
+    recompute of the block-mean bits from the same payload bytes."""
+    from efficient_llm_data_wrangling_spark.operators.multimodal import (
+        HEADER_LEN,
+        PHASH_BLOCKS,
+        phash_features,
+        with_payload,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    sigs = {r.doc_id: r for r in phash_features(with_payload(docs)).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        body = r.text.encode("utf-8")
+        n = len(body)
+        bands = [0, 0, 0, 0]
+        if n:
+            bs = [0] * PHASH_BLOCKS
+            bc = [0] * PHASH_BLOCKS
+            for j, byte in enumerate(body):
+                blk = j * PHASH_BLOCKS // n
+                bs[blk] += byte
+                bc[blk] += 1
+            total = sum(body)
+            for b in range(PHASH_BLOCKS):
+                if bs[b] * n > total * bc[b]:
+                    bands[b // 16] |= 1 << (b % 16)
+        s = sigs[r.doc_id]
+        assert (s.b0, s.b1, s.b2, s.b3) == tuple(bands)
+        assert s.n_body == n
