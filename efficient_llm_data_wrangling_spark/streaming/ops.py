@@ -586,7 +586,9 @@ def clicks_to_purchases(
 # ---------------------------------------------------------------------------
 
 
-def upsert_totals_to_parquet(events: DataFrame, base_dir: str) -> str:
+def upsert_totals_to_parquet(
+    events: DataFrame, base_dir: str, checkpoint_dir: str | None = None
+) -> str:
     """The standard streaming→warehouse topology: an update-mode
     aggregation whose per-batch deltas MERGE into a keyed parquet
     snapshot via ``foreachBatch`` — the sink pattern for every store
@@ -605,6 +607,13 @@ def upsert_totals_to_parquet(events: DataFrame, base_dir: str) -> str:
     broadcasts it against the snapshot; the full-snapshot rewrite is
     the parquet trade-off (a table format — Iceberg/Delta — swaps the
     rewrite for a metadata commit, same foreachBatch shape).
+
+    Pass ``checkpoint_dir`` to make the run RESUMABLE: the same
+    checkpoint across invocations gives exactly-once recovery — a
+    restart skips committed batches, drains only newly arrived files,
+    and an idle restart is a no-op (pinned by
+    test_upsert_sink_restart_recovery). Without it a throwaway
+    checkpoint is used and removed after the drain.
     """
     from pathlib import Path
 
@@ -642,14 +651,14 @@ def upsert_totals_to_parquet(events: DataFrame, base_dir: str) -> str:
             .foreachBatch(merge)
             .trigger(availableNow=True)
         )
-        ckpt = _fast_checkpoint_dir()
+        ckpt = checkpoint_dir if checkpoint_dir is not None else _fast_checkpoint_dir()
         if ckpt is not None:
             writer = writer.option("checkpointLocation", ckpt)
         writer.start().awaitTermination()
     finally:
         if nparts is not None and prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    if ckpt is not None:
+    if ckpt is not None and checkpoint_dir is None:
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)

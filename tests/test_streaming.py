@@ -299,3 +299,73 @@ def test_admission_pipeline_snapshot_is_admitted_only_and_versioned(spark):
         assert 20 <= r.n_words <= 1000
         assert 3000 <= r.mean_len_milli <= 10000
         assert r.stopword_hits >= 1 and r.alpha_pct >= 80
+
+
+def test_upsert_sink_restart_recovery(spark, tmp_path):
+    """Exactly-once across a restart: drain half the backlog with a
+    persistent checkpoint, let new files arrive, restart the SAME
+    checkpoint — the snapshot must equal the batch group-by of the
+    full corpus (no double-counted committed batches), and an idle
+    third restart must produce no new snapshot version."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    src = f"{SF_SMOKE}/events.parquet"
+    d = tmp_path / "ev_restart"
+    d.mkdir()
+    con = duckdb.connect()
+    mid = con.sql(f"SELECT median(event_id) FROM '{src}'").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE event_id < {mid}) TO '{d}/a.parquet' (FORMAT PARQUET)"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(str(d))
+
+    base = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    S.upsert_totals_to_parquet(stream(), base, checkpoint_dir=ckpt)
+
+    # new files arrive while the job is down
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE event_id >= {mid}) TO '{d}/b.parquet' (FORMAT PARQUET)"
+    )
+    latest = S.upsert_totals_to_parquet(stream(), base, checkpoint_dir=ckpt)
+
+    got = {
+        r.user_id: (r.n_events, r.value_cents)
+        for r in spark.read.parquet(latest).collect()
+    }
+    full = spark.read.schema(schema).parquet(str(d))
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in full.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want  # restart added only the new file's contribution
+
+    # idle restart: nothing new to drain -> no new version directory
+    import pathlib
+
+    before = sorted(p.name for p in pathlib.Path(base).glob("v*"))
+    latest2 = S.upsert_totals_to_parquet(stream(), base, checkpoint_dir=ckpt)
+    after = sorted(p.name for p in pathlib.Path(base).glob("v*"))
+    assert after == before
+    assert latest2 == latest
