@@ -285,3 +285,135 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral-fingerprint similarity (trajectory similarity at signature level)
+# ---------------------------------------------------------------------------
+
+#: event-type alphabet, alphabetical — transition (from, to) maps to
+#: bit from·5 + to of a 25-bit BIGINT mask.
+_BHV_TYPES = ("click", "error", "purchase", "signup", "view")
+_BHV_TOPK = 20
+
+_BHV_TI_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN {i}" for i, t in enumerate(_BHV_TYPES))
+    + " END"
+)
+
+_BHV_SIM_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, {_BHV_TI_SQL} AS ti FROM events
+),
+tr AS (
+  SELECT DISTINCT user_id,
+         ti * 5 + lead(ti) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS bit
+  FROM e
+),
+sig AS (
+  SELECT user_id, CAST(sum(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS BIGINT) AS mask
+  FROM tr WHERE bit IS NOT NULL GROUP BY user_id
+),
+m AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS n_users FROM sig GROUP BY mask
+),
+mb AS (
+  SELECT mask, n_users, t.b AS bit
+  FROM m, unnest(range(0, 25)) AS t(b)
+  WHERE (mask >> CAST(t.b AS INT)) & 1 = 1
+),
+cand AS (
+  SELECT DISTINCT a.mask AS mask_a, b.mask AS mask_b
+  FROM mb a JOIN mb b ON a.bit = b.bit AND a.mask < b.mask
+),
+scored AS (
+  SELECT c.mask_a, c.mask_b,
+         CAST(bit_count(c.mask_a & c.mask_b) * 1000
+              // bit_count(c.mask_a | c.mask_b) AS BIGINT) AS jaccard_milli,
+         ma.n_users AS n_users_a, mb2.n_users AS n_users_b
+  FROM cand c JOIN m ma ON ma.mask = c.mask_a JOIN m mb2 ON mb2.mask = c.mask_b
+)
+SELECT * FROM scored
+ORDER BY jaccard_milli DESC, mask_a, mask_b
+LIMIT {_BHV_TOPK}
+"""
+
+
+@query(
+    "behavior_signature_similarity",
+    oracle=_BHV_SIM_ORACLE,
+    tags=("behavior", "similarity"),
+)
+def behavior_signature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-style behavioral similarity computed at the
+    SIGNATURE level: each user's event history collapses to a 25-bit
+    transition fingerprint (bit f·5+t set iff the user ever did
+    type-f → type-t consecutively), and pairwise Jaccard runs over
+    DISTINCT fingerprints weighted by user multiplicity — never over
+    user pairs. Top-{_BHV_TOPK} most-similar fingerprint pairs with
+    their cohort sizes: the segment-overlap report behind
+    "users like these" features, at the cost of the signature
+    cardinality, not the user count.
+
+    Exactness: the mask is an exact BIGINT bit-OR, similarity is
+    integer popcount Jaccard in milli-units (``bit_count(a&b)·1000
+    div bit_count(a|b)``), and the window order (ts, event_id) is a
+    unique key — every engine-pair result is bit-identical.
+
+    Scale: one per-user window pass builds transitions, one shuffle
+    per aggregation; the candidate join blocks distinct masks on
+    shared bits (alphabet-bounded keys), so the quadratic is bounded
+    by distinct-signature counts (≤ 2^25 regardless of user count) —
+    the same collapse exact-dedup applies to documents, applied to
+    behavioral cohorts.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ti = F.expr(_BHV_TI_SQL)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select("user_id", "ts", "event_id", ti.alias("ti"))
+        .select("user_id", (F.col("ti") * 5 + F.lead("ti").over(w)).alias("bit"))
+        .filter(F.col("bit").isNotNull())
+        .distinct()
+    )
+    sig = tr.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .cast("long")
+        .alias("mask")
+    )
+    # distinct-fingerprint table, materialized once: the bit explode
+    # (both candidate sides) and both count joins consume it
+    m = sig.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n_users")).localCheckpoint()
+    mb = m.select(
+        "mask",
+        F.explode(
+            F.expr("filter(sequence(0, 24), b -> (shiftright(mask, b) & 1) = 1)")
+        ).alias("bit"),
+    )
+    cand = (
+        mb.select(F.col("mask").alias("mask_a"), "bit")
+        .join(mb.select(F.col("mask").alias("mask_b"), "bit"), "bit")
+        .filter(F.col("mask_a") < F.col("mask_b"))
+        .select("mask_a", "mask_b")
+        .distinct()
+    )
+    ma = m.select(F.col("mask").alias("mask_a"), F.col("n_users").alias("n_users_a"))
+    mb2 = m.select(F.col("mask").alias("mask_b"), F.col("n_users").alias("n_users_b"))
+    return (
+        cand.join(F.broadcast(ma), "mask_a")
+        .join(F.broadcast(mb2), "mask_b")
+        .select(
+            "mask_a",
+            "mask_b",
+            F.expr(
+                "bit_count(mask_a & mask_b) * CAST(1000 AS BIGINT)"
+                " div bit_count(mask_a | mask_b)"
+            ).alias("jaccard_milli"),
+            "n_users_a",
+            "n_users_b",
+        )
+        .orderBy(F.desc("jaccard_milli"), F.asc("mask_a"), F.asc("mask_b"))
+        .limit(_BHV_TOPK)
+    )

@@ -99,6 +99,8 @@ _NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
     "t_closeness_report",
     # perceptual-hash image near-dup dedup (queries/scale.py).
     "multimodal_phash_dedup",
+    # signature-level behavioral similarity (queries/behavior.py).
+    "behavior_signature_similarity",
 )
 
 _STALE_R2: tuple[str, ...] = (
