@@ -215,6 +215,48 @@ R5_DRIVER_RATIOS = {
 }
 
 
+#: The DRIVER's round-6 run as calibration ratios (BENCH_r06.json —
+#: the first driver-parsed bench since r2: queries medians /
+#: calibration 0.294 s). Covers all 33 r6 headliners, so every r7
+#: number chains against the driver's own hardware-normalized
+#: measurement; round-7 additions seed their baselines in BENCH_r07.
+R6_DRIVER_RATIOS = {
+    "pair_join_text": 2.384,
+    "pricing_summary": 2.701,
+    "comparator_tolerance": 5.599,
+    "window_top_order_per_customer": 1.184,
+    "filter_project_lineitem": 0.66,
+    "dedup_exact_documents": 1.054,
+    "dedup_minhash_lsh": 8.514,
+    "text_quality_documents": 2.738,
+    "knn_brute_force": 1.248,
+    "asof_join_events": 1.344,
+    "rollup_pricing": 2.935,
+    "multimodal_decode": 1.677,
+    "stream_tumbling_counts": 4.037,
+    "sessionize_events": 1.391,
+    "upsert_snapshot_orders": 1.214,
+    "connected_components_halving": 15.357,
+    "correlated_avg_qty_filter": 3.997,
+    "repetition_ratio_documents": 3.299,
+    "stream_stream_attribution": 10.374,
+    "chunk_documents_overlap": 0.997,
+    "pack_documents_token_budget": 0.776,
+    "decontaminate_ngram_overlap": 3.707,
+    "corpus_curation_pipeline": 3.255,
+    "bm25_top_docs": 3.344,
+    "substring_dedup_windows": 7.871,
+    "knn_ivf_pq": 5.017,
+    "ccnet_perplexity_buckets": 4.619,
+    "dsir_importance_weights": 4.293,
+    "local_supplier_volume": 2.714,
+    "bpe_train_rounds": 7.361,
+    "stream_admission_pipeline": 4.619,
+    "tpch_q11_important_stock": 2.616,
+    "zorder_layout_report": 2.078,
+}
+
+
 def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     """N wall-time samples (sorted). The median is the headline number
     — robust to one-off JIT/GC noise in either direction; min and max
@@ -298,6 +340,11 @@ def main() -> None:
         for n, r in ratios.items()
         if n in R5_DRIVER_RATIOS
     }
+    ratio_vs_r6_driver = {
+        n: round(r / R6_DRIVER_RATIOS[n], 3)
+        for n, r in ratios.items()
+        if n in R6_DRIVER_RATIOS
+    }
 
     def _summ(d: dict[str, float]) -> dict:
         """Median / worst scalar summary of a per-query ratio dict —
@@ -329,27 +376,38 @@ def main() -> None:
         "ratio_vs_r4": ratio_vs_r4,
         "ratio_vs_r5": ratio_vs_r5,
         "ratio_vs_r5_driver": ratio_vs_r5_driver,
+        "ratio_vs_r6_driver": ratio_vs_r6_driver,
         "sf": sf,
         "queries": timings,
     }
     (Path(__file__).resolve().parent / "BENCH_DETAIL.json").write_text(
         json.dumps(detail, indent=1)
     )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "calibration_sec": cal,
-            "vs_r4": _summ(ratio_vs_r4),
-            "vs_r5": _summ(ratio_vs_r5),
-            "vs_r5_driver": _summ(ratio_vs_r5_driver),
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"bench line too long for driver tail: {len(line)}"
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_sec": cal,
+        "vs_r5": _summ(ratio_vs_r5),
+        "vs_r5_driver": _summ(ratio_vs_r5_driver),
+        "vs_r6_driver": _summ(ratio_vs_r6_driver),
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # The driver parses the JSON line from the final ~2000 chars of
+    # stdout. Degrade gracefully instead of asserting at the finish
+    # line (ADVICE r6): the per-query dict grows with every headliner,
+    # so if the full line outgrows the window, drop fields the detail
+    # file already carries — first the ratio summaries, then the
+    # per-query dict itself (BENCH_DETAIL.json keeps everything).
+    if len(line) >= 1900:
+        for drop in ("vs_r5", "vs_r5_driver", "queries"):
+            payload.pop(drop, None)
+            payload["truncated"] = True
+            line = json.dumps(payload, separators=(",", ":"))
+            if len(line) < 1900:
+                break
     print(line)
 
 

@@ -192,11 +192,17 @@ def minhash_signature(
 def lsh_bucket_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """One 64-bit bucket key per band: hash of the band's signature
     slice, salted with the band index so buckets from different bands
-    never collide. Deliberately ``F.array`` of per-band expressions,
-    not a transform lambda: a lambda body re-evaluates the signature
-    expression per band, while ``bands`` separate references to the
-    signature column block CollapseProject from inlining it, so the
-    signature is computed once per row upstream."""
+    never collide.
+
+    Inline ``F.array``-of-per-band-expressions variant, viable only at
+    small ``bands``: each band is a separate xxhash64+slice expression
+    in ONE projection, so at 128 bands the generated Java method blows
+    past Janino's 64 KB limit and the whole stage silently drops to
+    interpreted evaluation (observed: 5-10x slowdown on
+    dedup_threshold_sweep). :func:`minhash_candidate_pairs` therefore
+    explodes the band INDEX and hashes one slice per exploded row —
+    constant-size codegen at any band count; this helper remains for
+    ad-hoc narrow-band use."""
     return F.array(
         *[
             F.xxhash64(
@@ -233,26 +239,48 @@ def minhash_candidate_pairs(
     signed = hashed.select(
         *keys, minhash_signature(F.col("__h32"), num_hashes, seed).alias("__sig")
     )
+    # Explode the band INDEX, then hash ONE signature slice per
+    # exploded row. The inline alternative (lsh_bucket_keys: `bands`
+    # xxhash64+slice expressions in one projection) overflows Janino's
+    # 64 KB method limit at wide-band configs (the 128-band threshold
+    # sweep) and silently drops the stage to interpreted evaluation.
+    # Here codegen size is constant in `bands`, and the Generate node
+    # between the signature projection and the bucket projection
+    # blocks CollapseProject, so __sig is still computed once per
+    # input row (not once per band). Same key values as the inline
+    # variant: xxhash64(band:int, concat_ws(',', slice)).
     exploded = signed.select(
         *keys,
-        F.explode(lsh_bucket_keys(F.col("__sig"), bands, rows_per_band)).alias("__bucket"),
+        F.col("__sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+    ).select(
+        *keys,
+        F.xxhash64(
+            F.col("__band"),
+            F.concat_ws(
+                ",",
+                F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, F.lit(rows_per_band)),
+            ),
+        ).alias("__bucket"),
     )
-    left = exploded.select(
-        F.col(id_col).alias("left_id"),
-        F.col("__bucket"),
-        *([F.col(block_col).alias("__blk_l")] if block_col else []),
-    )
-    right = exploded.select(
-        F.col(id_col).alias("right_id"),
-        F.col("__bucket"),
-        *([F.col(block_col).alias("__blk_r")] if block_col else []),
-    )
-    cond = [left["__bucket"] == right["__bucket"], left["left_id"] < right["right_id"]]
+    # DataFrame.alias + qualified refs: building the equi-condition
+    # from the same lineage (left["__bucket"] == right["__bucket"])
+    # resolves correctly today but trips Spark's "trivially true
+    # equals predicate" self-join warning and is version-fragile.
+    left = exploded.alias("__lsh_l")
+    right = exploded.alias("__lsh_r")
+    cond = [
+        F.col("__lsh_l.__bucket") == F.col("__lsh_r.__bucket"),
+        F.col(f"__lsh_l.{id_col}") < F.col(f"__lsh_r.{id_col}"),
+    ]
     if block_col:
-        cond.append(F.col("__blk_l") == F.col("__blk_r"))
+        cond.append(F.col(f"__lsh_l.{block_col}") == F.col(f"__lsh_r.{block_col}"))
     return (
         left.join(right, cond)
-        .select("left_id", "right_id")
+        .select(
+            F.col(f"__lsh_l.{id_col}").alias("left_id"),
+            F.col(f"__lsh_r.{id_col}").alias("right_id"),
+        )
         .distinct()
     )
 

@@ -45,12 +45,15 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50,
+    jumps: int = 2,
 ) -> DataFrame:
     """[node, component] for the undirected graph given as an edge
     list; ``component`` is the minimum node id in the component.
     Isolated nodes (no edges) are not emitted — union them in as
-    self-components if needed."""
+    self-components if needed. ``jumps`` = pointer-jump applications
+    per round (see the loop comment; exposed for interleaved A/B
+    measurement, default pinned by that measurement)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -88,7 +91,7 @@ def connected_components(
         #    faster than one jump on a 150k-node doubling graph (3
         #    rounds instead of 5 — the barrier/action per round is the
         #    scarce resource, not the per-join work).
-        for _jump in range(2):
+        for _jump in range(jumps):
             ptr = new.select(F.col("node").alias("label"), F.col("label").alias("jlabel"))
             new = new.join(ptr, "label").select("node", F.col("jlabel").alias("label"))
         new = new.localCheckpoint(eager=True)

@@ -1121,3 +1121,241 @@ def mixture_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - ({PM.lnint_sql('__lt_')})), 6) + CAST(0 AS DOUBLE)"
         ).alias("kl_term_6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus release manifest (the batch twin of stream_admission_pipeline)
+# ---------------------------------------------------------------------------
+
+#: domain cap: no source may exceed this share of the admitted corpus
+#: (kept rows elected by ascending doc_id — deterministic, and the
+#: "oldest first" tie-break a re-crawl-stable release wants).
+_REL_CAP_PCT = 30
+#: packing budget (tokens per packed sequence) and shard fan-out.
+_REL_BUDGET = 2000
+_REL_SHARDS = 8
+
+_RELEASE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+gm AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END AS mean_len_milli,
+    CAST(len(list_filter(toks, x -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT)
+      AS stopword_hits,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+              AS BIGINT) // len(toks) END AS alpha_pct
+  FROM g
+),
+firsts AS (
+  SELECT md5(text) AS h, min(doc_id) AS first_id FROM t GROUP BY md5(text)
+),
+adm AS (
+  SELECT t.doc_id, t.source, t.n_tokens
+  FROM t JOIN firsts f ON md5(t.text) = f.h JOIN gm ON gm.doc_id = t.doc_id
+  WHERE t.doc_id = f.first_id
+    AND (gm.n_words BETWEEN 20 AND 1000)
+    AND (gm.mean_len_milli BETWEEN 3000 AND 10000)
+    AND gm.stopword_hits >= 1 AND gm.alpha_pct >= 80
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_admitted_total FROM adm),
+rk AS (
+  SELECT adm.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk,
+         tot.n_admitted_total
+  FROM adm CROSS JOIN tot
+),
+cap AS (
+  SELECT doc_id, source, n_tokens
+  FROM rk WHERE rnk <= n_admitted_total * {_REL_CAP_PCT} // 100
+),
+srcstats AS (
+  SELECT r.source,
+         CAST(count(*) AS BIGINT) AS n_raw,
+         CAST((SELECT count(*) FROM adm a WHERE a.source = r.source) AS BIGINT)
+           AS n_admitted,
+         CAST((SELECT count(*) FROM cap c2 WHERE c2.source = r.source) AS BIGINT)
+           AS n_capped,
+         CAST((SELECT coalesce(sum(n_tokens), 0) FROM cap c3
+               WHERE c3.source = r.source) AS BIGINT) AS capped_tokens
+  FROM t r GROUP BY r.source
+),
+wsq AS (
+  SELECT source, n_raw, n_admitted, n_capped,
+         CAST(floor(sqrt(CAST(capped_tokens AS DOUBLE))) AS BIGINT) AS isq
+  FROM srcstats
+),
+wtot AS (SELECT CAST(sum(isq) AS BIGINT) AS isq_sum FROM wsq),
+weights AS (
+  SELECT source, n_raw, n_admitted, n_capped,
+         isq * 1000 // isq_sum AS weight_permille
+  FROM wsq CROSS JOIN wtot
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+           // {_REL_BUDGET} AS pack_id
+  FROM cap
+),
+assigned AS (
+  SELECT source,
+         CASE WHEN instr('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+                THEN 'train'
+              WHEN instr('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 15
+                THEN 'valid'
+              ELSE 'test' END AS split,
+         pack_id % {_REL_SHARDS} AS shard_id,
+         n_tokens
+  FROM packed
+)
+SELECT a.source, a.split, CAST(a.shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(a.n_tokens) AS BIGINT) AS n_tokens,
+       w.n_raw, w.n_admitted, w.n_capped, w.weight_permille
+FROM assigned a JOIN weights w ON a.source = w.source
+GROUP BY a.source, a.split, a.shard_id,
+         w.n_raw, w.n_admitted, w.n_capped, w.weight_permille
+"""
+
+
+@query("corpus_release_manifest", oracle=_RELEASE_ORACLE, tags=("curation", "trainprep"))
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-manifest e2e — the batch twin of
+    ``stream_admission_pipeline`` and the artifact a 100 TB curation
+    run actually ships: ONE query composing the engine's graded
+    stages — exact first-occurrence dedup → Gopher quality gate
+    (``gopher_quality_filter`` semantics) → per-source domain cap
+    ({_REL_CAP_PCT}% of the admitted corpus, oldest-id-first) →
+    temperature mixture weights (τ=0.5 ⇒ weight ∝ √tokens, in exact
+    integers via floor-sqrt) → token-budget packing
+    (``pack_documents_token_budget`` discipline) → md5-bucket split +
+    shard assignment. One row per (source, split, shard_id) with doc
+    and token counts, per-source attrition (raw → admitted → capped —
+    the funnel ``curation_funnel_report`` proves), and the per-source
+    sampling weight a trainer's data loader consumes.
+
+    Every stage is deterministic and engine-portable: md5 keys for
+    dedup/split (never engine-native hashes), integer token counts,
+    integer cap/pack/shard arithmetic; the only float op is
+    ``floor(sqrt(BIGINT))`` — IEEE-correctly-rounded on both engines,
+    floored back to BIGINT before any aggregation, so the value hash
+    is exact.
+
+    Scale: the dedup shuffle carries md5+id (raw text never moves);
+    the admitted-total and weight denominators are 1-row/|sources|-row
+    broadcasts; the cap rank and pack cumsum share ONE per-source
+    window sort (the pack query's precedent — at 100 TB the window
+    is the packing discipline itself, range-partitioned within
+    source); the final rollup groups on (source, split, shard) —
+    |sources|×3×{_REL_SHARDS} rows. No stage rescans the corpus: one
+    token-count pass feeds gate, cap, weights, packing, and manifest.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        gopher_quality_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    firsts = t.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    passes = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    adm = (
+        t.join(firsts, "h")
+        .join(passes, "doc_id")
+        .filter((F.col("doc_id") == F.col("first_id")) & F.col("passes"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    tot = adm.agg(F.count(F.lit(1)).cast("long").alias("n_admitted_total"))
+    wr = W.partitionBy("source").orderBy("doc_id")
+    cap = (
+        adm.withColumn("rnk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("rnk")
+            <= F.expr(f"n_admitted_total * {_REL_CAP_PCT}L div 100L")
+        )
+        .select("doc_id", "source", "n_tokens")
+    )
+    raw_stats = t.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    adm_stats = adm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_admitted")
+    )
+    cap_stats = cap.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_capped"),
+        F.sum("n_tokens").cast("long").alias("capped_tokens"),
+    )
+    wsq = (
+        raw_stats.join(adm_stats, "source", "left")
+        .join(cap_stats, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_admitted", F.lit(0)).cast("long").alias("n_admitted"),
+            F.coalesce("n_capped", F.lit(0)).cast("long").alias("n_capped"),
+            F.floor(F.sqrt(F.coalesce("capped_tokens", F.lit(0)).cast("double")))
+            .cast("long")
+            .alias("isq"),
+        )
+    )
+    wtot = wsq.agg(F.sum("isq").cast("long").alias("isq_sum"))
+    weights = wsq.crossJoin(F.broadcast(wtot)).select(
+        "source",
+        "n_raw",
+        "n_admitted",
+        "n_capped",
+        F.expr("isq * 1000L div isq_sum").alias("weight_permille"),
+    )
+    packed = cap.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id"
+            f" ROWS UNBOUNDED PRECEDING) - n_tokens) div {_REL_BUDGET}L"
+        ).alias("pack_id"),
+    )
+    bucket = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+    ) - 1
+    assigned = packed.select(
+        "source",
+        F.when(bucket < 13, "train").when(bucket < 15, "valid").otherwise("test")
+        .alias("split"),
+        F.pmod(F.col("pack_id"), F.lit(_REL_SHARDS)).cast("long").alias("shard_id"),
+        "n_tokens",
+    )
+    return (
+        assigned.groupBy("source", "split", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(weights), "source")
+        .select(
+            "source", "split", "shard_id", "n_docs", "n_tokens",
+            "n_raw", "n_admitted", "n_capped", "weight_permille",
+        )
+    )

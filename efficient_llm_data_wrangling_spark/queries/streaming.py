@@ -35,6 +35,23 @@ def _sink(base: str) -> str:
     return f"{base}_{next(_SINK_SEQ)}"
 
 
+def _ephemeral_sink_dir(prefix: str) -> str:
+    """mkdtemp that cleans itself up at interpreter exit.
+
+    The parquet-sink queries return a LAZY reader over the snapshot
+    they just wrote, so the directory must outlive the query builder
+    (the caller collects later); without the atexit hook every
+    correctness/bench invocation leaked a versioned snapshot tree in
+    /tmp (ADVICE r6)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, True)
+    return base
+
+
 _NTZ = "timestamp_ntz"
 
 
@@ -286,9 +303,7 @@ def stream_upsert_sink_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     this grades the end-to-end SNAPSHOT a downstream warehouse reader
     would see, including the version-swap discipline."""
     tune(spark)
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="elldw_upsert_sink_")
+    base = _ephemeral_sink_dir("elldw_upsert_sink_")
     latest = S.upsert_totals_to_parquet(S.stream_events(spark, sf_dir), base)
     return spark.read.parquet(latest)
 
@@ -399,8 +414,6 @@ def stream_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-off, swapped for a metadata commit on a table format.
     """
     tune(spark)
-    import tempfile
-
     from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
 
     standing = (
@@ -409,7 +422,7 @@ def stream_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.col("text").cast("binary")).alias("h"))
         .distinct()
     )
-    base = tempfile.mkdtemp(prefix="elldw_admission_")
+    base = _ephemeral_sink_dir("elldw_admission_")
     latest = S.admission_manifest_to_parquet(
         S.stream_documents(spark, sf_dir), standing, base
     )

@@ -907,11 +907,17 @@ def _bpe_oracle_ctes(n: int) -> str:
             f"win{r} AS (SELECT a, b, pair_count FROM pc{r}"
             f" ORDER BY pair_count DESC, a, b LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when a corpus fully
+        # merges in fewer than N rounds, win{r} is EMPTY — a cross
+        # join would cascade s{r}..s{N} (and the encode oracle) to
+        # zero rows, while Spark's _bpe_fit convergence guard breaks
+        # out and keeps the last state. The null-extended row makes
+        # s{r} degrade to s{r-1} exactly like the break does.
         ctes.append(
-            f"s{r} AS (SELECT tok, replace(sym,"
+            f"s{r} AS (SELECT tok, CASE WHEN w.a IS NULL THEN sym ELSE replace(sym,"
             f" chr(31) || w.a || chr(31) || chr(31) || w.b || chr(31),"
-            f" chr(31) || w.a || w.b || chr(31)) AS sym, cnt"
-            f" FROM s{r - 1} CROSS JOIN win{r} w)"
+            f" chr(31) || w.a || w.b || chr(31)) END AS sym, cnt"
+            f" FROM s{r - 1} LEFT JOIN win{r} w ON TRUE)"
         )
     return ",\n".join(ctes)
 

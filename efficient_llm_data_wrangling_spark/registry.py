@@ -47,101 +47,50 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-6 window, maintained as three segments so that every
+#: round. Round-7 window, maintained as three segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
-#: registers it (the r3/r4 lesson: batches landing after the pin were
-#: the only source of formally-ungraded rows):
+#: registers it:
 #:
-#: 1. ``_NEW_OR_CHANGED_IN_R6`` — queries registered OR semantically
+#: 1. ``_NEW_OR_CHANGED_IN_R7`` — queries registered OR semantically
 #:    rebuilt this round (extend this tuple in the registering
 #:    commit; growth displaces fills from the tail automatically);
-#: 2. ``_STALE_R2`` — the 39 rows whose most recent driver grade is
-#:    round 2 (streams, text, knn, multimodal, subqueries, temporal
-#:    joins, samplers — every one re-verified green in the judge's
-#:    r5 189/189 sweep; a driver row converts that to hard evidence);
-#: 3. ``_STALE_R3_FILL`` — stalest r3 rows, fronted by the five that
-#:    failed in r1/r2 before their r3 fix (most valuable to
-#:    re-confirm) and the one repeated-calibration-drift watch item.
-_NEW_OR_CHANGED_IN_R6: tuple[str, ...] = (
-    # TPC-H partsupp family on the deterministic surrogate
-    # (queries/tpch_partsupp.py): Q11/Q20 are new; Q9 is rebuilt on
-    # the real pair-key topology (values changed → must re-grade).
-    "tpch_q11_important_stock",
-    "tpch_q20_excess_stock",
-    "tpch_q2_min_cost_supplier",
-    "profit_by_nation_year",
-    # iterative BPE trainer (queries/textquality.py): the N-round loop
-    # that r5's bpe_merge_round was one step of.
-    "bpe_train_rounds",
-    # composed streaming admission e2e (queries/streaming.py): dedup
-    # probe → Gopher gate → versioned parquet manifest, full oracle.
-    "stream_admission_pipeline",
-    # tokenizer ENCODE half: learned merges applied back to the corpus.
-    "bpe_encode_documents",
-    # greedy MMR diversified re-rank (queries/clustering.py).
-    "mmr_diversified_topk",
-    # privacy gate beyond k-anonymity + the LM-ladder completion
-    # (queries/corpusops.py).
-    "l_diversity_report",
-    "trigram_logprob_documents",
-    # scorer reliability diagram (queries/textquality.py) + trailing
-    # RANGE-frame window (queries/temporal.py).
-    "scorer_calibration_report",
-    "rolling_user_value_7d",
-    # Z-order clustering / zone-map pruning report (queries/layout.py).
-    "zorder_layout_report",
-    # batch kNN-graph build within IVF cells (queries/clustering.py)
-    # plus the multi-probe variant and their recall acceptance gate.
-    "knn_join_within_cells",
-    "knn_join_multiprobe",
+#: 2. ``_STALE_R2`` — the 8 rows whose most recent driver grade is
+#:    round 2 (the r6 window was over-full, so these rolled once
+#:    more); every one re-verified green in the judge's independent
+#:    r6 207/207 sweep — a driver row converts that to hard evidence;
+#: 3. ``_STALE_R3_FILL`` — ALL 50 rows whose most recent driver grade
+#:    is round 3, fronted by the 11 names the r6 segment-3 comment
+#:    promised but the over-full window could not grade (ADVICE r6).
+#:    Only the first ``50 - len(segments 1+2)`` fit; the rest are an
+#:    EXPLICIT next-round spillover list, re-pinned in r8.
+_NEW_OR_CHANGED_IN_R7: tuple[str, ...] = (
+    # NN-descent refinement round over the multiprobe kNN graph, and
+    # the recall gate extended with its third (descent1) variant
+    # (queries/clustering.py).
+    "knn_graph_nn_descent_round",
     "knn_graph_recall_report",
-    # t-closeness completes the privacy ladder (queries/corpusops.py).
-    "t_closeness_report",
-    # perceptual-hash image near-dup dedup (queries/scale.py).
-    "multimodal_phash_dedup",
-    # signature-level behavioral similarity (queries/behavior.py).
-    "behavior_signature_similarity",
+    # release-manifest e2e: dedup → Gopher → domain cap → temperature
+    # weights → pack → split/shard, one manifest (queries/curation.py).
+    "corpus_release_manifest",
+    # LSH candidate pipeline reworked for the 64 KB codegen fix
+    # (operators/dedup.py: band-index explode + aliased self-join) —
+    # values identical, plan changed, so both consumers re-grade.
+    "dedup_threshold_sweep",
+    "dedup_minhash_lsh",
+    # encode-oracle convergence guard (LEFT JOIN winner fallback).
+    "bpe_encode_documents",
+    # parquet-sink lifecycle change (ephemeral atexit-cleaned dirs).
+    "stream_admission_pipeline",
 )
 
 _STALE_R2: tuple[str, ...] = (
-    "knn_brute_force",
-    "knn_ivf",
-    "text_quality_documents",
-    "text_lang_id",
-    "text_token_counts",
-    "text_tfidf",
-    "text_fingerprint",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize_meta",
-    "chunk_documents_overlap",
-    "pack_documents_token_budget",
-    "split_assign_documents",
-    "split_rest_customers",
-    "stratified_sample_orders",
-    "class_balance_orders",
-    "asof_join_events",
-    "range_join_events",
-    "salted_join_orders",
-    "correlated_avg_qty_filter",
-    "scalar_subquery_acctbal",
-    "nested_agg_nations_above_avg",
-    "having_large_orders",
-    "argmin_part_per_type",
-    "centroid_embeddings_by_label",
-    "levenshtein_match_parts",
-    "detect_error_suppliers",
-    "dq_expectations_orders",
-    "profile_orders",
-    "impute_priority_word",
-    "apply_transformation_dates",
-    "stream_tumbling_counts",
-    "stream_stream_attribution",
     "stream_dedup_watermark",
     "stream_session_windows",
     "stream_sliding_avg",
     "stream_stateful_user_totals",
     "stream_static_enrich",
+    "stream_stream_attribution",
+    "stream_tumbling_counts",
     "stream_upsert_sink_totals",
 )
 
@@ -157,10 +106,49 @@ _STALE_R3_FILL: tuple[str, ...] = (
     "kmeans_lloyd_embeddings",
     "sessionize_events",
     "corpus_curation_pipeline",
+    "array_functions_lineitem",
+    "bloom_dedup_documents",
+    "collect_nations_per_region",
+    "confusion_metrics",
+    "countmin_user_counts",
+    "cube_orders",
+    "dedup_cluster_canonical",
+    "disjunctive_part_revenue",
+    "except_customers",
+    "from_json_events",
+    "funnel_view_click_purchase",
+    "grouping_sets_lineitem",
+    "groupwise_trend_orders",
+    "interpolate_gaps_events",
+    "intersect_customers",
+    "map_functions_orders",
+    "markov_event_transitions",
+    "mixture_sample_by_source",
+    "mode_event_type_per_user",
+    "normalize_text_documents",
+    "order_gap_days",
+    "order_priority_late_exists",
+    "pagerank_trade_network",
+    "percentile_price_by_priority",
+    "pivot_status_revenue",
+    "priority_line_counts",
+    "promo_revenue_ratio",
+    "quantize_embeddings_int8",
+    "retention_cohorts",
+    "rollup_pricing",
+    "running_spend_per_customer",
+    "scd2_status_history",
+    "sql_shipping_priority",
+    "supplier_cnt_by_part_attrs",
+    "top_bigrams_corpus",
+    "unpivot_lineitem_charges",
+    "waiting_supplier_orders",
+    "weighted_sample_orders",
+    "winsorize_prices",
 )
 
-DRIVER_GRADE_PRIORITY: tuple[str, ...] = (
-    _NEW_OR_CHANGED_IN_R6 + _STALE_R2 + _STALE_R3_FILL
+DRIVER_GRADE_PRIORITY: tuple[str, ...] = tuple(
+    dict.fromkeys(_NEW_OR_CHANGED_IN_R7 + _STALE_R2 + _STALE_R3_FILL)
 )[:50]
 
 

@@ -285,15 +285,18 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     from tests.conftest import SF_SMOKE
 
     rows = {r.variant: r for r in knn_graph_recall_report(spark, SF_SMOKE).collect()}
-    assert set(rows) == {"cell1", "probe2"}
+    assert set(rows) == {"cell1", "probe2", "descent1"}
     for row in rows.values():
         assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
         assert 0 <= row.n_overlap <= _KNNJ_PROBES * _KNNJ_K
         assert row.recall_ppm == row.n_overlap * 1000000 // (_KNNJ_PROBES * _KNNJ_K)
     # probe2's candidate set is a superset of cell1's, so its recall
     # cannot be lower (any exact-top-k member can only be displaced by
-    # globally closer vectors, which are themselves exact-top-k)
+    # globally closer vectors, which are themselves exact-top-k);
+    # descent1 re-ranks a superset of the probe2 edges (gu keeps every
+    # directed probe2 edge), so the same argument chains once more
     assert rows["probe2"].n_overlap >= rows["cell1"].n_overlap
+    assert rows["descent1"].n_overlap >= rows["probe2"].n_overlap
     row = rows["cell1"]
 
     # brute-force the exact neighborhoods in Python and recount

@@ -284,3 +284,44 @@ def test_temperature_weights_normalize_and_flatten(spark):
     assert hi.weight_6 / lo.weight_6 <= math.sqrt(hi.n_docs / lo.n_docs) + 1e-6
     total = sum(r.n_docs for r in rows)
     assert abs(sum(r.expected_docs for r in rows) - total) <= len(rows)
+
+
+def test_release_manifest_invariants(spark):
+    """The release manifest's internal accounting must reconcile:
+    per-source attrition is monotone (raw ≥ admitted ≥ capped), the
+    domain cap is actually enforced (n_capped ≤ 30% of the admitted
+    total), manifest doc counts roll up to exactly the capped corpus,
+    weights are a sub-unit permille distribution, and shard ids stay
+    inside the fan-out."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _REL_CAP_PCT,
+        _REL_SHARDS,
+        corpus_release_manifest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = corpus_release_manifest(spark, SF_SMOKE).collect()
+    assert rows
+    per_source = {}
+    for r in rows:
+        assert r.split in {"train", "valid", "test"}
+        assert 0 <= r.shard_id < _REL_SHARDS
+        assert r.n_docs > 0 and r.n_tokens > 0
+        per_source.setdefault(r.source, []).append(r)
+    admitted_total = sum({r.source: r.n_admitted for r in rows}.values())
+    weights = 0
+    for source, srows in per_source.items():
+        r0 = srows[0]
+        # per-source scalars replicate identically across the source's rows
+        assert all(
+            (r.n_raw, r.n_admitted, r.n_capped, r.weight_permille)
+            == (r0.n_raw, r0.n_admitted, r0.n_capped, r0.weight_permille)
+            for r in srows
+        )
+        assert r0.n_raw >= r0.n_admitted >= r0.n_capped >= 0
+        assert r0.n_capped <= admitted_total * _REL_CAP_PCT // 100
+        # manifest cells partition the capped survivors of the source
+        assert sum(r.n_docs for r in srows) == r0.n_capped
+        weights += r0.weight_permille
+    # floor division loses at most 1 permille per source
+    assert 1000 - len(per_source) <= weights <= 1000

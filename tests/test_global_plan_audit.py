@@ -18,14 +18,17 @@ excluded because building them runs the synthesis loop (covered by
 test_compiler.py) — their apply path is the same compile-once pandas
 UDF audited via ``apply_transformation_dates``.
 
-Known blind spot (round 6): queries that ``localCheckpoint`` a heavy
-subtree (iterative loops, argmax join-backs, histogram elections)
-show that subtree as ``Scan ExistingRDD`` here — the audit sees only
-the post-checkpoint plan. Those subtrees execute during the BUILD
-this test performs (so a cartesian/Python regression would still blow
-up wall-clock), and their per-stage shapes are pinned by the family
-tests (test_tpch_partsupp, test_textquality BPE round pin,
-test_clustering, test_corpusops).
+The round-6 blind spot (checkpointed subtrees appearing as ``Scan
+ExistingRDD``) is closed: ``DataFrame.localCheckpoint`` is
+monkeypatched to a no-op for the audit build, so the executed-plan
+string contains every pre-checkpoint subtree — iterative loops,
+argmax join-backs, histogram elections included
+(test_audit_sees_through_checkpoints proves the see-through on the
+BPE trainer). The no-op changes nothing the audit grades (it asserts
+node absence, never values), and the production checkpoint behavior
+itself is pinned by the family tests (test_graph lineage truncation,
+test_textquality BPE round pin, test_tpch_partsupp, test_clustering,
+test_corpusops).
 """
 
 from __future__ import annotations
@@ -55,9 +58,45 @@ _AUDITED = sorted(
 
 
 @pytest.mark.parametrize("name", _AUDITED)
-def test_no_cartesian_no_rowwise_python(spark, name):
+def test_no_cartesian_no_rowwise_python(spark, name, monkeypatch):
+    # keep lineage intact so checkpointed subtrees stay visible in the
+    # plan string instead of collapsing to `Scan ExistingRDD`. Patch
+    # the CLASSIC DataFrame subclass — it defines its own
+    # localCheckpoint, so patching the pyspark.sql.DataFrame parent
+    # never intercepts the call (the r6 blind spot would have silently
+    # stayed open; test_audit_sees_through_checkpoints guards this).
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     spec = REGISTRY[name]
     df = spec.builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
+    # `Scan ExistingRDD` may still appear — but only from driver-local
+    # createDataFrame frames (seed centroids, per-partition offsets:
+    # bounded scalars, reviewed at their 8 collect() sites), never from
+    # a checkpoint hiding a subtree (the monkeypatch above ensures that)
+
+
+def test_audit_sees_through_checkpoints(spark, monkeypatch):
+    """The monkeypatched build must expose PRE-checkpoint subtrees:
+    the BPE trainer's executed plan — 8 rounds of pair-count
+    aggregations, winner elections, and merge replaces, each round
+    checkpointed in production — has to show its joins/aggregates to
+    the audit instead of one opaque `Scan ExistingRDD` leaf."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        bpe_train_rounds,
+    )
+
+    df = bpe_train_rounds(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # with checkpoints active the round subtrees collapse to
+    # ExistingRDD leaves and no aggregate survives in the plan string
+    assert "Scan ExistingRDD" not in plan
+    assert plan.count("HashAggregate") >= 8  # >= one pair-count agg per round
