@@ -70,6 +70,12 @@ HEADLINE = [
     "tpch_q11_important_stock",
     # round-6 layout family: Z-order zone-map pruning report
     "zorder_layout_report",
+    # round-7 families (BENCH_r07 seeds their baselines): the batch
+    # release-manifest e2e, the NN-descent kNN-graph refinement, and
+    # the small-file compaction planner
+    "corpus_release_manifest",
+    "knn_graph_nn_descent_round",
+    "compaction_plan_report",
 ]
 
 

@@ -90,7 +90,12 @@ def connected_components(
         #    compression between synchronization barriers; measured 2×
         #    faster than one jump on a 150k-node doubling graph (3
         #    rounds instead of 5 — the barrier/action per round is the
-        #    scarce resource, not the per-join work).
+        #    scarce resource, not the per-join work). Re-measured r7
+        #    after the driver's r6 ratio drifted 1.20: interleaved
+        #    5×5 A/B at sf0.1 gives medians 3.82 s (one jump) vs
+        #    3.81 s (two) — a dead heat at this diameter (~14), so the
+        #    drift was host noise, and two jumps stay the default for
+        #    the deep-chain regime where they were 2× better.
         for _jump in range(jumps):
             ptr = new.select(F.col("node").alias("label"), F.col("label").alias("jlabel"))
             new = new.join(ptr, "label").select("node", F.col("jlabel").alias("label"))

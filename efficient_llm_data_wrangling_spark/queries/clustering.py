@@ -46,6 +46,16 @@ def _sq_dist(x_col: str, mu_col: str) -> F.Column:
     )
 
 
+def _sq_dist_cols(x_col: F.Column, mu_col: F.Column) -> F.Column:
+    """:func:`_sq_dist` over Column expressions (prefix slices etc.)
+    instead of column names."""
+    return F.aggregate(
+        F.zip_with(x_col, mu_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """One assignment step: nearest centroid per vector, ties broken
     by smallest cluster id — the shared codebook-table operator
@@ -967,3 +977,132 @@ def knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_multiprobe_pairs(spark, sf_dir).select(
         "vec_id", "nn_rank", "neighbor_id", "l2sq_micro"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension truncation study (the dim-budget decision)
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = (8, 16, 32, 64)
+
+
+def _trunc_oracle() -> str:
+    branches = []
+    for d in _TRUNC_DIMS:
+        xs, ps = f"e.x[1:{d}]", f"p.px[1:{d}]"
+        branches.append(f"""
+t{d} AS (
+  SELECT pid, vec_id AS nid FROM (
+    SELECT p.pid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {_dist_sql(xs, ps)}, e.vec_id) AS rn
+    FROM xi e JOIN pb p ON e.vec_id <> p.pid
+  ) WHERE rn <= {_KNNJ_K}
+)""")
+    ov = (
+        lambda d: f"(SELECT count(*) FROM t{_TRUNC_DIMS[-1]} fx JOIN t{d} tx"
+        f" ON fx.pid = tx.pid AND fx.nid = tx.nid)"
+    )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dims,
+       CAST({_KNNJ_K} AS BIGINT) AS k,
+       CAST({_KNNJ_PROBES} AS BIGINT) AS n_probes,
+       CAST({ov(d)} AS BIGINT) AS n_overlap,
+       CAST({ov(d)} * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm"""
+        for d in _TRUNC_DIMS
+    )
+    return (
+        "WITH xi AS (\n"
+        "  SELECT vec_id,\n"
+        "         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)\n"
+        "          for i in range(1, len(embedding) + 1)] AS x\n"
+        "  FROM embeddings\n"
+        "),\n"
+        f"pb AS (SELECT vec_id AS pid, x AS px FROM xi WHERE vec_id < {_KNNJ_PROBES}),"
+        + ",".join(branches)
+        + "\n"
+        + selects
+    )
+
+
+@query(
+    "embedding_dim_truncation_report",
+    oracle=_trunc_oracle(),
+    tags=("similarity", "ann"),
+)
+def embedding_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall study (the Matryoshka/MRL question:
+    how many leading dimensions does retrieval actually need?): exact
+    top-{_KNNJ_K} under the FIRST d dimensions for d ∈ 8/16/32/64,
+    each graded by recall against the full-64-dim neighbors over the
+    fixed {_KNNJ_PROBES}-probe set. The d=64 row is recall 100% by
+    construction — a self-validating control. This is the study that
+    decides whether the 100 TB index stores 64 floats or 16: candidate
+    generation at d=16 with full-dim re-rank is 4× less IO per probe
+    if the truncated recall holds.
+
+    Scale: same posture as ``knn_graph_recall_report``'s exact side —
+    the probe set broadcasts against one corpus scan per dim variant,
+    and each top-k is the ITERATED map-side-combinable min-struct
+    election ({_KNNJ_K} rounds), never a {_KNNJ_PROBES}-partition
+    window. Distances are exact integers on prefix slices, so both
+    engines replay every tie identically.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    joined = vectors.join(F.broadcast(pb), vectors["vec_id"] != pb["pid"])
+
+    def _topk(d: int) -> DataFrame:
+        base = joined.select(
+            "pid",
+            "vec_id",
+            _sq_dist_cols(
+                F.slice(F.col("x"), 1, d), F.slice(F.col("px"), 1, d)
+            ).alias("d"),
+        )
+        ranks: list[DataFrame] = []
+        rem = base
+        for _ in range(_KNNJ_K):
+            top = (
+                rem.groupBy("pid")
+                .agg(F.min(F.struct("d", "vec_id")).alias("m"))
+                .select("pid", F.col("m.vec_id").alias("nid"))
+                .localCheckpoint()
+            )
+            ranks.append(top)
+            rem = (
+                rem.join(F.broadcast(top.withColumnRenamed("nid", "__drop")), "pid")
+                .filter(F.col("vec_id") != F.col("__drop"))
+                .drop("__drop")
+            )
+        out = ranks[0]
+        for t in ranks[1:]:
+            out = out.unionAll(t)
+        return out
+
+    full = _topk(_TRUNC_DIMS[-1]).localCheckpoint()
+
+    def _row(d: int) -> DataFrame:
+        return (
+            full.join(_topk(d), ["pid", "nid"], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            .select(
+                F.lit(d).cast("long").alias("dims"),
+                F.lit(_KNNJ_K).cast("long").alias("k"),
+                F.lit(_KNNJ_PROBES).cast("long").alias("n_probes"),
+                "n_overlap",
+                F.expr(f"n_overlap * 1000000 div {_KNNJ_PROBES * _KNNJ_K}").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+
+    out = _row(_TRUNC_DIMS[0])
+    for d in _TRUNC_DIMS[1:]:
+        out = out.unionAll(_row(d))
+    return out

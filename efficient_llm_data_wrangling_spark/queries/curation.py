@@ -1359,3 +1359,195 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_raw", "n_admitted", "n_capped", "weight_permille",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental release delta (what one ingest batch changes in a release)
+# ---------------------------------------------------------------------------
+
+_DELTA_ORACLE = """
+WITH b AS (
+  SELECT doc_id + 1000000 AS doc_id, lang, text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, lang,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - 5, 3)], ' ')
+  FROM documents WHERE doc_id % 10 = 0
+),
+allv AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id, lang, text FROM b
+),
+g AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM allv
+),
+gm AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    (CAST(len(toks) AS BIGINT) BETWEEN 20 AND 1000)
+      AND (CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                  (a, b) -> a + b) * 1000 AS BIGINT) // len(toks) END
+           BETWEEN 3000 AND 10000)
+      AND CAST(len(list_filter(toks, x -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','it'], x))) AS BIGINT) >= 1
+      AND (CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(100 * len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+                AS BIGINT) // len(toks) END) >= 80 AS passes
+  FROM g
+),
+v1firsts AS (SELECT md5(text) AS h, min(doc_id) AS fid FROM documents GROUP BY 1),
+v1adm AS (
+  SELECT d.lang, gm.n_words
+  FROM documents d
+  JOIN v1firsts f ON md5(d.text) = f.h AND d.doc_id = f.fid
+  JOIN gm ON gm.doc_id = d.doc_id
+  WHERE gm.passes
+),
+v1a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS v1_docs,
+         CAST(sum(n_words) AS BIGINT) AS v1_tokens
+  FROM v1adm GROUP BY lang
+),
+standing AS (SELECT DISTINCT md5(text) AS h FROM documents),
+bk AS (SELECT doc_id, lang, md5(text) AS h FROM b),
+bfirst AS (SELECT h, min(doc_id) AS fid FROM bk GROUP BY h),
+bflag AS (
+  SELECT bk.doc_id, bk.lang,
+         (s.h IS NOT NULL OR bk.doc_id <> f.fid) AS is_dup
+  FROM bk
+  LEFT JOIN standing s ON bk.h = s.h
+  JOIN bfirst f ON bk.h = f.h
+),
+bj AS (
+  SELECT bflag.lang, bflag.is_dup, gm.passes, gm.n_words
+  FROM bflag JOIN gm ON gm.doc_id = bflag.doc_id
+),
+ba AS (
+  SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_batch,
+    CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_rejected,
+    CAST(count(*) FILTER (WHERE NOT is_dup AND NOT passes) AS BIGINT)
+      AS n_quality_rejected,
+    CAST(count(*) FILTER (WHERE NOT is_dup AND passes) AS BIGINT)
+      AS n_new_admitted,
+    CAST(coalesce(sum(n_words) FILTER (WHERE NOT is_dup AND passes), 0) AS BIGINT)
+      AS delta_tokens
+  FROM bj GROUP BY lang
+)
+SELECT coalesce(v1a.lang, ba.lang) AS lang,
+       coalesce(v1_docs, 0) + CAST(0 AS BIGINT) AS v1_docs,
+       coalesce(v1_tokens, 0) + CAST(0 AS BIGINT) AS v1_tokens,
+       coalesce(n_batch, 0) + CAST(0 AS BIGINT) AS n_batch,
+       coalesce(n_dup_rejected, 0) + CAST(0 AS BIGINT) AS n_dup_rejected,
+       coalesce(n_quality_rejected, 0) + CAST(0 AS BIGINT) AS n_quality_rejected,
+       coalesce(n_new_admitted, 0) + CAST(0 AS BIGINT) AS n_new_admitted,
+       coalesce(v1_docs, 0) + coalesce(n_new_admitted, 0) AS v2_docs,
+       coalesce(delta_tokens, 0) + CAST(0 AS BIGINT) AS delta_tokens
+FROM v1a FULL JOIN ba ON v1a.lang = ba.lang
+"""
+
+
+@query("release_delta_report", oracle=_DELTA_ORACLE, tags=("curation", "dedup"))
+def release_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release DELTA for one arriving ingest batch — the
+    incremental companion to ``corpus_release_manifest``: instead of
+    rebuilding the release, account for exactly what the batch (the
+    planted clone/mutant population, the same arrival stream
+    ``incremental_dedup_batch`` and ``stream_ingest_dedup`` grade)
+    changes. Per lang: the standing v1 release (first-occurrence dedup
+    + Gopher gate over the base corpus), the batch size, its rejects
+    split by CAUSE — duplicate against the standing md5 index or an
+    earlier in-batch arrival, vs quality-gate failure — the newly
+    admitted docs, and the v2 totals and token delta a release note
+    publishes. Rejection attribution is the operational point: a
+    batch dying 90% to dups means the crawler is re-fetching, 90% to
+    quality means the source changed — same attrition, opposite
+    response.
+
+    Scale: the standing index probe is the persisted 16-byte-per-doc
+    dedup artifact (broadcast while it fits, shuffled join beyond);
+    Gopher verdicts are scan-side expressions over the union frame;
+    everything after the per-doc flags is |langs|-row arithmetic. The
+    batch never joins the corpus body — only md5 keys move.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.scale import _corpus_with_dups
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        gopher_metric_cols,
+    )
+
+    allv = _corpus_with_dups(spark, sf_dir)
+    g = gopher_metric_cols()
+    gm = allv.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        (F.col("doc_id") >= 1000000).alias("is_batch"),
+    ).join(
+        allv.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
+        ).select("doc_id", g["n_words"].alias("n_words"), g["passes"].alias("passes")),
+        "doc_id",
+    )
+    v1 = gm.filter(~F.col("is_batch"))
+    v1firsts = v1.groupBy("h").agg(F.min("doc_id").alias("fid"))
+    v1a = (
+        v1.join(v1firsts, "h")
+        .filter((F.col("doc_id") == F.col("fid")) & F.col("passes"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("v1_docs"),
+            F.sum("n_words").cast("long").alias("v1_tokens"),
+        )
+    )
+    standing = v1.select("h").distinct().withColumn("in_standing", F.lit(True))
+    batch = gm.filter(F.col("is_batch"))
+    bfirst = batch.groupBy("h").agg(F.min("doc_id").alias("bfid"))
+    bflag = (
+        batch.join(standing, "h", "left")
+        .join(bfirst, "h")
+        .select(
+            "lang",
+            "passes",
+            "n_words",
+            (
+                F.coalesce("in_standing", F.lit(False))
+                | (F.col("doc_id") != F.col("bfid"))
+            ).alias("is_dup"),
+        )
+    )
+    new_adm = ~F.col("is_dup") & F.col("passes")
+    ba = bflag.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_rejected"),
+        F.sum(F.when(~F.col("is_dup") & ~F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_rejected"),
+        F.sum(F.when(new_adm, 1).otherwise(0)).cast("long").alias("n_new_admitted"),
+        F.sum(F.when(new_adm, F.col("n_words")).otherwise(0))
+        .cast("long")
+        .alias("delta_tokens"),
+    )
+    return (
+        v1a.join(ba, "lang", "full")
+        .select(
+            "lang",
+            F.coalesce("v1_docs", F.lit(0)).cast("long").alias("v1_docs"),
+            F.coalesce("v1_tokens", F.lit(0)).cast("long").alias("v1_tokens"),
+            F.coalesce("n_batch", F.lit(0)).cast("long").alias("n_batch"),
+            F.coalesce("n_dup_rejected", F.lit(0)).cast("long").alias("n_dup_rejected"),
+            F.coalesce("n_quality_rejected", F.lit(0)).cast("long")
+            .alias("n_quality_rejected"),
+            F.coalesce("n_new_admitted", F.lit(0)).cast("long").alias("n_new_admitted"),
+            (F.coalesce("v1_docs", F.lit(0)) + F.coalesce("n_new_admitted", F.lit(0)))
+            .cast("long")
+            .alias("v2_docs"),
+            F.coalesce("delta_tokens", F.lit(0)).cast("long").alias("delta_tokens"),
+        )
+    )

@@ -141,3 +141,127 @@ def zorder_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o.createOrReplaceTempView("__zorders")
     return spark.sql(_zorder_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (the OPTIMIZE bin-packing decision)
+# ---------------------------------------------------------------------------
+
+#: compaction target (simulated bytes per output file) and the
+#: "right-sized" floor: files ≥ target/2 are left alone (rewriting a
+#: near-target file buys nothing and costs a full write — the
+#: Delta/Iceberg OPTIMIZE default posture).
+_COMPACT_TARGET = 4096
+
+
+def _compaction_sql(dv: str) -> str:
+    """Engine-portable plan body over view ``__cfiles``
+    (part, hr, n_rows, bytes) — the simulated per-(partition, hour)
+    ingest file inventory. Shared template so Spark (``dv='div'``)
+    and DuckDB (``dv='//'``) cannot drift."""
+    t, half = _COMPACT_TARGET, _COMPACT_TARGET // 2
+    return f"""
+WITH s AS (
+  SELECT part, hr, n_rows, bytes,
+         CASE WHEN bytes >= {half} THEN 1 ELSE 0 END AS right_sized
+  FROM __cfiles
+),
+sm AS (SELECT part, hr, bytes FROM s WHERE right_sized = 0),
+p AS (
+  SELECT part, bytes,
+         (sum(bytes) OVER (PARTITION BY part ORDER BY hr
+                           ROWS UNBOUNDED PRECEDING) - bytes) {dv} {t} AS grp
+  FROM sm
+),
+g AS (
+  SELECT part, grp, count(*) AS nf, sum(bytes) AS gb
+  FROM p GROUP BY part, grp
+),
+a AS (
+  SELECT part,
+         CAST(count(*) AS BIGINT) AS n_files_before,
+         CAST(sum(right_sized) AS BIGINT) AS n_right_sized,
+         CAST(count(*) - sum(right_sized) AS BIGINT) AS n_small,
+         CAST(sum(bytes) AS BIGINT) AS bytes_total
+  FROM s GROUP BY part
+),
+c AS (
+  SELECT part,
+         CAST(sum(CASE WHEN nf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rewrite_groups,
+         CAST(sum(CASE WHEN nf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singletons,
+         CAST(sum(CASE WHEN nf >= 2 THEN gb ELSE 0 END) AS BIGINT)
+           AS bytes_rewritten
+  FROM g GROUP BY part
+)
+SELECT a.part,
+       a.n_files_before, a.n_right_sized, a.n_small,
+       a.n_right_sized + coalesce(c.n_singletons, 0)
+         + coalesce(c.n_rewrite_groups, 0) AS n_files_after,
+       a.bytes_total,
+       coalesce(c.bytes_rewritten, 0) + CAST(0 AS BIGINT) AS bytes_rewritten,
+       a.bytes_total {dv} a.n_files_before AS avg_file_bytes_before,
+       a.bytes_total {dv} (a.n_right_sized + coalesce(c.n_singletons, 0)
+                           + coalesce(c.n_rewrite_groups, 0))
+         AS avg_file_bytes_after,
+       coalesce(c.bytes_rewritten, 0) * 1000 {dv} a.bytes_total
+         AS write_amp_permille
+FROM a LEFT JOIN c ON a.part = c.part
+"""
+
+
+_COMPACTION_ORACLE = (
+    "WITH __cfiles AS (\n"
+    "  SELECT event_type AS part,\n"
+    "         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 3600 AS hr,\n"
+    "         CAST(count(*) AS BIGINT) AS n_rows,\n"
+    "         CAST(sum(32 + coalesce(length(props), 0)) AS BIGINT) AS bytes\n"
+    "  FROM events GROUP BY 1, 2\n"
+    "),\n"
+    + _compaction_sql("//").strip().removeprefix("WITH ")
+)
+
+
+@query("compaction_plan_report", oracle=_COMPACTION_ORACLE, tags=("layout", "scale"))
+def compaction_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the lakehouse OPTIMIZE /
+    bin-packing decision, simulated): hourly streaming ingest writes
+    one file per (event_type, hour) — the classic small-file problem —
+    and the planner reports, per partition, what compaction at a
+    {_COMPACT_TARGET}-byte target would do: files before/after,
+    right-sized files skipped (≥ half target — rewriting them buys
+    nothing), greedy hour-ordered bin-packing of the small ones
+    (the ``pack_documents_token_budget`` cumsum discipline), singleton
+    bins left in place (no gain, full write cost), bytes rewritten,
+    and the resulting write amplification in exact per-mille. These
+    are the numbers a table-maintenance service weighs against query
+    savings before scheduling the rewrite — at 100 TB, compacting a
+    million 1 MB files into 16k right-sized ones is often the single
+    biggest scan-time win available.
+
+    Scale: one fact pass builds the (partition, hour) inventory —
+    after that everything runs on |files| rows: the pack cumsum is a
+    per-partition window over the inventory (never the fact), and the
+    report is two |files|-row aggregates joined on partition. Integer
+    throughout; bytes are a deterministic 32+len(props) proxy so both
+    engines bill identical sizes.
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    inv = (
+        events.select(
+            F.col("event_type").alias("part"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 3600").alias("hr"),
+            (F.lit(32) + F.coalesce(F.length("props"), F.lit(0)))
+            .cast("long")
+            .alias("rb"),
+        )
+        .groupBy("part", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rb").cast("long").alias("bytes"),
+        )
+    )
+    inv.createOrReplaceTempView("__cfiles")
+    return spark.sql(_compaction_sql("div"))

@@ -1030,6 +1030,81 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary coverage per source (tokenizer-fit report)
+# ---------------------------------------------------------------------------
+
+_BPE_COVERAGE_ORACLE = (
+    "WITH "
+    + _bpe_oracle_ctes(_BPE_ROUNDS)
+    + f""",
+enc AS (
+  SELECT tok,
+         CAST(len(list_filter(str_split(sym, chr(31)), x -> x <> '')) AS BIGINT)
+           AS n_sym
+  FROM s{_BPE_ROUNDS}
+),
+wd AS (
+  SELECT d.source, u.tok
+  FROM documents d, unnest({_TOKS_SQL.replace('text', 'd.text')}) AS u(tok)
+)
+SELECT wd.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(enc.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(enc.n_sym) * 1000 AS BIGINT) // count(*) AS fertility_milli,
+       CAST(count(*) FILTER (WHERE enc.n_sym = 1) AS BIGINT) AS n_fully_merged,
+       CAST(count(*) FILTER (WHERE enc.n_sym = 1) * 1000 AS BIGINT) // count(*)
+         AS fully_merged_permille
+FROM wd JOIN enc USING (tok)
+GROUP BY wd.source
+"""
+)
+
+
+@query("bpe_vocab_coverage_report", oracle=_BPE_COVERAGE_ORACLE, tags=("textquality", "curation"))
+def bpe_vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE tokenizer-fit report for the learned BPE merges —
+    the third leg of the tokenizer story (train → encode → does the
+    vocab fit each corpus slice?): word-occurrence count, BPE token
+    count, FERTILITY (BPE tokens per word, exact milli — the number
+    tokenizer-selection studies compare per language/domain), and the
+    share of word occurrences the 8-round merge table already encodes
+    as a single symbol. A domain whose fertility stays near its
+    character count is telling you its text never won a merge — the
+    signal to train per-domain merges or re-weight the mixture before
+    paying ~2x the sequence length at training time.
+
+    Scale: identical posture to ``bpe_encode_documents`` — the merge
+    loop runs on the word-TYPE histogram only; the corpus pass is one
+    explode + one vocab-bounded join (AQE-broadcast while the symbol
+    table fits) + one |sources|-row aggregate.
+    """
+    _, syms = _bpe_fit(spark, sf_dir)
+    enc = syms.select(
+        "tok",
+        F.size(F.filter(F.split(F.col("sym"), _BPE_D), lambda x: x != ""))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    wd = docs.select("source", F.explode(_toks_col()).alias("tok"))
+    return (
+        wd.join(enc, "tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.expr("sum(n_sym) * 1000L div count(1)").alias("fertility_milli"),
+            F.sum(F.when(F.col("n_sym") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fully_merged"),
+            F.expr(
+                "sum(CASE WHEN n_sym = 1 THEN 1 ELSE 0 END) * 1000L div count(1)"
+            ).alias("fully_merged_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token → character-offset mapping (span-annotation substrate)
 # ---------------------------------------------------------------------------
 

@@ -72,6 +72,21 @@ _NEW_OR_CHANGED_IN_R7: tuple[str, ...] = (
     # release-manifest e2e: dedup → Gopher → domain cap → temperature
     # weights → pack → split/shard, one manifest (queries/curation.py).
     "corpus_release_manifest",
+    # incremental companion: per-lang delta one ingest batch causes,
+    # rejects attributed to dup-vs-quality (queries/curation.py).
+    "release_delta_report",
+    # small-file compaction planner: bin-pack decision + write
+    # amplification per partition (queries/layout.py).
+    "compaction_plan_report",
+    # tokenizer-fit: per-source BPE fertility + fully-merged share
+    # under the learned merge table (queries/textquality.py).
+    "bpe_vocab_coverage_report",
+    # Matryoshka-style dimension-budget study: truncated-dim recall
+    # vs full-dim neighbors (queries/clustering.py).
+    "embedding_dim_truncation_report",
+    # arrival-order vs length-sorted batching padding waste
+    # (queries/trainprep.py).
+    "batch_padding_report",
     # LSH candidate pipeline reworked for the 64 KB codegen fix
     # (operators/dedup.py: band-index explode + aliased self-join) —
     # values identical, plan changed, so both consumers re-grade.

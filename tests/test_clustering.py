@@ -321,3 +321,26 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
         if r.vec_id < _KNNJ_PROBES
     }
     assert row.n_overlap == len(exact & approx)
+
+
+def test_dim_truncation_control_and_bounds(spark):
+    """The d=64 row is the self-validating control (recall 100% by
+    construction); every row stays inside [0, probes×k]; and the
+    report exercises a real trade-off (some truncation below full
+    recall exists on this corpus)."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        _TRUNC_DIMS,
+        embedding_dim_truncation_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.dims: r for r in embedding_dim_truncation_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(_TRUNC_DIMS)
+    cap = _KNNJ_PROBES * _KNNJ_K
+    for r in rows.values():
+        assert 0 <= r.n_overlap <= cap
+        assert r.recall_ppm == r.n_overlap * 1000000 // cap
+    assert rows[64].n_overlap == cap  # control row
+    assert rows[8].n_overlap < cap  # 8 dims must actually lose something

@@ -325,3 +325,21 @@ def test_release_manifest_invariants(spark):
         weights += r0.weight_permille
     # floor division loses at most 1 permille per source
     assert 1000 - len(per_source) <= weights <= 1000
+
+
+def test_release_delta_reconciles(spark):
+    """Every arriving batch doc lands in exactly one outcome bucket,
+    v2 = v1 + newly admitted, and the planted population guarantees
+    both dup rejects (clones) and admissions exist somewhere."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        release_delta_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = release_delta_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dup_rejected + r.n_quality_rejected + r.n_new_admitted == r.n_batch
+        assert r.v2_docs == r.v1_docs + r.n_new_admitted
+        assert (r.delta_tokens > 0) == (r.n_new_admitted > 0)
+    assert sum(r.n_dup_rejected for r in rows) > 0  # clones must be caught

@@ -55,3 +55,22 @@ def test_zorder_plan_single_pass_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compaction_plan_invariants(spark):
+    """The compaction plan must conserve bytes, never increase file
+    count, bound write amplification at 1000 permille, and classify
+    every input file exactly once (right-sized + small = before)."""
+    from efficient_llm_data_wrangling_spark.queries.layout import (
+        compaction_plan_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = compaction_plan_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_right_sized + r.n_small == r.n_files_before
+        assert 0 < r.n_files_after <= r.n_files_before
+        assert 0 <= r.bytes_rewritten <= r.bytes_total
+        assert 0 <= r.write_amp_permille <= 1000
+        assert r.avg_file_bytes_after >= r.avg_file_bytes_before

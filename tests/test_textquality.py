@@ -371,3 +371,26 @@ def test_calibration_buckets_partition_the_corpus(spark):
         assert r.min_score <= r.max_score
     for lo, hi in zip(rows, rows[1:]):
         assert lo.max_score < hi.min_score
+
+
+def test_bpe_coverage_bounds(spark):
+    """Fertility is ≥ 1000 milli (every word is ≥ 1 symbol), the
+    fully-merged share is a sub-population, and token totals
+    reconcile with the per-doc encode view."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        bpe_encode_documents,
+        bpe_vocab_coverage_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = bpe_vocab_coverage_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility_milli >= 1000
+        assert 0 <= r.n_fully_merged <= r.n_words
+        assert r.fully_merged_permille == r.n_fully_merged * 1000 // r.n_words
+    total = sum(r.n_bpe_tokens for r in rows)
+    per_doc = bpe_encode_documents(spark, SF_SMOKE).agg(
+        {"n_bpe_tokens": "sum"}
+    ).collect()[0][0]
+    assert total == per_doc

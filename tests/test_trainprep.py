@@ -66,3 +66,23 @@ def test_packs_respect_budget_modulo_one_doc(spark):
         by_source.setdefault(r["source"], set()).add(r["pack_id"])
     for ids in by_source.values():
         assert ids == set(range(len(ids)))  # dense, zero-based
+
+
+def test_length_sorted_batching_never_pads_more(spark):
+    """Token totals agree across policies, and length-sorted batching
+    cannot pad more than arrival order: chunking a sorted sequence
+    minimizes the sum of per-batch maxima over same-size batches."""
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        batch_padding_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.strategy: r for r in batch_padding_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"arrival", "length_sorted"}
+    a, s = rows["arrival"], rows["length_sorted"]
+    assert a.total_tokens == s.total_tokens
+    assert a.n_batches == s.n_batches
+    assert s.padded_tokens <= a.padded_tokens
+    for r in (a, s):
+        assert r.wasted_tokens == r.padded_tokens - r.total_tokens
+        assert 0 <= r.waste_permille <= 1000
