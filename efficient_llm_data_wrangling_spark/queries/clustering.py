@@ -34,26 +34,39 @@ def _micro_units(emb_col) -> F.Column:
     )
 
 
-def _sq_dist(x_col: str, mu_col: str) -> F.Column:
+def _sq_dist_cols(x_col: F.Column, mu_col: F.Column, dims: int = _DIMS) -> F.Column:
     """Exact integer squared Euclidean distance between two micro-unit
-    vectors. Ordered fold, but every term is an exact integer so the
-    order is irrelevant — BIGINT-safe at any corpus size (bounded by
-    dims × (2e6)², independent of row count)."""
-    return F.aggregate(
-        F.zip_with(F.col(x_col), F.col(mu_col), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    vectors, UNROLLED over the known dimension count: 64 explicit
+    ``(x[j]-y[j])²`` terms summed in one codegen'd expression. The
+    ``aggregate``/``zip_with`` fold this replaces evaluates its lambda
+    through per-element interpreted dispatch — measured 8.4 s vs 2.4 s
+    for 1M 64-dim pairs at sf0.1 (identical BIGINT sum, bit-for-bit).
+    Every term is exact, order irrelevant; bounded by dims × (2e6)²
+    per pair — int64-safe independent of corpus size. ``dims`` < 64
+    sums only the leading dimensions (the truncation study's prefix
+    metric, equivalent to slicing first)."""
+    terms = [
+        (x_col.getItem(j) - mu_col.getItem(j)) * (x_col.getItem(j) - mu_col.getItem(j))
+        for j in range(dims)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
 
 
-def _sq_dist_cols(x_col: F.Column, mu_col: F.Column) -> F.Column:
-    """:func:`_sq_dist` over Column expressions (prefix slices etc.)
-    instead of column names."""
-    return F.aggregate(
-        F.zip_with(x_col, mu_col, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+def _sq_dist(x_col: str, mu_col: str) -> F.Column:
+    """:func:`_sq_dist_cols` over column names (the common call)."""
+    return _sq_dist_cols(F.col(x_col), F.col(mu_col))
+
+
+def _dot_int_cols(a_col: F.Column, b_col: F.Column, dims: int = _DIMS) -> F.Column:
+    """Exact integer dot product, unrolled (see :func:`_sq_dist_cols`)."""
+    terms = [a_col.getItem(j) * b_col.getItem(j) for j in range(dims)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -276,11 +289,7 @@ FROM a2 LEFT JOIN d ON a2.vec_id = d.rid
 
 def _cos_int_col(a: str, b: str) -> F.Column:
     def ssum(x: str, y: str) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda u, v: u * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).cast("double")
+        return _dot_int_cols(F.col(x), F.col(y)).cast("double")
 
     return ssum(a, b) / (F.sqrt(ssum(a, a)) * F.sqrt(ssum(b, b)))
 
@@ -359,12 +368,9 @@ def _dot_int_sql(a: str, b: str) -> str:
 
 
 def _dot_int_col(a: str, b: str) -> F.Column:
-    """Spark twin of :func:`_dot_int_sql` (order-free exact BIGINT)."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda u, v: u * v),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    """Spark twin of :func:`_dot_int_sql` (order-free exact BIGINT),
+    unrolled like :func:`_sq_dist_cols` (same measured fold overhead)."""
+    return _dot_int_cols(F.col(a), F.col(b))
 
 
 def _mmr_oracle() -> str:
@@ -664,7 +670,15 @@ def _knn_descent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
-    g = _knn_multiprobe_pairs(spark, sf_dir).select("vec_id", "neighbor_id")
+    # materialize the seed graph ONCE: it feeds both union branches of
+    # the undirected closure, and without the checkpoint Spark rebuilds
+    # the full multiprobe candidate join per branch (measured ~2x the
+    # whole query's cost at sf0.1 — ReusedExchange does not cover it)
+    g = (
+        _knn_multiprobe_pairs(spark, sf_dir)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
     # undirected closure: reverse neighbors join the candidate pool
     gu = (
         g.unionAll(
@@ -1061,9 +1075,7 @@ def embedding_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFra
         base = joined.select(
             "pid",
             "vec_id",
-            _sq_dist_cols(
-                F.slice(F.col("x"), 1, d), F.slice(F.col("px"), 1, d)
-            ).alias("d"),
+            _sq_dist_cols(F.col("x"), F.col("px"), dims=d).alias("d"),
         )
         ranks: list[DataFrame] = []
         rem = base
@@ -1105,4 +1117,157 @@ def embedding_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFra
     out = _row(_TRUNC_DIMS[0])
     for d in _TRUNC_DIMS[1:]:
         out = out.unionAll(_row(d))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed perceptron trainer (data-parallel linear-model fit)
+# ---------------------------------------------------------------------------
+
+_PCT_ROUNDS = 3
+
+
+def _pct_oracle() -> str:
+    """Unrolled batch-perceptron rounds in DuckDB: the same integer
+    update replayed as chained CTEs (one mis-set + one 64-sum update
+    per round), dot products unrolled like the Spark side."""
+    def dot(w: str, x: str) -> str:
+        return " + ".join(f"{w}.w[{j + 1}] * {x}.x[{j + 1}]" for j in range(_DIMS))
+
+    ctes = [
+        """xi AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x,
+         CASE WHEN label = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+  FROM embeddings
+)""",
+        "w0 AS (SELECT ["
+        + ", ".join("CAST(0 AS BIGINT)" for _ in range(_DIMS))
+        + "] AS w, CAST(0 AS BIGINT) AS b)",
+    ]
+    for r in range(1, _PCT_ROUNDS + 1):
+        ctes.append(
+            f"m{r} AS (SELECT xi.* FROM xi CROSS JOIN w{r - 1} wp"
+            f" WHERE xi.y * (({dot('wp', 'xi')}) + wp.b) <= 0)"
+        )
+        dw = ", ".join(
+            f"CAST(coalesce(sum(y * x[{j + 1}]), 0) AS BIGINT)" for j in range(_DIMS)
+        )
+        ctes.append(
+            f"u{r} AS (SELECT [{dw}] AS dw,"
+            f" CAST(coalesce(sum(y), 0) AS BIGINT) AS db,"
+            f" CAST(count(*) AS BIGINT) AS nm FROM m{r})"
+        )
+        wj = ", ".join(f"wp.w[{j + 1}] + u.dw[{j + 1}]" for j in range(_DIMS))
+        ctes.append(
+            f"w{r} AS (SELECT [{wj}] AS w, wp.b + u.db AS b, u.nm AS nm"
+            f" FROM w{r - 1} wp CROSS JOIN u{r} u)"
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round, nm AS n_misclassified,
+       CAST(b AS BIGINT) AS b_after,
+       CAST({' + '.join(f'w[{j + 1}]' for j in range(_DIMS))} AS BIGINT) AS w_sum_after,
+       CAST({' + '.join(f'abs(w[{j + 1}])' for j in range(_DIMS))} AS BIGINT) AS w_abs_sum_after
+FROM w{r}"""
+        for r in range(1, _PCT_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query(
+    "perceptron_train_rounds",
+    oracle=_pct_oracle(),
+    tags=("similarity", "iterative", "learning"),
+)
+def perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-parallel batch perceptron (Rosenblatt update, one-vs-rest
+    on label 0) over the embedding corpus — the engine's demonstration
+    that a LINEAR-MODEL FIT is just relational rounds, the same loop
+    discipline as ``bpe_train_rounds`` and the CC halving: per round,
+    the misclassified set is one scan-side filter against the
+    broadcast 64-int weight vector, the update is ONE
+    map-side-combinable aggregate (64 component sums + bias + count),
+    and the new weights are a 1-row frame — nothing non-relational,
+    nothing driver-side but the loop counter. All arithmetic is exact
+    BIGINT micro-units (y ∈ {+1,−1}, w starts at 0), so both engines
+    replay every margin decision bit-for-bit; margins stay far inside
+    int64 (|w| ≤ rounds·n·2e6 ⇒ |w·x| ≤ 64·|w|·2e6).
+
+    Output per round: misclassified count entering the update plus
+    exact weight checksums (sum, abs-sum, bias) — the learning curve a
+    training job logs. The quality-scorer story this completes: the
+    hashed linear scorer (``scorer_calibration_report``) is INFERENCE
+    for such a model; this is the distributed FIT.
+
+    Scale: O(rounds) full scans, each a broadcast of 64 longs + one
+    columnar filter + one 65-value partial aggregate — the canonical
+    data-parallel SGD shape (Zinkevich et al. 2010 batch variant). No
+    shuffle grows with n; lineage truncated per round. Wall-clock at
+    test scale is PLAN-COMPILE-bound, not data-bound (~2 s codegen for
+    the 65-aggregate round plan, 0.08 s to execute it on re-run) — a
+    fixed per-round cost that vanishes against a 100 TB scan.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = emb.select(
+        "vec_id",
+        _micro_units(F.col("embedding")).alias("x"),
+        F.when(F.col("label") == 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint()
+    w = spark.range(1).select(
+        F.array(*[F.lit(0).cast("long") for _ in range(_DIMS)]).alias("w"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    out_rows: list[DataFrame] = []
+    for r in range(1, _PCT_ROUNDS + 1):
+        scored = xi.crossJoin(F.broadcast(w))
+        margin = F.col("y") * (
+            _dot_int_cols(F.col("w"), F.col("x")) + F.col("b")
+        )
+        mis = scored.filter(margin <= 0)
+        upd = mis.agg(
+            *[
+                F.coalesce(F.sum(F.col("y") * F.col("x").getItem(j)), F.lit(0))
+                .cast("long")
+                .alias(f"dw{j}")
+                for j in range(_DIMS)
+            ],
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+            F.count(F.lit(1)).cast("long").alias("nm"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(upd))
+            .select(
+                F.array(
+                    *[
+                        (F.col("w").getItem(j) + F.col(f"dw{j}"))
+                        for j in range(_DIMS)
+                    ]
+                ).alias("w"),
+                (F.col("b") + F.col("db")).alias("b"),
+                F.col("nm"),
+            )
+            .localCheckpoint()
+        )
+        w_sum = F.col("w").getItem(0)
+        w_abs = F.abs(F.col("w").getItem(0))
+        for j in range(1, _DIMS):
+            w_sum = w_sum + F.col("w").getItem(j)
+            w_abs = w_abs + F.abs(F.col("w").getItem(j))
+        out_rows.append(
+            w.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("nm").alias("n_misclassified"),
+                F.col("b").cast("long").alias("b_after"),
+                w_sum.cast("long").alias("w_sum_after"),
+                w_abs.cast("long").alias("w_abs_sum_after"),
+            )
+        )
+        w = w.select("w", "b")
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionAll(o)
     return out

@@ -87,6 +87,9 @@ _NEW_OR_CHANGED_IN_R7: tuple[str, ...] = (
     # arrival-order vs length-sorted batching padding waste
     # (queries/trainprep.py).
     "batch_padding_report",
+    # distributed batch-perceptron fit: iterative linear-model
+    # training as relational rounds (queries/clustering.py).
+    "perceptron_train_rounds",
     # LSH candidate pipeline reworked for the 64 KB codegen fix
     # (operators/dedup.py: band-index explode + aliased self-join) —
     # values identical, plan changed, so both consumers re-grade.

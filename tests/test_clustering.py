@@ -344,3 +344,61 @@ def test_dim_truncation_control_and_bounds(spark):
         assert r.recall_ppm == r.n_overlap * 1000000 // cap
     assert rows[64].n_overlap == cap  # control row
     assert rows[8].n_overlap < cap  # 8 dims must actually lose something
+
+
+def test_pairwise_distance_is_unrolled_not_fold(spark):
+    """The pairwise-join hot paths must compute distances as the
+    unrolled 64-term expression, never the aggregate/zip_with fold:
+    the fold dispatches its lambda per element per row and measured
+    3.5x slower on 1M 64-dim pairs (8.4 s vs 2.4 s at sf0.1) with
+    bit-identical sums. The one legitimate zip_with left in these
+    plans would be a regression."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_join_multiprobe,
+        knn_join_within_cells,
+    )
+
+    for fn in (knn_join_within_cells, knn_join_multiprobe):
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "zip_with" not in plan, f"{fn.__name__} fell back to the fold distance"
+
+
+def test_perceptron_matches_pure_python_replay(spark):
+    """Engine-vs-oracle agreement cannot catch a bug both engines
+    share (the BPE self-overlap lesson): replay the batch-perceptron
+    rounds in plain Python over the collected corpus and compare every
+    reported checksum. Also pins the classic first-round property
+    (w=0 ⇒ margin 0 ⇒ every row misclassified)."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _DIMS,
+        _PCT_ROUNDS,
+        _micro_units,
+        perceptron_train_rounds,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    data = [
+        (list(r.x), 1 if r.label == 0 else -1)
+        for r in emb.select(
+            _micro_units(F.col("embedding")).alias("x"), "label"
+        ).collect()
+    ]
+    w, b = [0] * _DIMS, 0
+    expect = []
+    for r in range(1, _PCT_ROUNDS + 1):
+        mis = [(x, y) for x, y in data if y * (sum(wj * xj for wj, xj in zip(w, x)) + b) <= 0]
+        for j in range(_DIMS):
+            w[j] += sum(y * x[j] for x, y in mis)
+        b += sum(y for _, y in mis)
+        expect.append((r, len(mis), b, sum(w), sum(abs(v) for v in w)))
+
+    got = [
+        (r.round, r.n_misclassified, r.b_after, r.w_sum_after, r.w_abs_sum_after)
+        for r in sorted(perceptron_train_rounds(spark, SF_SMOKE).collect(), key=lambda r: r.round)
+    ]
+    assert got == expect
+    assert got[0][1] == len(data)  # round 1: every row misclassified
