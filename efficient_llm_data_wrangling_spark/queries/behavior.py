@@ -417,3 +417,127 @@ def behavior_signature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("jaccard_milli"), F.asc("mask_a"), F.asc("mask_b"))
         .limit(_BHV_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Markov next-event model: train/test holdout evaluation
+# --------------------------------------------------------------------------
+
+_HOLDOUT_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type,
+         instr('0123456789abcdef',
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 12 AS is_train
+  FROM events
+),
+p AS (SELECT * FROM s WHERE next_type IS NOT NULL),
+c AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE is_train GROUP BY 1, 2
+),
+pred AS (
+  SELECT event_type, next_type AS predicted FROM (
+    SELECT event_type, next_type,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, next_type) AS rn
+    FROM c
+  ) WHERE rn = 1
+),
+mode AS (
+  SELECT next_type AS mode_type FROM (
+    SELECT next_type, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE is_train GROUP BY 1
+  ) ORDER BY n DESC, next_type LIMIT 1
+),
+t AS (SELECT event_type, next_type FROM p WHERE NOT is_train)
+SELECT CAST(count(*) AS BIGINT) AS n_test_pairs,
+       CAST(count(*) FILTER (WHERE t.next_type = pr.predicted) AS BIGINT)
+         AS n_correct_markov,
+       CAST(count(*) FILTER (WHERE t.next_type = pr.predicted) * 1000 AS BIGINT)
+         // count(*) AS markov_permille,
+       CAST(count(*) FILTER (WHERE t.next_type = m.mode_type) AS BIGINT)
+         AS n_correct_mode,
+       CAST(count(*) FILTER (WHERE t.next_type = m.mode_type) * 1000 AS BIGINT)
+         // count(*) AS mode_permille
+FROM t LEFT JOIN pred pr ON t.event_type = pr.event_type CROSS JOIN mode m
+"""
+
+
+@query("markov_holdout_accuracy", oracle=_HOLDOUT_ORACLE, tags=("behavior", "learning"))
+def markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out next-event prediction accuracy for the first-order
+    Markov model ``markov_event_transitions`` summarizes — the eval
+    hygiene a modeling claim needs, run IN the engine: users split
+    12/4 of 16 md5 buckets on the KEY (the ``split_assign_documents``
+    discipline — content-independent, engine-portable, leak-proof),
+    the transition argmax fitted on train users only (ties to the
+    lexicographically smallest successor), and accuracy measured on
+    test users against the always-predict-the-mode baseline. The
+    model-vs-baseline gap in exact per-mille is the number that says
+    whether sequence structure exists at all; an unseen test state
+    scores as wrong (LEFT JOIN null never equals), not dropped.
+
+    Scale: one windowed lead per user partition builds every pair
+    once; the fitted model is |types|² rows and broadcasts; the eval
+    is one aggregate. Nothing beyond the pair pass touches event
+    volume.
+    """
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bucket = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+    ) - 1
+    p = (
+        ev.select(
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+            (bucket < 12).alias("is_train"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .localCheckpoint()
+    )
+    c = (
+        p.filter("is_train")
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wpred = W.partitionBy("event_type").orderBy(F.desc("n"), F.asc("next_type"))
+    pred = (
+        c.withColumn("rn", F.row_number().over(wpred))
+        .filter("rn = 1")
+        .select("event_type", F.col("next_type").alias("predicted"))
+    )
+    mode = (
+        p.filter("is_train")
+        .groupBy("next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("next_type"))
+        .limit(1)
+        .select(F.col("next_type").alias("mode_type"))
+    )
+    t = p.filter(~F.col("is_train")).select("event_type", "next_type")
+    return (
+        t.join(F.broadcast(pred), "event_type", "left")
+        .crossJoin(F.broadcast(mode))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_pairs"),
+            F.sum(F.when(F.col("next_type") == F.col("predicted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct_markov"),
+            F.expr(
+                "sum(CASE WHEN next_type = predicted THEN 1 ELSE 0 END) * 1000L"
+                " div count(1)"
+            ).alias("markov_permille"),
+            F.sum(F.when(F.col("next_type") == F.col("mode_type"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct_mode"),
+            F.expr(
+                "sum(CASE WHEN next_type = mode_type THEN 1 ELSE 0 END) * 1000L"
+                " div count(1)"
+            ).alias("mode_permille"),
+        )
+    )

@@ -1267,25 +1267,41 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     from efficient_llm_data_wrangling_spark.queries.textquality import (
-        gopher_quality_filter,
+        _toks_col,
+        gopher_metric_cols,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.col("text").cast("binary")).alias("h"),
-        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
-        .cast("long")
-        .alias("n_tokens"),
+    # ONE corpus pass distills everything downstream stages need:
+    # (id, source, dedup key, token count, quality verdict). Without
+    # the checkpoint the lazy DAG re-derives this frame once per
+    # consumer — the fact-scan audit counted 23 documents scans in the
+    # un-materialized plan. Checkpointing the distilled stage outputs
+    # is what a real release pipeline does anyway (each stage ships
+    # its frame); the per-row payload here is ~60 bytes.
+    g = gopher_metric_cols()
+    base = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            _toks_col().alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "h",
+            g["n_words"].alias("n_tokens"),
+            g["passes"].alias("passes"),
+        )
+        .localCheckpoint()
     )
-    firsts = t.groupBy("h").agg(F.min("doc_id").alias("first_id"))
-    passes = gopher_quality_filter(spark, sf_dir).select("doc_id", "passes")
+    firsts = base.groupBy("h").agg(F.min("doc_id").alias("first_id"))
     adm = (
-        t.join(firsts, "h")
-        .join(passes, "doc_id")
+        base.join(firsts, "h")
         .filter((F.col("doc_id") == F.col("first_id")) & F.col("passes"))
         .select("doc_id", "source", "n_tokens")
+        .localCheckpoint()
     )
     tot = adm.agg(F.count(F.lit(1)).cast("long").alias("n_admitted_total"))
     wr = W.partitionBy("source").orderBy("doc_id")
@@ -1297,8 +1313,9 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.expr(f"n_admitted_total * {_REL_CAP_PCT}L div 100L")
         )
         .select("doc_id", "source", "n_tokens")
+        .localCheckpoint()
     )
-    raw_stats = t.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    raw_stats = base.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
     adm_stats = adm.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_admitted")
     )
@@ -1483,17 +1500,25 @@ def release_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     allv = _corpus_with_dups(spark, sf_dir)
     g = gopher_metric_cols()
-    gm = allv.select(
-        "doc_id",
-        "lang",
-        F.md5(F.col("text").cast("binary")).alias("h"),
-        (F.col("doc_id") >= 1000000).alias("is_batch"),
-    ).join(
+    # one pass over the union frame (see corpus_release_manifest: the
+    # un-materialized DAG re-derived this 30×, one scan per consumer)
+    gm = (
         allv.select(
             "doc_id",
+            "lang",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            (F.col("doc_id") >= 1000000).alias("is_batch"),
             F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("toks"),
-        ).select("doc_id", g["n_words"].alias("n_words"), g["passes"].alias("passes")),
-        "doc_id",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "h",
+            "is_batch",
+            g["n_words"].alias("n_words"),
+            g["passes"].alias("passes"),
+        )
+        .localCheckpoint()
     )
     v1 = gm.filter(~F.col("is_batch"))
     v1firsts = v1.groupBy("h").agg(F.min("doc_id").alias("fid"))

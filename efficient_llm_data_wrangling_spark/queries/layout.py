@@ -262,6 +262,9 @@ def compaction_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("rb").cast("long").alias("bytes"),
         )
+        # |files| rows; materialized so the report's two aggregates
+        # don't each re-scan the fact (audit: 2 events scans)
+        .localCheckpoint()
     )
     inv.createOrReplaceTempView("__cfiles")
     return spark.sql(_compaction_sql("div"))

@@ -344,11 +344,14 @@ def batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    # materialized once: both policy branches consume the tokenized
+    # frame, and without the checkpoint each branch re-tokenizes the
+    # corpus (fact-scan audit: 2 documents scans)
     docs.select(
         "source",
         "doc_id",
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
         .cast("long")
         .alias("n_tokens"),
-    ).createOrReplaceTempView("__bdocs")
+    ).localCheckpoint().createOrReplaceTempView("__bdocs")
     return spark.sql(_padding_sql("div"))

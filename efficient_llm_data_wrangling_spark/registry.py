@@ -90,6 +90,9 @@ _NEW_OR_CHANGED_IN_R7: tuple[str, ...] = (
     # distributed batch-perceptron fit: iterative linear-model
     # training as relational rounds (queries/clustering.py).
     "perceptron_train_rounds",
+    # held-out next-event accuracy of the Markov model vs the mode
+    # baseline — in-engine eval hygiene (queries/behavior.py).
+    "markov_holdout_accuracy",
     # LSH candidate pipeline reworked for the 64 KB codegen fix
     # (operators/dedup.py: band-index explode + aliased self-join) —
     # values identical, plan changed, so both consumers re-grade.

@@ -73,3 +73,22 @@ def test_behavior_signature_similarity_masks_and_jaccard(spark):
         union = bin(r.mask_a | r.mask_b).count("1")
         assert r.jaccard_milli == inter * 1000 // union
         assert inter > 0  # blocking admits only bit-sharing pairs
+
+
+def test_markov_holdout_reconciles(spark):
+    """Holdout-eval invariants: correct counts bounded by the test-pair
+    count, permille arithmetic exact, and the test split non-empty
+    (the md5 12/4 bucket split must actually hold users out)."""
+    from efficient_llm_data_wrangling_spark.queries.behavior import (
+        markov_holdout_accuracy,
+    )
+    from tests.conftest import SF_SMOKE
+
+    r = markov_holdout_accuracy(spark, SF_SMOKE).collect()[0]
+    assert r.n_test_pairs > 0
+    for correct, permille in (
+        (r.n_correct_markov, r.markov_permille),
+        (r.n_correct_mode, r.mode_permille),
+    ):
+        assert 0 <= correct <= r.n_test_pairs
+        assert permille == correct * 1000 // r.n_test_pairs
