@@ -1271,3 +1271,345 @@ def perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out_rows[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptron holdout evaluation (the fit's eval hygiene)
+# ---------------------------------------------------------------------------
+
+
+def _pct_holdout_oracle() -> str:
+    """Train the same ``_PCT_ROUNDS`` batch-perceptron rounds on the
+    12/16 md5-bucket train split only, then score the held-out split:
+    sign(w·x + b) with the zero margin counted negative, against the
+    train-majority-class baseline."""
+    def dot(w: str, x: str) -> str:
+        return " + ".join(f"{w}.w[{j + 1}] * {x}.x[{j + 1}]" for j in range(_DIMS))
+
+    ctes = [
+        """xa AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x,
+         CASE WHEN label = 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+         instr('0123456789abcdef',
+               substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1 < 12 AS is_train
+  FROM embeddings
+)""",
+        "xi AS (SELECT vec_id, x, y FROM xa WHERE is_train)",
+        "w0 AS (SELECT ["
+        + ", ".join("CAST(0 AS BIGINT)" for _ in range(_DIMS))
+        + "] AS w, CAST(0 AS BIGINT) AS b)",
+    ]
+    for r in range(1, _PCT_ROUNDS + 1):
+        ctes.append(
+            f"m{r} AS (SELECT xi.* FROM xi CROSS JOIN w{r - 1} wp"
+            f" WHERE xi.y * (({dot('wp', 'xi')}) + wp.b) <= 0)"
+        )
+        dw = ", ".join(
+            f"CAST(coalesce(sum(y * x[{j + 1}]), 0) AS BIGINT)" for j in range(_DIMS)
+        )
+        ctes.append(
+            f"u{r} AS (SELECT [{dw}] AS dw,"
+            f" CAST(coalesce(sum(y), 0) AS BIGINT) AS db FROM m{r})"
+        )
+        wj = ", ".join(f"wp.w[{j + 1}] + u.dw[{j + 1}]" for j in range(_DIMS))
+        ctes.append(
+            f"w{r} AS (SELECT [{wj}] AS w, wp.b + u.db AS b"
+            f" FROM w{r - 1} wp CROSS JOIN u{r} u)"
+        )
+    ctes.append(
+        "mj AS (SELECT CASE WHEN coalesce(sum(y), 0) > 0 THEN CAST(1 AS BIGINT)"
+        " ELSE CAST(-1 AS BIGINT) END AS m FROM xi)"
+    )
+    ctes.append("t AS (SELECT vec_id, x, y FROM xa WHERE NOT is_train)")
+    final_dot = " + ".join(f"wf.w[{j + 1}] * t.x[{j + 1}]" for j in range(_DIMS))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(*) FILTER (WHERE t.y = CASE WHEN ({final_dot}) + wf.b > 0
+                                          THEN 1 ELSE -1 END) AS BIGINT)
+         AS n_correct,
+       CAST(count(*) FILTER (WHERE t.y = CASE WHEN ({final_dot}) + wf.b > 0
+                                          THEN 1 ELSE -1 END) * 1000 AS BIGINT)
+         // count(*) AS acc_permille,
+       CAST(count(*) FILTER (WHERE t.y = mj.m) AS BIGINT) AS n_correct_majority,
+       CAST(count(*) FILTER (WHERE t.y = mj.m) * 1000 AS BIGINT) // count(*)
+         AS majority_permille
+FROM t CROSS JOIN w{_PCT_ROUNDS} wf CROSS JOIN mj"""
+    )
+
+
+@query(
+    "perceptron_holdout_accuracy",
+    oracle=_pct_holdout_oracle(),
+    tags=("similarity", "learning"),
+)
+def perceptron_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out accuracy of the batch perceptron
+    (``perceptron_train_rounds``' update rule, fitted on the 12/16
+    md5-key train buckets only) against the train-majority-class
+    baseline on the 4/16 test buckets — the eval half of the fit, the
+    same hygiene ``markov_holdout_accuracy`` applies to the sequence
+    model: a fit query without a holdout number is a claim, not a
+    model. Prediction is ``sign(w·x + b)`` with the zero margin
+    counted negative — one deterministic integer comparison, so both
+    engines score every test row identically. On this synthetic corpus
+    the verdict is an honest negative: the embeddings carry no label
+    signal, so the unregularized perceptron oscillates and scores
+    BELOW the ~90% majority baseline (51.9% at sf0.01) — the
+    ship/no-ship number the eval exists to produce; a real corpus
+    with separable classes flips it.
+
+    Scale: training is the same O(rounds) scan shape as the trainer
+    (now over the train split); the eval is ONE pass over the test
+    split against the broadcast final weights. The baseline rides the
+    same aggregates. Nothing new materializes beyond the 1-row weight
+    frame.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+    ) - 1
+    xa = emb.select(
+        "vec_id",
+        _micro_units(F.col("embedding")).alias("x"),
+        F.when(F.col("label") == 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        (bucket < 12).alias("is_train"),
+    ).localCheckpoint()
+    xi = xa.filter("is_train")
+    w = spark.range(1).select(
+        F.array(*[F.lit(0).cast("long") for _ in range(_DIMS)]).alias("w"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    for _ in range(_PCT_ROUNDS):
+        scored = xi.crossJoin(F.broadcast(w))
+        margin = F.col("y") * (_dot_int_cols(F.col("w"), F.col("x")) + F.col("b"))
+        mis = scored.filter(margin <= 0)
+        upd = mis.agg(
+            *[
+                F.coalesce(F.sum(F.col("y") * F.col("x").getItem(j)), F.lit(0))
+                .cast("long")
+                .alias(f"dw{j}")
+                for j in range(_DIMS)
+            ],
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
+        )
+        w = (
+            w.crossJoin(F.broadcast(upd))
+            .select(
+                F.array(
+                    *[(F.col("w").getItem(j) + F.col(f"dw{j}")) for j in range(_DIMS)]
+                ).alias("w"),
+                (F.col("b") + F.col("db")).alias("b"),
+            )
+            .localCheckpoint()
+        )
+    mj = xi.agg(
+        F.when(F.coalesce(F.sum("y"), F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("m")
+    )
+    t = xa.filter(~F.col("is_train"))
+    pred = F.when(
+        _dot_int_cols(F.col("w"), F.col("x")) + F.col("b") > 0, F.lit(1)
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        t.crossJoin(F.broadcast(w))
+        .crossJoin(F.broadcast(mj))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("y") == pred, 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum(F.when(F.col("y") == F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct_majority"),
+        )
+        .select(
+            "n_test",
+            "n_correct",
+            F.expr("n_correct * 1000L div n_test").alias("acc_permille"),
+            "n_correct_majority",
+            F.expr("n_correct_majority * 1000L div n_test").alias("majority_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration (distributed linear algebra as relational rounds)
+# ---------------------------------------------------------------------------
+
+_PCA_ROUNDS = 4
+_PCA_SCALE = 1000000  # v components renormalized to ~this magnitude
+_PCA_DOWN = 1000000.0  # Gram scale-down divisor (see overflow note)
+
+
+def _pca_oracle() -> str:
+    """DuckDB twin: centered micro-units → scaled integer Gram matrix
+    (i, j, a) → ``_PCA_ROUNDS`` unrolled matvec+renormalize rounds.
+    Every signed division is ``floor(x::double / k)`` on BOTH engines
+    (Spark ``div`` truncates toward zero, DuckDB ``//`` floors — the
+    house rule for signed bucketing), and both engines run identical
+    IEEE double ops, so the trace matches bit-for-bit."""
+    ctes = [
+        """xi AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x
+  FROM embeddings
+)""",
+        f"""mu AS (
+  SELECT j, CAST(floor(CAST(sum(x[j]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM xi, unnest(range(1, {_DIMS} + 1)) AS u(j)
+  GROUP BY j
+)""",
+        """xc AS (
+  SELECT xi.vec_id, u.j, xi.x[u.j] - mu.m AS v
+  FROM xi, unnest(range(1, {dims} + 1)) AS u(j)
+  JOIN mu ON mu.j = u.j
+)""".replace("{dims}", str(_DIMS)),
+        f"""gram AS (
+  SELECT a.j AS i, b.j AS j,
+         CAST(floor(CAST(sum(a.v * b.v) AS DOUBLE) / {_PCA_DOWN}) AS BIGINT) AS g
+  FROM xc a JOIN xc b ON a.vec_id = b.vec_id
+  GROUP BY a.j, b.j
+)""",
+        f"v0 AS (SELECT j, CAST({_PCA_SCALE} AS BIGINT) AS v"
+        f" FROM unnest(range(1, {_DIMS} + 1)) AS u(j))",
+    ]
+    for r in range(1, _PCA_ROUNDS + 1):
+        ctes.append(
+            f"u{r} AS (SELECT gram.i AS j, CAST(sum(gram.g * v.v) AS BIGINT) AS u"
+            f" FROM gram JOIN v{r - 1} v ON gram.j = v.j GROUP BY gram.i)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT)"
+            f" // {_PCA_SCALE}, 1) AS d FROM u{r})"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT u{r}.j,"
+            f" CAST(floor(CAST(u{r}.u AS DOUBLE) / m{r}.d) AS BIGINT) AS v"
+            f" FROM u{r} CROSS JOIN m{r})"
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+       CAST((SELECT max(abs(u)) FROM u{r}) AS BIGINT) AS max_abs_u,
+       CAST((SELECT sum(v) FROM v{r}) AS BIGINT) AS v_sum,
+       CAST((SELECT sum(abs(v)) FROM v{r}) AS BIGINT) AS v_abs_sum"""
+        for r in range(1, _PCA_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query(
+    "pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("similarity", "iterative", "learning"),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION, entirely as relational rounds — distributed linear
+    algebra in the same loop discipline as the BPE/perceptron/CC
+    trainers: center the micro-unit matrix (floor-mean), build the
+    64×64 integer Gram matrix Xᵀ X as ONE keyed self-join + grouped
+    sum (the classic distributed Gram: d² partial sums combine
+    map-side; the n×d² intermediate never materializes past the
+    combiners), scale it down once, then {_PCA_ROUNDS} matvec +
+    max-abs-renormalize rounds on |d|- and |d²|-row frames. Output is
+    the convergence trace (per-round max |u|, v checksums) — the
+    eigenvector stabilizing is visible as the trace fixing.
+
+    Exactness: integers end-to-end except three signed divisions
+    (mean, Gram scale-down, renormalize), each computed as
+    ``floor(double-division)`` with IDENTICAL IEEE ops on both
+    engines (Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, so neither is used on signed values). Overflow-safe by
+    construction: |centered| ≤ 4e6 ⇒ |Gram| ≤ n·1.6e13, scaled by 1e6
+    ⇒ matvec terms ≤ 64·3.2e10·2e6 < 2⁶³ at n ≤ 2M rows per the
+    docstring bound — at larger n raise ``_PCA_DOWN`` one decade per
+    100× rows.
+
+    Scale: the Gram build is the only data-sized stage (one shuffle
+    of (row, dim, value) + one d²-group aggregate); every round after
+    runs on ≤ d² rows. This is exactly how you'd seed a PCA/whitening
+    transform for the embedding column at 100 TB without leaving the
+    engine.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    # (row, dim, value) exploded once; centered via broadcast floor-means
+    xl = xi.select(
+        "vec_id",
+        F.posexplode(F.col("x")).alias("j0", "xv"),
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "xv")
+    mu = xl.groupBy("j").agg(
+        F.floor(F.sum("xv").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("m")
+    )
+    xc = xl.join(F.broadcast(mu), "j").select(
+        "vec_id", "j", (F.col("xv") - F.col("m")).alias("v")
+    )
+    a = xc.select("vec_id", F.col("j").alias("i"), F.col("v").alias("va"))
+    b = xc.select("vec_id", F.col("j").alias("j"), F.col("v").alias("vb"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.floor(F.sum(F.col("va") * F.col("vb")).cast("double") / _PCA_DOWN)
+            .cast("long")
+            .alias("g")
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(1, _DIMS + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(_PCA_SCALE).cast("long").alias("v")
+    )
+    out_rows: list[DataFrame] = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        u = (
+            gram.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
+            .localCheckpoint()
+        )
+        m = u.agg(
+            F.greatest(
+                F.expr(f"max(abs(u)) div {_PCA_SCALE}L"), F.lit(1).cast("long")
+            ).alias("d")
+        )
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.floor(F.col("u").cast("double") / F.col("d")).cast("long").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        trace = u.agg(F.max(F.abs(F.col("u"))).cast("long").alias("max_abs_u")).crossJoin(
+            v.agg(
+                F.sum("v").cast("long").alias("v_sum"),
+                F.sum(F.abs(F.col("v"))).cast("long").alias("v_abs_sum"),
+            )
+        )
+        out_rows.append(
+            trace.select(
+                F.lit(r).cast("long").alias("round"),
+                "max_abs_u",
+                "v_sum",
+                "v_abs_sum",
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionAll(o)
+    return out

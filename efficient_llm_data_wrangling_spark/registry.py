@@ -93,6 +93,12 @@ _NEW_OR_CHANGED_IN_R7: tuple[str, ...] = (
     # held-out next-event accuracy of the Markov model vs the mode
     # baseline — in-engine eval hygiene (queries/behavior.py).
     "markov_holdout_accuracy",
+    # the perceptron fit's eval half: held-out accuracy vs the
+    # train-majority baseline (queries/clustering.py).
+    "perceptron_holdout_accuracy",
+    # distributed PCA power iteration: integer Gram build + matvec
+    # rounds, floor-double signed divisions (queries/clustering.py).
+    "pca_power_iteration",
     # LSH candidate pipeline reworked for the 64 KB codegen fix
     # (operators/dedup.py: band-index explode + aliased self-join) —
     # values identical, plan changed, so both consumers re-grade.

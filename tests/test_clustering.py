@@ -402,3 +402,83 @@ def test_perceptron_matches_pure_python_replay(spark):
     ]
     assert got == expect
     assert got[0][1] == len(data)  # round 1: every row misclassified
+
+
+def test_perceptron_holdout_reconciles(spark):
+    """Holdout invariants: non-empty test split, counts bounded,
+    exact permille arithmetic, and the majority baseline matching a
+    direct recount of the test labels."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        perceptron_holdout_accuracy,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    r = perceptron_holdout_accuracy(spark, SF_SMOKE).collect()[0]
+    assert r.n_test > 0
+    assert 0 <= r.n_correct <= r.n_test
+    assert r.acc_permille == r.n_correct * 1000 // r.n_test
+    assert r.majority_permille == r.n_correct_majority * 1000 // r.n_test
+    # recount the majority baseline directly: test labels vs the
+    # train-majority class (train skews negative: label != 0 dominates)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    bucket = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+    ) - 1
+    test_neg = emb.filter(~(bucket < 12)).filter(F.col("label") != 0).count()
+    assert r.n_correct_majority == test_neg
+
+
+def test_pca_power_iteration_matches_python_replay(spark):
+    """Replay the integer power iteration exactly in Python (ints for
+    every sum/product, IEEE doubles for the three floor-divisions) and
+    compare the full trace — the engine-shared-formula-bug guard the
+    perceptron test establishes, applied to the linear-algebra loop."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _DIMS,
+        _PCA_DOWN,
+        _PCA_ROUNDS,
+        _PCA_SCALE,
+        _micro_units,
+        pca_power_iteration,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    xs = [
+        list(r.x)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select(_micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    ]
+    n = len(xs)
+    mu = [math.floor(sum(row[j] for row in xs) / n) for j in range(_DIMS)]
+    xc = [[row[j] - mu[j] for j in range(_DIMS)] for row in xs]
+    gram = [
+        [
+            math.floor(sum(row[i] * row[j] for row in xc) / _PCA_DOWN)
+            for j in range(_DIMS)
+        ]
+        for i in range(_DIMS)
+    ]
+    v = [_PCA_SCALE] * _DIMS
+    expect = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        u = [sum(gram[i][j] * v[j] for j in range(_DIMS)) for i in range(_DIMS)]
+        mx = max(abs(x) for x in u)
+        d = max(mx // _PCA_SCALE, 1)
+        v = [math.floor(x / d) for x in u]
+        expect.append((r, mx, sum(v), sum(abs(x) for x in v)))
+
+    got = [
+        (r.round, r.max_abs_u, r.v_sum, r.v_abs_sum)
+        for r in sorted(pca_power_iteration(spark, SF_SMOKE).collect(), key=lambda r: r.round)
+    ]
+    assert got == expect
