@@ -400,21 +400,26 @@ def main() -> None:
         "vs_r5_driver": _summ(ratio_vs_r5_driver),
         "vs_r6_driver": _summ(ratio_vs_r6_driver),
     }
+    print(fit_line(payload))
+
+
+def fit_line(payload: dict, budget: int = 1900) -> str:
+    """Serialize the bench payload under the driver's stdout-tail
+    budget, degrading gracefully instead of asserting at the finish
+    line (ADVICE r6): the per-query dict grows with every headliner,
+    so if the full line outgrows the window, drop fields the detail
+    file already carries — ratio summaries first, the per-query dict
+    last (BENCH_DETAIL.json keeps everything). The driver contract
+    fields (metric, value, unit, sf) are never dropped."""
     line = json.dumps(payload, separators=(",", ":"))
-    # The driver parses the JSON line from the final ~2000 chars of
-    # stdout. Degrade gracefully instead of asserting at the finish
-    # line (ADVICE r6): the per-query dict grows with every headliner,
-    # so if the full line outgrows the window, drop fields the detail
-    # file already carries — first the ratio summaries, then the
-    # per-query dict itself (BENCH_DETAIL.json keeps everything).
-    if len(line) >= 1900:
-        for drop in ("vs_r5", "vs_r5_driver", "queries"):
+    if len(line) >= budget:
+        for drop in ("vs_r5", "vs_r5_driver", "vs_r6_driver", "queries"):
             payload.pop(drop, None)
             payload["truncated"] = True
             line = json.dumps(payload, separators=(",", ":"))
-            if len(line) < 1900:
+            if len(line) < budget:
                 break
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -45,3 +45,35 @@ def test_driver_grade_window_is_exactly_full():
     assert len(DRIVER_GRADE_PRIORITY) == 50
     assert len(set(DRIVER_GRADE_PRIORITY)) == 50
     assert names[:50] == list(DRIVER_GRADE_PRIORITY)
+
+
+def test_bench_line_fits_driver_tail_at_any_size():
+    """bench.py's printed line must stay inside the driver's ~2000-char
+    stdout tail no matter how many headliners accumulate (BENCH_r03-r05
+    were blinded by an over-long line; r6's fix asserted at the finish
+    line, which ADVICE r6 flagged as its own failure mode). The
+    degradation must keep the driver-contract fields."""
+    import json
+
+    from bench import HEADLINE, fit_line
+
+    # current shape fits untruncated
+    payload = {
+        "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
+        "queries": {n: 1.234 for n in HEADLINE}, "sf": 0.1,
+        "calibration_sec": 0.3,
+        "vs_r5": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
+        "vs_r5_driver": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
+        "vs_r6_driver": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
+    }
+    line = fit_line(dict(payload))
+    assert len(line) < 1900 and "queries" in json.loads(line)
+
+    # pathological growth: 300 headliners — must degrade, never explode
+    payload["queries"] = {f"query_name_{i:03d}": 1.234 for i in range(300)}
+    line = fit_line(dict(payload))
+    assert len(line) < 1900
+    parsed = json.loads(line)
+    for key in ("metric", "value", "unit", "sf"):
+        assert key in parsed
+    assert parsed.get("truncated") is True
