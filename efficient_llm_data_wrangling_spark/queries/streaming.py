@@ -481,3 +481,100 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = sdocs.select("doc_id", _toks_col().alias("toks"))
     gated = t.select("doc_id", gopher_metric_cols()["passes"].alias("passes"))
     return S.run_to_memory(gated, _sink("quality_gate"), "append")
+
+
+# ---------------------------------------------------------------------------
+# Ingest drift monitor (per-window mix vs corpus baseline)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ALERT_PERMILLE = 100
+
+_DRIFT_ORACLE = f"""
+WITH m AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+base AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) * 1000
+           // (SELECT count(*) FROM events) AS baseline_permille
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT w.* FROM w, m WHERE w.window_end <= m.wm
+),
+t AS (
+  SELECT window_start, CAST(sum(n_events) AS BIGINT) AS window_total
+  FROM f GROUP BY window_start
+)
+SELECT f.window_start, f.window_end, f.event_type, f.n_events,
+       f.n_events * 1000 // t.window_total AS share_permille,
+       b.baseline_permille,
+       abs(f.n_events * 1000 // t.window_total - b.baseline_permille)
+         AS drift_permille,
+       abs(f.n_events * 1000 // t.window_total - b.baseline_permille)
+         >= {_DRIFT_ALERT_PERMILLE} AS alert
+FROM f JOIN t ON f.window_start = t.window_start
+JOIN base b ON f.event_type = b.event_type
+"""
+
+
+@query("stream_drift_monitor", oracle=_DRIFT_ORACLE, tags=("streaming", "diagnostics"))
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-mix drift monitoring — the alert a continuously-fed
+    pipeline pages on BEFORE a skewed crawl poisons the mixture (the
+    streaming counterpart of ``mixture_drift_report``): every
+    watermark-finalized 1-hour window's event-type share in exact
+    permille against the standing corpus baseline, with an alert flag
+    at ≥{_DRIFT_ALERT_PERMILLE}‰ absolute drift. The windowed counts
+    are the GRADED streaming aggregation (same watermark emission
+    semantics as ``stream_tumbling_counts``); the share/baseline/drift
+    arithmetic runs batch-side on the finalized sink — integers
+    end-to-end, so the full value oracle replays window assignment,
+    emission rule, and every drift verdict.
+
+    Scale: the streaming side is one windowed count (state bounded by
+    watermark horizon × |types|); the drift join runs on finalized
+    window rows (|windows|×|types|), with the |types|-row baseline
+    broadcast. At ingest rates the monitor adds no state beyond the
+    aggregation it would run anyway.
+    """
+    tune(spark)
+    counts = S.run_to_memory(
+        S.tumbling_counts(S.stream_events(spark, sf_dir)), _sink("drift"), "append"
+    ).select(
+        F.col("window_start").cast(_NTZ).alias("window_start"),
+        F.col("window_end").cast(_NTZ).alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.count()
+    base = ev.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * 1000 / F.lit(tot)).cast("long").alias("baseline_permille")
+    )
+    t = counts.groupBy("window_start").agg(
+        F.sum("n_events").cast("long").alias("window_total")
+    )
+    share = F.expr("n_events * 1000L div window_total")
+    drift = F.abs(share - F.col("baseline_permille"))
+    return (
+        counts.join(t, "window_start")
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "window_start",
+            "window_end",
+            "event_type",
+            "n_events",
+            share.alias("share_permille"),
+            "baseline_permille",
+            drift.alias("drift_permille"),
+            (drift >= _DRIFT_ALERT_PERMILLE).alias("alert"),
+        )
+    )

@@ -99,6 +99,9 @@ _NEW_OR_CHANGED_IN_R7: tuple[str, ...] = (
     # distributed PCA power iteration: integer Gram build + matvec
     # rounds, floor-double signed divisions (queries/clustering.py).
     "pca_power_iteration",
+    # ingest-mix drift monitor over watermark-finalized windows vs
+    # the corpus baseline (queries/streaming.py).
+    "stream_drift_monitor",
     # LSH candidate pipeline reworked for the 64 KB codegen fix
     # (operators/dedup.py: band-index explode + aliased self-join) —
     # values identical, plan changed, so both consumers re-grade.

@@ -369,3 +369,26 @@ def test_upsert_sink_restart_recovery(spark, tmp_path):
     after = sorted(p.name for p in pathlib.Path(base).glob("v*"))
     assert after == before
     assert latest2 == latest
+
+
+def test_drift_monitor_reconciles(spark):
+    """Drift-monitor invariants: shares are a per-window permille
+    partition (sum within floor-loss of 1000), drift is the exact
+    |share - baseline|, and the alert fires iff drift crosses the
+    threshold."""
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        _DRIFT_ALERT_PERMILLE,
+        stream_drift_monitor,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = stream_drift_monitor(spark, SF_SMOKE).collect()
+    assert rows
+    by_window = {}
+    for r in rows:
+        assert r.drift_permille == abs(r.share_permille - r.baseline_permille)
+        assert r.alert == (r.drift_permille >= _DRIFT_ALERT_PERMILLE)
+        by_window.setdefault(r.window_start, []).append(r)
+    for ws, wrows in by_window.items():
+        s = sum(r.share_permille for r in wrows)
+        assert 1000 - len(wrows) <= s <= 1000  # floor division loses < 1 per type
