@@ -164,13 +164,23 @@ def minhash_signature(
 
     ONE pass over the shingle array: ``aggregate`` folds each shingle
     hash into a 64-wide running-minimum accumulator via ``zip_with``
-    against the (constant-folded) coefficient array. The obvious
-    alternatives re-evaluate the input array once per hash function —
-    the input of a higher-order-function lambda is recomputed per outer
-    element — turning O(shingles·hashes) work into
-    O(shingles·hashes·|expr|). Deterministic for a given seed on any
-    cluster layout; min is commutative, so element order (and therefore
-    partitioning) never changes the result."""
+    against the (constant-folded) coefficient array. Deterministic for
+    a given seed on any cluster layout; min is commutative, so element
+    order (and therefore partitioning) never changes the result.
+
+    This fold IS the measured-fastest shape (r8 interleaved A/B at
+    sf0.01 and sf0.1, 64 and 256 lanes): the r7 "unroll HOFs" result
+    (3.5× on the pairwise-distance path) does not transfer here
+    because the outer ``aggregate`` is irreducible — shingle count is
+    per-document dynamic — so every alternative keeps at least one
+    interpreted lambda dispatch per shingle. Refuted alternatives:
+    (a) unrolling the inner ``zip_with`` into ``num_hashes`` explicit
+    ``least(element_at(acc,i), …)`` terms — 1.25-1.6× SLOWER (the
+    unrolled interpreted expression tree costs more than zip_with's
+    specialized array walk); (b) explode + ``num_hashes`` codegen'd
+    ``min()`` aggregates (:func:`minhash_signatures`) — 2-2.5× slower
+    and growing with data (per-shingle-row hash-map probe + wide
+    buffer-row traffic beats the arithmetic it saves)."""
     coefs = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -186,6 +196,50 @@ def minhash_signature(
             coefs,
             lambda m, c: F.least(m, F.pmod(c["a"] * x + c["b"], F.lit(_MERSENNE_P))),
         ),
+    )
+
+
+def minhash_signatures(
+    hashed: DataFrame,
+    keys: list[str],
+    hashes_col: str,
+    num_hashes: int = 64,
+    seed: int = 42,
+    sig_col: str = "__sig",
+) -> DataFrame:
+    """Per-key MinHash signature via codegen'd ``min()`` aggregates:
+    explode the shingle-hash array, evaluate every lane's
+    ``(a_i*x + b_i) mod P`` inline in whole-stage codegen, and take
+    ``num_hashes`` map-side-combinable minima in ONE hash aggregate.
+    Bit-identical to :func:`minhash_signature` (same coefficients,
+    same formula, min over the same set — pinned by test).
+
+    NOT the pipeline default: the r8 interleaved A/B (sf0.01 + sf0.1,
+    64 + 256 lanes, signature stage isolated) measured this 2-2.5×
+    slower than the zip_with fold, with the gap GROWING in data size
+    (64-lane data-cost delta sf0.01→sf0.1: fold +0.05 s, agg +1.5 s)
+    — the per-shingle-row hash-map probe and 256-slot buffer-row
+    update cost more than the interpreted lambda dispatch it removes.
+    Kept (tested, bit-identical) for the one regime the fold cannot
+    serve: documents whose shingle array is too large to hold in a
+    single row value, where exploding is mandatory. Partial
+    aggregation completes map-side (each document's shingles live in
+    one input row), so the exchange moves exactly one
+    ``num_hashes × 8 B`` signature row per document.
+    """
+    x = F.col("__x")
+    aggs = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_P))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_coefficients(num_hashes, seed))
+    ]
+    return (
+        hashed.select(*keys, F.explode(F.col(hashes_col)).alias("__x"))
+        .groupBy(*keys)
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(sig_col),
+        )
     )
 
 
@@ -234,7 +288,9 @@ def minhash_candidate_pairs(
     rows_per_band = num_hashes // bands
     keys = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
     # staged projections (see _staged_shingle_hashes): tokens, shingle
-    # hashes, signature, and bucket keys each materialize once per row
+    # hashes, signature, and bucket keys each materialize once per row.
+    # The zip_with fold is the measured-fastest signature shape (r8
+    # interleaved A/B) — see minhash_signature / minhash_signatures.
     hashed = _staged_shingle_hashes(df, keys, text_col, shingle_width, "__h32", mod32=True)
     signed = hashed.select(
         *keys, minhash_signature(F.col("__h32"), num_hashes, seed).alias("__sig")

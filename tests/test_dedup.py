@@ -71,3 +71,38 @@ def test_minhash_signature_deterministic(spark):
     r2 = {r["doc_id"]: r["sig"] for r in sig.collect()}
     assert r1 == r2
     assert all(len(v) == 64 for v in r1.values())
+
+
+def test_minhash_signatures_agg_matches_fold(spark):
+    """The codegen'd aggregate signature variant (minhash_signatures —
+    measured slower than the fold in the r8 interleaved A/B, kept for
+    the shingle-array-too-big-for-one-row regime) must be
+    BIT-IDENTICAL to the pipeline fold — same coefficients, same
+    formula, min over the same shingle set — at both the 64-lane
+    headliner and the 256-lane sweep widths."""
+    corpus = _corpus_with_dups(spark, SF_SMOKE).limit(50)
+    for num_hashes in (64, 256):
+        fold = corpus.select(
+            "doc_id",
+            D.minhash_signature(
+                D.shingle_hashes32(F.col("text")), num_hashes, seed=42
+            ).alias("sig"),
+        )
+        hashed = corpus.select("doc_id", D.shingle_hashes32(F.col("text")).alias("__h32"))
+        agg = D.minhash_signatures(hashed, ["doc_id"], "__h32", num_hashes, seed=42, sig_col="sig")
+        want = {r["doc_id"]: r["sig"] for r in fold.collect()}
+        got = {r["doc_id"]: r["sig"] for r in agg.collect()}
+        assert got == want
+
+
+def test_minhash_candidate_plan_uses_the_fold(spark):
+    """The candidate pipeline must compute signatures as the per-row
+    zip_with fold — the r8 interleaved A/B measured it fastest (the
+    explode+aggregate alternative was 2-2.5× slower and grows with
+    data; see minhash_signature's docstring) — i.e. NO per-document
+    signature aggregate/exchange before the band explode."""
+    corpus = _corpus_with_dups(spark, SF_SMOKE)
+    qe = D.minhash_candidate_pairs(corpus)._jdf.queryExecution()
+    plan = qe.optimizedPlan().toString()
+    assert "zip_with" in plan
+    assert "__m0" not in plan  # no aggregate-lane signature path
