@@ -129,6 +129,7 @@ def assign_cells_by_codebook(
     vec_col: str = "x",
     cell_col: str = "c",
     cvec_col: str = "mu",
+    dims: int = 64,
 ) -> DataFrame:
     """IVF coarse assignment against a codebook TABLE — the scale form
     of :func:`assign_ivf_cells`. The literal-array variant embeds O(C)
@@ -144,12 +145,27 @@ def assign_cells_by_codebook(
     queries/clustering.py. Returns (id, vec, cell_id). Exact integer
     distances ⇒ bit-identical assignment on any engine or cluster
     layout; ties break to the smallest cell id.
+
+    ``dims`` is the static vector width the distance unrolls over
+    (caller-plumbed; default matches the catalog's 64-wide
+    embeddings). A vector or centroid NARROWER than ``dims`` would
+    make ``getItem(j)`` return NULL ⇒ NULL distance ⇒ an arbitrary
+    cell election — the ``coalesce(raise_error)`` guard turns that
+    silent wrong answer into a loud failure (evaluated only on the
+    NULL path, free in the hot loop).
     """
+    err = F.raise_error(
+        F.lit(
+            "assign_cells_by_codebook: NULL distance — vector or centroid "
+            f"narrower than dims={dims} (plumb the real width)"
+        )
+    )
     scored = vectors.crossJoin(F.broadcast(codebook)).select(
         F.col(id_col),
         F.struct(
-            # catalog embeddings are statically 64-wide -> unrolled
-            l2sq_int(F.col(vec_col), F.col(cvec_col), dims=64).alias("d"),
+            F.coalesce(
+                l2sq_int(F.col(vec_col), F.col(cvec_col), dims=dims), err
+            ).alias("d"),
             F.col(cell_col).alias("c"),
             F.col(vec_col).alias("x"),
         ).alias("s"),

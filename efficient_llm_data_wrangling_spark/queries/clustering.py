@@ -74,7 +74,7 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     by smallest cluster id — the shared codebook-table operator
     (broadcast codebook + ``min(struct)`` partial-aggregatable argmin;
     see operators/similarity.assign_cells_by_codebook)."""
-    out = SIM.assign_cells_by_codebook(vectors, centroids)
+    out = SIM.assign_cells_by_codebook(vectors, centroids, dims=_DIMS)
     return out.select("vec_id", F.col("cell_id").alias("c"), "x")
 
 
@@ -230,7 +230,7 @@ def knn_ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries a full assignment pass in its lineage and both the
     # coarse assignment and the probe election consume it
     codebook = _update(_assign(vectors, seeds)).localCheckpoint()
-    assigned = SIM.assign_cells_by_codebook(vectors, codebook)
+    assigned = SIM.assign_cells_by_codebook(vectors, codebook, dims=_DIMS)
 
     q = vectors.filter(F.col("vec_id") == 1).select(F.col("x").alias("qx"))
     probes = (
@@ -555,13 +555,41 @@ def knn_join_within_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector top-k is a per-key window (never a global sort). The
     assignment is materialized once and feeds both join sides.
     """
-    tune(spark)
+    return _knn_cell_pairs(spark, sf_dir)
+
+
+def _load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    return emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+
+
+def _fit_codebook(vectors: DataFrame) -> DataFrame:
+    """The shared one-Lloyd-round codebook fit (seeds = vec_id < k,
+    assign → integer-mean update), localCheckpointed so every consumer
+    reads the materialized ≤k rows instead of re-running the fit —
+    the r8 fix for ``knn_graph_recall_report`` fitting 3× (once per
+    variant builder) inside one query."""
     seeds = vectors.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("c"), F.col("x").alias("mu")
     )
-    assigned = _assign(vectors, _update(_assign(vectors, seeds))).localCheckpoint()
+    return _update(_assign(vectors, seeds)).localCheckpoint()
+
+
+def _knn_cell_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    cb: DataFrame | None = None,
+) -> DataFrame:
+    """Body of ``knn_join_within_cells``; ``vectors``/``cb`` are
+    injectable so multi-variant consumers (the recall report) fit the
+    codebook once and pass it in."""
+    tune(spark)
+    if vectors is None:
+        vectors = _load_vectors(spark, sf_dir)
+    if cb is None:
+        cb = _fit_codebook(vectors)
+    assigned = _assign(vectors, cb).localCheckpoint()
     a = assigned.select(
         F.col("c").alias("__c"), "vec_id", F.col("x").alias("__xa")
     )
@@ -653,7 +681,12 @@ FROM rr WHERE rn <= {_KNNJ_K}
 """
 
 
-def _knn_descent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_descent_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    seed_graph: DataFrame | None = None,
+) -> DataFrame:
     """One NN-descent round (Dong et al. 2011) over the MULTIPROBE
     seed graph: undirect the edges, expand every vector's candidates
     with its neighbors-of-neighbors, exact-integer re-rank the union,
@@ -668,17 +701,21 @@ def _knn_descent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reverse edges, and through them the expansion, reach into
     neighboring cells that blocking alone cannot see."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    if vectors is None:
+        vectors = _load_vectors(spark, sf_dir)
     # materialize the seed graph ONCE: it feeds both union branches of
     # the undirected closure, and without the checkpoint Spark rebuilds
     # the full multiprobe candidate join per branch (measured ~2x the
-    # whole query's cost at sf0.1 — ReusedExchange does not cover it)
-    g = (
-        _knn_multiprobe_pairs(spark, sf_dir)
-        .select("vec_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    # whole query's cost at sf0.1 — ReusedExchange does not cover it).
+    # Injectable so the recall report reuses the probe2 variant's
+    # already-built graph instead of a second multiprobe build.
+    g = seed_graph
+    if g is None:
+        g = (
+            _knn_multiprobe_pairs(spark, sf_dir, vectors)
+            .select("vec_id", "neighbor_id")
+            .localCheckpoint()
+        )
     # undirected closure: reverse neighbors join the candidate pool
     gu = (
         g.unionAll(
@@ -848,8 +885,7 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes the graded kNN join directly, restricted to the probes.
     """
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+    vectors = _load_vectors(spark, sf_dir)
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
@@ -893,10 +929,24 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # ONE codebook fit and ONE multiprobe graph build feed all three
+    # ladder rungs (r8: previously each variant builder ran its own
+    # fit — 3 fits + 2 graph builds per report; at 100 TB a 3×
+    # redundant fit+assign over the corpus is a real bill). Values are
+    # unchanged by construction: every variant already derived from
+    # the same seeded fit.
+    cb = _fit_codebook(vectors)
+    mp_graph = (
+        _knn_multiprobe_pairs(spark, sf_dir, vectors, cb)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
     return (
-        _variant_row("cell1", knn_join_within_cells(spark, sf_dir))
-        .unionAll(_variant_row("probe2", _knn_multiprobe_pairs(spark, sf_dir)))
-        .unionAll(_variant_row("descent1", _knn_descent_pairs(spark, sf_dir)))
+        _variant_row("cell1", _knn_cell_pairs(spark, sf_dir, vectors, cb))
+        .unionAll(_variant_row("probe2", mp_graph))
+        .unionAll(
+            _variant_row("descent1", _knn_descent_pairs(spark, sf_dir, vectors, mp_graph))
+        )
     )
 
 
@@ -929,22 +979,25 @@ FROM p WHERE rn <= {_KNNJ_K}
 """
 
 
-def _knn_multiprobe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_multiprobe_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    cb: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, neighbor_id, l2sq_micro, nn_rank ≤ K): the multi-probe
     candidate ranking shared by the graded join and the recall gate.
     Query side probes its {_KNNJ_NPROBE} nearest cells; index side
     keeps its primary cell, so each (query, neighbor) pair arises at
-    most once and no dedup shuffle is needed."""
+    most once and no dedup shuffle is needed. The fitted codebook is
+    materialized once — feeds BOTH the probe election and the index
+    assignment (the knn_ivf_codebook_table precedent) — and is
+    injectable so the recall report's variants share one fit."""
     tune(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    vectors = emb.select("vec_id", _micro_units(F.col("embedding")).alias("x"))
-    seeds = vectors.filter(F.col("vec_id") < _K).select(
-        F.col("vec_id").alias("c"), F.col("x").alias("mu")
-    )
-    # fitted codebook, materialized once: feeds BOTH the probe
-    # election and the index assignment (the knn_ivf_codebook_table
-    # precedent)
-    cb = _update(_assign(vectors, seeds)).localCheckpoint()
+    if vectors is None:
+        vectors = _load_vectors(spark, sf_dir)
+    if cb is None:
+        cb = _fit_codebook(vectors)
     wc = W.partitionBy("vec_id").orderBy(F.asc("__dc"), F.asc("__pc"))
     probes = (
         vectors.crossJoin(F.broadcast(cb.select(F.col("c").alias("__pc"), "mu")))
@@ -1478,7 +1531,7 @@ def _pca_oracle() -> str:
 )""".replace("{dims}", str(_DIMS)),
         f"""gram AS (
   SELECT a.j AS i, b.j AS j,
-         CAST(floor(CAST(sum(a.v * b.v) AS DOUBLE) / {_PCA_DOWN}) AS BIGINT) AS g
+         CAST(sum(CAST(floor(CAST(a.v * b.v AS DOUBLE) / {_PCA_DOWN}) AS BIGINT)) AS BIGINT) AS g
   FROM xc a JOIN xc b ON a.vec_id = b.vec_id
   GROUP BY a.j, b.j
 )""",
@@ -1528,14 +1581,22 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector stabilizing is visible as the trace fixing.
 
     Exactness: integers end-to-end except three signed divisions
-    (mean, Gram scale-down, renormalize), each computed as
+    (mean, per-product Gram scale-down, renormalize), each computed as
     ``floor(double-division)`` with IDENTICAL IEEE ops on both
     engines (Spark ``div`` truncates toward zero while DuckDB ``//``
-    floors, so neither is used on signed values). Overflow-safe by
-    construction: |centered| ≤ 4e6 ⇒ |Gram| ≤ n·1.6e13, scaled by 1e6
-    ⇒ matvec terms ≤ 64·3.2e10·2e6 < 2⁶³ at n ≤ 2M rows per the
-    docstring bound — at larger n raise ``_PCA_DOWN`` one decade per
-    100× rows.
+    floors, so neither is used on signed values). The scale-down is
+    applied PER PRODUCT, before the aggregate (r8, ADVICE fix): with
+    |centered| ≤ 4e6 each product is ≤ 1.6e13 — exact in a double
+    (< 2⁵³) — so ``floor(va·vb / {_PCA_DOWN})`` is deterministic, and
+    the BIGINT running sum holds ≤ n·1.6e7, int64-safe to n ≈ 5.7e11
+    rows. (The previous form summed the RAW products first and
+    overflowed int64 at n ≈ 5.8e5 rows — and DuckDB promotes
+    sum(BIGINT) to HUGEINT while Spark wraps, so the engines would
+    have silently diverged right where it matters.) The binding bound
+    is now the matvec: |u| ≤ 64·max|g|·2e6 needs max|g| < 7.2e10,
+    guarded fail-loud below — raise ``_PCA_DOWN`` linearly in n if it
+    trips (worst-case ≥ 222·n; unit-norm embeddings sit orders below
+    the adversarial bound).
 
     Scale: the Gram build is the only data-sized stage (one shuffle
     of (row, dim, value) + one d²-group aggregate); every round after
@@ -1565,12 +1626,28 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "vec_id")
         .groupBy("i", "j")
         .agg(
-            F.floor(F.sum(F.col("va") * F.col("vb")).cast("double") / _PCA_DOWN)
+            F.sum(
+                F.floor((F.col("va") * F.col("vb")).cast("double") / _PCA_DOWN).cast(
+                    "long"
+                )
+            )
             .cast("long")
             .alias("g")
         )
         .localCheckpoint()
     )
+    # fail-loud matvec overflow guard on the (checkpointed, d²-row)
+    # Gram: |u| ≤ d·max|g|·max|v| with max|v| ≤ 2e6 needs
+    # max|g| < 2⁶³ / (d·2e6). Bounded scalar over ≤ d² materialized
+    # rows — not a data-sized action.
+    g_cap = (1 << 63) / (_DIMS * 2.1e6)
+    g_max = gram.agg(F.max(F.abs(F.col("g"))).alias("m")).collect()[0]["m"] or 0
+    if g_max >= g_cap:
+        raise ValueError(
+            f"pca_power_iteration: scaled Gram magnitude {g_max:.3g} >= "
+            f"{g_cap:.3g} would overflow the int64 matvec — raise _PCA_DOWN "
+            "(one decade per decade of corpus rows)"
+        )
     v = spark.range(1, _DIMS + 1).select(
         F.col("id").cast("int").alias("j"), F.lit(_PCA_SCALE).cast("long").alias("v")
     )

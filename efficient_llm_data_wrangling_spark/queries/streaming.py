@@ -555,9 +555,18 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from efficient_llm_data_wrangling_spark.sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    tot = ev.count()
-    base = ev.groupBy("event_type").agg(
-        (F.count(F.lit(1)) * 1000 / F.lit(tot)).cast("long").alias("baseline_permille")
+    # corpus total as a broadcast 1-row aggregate IN the plan (house
+    # style for every denominator; r8 — was a driver-side ev.count())
+    # and exact integer floor division like the rest of the query
+    tot = ev.agg(F.count(F.lit(1)).alias("__tot"))
+    base = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.expr("__n * 1000L div __tot").alias("baseline_permille"),
+        )
     )
     t = counts.groupBy("window_start").agg(
         F.sum("n_events").cast("long").alias("window_total")

@@ -461,9 +461,12 @@ def test_pca_power_iteration_matches_python_replay(spark):
     n = len(xs)
     mu = [math.floor(sum(row[j] for row in xs) / n) for j in range(_DIMS)]
     xc = [[row[j] - mu[j] for j in range(_DIMS)] for row in xs]
+    # per-product scale-down BEFORE the sum (r8 overflow fix): each
+    # floor(va*vb / DOWN) is exact in a double, and the running sum
+    # stays int64-sized at any corpus size
     gram = [
         [
-            math.floor(sum(row[i] * row[j] for row in xc) / _PCA_DOWN)
+            sum(math.floor(row[i] * row[j] / _PCA_DOWN) for row in xc)
             for j in range(_DIMS)
         ]
         for i in range(_DIMS)
@@ -482,3 +485,28 @@ def test_pca_power_iteration_matches_python_replay(spark):
         for r in sorted(pca_power_iteration(spark, SF_SMOKE).collect(), key=lambda r: r.round)
     ]
     assert got == expect
+
+
+def test_assign_cells_narrow_vector_fails_loudly(spark):
+    """A vector narrower than the plumbed dims must raise, not elect
+    an arbitrary cell: getItem past the end returns NULL, so without
+    the coalesce(raise_error) guard the min(struct) would silently
+    pick whichever centroid happened to sort first (r8 ADVICE fix)."""
+    import pytest
+
+    from efficient_llm_data_wrangling_spark.operators import similarity as SIM
+
+    vecs = spark.createDataFrame(
+        [(1, [1, 2, 3])], "vec_id long, x array<long>"
+    )
+    cb = spark.createDataFrame([(0, [0, 0, 0, 0])], "c long, mu array<long>")
+    # loud either way: under ANSI (Spark 4 default) the out-of-range
+    # getItem raises INVALID_ARRAY_INDEX before the guard; with ANSI
+    # off it yields NULL and the coalesce(raise_error) guard fires
+    with pytest.raises(Exception, match="narrower than dims|INVALID_ARRAY_INDEX"):
+        SIM.assign_cells_by_codebook(vecs, cb, dims=4).collect()
+    # matching widths at the plumbed dims still assign fine
+    ok = SIM.assign_cells_by_codebook(
+        vecs, cb.select("c", F.slice("mu", 1, 3).alias("mu")), dims=3
+    ).collect()
+    assert ok[0]["cell_id"] == 0
