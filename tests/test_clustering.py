@@ -285,7 +285,7 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     from tests.conftest import SF_SMOKE
 
     rows = {r.variant: r for r in knn_graph_recall_report(spark, SF_SMOKE).collect()}
-    assert set(rows) == {"cell1", "probe2", "descent1"}
+    assert set(rows) == {"cell1", "probe2", "descent1", "descent2"}
     for row in rows.values():
         assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
         assert 0 <= row.n_overlap <= _KNNJ_PROBES * _KNNJ_K
@@ -294,9 +294,11 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     # cannot be lower (any exact-top-k member can only be displaced by
     # globally closer vectors, which are themselves exact-top-k);
     # descent1 re-ranks a superset of the probe2 edges (gu keeps every
-    # directed probe2 edge), so the same argument chains once more
+    # directed probe2 edge), so the same argument chains once more —
+    # and again for round 2, whose candidates include round 1's top-k
     assert rows["probe2"].n_overlap >= rows["cell1"].n_overlap
     assert rows["descent1"].n_overlap >= rows["probe2"].n_overlap
+    assert rows["descent2"].n_overlap >= rows["descent1"].n_overlap
     row = rows["cell1"]
 
     # brute-force the exact neighborhoods in Python and recount
@@ -321,6 +323,73 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
         if r.vec_id < _KNNJ_PROBES
     }
     assert row.n_overlap == len(exact & approx)
+
+
+def test_descent_convergence_accounting(spark):
+    """The convergence rows must be internally exact (churn is floor
+    permille of new/total) and the edge churn must not RISE between
+    rounds on the smoke corpus — the falling update rate is the
+    Dong-2011 stopping signal the query exists to report."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_graph_descent_convergence,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.round: r for r in knn_graph_descent_convergence(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        assert 0 <= r.new_edges <= r.n_edges
+        assert r.churn_permille == r.new_edges * 1000 // r.n_edges
+    assert rows[2].churn_permille <= rows[1].churn_permille
+
+
+def test_greedy_search_descends_and_distances_reconcile(spark):
+    """Every probe's walk must respect the greedy contract: bounded
+    strictly-descending moves, a final vertex whose exact integer
+    distance (recomputed in Python) equals final_l2sq, the entry
+    vertex kept only when no move improved, and recall bookkeeping in
+    floor ppm against k."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _GREEDY_ENTRY,
+        _GREEDY_HOPS,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        _micro_units,
+        knn_graph_greedy_search,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = knn_graph_greedy_search(spark, SF_SMOKE).collect()
+    assert len(rows) == _KNNJ_PROBES
+    vecs = {
+        r.vec_id: r.x
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    moved_total = 0
+    for r in rows:
+        assert r.entry_id == _GREEDY_ENTRY
+        assert 0 <= r.n_moves <= _GREEDY_HOPS
+        assert r.final_l2sq == d2(vecs[r.pid], vecs[r.final_vertex])
+        if r.n_moves == 0:
+            assert r.final_vertex == _GREEDY_ENTRY
+        else:
+            # strict descent: any move ends strictly closer than entry
+            assert r.final_l2sq < d2(vecs[r.pid], vecs[_GREEDY_ENTRY])
+        assert 0 <= r.n_overlap <= _KNNJ_K
+        assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+        moved_total += r.n_moves
+    assert moved_total > 0  # the walk must actually go somewhere
 
 
 def test_dim_truncation_control_and_bounds(spark):

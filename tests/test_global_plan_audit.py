@@ -20,15 +20,17 @@ UDF audited via ``apply_transformation_dates``.
 
 The round-6 blind spot (checkpointed subtrees appearing as ``Scan
 ExistingRDD``) is closed: ``DataFrame.localCheckpoint`` is
-monkeypatched to a no-op for the audit build, so the executed-plan
-string contains every pre-checkpoint subtree — iterative loops,
-argmax join-backs, histogram elections included
-(test_audit_sees_through_checkpoints proves the see-through on the
-BPE trainer). The no-op changes nothing the audit grades (it asserts
-node absence, never values), and the production checkpoint behavior
-itself is pinned by the family tests (test_graph lineage truncation,
-test_textquality BPE round pin, test_tpch_partsupp, test_clustering,
-test_corpusops).
+monkeypatched to audit the PRE-checkpoint executed plan at every
+checkpoint call site, then perform the real checkpoint — so every
+stage a chained query actually executes is graded, stage-locally.
+(The r7 mechanism no-op'd the checkpoint instead, which re-INLINES
+the whole chain into one tree; the r8 two-round NN-descent chain
+references each round's graph in multiple branches, so that tree
+doubles per round/hop and OOM'd the driver at plan time — the same
+exponential re-inlining the DuckDB oracles hit, fixed there with
+MATERIALIZED CTEs and here by auditing at the checkpoint boundary.)
+``test_audit_sees_through_checkpoints`` proves the interception on
+the BPE trainer's eight round stages.
 """
 
 from __future__ import annotations
@@ -57,46 +59,67 @@ _AUDITED = sorted(
 )
 
 
-@pytest.mark.parametrize("name", _AUDITED)
-def test_no_cartesian_no_rowwise_python(spark, name, monkeypatch):
-    # keep lineage intact so checkpointed subtrees stay visible in the
-    # plan string instead of collapsing to `Scan ExistingRDD`. Patch
-    # the CLASSIC DataFrame subclass — it defines its own
-    # localCheckpoint, so patching the pyspark.sql.DataFrame parent
-    # never intercepts the call (the r6 blind spot would have silently
-    # stayed open; test_audit_sees_through_checkpoints guards this).
+def _assert_clean(plan: str, name: str, where: str) -> None:
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a cartesian product ({where})"
+    )
+    assert "BatchEvalPython" not in plan, (
+        f"{name} runs a row-at-a-time Python UDF ({where})"
+    )
+
+
+def _checkpoint_auditing(monkeypatch, name: str) -> list[str]:
+    """Patch ``localCheckpoint`` to grade the pre-checkpoint executed
+    plan at every call site, then REALLY checkpoint — each audited
+    plan is stage-local, so chained builds stay linear instead of
+    re-inlining the whole chain (which doubles per round and OOMs on
+    the two-round descent queries). Patch the CLASSIC DataFrame
+    subclass — it defines its own localCheckpoint, so patching the
+    pyspark.sql.DataFrame parent never intercepts the call (the r6
+    blind spot; test_audit_sees_through_checkpoints guards this).
+    Returns the list the patched method appends each stage plan to."""
     from pyspark.sql.classic.dataframe import DataFrame
 
-    monkeypatch.setattr(
-        DataFrame, "localCheckpoint", lambda self, eager=True: self
-    )
+    real = DataFrame.localCheckpoint
+    stage_plans: list[str] = []
+
+    def audited(self, eager: bool = True):
+        plan = self._jdf.queryExecution().executedPlan().toString()
+        stage_plans.append(plan)
+        _assert_clean(plan, name, f"checkpoint stage {len(stage_plans)}")
+        return real(self, eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", audited)
+    return stage_plans
+
+
+@pytest.mark.parametrize("name", _AUDITED)
+def test_no_cartesian_no_rowwise_python(spark, name, monkeypatch):
+    _checkpoint_auditing(monkeypatch, name)
     spec = REGISTRY[name]
     df = spec.builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    assert "BatchEvalPython" not in plan, f"{name} runs a row-at-a-time Python UDF"
-    # `Scan ExistingRDD` may still appear — but only from driver-local
+    _assert_clean(plan, name, "final stage")
+    # `Scan ExistingRDD` may still appear — from driver-local
     # createDataFrame frames (seed centroids, per-partition offsets:
-    # bounded scalars, reviewed at their 8 collect() sites), never from
-    # a checkpoint hiding a subtree (the monkeypatch above ensures that)
+    # bounded scalars, reviewed at their 8 collect() sites) and from
+    # checkpoint leaves, whose subtrees were each graded above at
+    # their own call site
 
 
 def test_audit_sees_through_checkpoints(spark, monkeypatch):
-    """The monkeypatched build must expose PRE-checkpoint subtrees:
-    the BPE trainer's executed plan — 8 rounds of pair-count
-    aggregations, winner elections, and merge replaces, each round
-    checkpointed in production — has to show its joins/aggregates to
-    the audit instead of one opaque `Scan ExistingRDD` leaf."""
-    from pyspark.sql.classic.dataframe import DataFrame
-
-    monkeypatch.setattr(DataFrame, "localCheckpoint", lambda self, eager=True: self)
+    """The checkpoint interception must actually fire: the BPE
+    trainer checkpoints each of its 8 rounds, so the audit callback
+    has to capture >= 8 stage plans and the round subtrees (pair-count
+    aggregations, winner elections) must be visible in them — if the
+    patch targeted the wrong class, the list would stay empty and a
+    checkpointed Cartesian/Python stage would hide behind a `Scan
+    ExistingRDD` leaf exactly like the r6 blind spot."""
+    stage_plans = _checkpoint_auditing(monkeypatch, "bpe_train_rounds")
     from efficient_llm_data_wrangling_spark.queries.textquality import (
         bpe_train_rounds,
     )
 
-    df = bpe_train_rounds(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    # with checkpoints active the round subtrees collapse to
-    # ExistingRDD leaves and no aggregate survives in the plan string
-    assert "Scan ExistingRDD" not in plan
-    assert plan.count("HashAggregate") >= 8  # >= one pair-count agg per round
+    bpe_train_rounds(spark, SF_SMOKE)
+    assert len(stage_plans) >= 8  # one per training round
+    assert sum("HashAggregate" in p for p in stage_plans) >= 8
