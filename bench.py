@@ -76,6 +76,10 @@ HEADLINE = [
     "corpus_release_manifest",
     "knn_graph_nn_descent_round",
     "compaction_plan_report",
+    # round-8 family (BENCH_r08 seeds its baseline): greedy best-first
+    # search over the built kNN graph — the inference half of graph
+    # ANN (what serving the corpus runs per query)
+    "knn_graph_greedy_search",
 ]
 
 
@@ -263,6 +267,51 @@ R6_DRIVER_RATIOS = {
 }
 
 
+#: The DRIVER's round-7 run as calibration ratios (BENCH_r07.json —
+#: queries medians / calibration 0.328 s). Covers all 36 r7
+#: headliners, so every r8 number chains against the driver's own
+#: hardware-normalized measurement; round-8 additions seed their
+#: baselines in BENCH_r08.
+R7_DRIVER_RATIOS = {
+    "pair_join_text": 2.058,
+    "pricing_summary": 2.988,
+    "comparator_tolerance": 6.244,
+    "window_top_order_per_customer": 1.043,
+    "filter_project_lineitem": 0.683,
+    "dedup_exact_documents": 1.11,
+    "dedup_minhash_lsh": 7.582,
+    "text_quality_documents": 2.643,
+    "knn_brute_force": 1.183,
+    "asof_join_events": 1.436,
+    "rollup_pricing": 3.345,
+    "multimodal_decode": 1.817,
+    "stream_tumbling_counts": 4.305,
+    "sessionize_events": 1.393,
+    "upsert_snapshot_orders": 1.43,
+    "connected_components_halving": 12.93,
+    "correlated_avg_qty_filter": 3.448,
+    "repetition_ratio_documents": 2.863,
+    "stream_stream_attribution": 9.006,
+    "chunk_documents_overlap": 1.259,
+    "pack_documents_token_budget": 0.729,
+    "decontaminate_ngram_overlap": 3.229,
+    "corpus_curation_pipeline": 2.5,
+    "bm25_top_docs": 2.588,
+    "substring_dedup_windows": 6.534,
+    "knn_ivf_pq": 5.14,
+    "ccnet_perplexity_buckets": 4.625,
+    "dsir_importance_weights": 4.134,
+    "local_supplier_volume": 2.655,
+    "bpe_train_rounds": 7.238,
+    "stream_admission_pipeline": 3.78,
+    "tpch_q11_important_stock": 2.311,
+    "zorder_layout_report": 1.957,
+    "corpus_release_manifest": 4.32,
+    "knn_graph_nn_descent_round": 31.183,
+    "compaction_plan_report": 1.427,
+}
+
+
 def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     """N wall-time samples (sorted). The median is the headline number
     — robust to one-off JIT/GC noise in either direction; min and max
@@ -351,6 +400,11 @@ def main() -> None:
         for n, r in ratios.items()
         if n in R6_DRIVER_RATIOS
     }
+    ratio_vs_r7_driver = {
+        n: round(r / R7_DRIVER_RATIOS[n], 3)
+        for n, r in ratios.items()
+        if n in R7_DRIVER_RATIOS
+    }
 
     def _summ(d: dict[str, float]) -> dict:
         """Median / worst scalar summary of a per-query ratio dict —
@@ -383,6 +437,7 @@ def main() -> None:
         "ratio_vs_r5": ratio_vs_r5,
         "ratio_vs_r5_driver": ratio_vs_r5_driver,
         "ratio_vs_r6_driver": ratio_vs_r6_driver,
+        "ratio_vs_r7_driver": ratio_vs_r7_driver,
         "sf": sf,
         "queries": timings,
     }
@@ -399,6 +454,7 @@ def main() -> None:
         "vs_r5": _summ(ratio_vs_r5),
         "vs_r5_driver": _summ(ratio_vs_r5_driver),
         "vs_r6_driver": _summ(ratio_vs_r6_driver),
+        "vs_r7_driver": _summ(ratio_vs_r7_driver),
     }
     print(fit_line(payload))
 
@@ -413,7 +469,7 @@ def fit_line(payload: dict, budget: int = 1900) -> str:
     fields (metric, value, unit, sf) are never dropped."""
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= budget:
-        for drop in ("vs_r5", "vs_r5_driver", "vs_r6_driver", "queries"):
+        for drop in ("vs_r5", "vs_r5_driver", "vs_r6_driver", "vs_r7_driver", "queries"):
             payload.pop(drop, None)
             payload["truncated"] = True
             line = json.dumps(payload, separators=(",", ":"))
