@@ -67,6 +67,14 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     token rows); only chunk rows are generated (~n/stride per doc).
     The token array is referenced ≥2 times (count + slice) so it stays
     a staged column, never re-split per chunk.
+
+    Perf note (r8): after two rounds as the bench's max
+    calibration-normalized ratio (1.334 vs_r5, 1.263 vs_r6) with this
+    code untouched, a 7× interleaved calibration/query A/B at sf0.1
+    measured median ratio 1.078 — 1.081× the r6 driver's 0.997, inside
+    the ≤1.1 noise band, so the driver readings were host drift, not a
+    regression (the repo's noise discipline: only interleaved pairs
+    are trustworthy single-query evidence).
     """
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
