@@ -71,8 +71,10 @@ _NEW_OR_CHANGED_IN_R8: tuple[str, ...] = (
     "knn_graph_nn_descent_round2",
     "knn_graph_descent_convergence",
     # greedy best-first search over the built kNN graph — the
-    # inference half of graph ANN (queries/clustering.py).
+    # inference half of graph ANN (queries/clustering.py) — and the
+    # beam-width generalization (the recall/cost knob of serving).
     "knn_graph_greedy_search",
+    "knn_graph_beam_search",
     # recall ladder gained the descent2 rung AND the report now shares
     # one codebook fit + one multiprobe build across all rungs (plan
     # changed; values identical by construction).

