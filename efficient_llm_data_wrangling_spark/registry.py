@@ -75,6 +75,9 @@ _NEW_OR_CHANGED_IN_R8: tuple[str, ...] = (
     # beam-width generalization (the recall/cost knob of serving).
     "knn_graph_greedy_search",
     "knn_graph_beam_search",
+    # IVF-seeded entries for the same walk — the entry-point lever
+    # (coarse quantizer routes, graph walk refines).
+    "knn_graph_ivf_seeded_search",
     # recall ladder gained the descent2 rung AND the report now shares
     # one codebook fit + one multiprobe build across all rungs (plan
     # changed; values identical by construction).

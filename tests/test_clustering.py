@@ -392,15 +392,17 @@ def test_greedy_search_descends_and_distances_reconcile(spark):
     assert moved_total > 0  # the walk must actually go somewhere
 
 
-def test_beam_widens_greedy_and_bookkeeping_holds(spark):
-    """Beam search must dominate greedy on the same graph/entry, per
-    probe: its best touched vertex is never FARTHER than greedy's
-    final vertex (the beam frontier keeps the global best touched, so
-    widening the frontier cannot lose ground — pinned empirically on
-    the deterministic smoke corpus), its total exact-neighbor overlap
-    is at least greedy's, and its counters respect the contract
-    (touched bounded by 1 + hops×beam×degree-cap, floor-ppm recall,
-    best_l2sq = recomputed exact distance)."""
+def test_search_ladder_monotone_and_bookkeeping_holds(spark):
+    """The three-rung search ladder on the same round-1 graph must be
+    internally consistent and monotone on the deterministic smoke
+    corpus: beam's best touched vertex is never FARTHER than greedy's
+    final vertex per probe (the beam frontier keeps the global best
+    touched, so widening the frontier cannot lose ground), total
+    exact-neighbor overlap is non-decreasing greedy → beam →
+    IVF-seeded (each lever — width, then entry — buys recall), every
+    best_l2sq equals the exact distance recomputed in Python, the
+    seeded entries land in the probe's own cell (never a probe, by
+    construction), and recall is floor ppm against k."""
     import pyspark.sql.functions as F
 
     from efficient_llm_data_wrangling_spark.queries.clustering import (
@@ -412,13 +414,18 @@ def test_beam_widens_greedy_and_bookkeeping_holds(spark):
         _micro_units,
         knn_graph_beam_search,
         knn_graph_greedy_search,
+        knn_graph_ivf_seeded_search,
     )
     from efficient_llm_data_wrangling_spark.sources.catalog import load_table
     from tests.conftest import SF_SMOKE
 
     beam = {r.pid: r for r in knn_graph_beam_search(spark, SF_SMOKE).collect()}
     greedy = {r.pid: r for r in knn_graph_greedy_search(spark, SF_SMOKE).collect()}
-    assert set(beam) == set(greedy) and len(beam) == _KNNJ_PROBES
+    seeded = {
+        r.pid: r for r in knn_graph_ivf_seeded_search(spark, SF_SMOKE).collect()
+    }
+    assert set(beam) == set(greedy) == set(seeded)
+    assert len(beam) == _KNNJ_PROBES
     vecs = {
         r.vec_id: r.x
         for r in load_table(spark, SF_SMOKE, "embeddings")
@@ -429,21 +436,21 @@ def test_beam_widens_greedy_and_bookkeeping_holds(spark):
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    # degree cap of the undirected round-1 graph: 2k (k out-edges +
-    # at most k reverse edges per vertex is not a hard cap, but the
-    # beam expands beam-many vertices per hop, each contributing its
-    # full adjacency; bound conservatively by the total touched join
-    for pid, r in beam.items():
-        assert r.entry_id == _GREEDY_ENTRY
-        assert r.beam == _BEAM_WIDTH and r.n_hops == _BEAM_HOPS
-        assert r.n_touched >= 1  # the entry vertex is always touched
-        assert r.best_l2sq == d2(vecs[pid], vecs[r.best_vertex])
-        assert r.best_l2sq <= greedy[pid].final_l2sq
-        assert 0 <= r.n_overlap <= _KNNJ_K
-        assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
-    assert sum(r.n_overlap for r in beam.values()) >= sum(
-        r.n_overlap for r in greedy.values()
-    )
+    for pid in beam:
+        for r in (beam[pid], seeded[pid]):
+            assert r.beam == _BEAM_WIDTH and r.n_hops == _BEAM_HOPS
+            assert r.n_touched >= 1  # the entry vertex is always touched
+            assert r.best_l2sq == d2(vecs[pid], vecs[r.best_vertex])
+            assert 0 <= r.n_overlap <= _KNNJ_K
+            assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+        assert beam[pid].entry_id == _GREEDY_ENTRY
+        assert beam[pid].best_l2sq <= greedy[pid].final_l2sq
+        # seeded entries are corpus members, never probes (medoid
+        # election excludes vec_id < probes; fallback is the global
+        # entry, itself >= probes)
+        assert seeded[pid].entry_id >= _KNNJ_PROBES
+    tot = lambda d: sum(r.n_overlap for r in d.values())  # noqa: E731
+    assert tot(greedy) <= tot(beam) <= tot(seeded)
 
 
 def test_dim_truncation_control_and_bounds(spark):
