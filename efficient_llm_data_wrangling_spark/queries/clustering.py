@@ -1888,6 +1888,201 @@ def knn_graph_ivf_seeded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental graph insert (index maintenance without rebuild)
+# ---------------------------------------------------------------------------
+
+_INS_MOD = 10
+_INS_REM = 9  # batch = vec_id % 10 == 9; never collides with the k=8 seeds
+
+
+def _insert_oracle() -> str:
+    k, npr = _KNNJ_K, _KNNJ_NPROBE
+    sql = f"""WITH xi AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x
+  FROM embeddings
+),
+bv AS (SELECT vec_id, x FROM xi WHERE vec_id % {_INS_MOD} <> {_INS_REM}),
+nv AS (SELECT vec_id, x FROM xi WHERE vec_id % {_INS_MOD} = {_INS_REM}),
+bmu0 AS (SELECT vec_id AS c, x AS mu FROM bv WHERE vec_id < {_K}),
+ba1 AS ({_assign_sql('bv', 'bmu0')}),
+bu1 AS (
+  SELECT a.c, j.j, a.x[j.j] AS v
+  FROM ba1 a CROSS JOIN (SELECT unnest(range(1, {_DIMS} + 1)) AS j) j
+),
+bs1 AS (
+  SELECT c, j, CAST(sum(v) // count(*) AS BIGINT) AS mu_j
+  FROM bu1 GROUP BY c, j
+),
+bmu1 AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM bs1 GROUP BY c),
+ba2 AS ({_assign_sql('bv', 'bmu1')}),
+bpr AS (
+  SELECT vec_id, x, c FROM (
+    SELECT t.vec_id, t.x, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM bv t CROSS JOIN bmu1 m
+  ) WHERE rn <= {npr}
+),
+bmp AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+    FROM bpr a JOIN ba2 b ON a.c = b.c AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {k}
+),
+bgu AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM bmp
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM bmp
+  )
+),
+bnn2 AS (
+  SELECT DISTINCT a.vec_id, b.neighbor_id
+  FROM bgu a JOIN bgu b ON a.neighbor_id = b.vec_id
+  WHERE a.vec_id <> b.neighbor_id
+),
+bcand AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM bgu
+    UNION ALL
+    SELECT vec_id, neighbor_id FROM bnn2
+  )
+),
+brr AS (
+  SELECT c.vec_id, c.neighbor_id,
+         {_dist_sql('xa.x', 'xb.x')} AS d,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {_dist_sql('xa.x', 'xb.x')}, c.neighbor_id) AS rn
+  FROM bcand c
+  JOIN bv xa ON c.vec_id = xa.vec_id
+  JOIN bv xb ON c.neighbor_id = xb.vec_id
+),
+bg1 AS (SELECT vec_id, neighbor_id FROM brr WHERE rn <= {k}),
+bg1u AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM bg1
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM bg1
+  )
+),
+na AS ({_assign_sql('nv', 'bmu1')}),
+cellc AS (
+  SELECT n.vec_id, b.vec_id AS neighbor_id
+  FROM na n JOIN ba2 b ON n.c = b.c
+),
+graphc AS (
+  SELECT c.vec_id, e.neighbor_id
+  FROM cellc c JOIN bg1u e ON c.neighbor_id = e.vec_id
+),
+icand AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM cellc
+    UNION ALL
+    SELECT vec_id, neighbor_id FROM graphc
+  )
+),
+irr AS (
+  SELECT c.vec_id, c.neighbor_id,
+         {_dist_sql('xq.x', 'xb.x')} AS d,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {_dist_sql('xq.x', 'xb.x')}, c.neighbor_id) AS rn
+  FROM icand c
+  JOIN nv xq ON c.vec_id = xq.vec_id
+  JOIN bv xb ON c.neighbor_id = xb.vec_id
+)
+SELECT vec_id, CAST(rn AS BIGINT) AS nn_rank, neighbor_id,
+       CAST(d AS BIGINT) AS l2sq_micro
+FROM irr WHERE rn <= {k}
+"""
+    return _mat(sql)
+
+
+@query(
+    "knn_graph_insert_batch",
+    oracle=_insert_oracle(),
+    tags=("similarity", "clustering", "ann"),
+)
+def knn_graph_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INSERT into the kNN graph — index maintenance for a
+    corpus that grows daily, without the rebuild: vectors with
+    ``vec_id % {_INS_MOD} == {_INS_REM}`` arrive as a new batch
+    against the index built on the REST (fit, multiprobe seed, one
+    descent round — the standing build). Each new vector's edge
+    candidates are its coarse cell's base members plus THEIR
+    undirected round-1 graph neighbors (the cell routes, the graph
+    widens — same posture as serving), re-ranked by exact integer
+    distance to top-{_KNNJ_K}. Output is the descent-round edge
+    contract (vec_id, nn_rank, neighbor_id, l2sq_micro) for the batch
+    — the rows a maintenance job would append to the edge table.
+
+    Scale: the batch joins the standing assignment and edge tables on
+    cell/member keys — cost proportional to batch × cell size, never
+    corpus²; the base build amortizes across every batch (here it is
+    rebuilt only because a query is self-contained). The per-vector
+    candidate set is cell-bounded exactly like the build side, so
+    skew posture and AQE behavior are inherited.
+
+    Honest numbers: inserted-edge recall@3 vs the exact base
+    neighbors is 50% at sf0.01 — between the build ladder's
+    single-cell (42.7%) and 2-probe (60.4%) rungs, as the candidate
+    structure predicts (one cell, widened one graph hop); a
+    maintenance pipeline buys more by probing 2 cells or running a
+    periodic descent round over the appended edges.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    base = vectors.filter(F.col("vec_id") % _INS_MOD != _INS_REM)
+    newb = vectors.filter(F.col("vec_id") % _INS_MOD == _INS_REM)
+    cb = _fit_codebook(base)
+    mp = (
+        _knn_multiprobe_pairs(spark, sf_dir, base, cb)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    g1 = _descent_round(base, mp).select("vec_id", "neighbor_id").localCheckpoint()
+    gu = _undirected(g1).localCheckpoint()
+    asgb = _assign(base, cb)
+    asgn = _assign(newb, cb)
+    cellc = asgn.select("vec_id", "c").join(
+        asgb.select("c", F.col("vec_id").alias("neighbor_id")), "c"
+    ).select("vec_id", "neighbor_id")
+    graphc = cellc.join(
+        gu.select(
+            F.col("vec_id").alias("__m"), F.col("neighbor_id").alias("__nn")
+        ),
+        cellc["neighbor_id"] == F.col("__m"),
+    ).select("vec_id", F.col("__nn").alias("neighbor_id"))
+    icand = cellc.unionAll(graphc).distinct()
+    rr = (
+        icand.join(newb.select("vec_id", F.col("x").alias("__xq")), "vec_id")
+        .join(
+            base.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("__xb")),
+            "neighbor_id",
+        )
+        .select("vec_id", "neighbor_id", _sq_dist("__xq", "__xb").alias("l2sq_micro"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("l2sq_micro"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= _KNNJ_K)
+        .select(
+            "vec_id",
+            "nn_rank",
+            "neighbor_id",
+            F.col("l2sq_micro").cast("long").alias("l2sq_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-dimension truncation study (the dim-budget decision)
 # ---------------------------------------------------------------------------
 

@@ -78,6 +78,9 @@ _NEW_OR_CHANGED_IN_R8: tuple[str, ...] = (
     # IVF-seeded entries for the same walk — the entry-point lever
     # (coarse quantizer routes, graph walk refines).
     "knn_graph_ivf_seeded_search",
+    # incremental batch INSERT into the standing graph — index
+    # maintenance without rebuild (queries/clustering.py).
+    "knn_graph_insert_batch",
     # recall ladder gained the descent2 rung AND the report now shares
     # one codebook fit + one multiprobe build across all rungs (plan
     # changed; values identical by construction).

@@ -453,6 +453,60 @@ def test_search_ladder_monotone_and_bookkeeping_holds(spark):
     assert tot(greedy) <= tot(beam) <= tot(seeded)
 
 
+def test_insert_batch_edges_contract_and_recall_floor(spark):
+    """Inserted edges must respect the maintenance contract: every
+    batch vector (vec_id % mod == rem) gets exactly k edges with
+    contiguous ranks ordered by exact distance (recomputed in
+    Python), every neighbor is a BASE member (the batch never links
+    to itself), and edge recall vs the exact base neighbors clears
+    the single-cell floor (the candidate structure is one cell plus
+    one graph hop, so it must land between the cell1 and probe2
+    build rungs — ≥40% leaves noise margin under determinism)."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _INS_MOD,
+        _INS_REM,
+        _KNNJ_K,
+        _micro_units,
+        knn_graph_insert_batch,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = knn_graph_insert_batch(spark, SF_SMOKE).collect()
+    vecs = {
+        r.vec_id: r.x
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    }
+    base = {v for v in vecs if v % _INS_MOD != _INS_REM}
+    new = {v for v in vecs if v % _INS_MOD == _INS_REM}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    per = {}
+    for r in rows:
+        assert r.vec_id in new and r.neighbor_id in base
+        assert r.l2sq_micro == d2(vecs[r.vec_id], vecs[r.neighbor_id])
+        per.setdefault(r.vec_id, []).append((r.nn_rank, r.l2sq_micro, r.neighbor_id))
+    assert set(per) == new  # every batch vector got edges
+    hit = 0
+    for nv, es in per.items():
+        es.sort()
+        assert [rk for rk, _, _ in es] == list(range(1, _KNNJ_K + 1))
+        # ranks ordered by (distance, id) — the exact re-rank contract
+        assert es == sorted(es, key=lambda e: (e[1], e[2]))
+        exact = {
+            vid
+            for _, vid in sorted((d2(vecs[nv], vecs[b]), b) for b in base)[:_KNNJ_K]
+        }
+        hit += len(exact & {nb for _, _, nb in es})
+    assert hit / (len(new) * _KNNJ_K) >= 0.40
+
+
 def test_dim_truncation_control_and_bounds(spark):
     """The d=64 row is the self-validating control (recall 100% by
     construction); every row stays inside [0, probes×k]; and the
