@@ -285,7 +285,14 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     from tests.conftest import SF_SMOKE
 
     rows = {r.variant: r for r in knn_graph_recall_report(spark, SF_SMOKE).collect()}
-    assert set(rows) == {"cell1", "probe2", "descent1", "descent2"}
+    assert set(rows) == {
+        "cell1",
+        "probe2",
+        "descent1",
+        "descent2",
+        "probe4",
+        "descent1_d8",
+    }
     for row in rows.values():
         assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
         assert 0 <= row.n_overlap <= _KNNJ_PROBES * _KNNJ_K
@@ -299,6 +306,17 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     assert rows["probe2"].n_overlap >= rows["cell1"].n_overlap
     assert rows["descent1"].n_overlap >= rows["probe2"].n_overlap
     assert rows["descent2"].n_overlap >= rows["descent1"].n_overlap
+    # r9 rungs, same superset argument along their own chains: probe4
+    # probes a superset of probe2's cells (index side unchanged), and
+    # the d8 seed keeps top-8 ⊇ top-3 of the SAME multiprobe ranking
+    # so the d8 descent round's candidate pool contains descent1's
+    assert rows["probe4"].n_overlap >= rows["probe2"].n_overlap
+    assert rows["descent1_d8"].n_overlap >= rows["descent1"].n_overlap
+    # and the r9 verdict gate, measured STRICT on this corpus at both
+    # sf0.001 and sf0.01: each new knob clears the converged-descent
+    # ceiling (descent2) — the reason the rungs exist
+    assert rows["probe4"].n_overlap > rows["descent2"].n_overlap
+    assert rows["descent1_d8"].n_overlap > rows["descent2"].n_overlap
     row = rows["cell1"]
 
     # brute-force the exact neighborhoods in Python and recount
@@ -451,6 +469,71 @@ def test_search_ladder_monotone_and_bookkeeping_holds(spark):
         assert seeded[pid].entry_id >= _KNNJ_PROBES
     tot = lambda d: sum(r.n_overlap for r in d.values())  # noqa: E731
     assert tot(greedy) <= tot(beam) <= tot(seeded)
+
+
+def test_degree8_serving_rungs_exceed_every_k3_lever(spark):
+    """The r9 degree-8 rungs must close the serving ladder on the
+    deterministic smoke corpus: the fixed-entry beam walk over the
+    degree-8 graph STRICTLY beats the identical walk over the k=3
+    graph (the build-degree lever, measured 1 → 5 → … → 27 total
+    overlap at sf0.001), and the capstone (IVF-seeded entries + the
+    same walk + the same degree-8 graph) STRICTLY exceeds every
+    single-lever rung — the VERDICT r9 acceptance gate. Bookkeeping
+    (beam/hops fields, ppm floor, exact best_l2sq recompute, seeded
+    entries never probes) must hold on the new rungs too."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _BEAM_HOPS,
+        _BEAM_WIDTH,
+        _GREEDY_ENTRY,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        _micro_units,
+        knn_graph_beam_search,
+        knn_graph_beam_search_degree8,
+        knn_graph_ivf_seeded_search,
+        knn_graph_serving_capstone,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    beam3 = {r.pid: r for r in knn_graph_beam_search(spark, SF_SMOKE).collect()}
+    seeded3 = {
+        r.pid: r for r in knn_graph_ivf_seeded_search(spark, SF_SMOKE).collect()
+    }
+    beam8 = {
+        r.pid: r for r in knn_graph_beam_search_degree8(spark, SF_SMOKE).collect()
+    }
+    cap = {r.pid: r for r in knn_graph_serving_capstone(spark, SF_SMOKE).collect()}
+    assert set(beam8) == set(cap) == set(beam3)
+    assert len(beam8) == _KNNJ_PROBES
+    vecs = {
+        r.vec_id: r.x
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", _micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for pid in beam8:
+        for r in (beam8[pid], cap[pid]):
+            assert r.beam == _BEAM_WIDTH and r.n_hops == _BEAM_HOPS
+            assert r.n_touched >= 1
+            assert r.best_l2sq == d2(vecs[pid], vecs[r.best_vertex])
+            assert 0 <= r.n_overlap <= _KNNJ_K
+            assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+        assert beam8[pid].entry_id == _GREEDY_ENTRY
+        # capstone entries are IVF medoids: corpus members, never probes
+        assert cap[pid].entry_id >= _KNNJ_PROBES
+    tot = lambda d: sum(r.n_overlap for r in d.values())  # noqa: E731
+    # the degree lever alone strictly beats the k=3 walk; the composed
+    # capstone strictly exceeds EVERY single-lever rung (greedy is
+    # ≤ beam3 by the ladder test, so beam3/seeded3/beam8 cover all)
+    assert tot(beam8) > tot(beam3)
+    assert tot(cap) > max(tot(beam3), tot(seeded3), tot(beam8))
 
 
 def test_insert_batch_edges_contract_and_recall_floor(spark):
