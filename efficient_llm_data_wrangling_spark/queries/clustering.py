@@ -1561,6 +1561,23 @@ def knn_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-hop candidate frames are probe-sized and checkpointed, so the
     final plan is hop-local.
     """
+    return _greedy_report(spark, sf_dir)
+
+
+def _greedy_report(
+    spark: SparkSession, sf_dir: str, ckpt_cands: bool = True
+) -> DataFrame:
+    """Body of ``knn_graph_greedy_search``. ``ckpt_cands`` toggles the
+    per-hop checkpoint of the hop-candidate frame. The r8 verdict
+    hypothesized removing it would save ~6 eager actions on the 26.7 s
+    headliner; REFUTED by interleaved A/B at sf0.1 (r9, 10 pairs,
+    order-alternated): off/on wall ratios 1.004–1.166, median 1.049 —
+    off NEVER won a pair. Without the checkpoint the frame is
+    recomputed twice (once under the next state checkpoint's action,
+    once in the final touched union), and those two extra edge-table
+    scans cost more than the one saved eager action, so the checkpoint
+    stays ON. Both variants kept bit-identity-pinned
+    (test_greedy_cands_checkpoint_variants_bit_identical)."""
     tune(spark)
     vectors = _load_vectors(spark, sf_dir)
     _, _, (g1,) = _knn_descent_chain(spark, sf_dir, rounds=1)
@@ -1586,8 +1603,9 @@ def knn_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ed.join(F.broadcast(state.select("pid", "px", "cur")), F.col("u") == F.col("cur"))
             .filter(F.col("v") != F.col("pid"))
             .select("pid", "px", F.col("v").alias("nb"), _sq_dist("nx", "px").cast("long").alias("d"))
-            .localCheckpoint()
         )
+        if ckpt_cands:
+            cands = cands.localCheckpoint()
         touched.append(cands.select("pid", "nb", "d"))
         best = (
             cands.groupBy("pid")

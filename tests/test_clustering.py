@@ -471,6 +471,22 @@ def test_search_ladder_monotone_and_bookkeeping_holds(spark):
     assert tot(greedy) <= tot(beam) <= tot(seeded)
 
 
+def test_greedy_cands_checkpoint_variants_bit_identical(spark):
+    """Both hop-candidate checkpoint variants of the greedy walk must
+    return the exact same rows — the A/B that settled the r8 verdict's
+    trim hypothesis (refuted: off/on median 1.049 over 10 interleaved
+    pairs at sf0.1; checkpoint stays ON) is only valid evidence if the
+    toggle is purely physical."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _greedy_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    on = {tuple(r) for r in _greedy_report(spark, SF_SMOKE, True).collect()}
+    off = {tuple(r) for r in _greedy_report(spark, SF_SMOKE, False).collect()}
+    assert on == off
+
+
 def test_degree8_serving_rungs_exceed_every_k3_lever(spark):
     """The r9 degree-8 rungs must close the serving ladder on the
     deterministic smoke corpus: the fixed-entry beam walk over the
