@@ -47,99 +47,40 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-8 window, maintained as three segments so that every
+#: round. Round-9 window, maintained as three segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
 #: registers it:
 #:
-#: 1. ``_NEW_OR_CHANGED_IN_R8`` — queries registered OR semantically
+#: 1. ``_NEW_OR_CHANGED_IN_R9`` — queries registered OR semantically
 #:    rebuilt this round (extend this tuple in the registering
 #:    commit; growth displaces fills from the tail automatically);
-#: 2. ``_STALE_R3_SPILL`` — the 25 rows whose most recent driver grade
-#:    is round 3: the declared r7 spillover
-#:    (= r7's ``_STALE_R3_FILL`` minus CORRECTNESS_r07's keys, the
-#:    judge verified the sets are equal), graded here so the r3-era
-#:    evidence is gone after r8;
-#: 3. ``_STALE_R4_FILL`` — ALL 50 rows whose most recent driver grade
-#:    is round 4 (the next-oldest cohort; every one hash-matched the
-#:    judge's independent 219/219 sweep in r7). Only the first
+#: 2. ``_STALE_R4_SPILL`` — the 35 rows whose most recent driver grade
+#:    is round 4: the declared r8 spillover (= r8's ``_STALE_R4_FILL``
+#:    minus CORRECTNESS_r08's keys — exactly the re-pin expression the
+#:    r8 registry documented), graded here so the r4-era evidence is
+#:    gone after r9;
+#: 3. ``_STALE_R5_FILL`` — ALL 47 rows whose most recent driver grade
+#:    is round 5 (the next-oldest cohort; every one hash-matched the
+#:    judge's independent 225/225 sweep in r8). Only the first
 #:    ``50 - len(segments 1+2)`` fit; the rest are an EXPLICIT
-#:    next-round spillover list, re-pinned in r9 via
-#:    ``[n for n in _STALE_R4_FILL if n not in DRIVER_GRADE_PRIORITY]``.
-_NEW_OR_CHANGED_IN_R8: tuple[str, ...] = (
-    # NN-descent round TWO + per-round convergence accounting — the
-    # stopping signal of a real graph build (queries/clustering.py).
-    "knn_graph_nn_descent_round2",
-    "knn_graph_descent_convergence",
-    # greedy best-first search over the built kNN graph — the
-    # inference half of graph ANN (queries/clustering.py) — and the
-    # beam-width generalization (the recall/cost knob of serving).
-    "knn_graph_greedy_search",
-    "knn_graph_beam_search",
-    # IVF-seeded entries for the same walk — the entry-point lever
-    # (coarse quantizer routes, graph walk refines).
-    "knn_graph_ivf_seeded_search",
-    # incremental batch INSERT into the standing graph — index
-    # maintenance without rebuild (queries/clustering.py).
-    "knn_graph_insert_batch",
-    # recall ladder gained the descent2 rung AND the report now shares
-    # one codebook fit + one multiprobe build across all rungs (plan
-    # changed; values identical by construction).
+#:    next-round spillover list, re-pinned in r10 via
+#:    ``[n for n in _STALE_R5_FILL if n not in DRIVER_GRADE_PRIORITY]``.
+_NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
+    # fixed-entry beam walk over the DEGREE-8 graph — the build-degree
+    # lever of serving, isolated (queries/clustering.py).
+    "knn_graph_beam_search_degree8",
+    # the composed production serving shape: IVF-seeded entries + beam
+    # walk + degree-8 graph — the ladder's capstone.
+    "knn_graph_serving_capstone",
+    # recall ladder gained the probe4 and descent1_d8 rungs (r9 knobs;
+    # output rows added, so values changed).
     "knn_graph_recall_report",
-    # round-1 builder now routes through the shared _knn_descent_chain
-    # (plan changed; values identical).
-    "knn_graph_nn_descent_round",
-    # Gram scale-down moved BEFORE the BIGINT sum (int64-overflow fix,
-    # ADVICE r7 medium) — formula changed on both engines.
-    "pca_power_iteration",
-    # baseline denominator folded into the plan as a broadcast 1-row
-    # aggregate with exact integer division (ADVICE r7 low).
-    "stream_drift_monitor",
+    # NOT re-pinned: knn_graph_greedy_search — the r9 checkpoint A/B
+    # left its default plan and values bit-identical (refutation
+    # recorded in _greedy_report's docstring).
 )
 
-_STALE_R3_SPILL: tuple[str, ...] = (
-    "intersect_customers",
-    "map_functions_orders",
-    "markov_event_transitions",
-    "mixture_sample_by_source",
-    "mode_event_type_per_user",
-    "normalize_text_documents",
-    "order_gap_days",
-    "order_priority_late_exists",
-    "pagerank_trade_network",
-    "percentile_price_by_priority",
-    "pivot_status_revenue",
-    "priority_line_counts",
-    "promo_revenue_ratio",
-    "quantize_embeddings_int8",
-    "retention_cohorts",
-    "rollup_pricing",
-    "running_spend_per_customer",
-    "scd2_status_history",
-    "sql_shipping_priority",
-    "supplier_cnt_by_part_attrs",
-    "top_bigrams_corpus",
-    "unpivot_lineitem_charges",
-    "waiting_supplier_orders",
-    "weighted_sample_orders",
-    "winsorize_prices",
-)
-
-_STALE_R4_FILL: tuple[str, ...] = (
-    "anti_join_customers",
-    "blocklist_filter_documents",
-    "bm25_top_docs",
-    "cogroup_customer_orders",
-    "connected_components_halving",
-    "date_spine_order_counts",
-    "datetime_functions_orders",
-    "derived_label_orders",
-    "doc_quality_linear_scorer",
-    "domain_cap_documents",
-    "filter_project_lineitem",
-    "gopher_quality_filter",
-    "group_mean_qty",
-    "histogram_totalprice",
-    "impute_mean_acctbal",
+_STALE_R4_SPILL: tuple[str, ...] = (
     "json_extract_events",
     "knn_ivf_pq",
     "label_counts",
@@ -177,8 +118,58 @@ _STALE_R4_FILL: tuple[str, ...] = (
     "word_counts_documents",
 )
 
+_STALE_R5_FILL: tuple[str, ...] = (
+    "ann_recall_report",
+    "approx_quantile_report",
+    "bigram_logprob_documents",
+    "bpe_merge_round",
+    "ccnet_perplexity_buckets",
+    "char_entropy_documents",
+    "cosine_histogram_embeddings",
+    "curation_funnel_report",
+    "customer_order_distribution",
+    "dataset_card_by_source",
+    "dedup_embedding_cosine",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_savings_report",
+    "dsir_importance_weights",
+    "dsir_select_topk",
+    "embedding_norm_report",
+    "entity_match_jaccard",
+    "epoch_upsample_by_source",
+    "event_anomaly_zscore",
+    "ewma_user_value",
+    "forecast_revenue_change",
+    "incremental_dedup_batch",
+    "join_skew_report",
+    "k_anonymity_report",
+    "knn_ivf_codebook_table",
+    "lang_confusion_report",
+    "local_supplier_volume",
+    "market_share_by_year",
+    "mixture_drift_report",
+    "multimodal_audio_energy",
+    "nation_pair_volume",
+    "packing_efficiency_report",
+    "returned_item_customers",
+    "rfm_customer_segments",
+    "semdedup_clustered",
+    "span_removal_manifest",
+    "stream_ingest_dedup",
+    "stream_quality_gate",
+    "temperature_mixture_weights",
+    "token_offsets_documents",
+    "top_supplier_revenue",
+    "triangle_count_trade",
+    "unigram_logprob_documents",
+    "vocab_coverage_by_lang",
+    "winnowing_fingerprint_documents",
+    "wrangler_e2e_transformation",
+)
+
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = tuple(
-    dict.fromkeys(_NEW_OR_CHANGED_IN_R8 + _STALE_R3_SPILL + _STALE_R4_FILL)
+    dict.fromkeys(_NEW_OR_CHANGED_IN_R9 + _STALE_R4_SPILL + _STALE_R5_FILL)
 )[:50]
 
 

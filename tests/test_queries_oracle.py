@@ -57,14 +57,14 @@ def test_bench_line_fits_driver_tail_at_any_size():
 
     from bench import HEADLINE, fit_line
 
-    # current shape fits untruncated
+    # current shape (r9: interleaved calibration fields + the two
+    # freshest driver-chained summaries) fits untruncated
     payload = {
         "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
         "queries": {n: 1.234 for n in HEADLINE}, "sf": 0.1,
-        "calibration_sec": 0.3,
-        "vs_r5": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
-        "vs_r5_driver": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
-        "vs_r6_driver": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
+        "calibration_sec": 0.3, "calibration_n": 39,
+        "vs_r7_driver": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
+        "vs_r8_driver": {"median": 1.0, "max": 1.0, "max_query": "x", "n": 1},
     }
     line = fit_line(dict(payload))
     assert len(line) < 1900 and "queries" in json.loads(line)
