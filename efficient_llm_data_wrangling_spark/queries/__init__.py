@@ -12,6 +12,7 @@ import efficient_llm_data_wrangling_spark.queries.curation  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.etl  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.quality  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.relational  # noqa: F401
+import efficient_llm_data_wrangling_spark.queries.retrieval  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.scale  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.layout  # noqa: F401
 import efficient_llm_data_wrangling_spark.queries.streaming  # noqa: F401

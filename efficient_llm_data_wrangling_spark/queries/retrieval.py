@@ -1,0 +1,269 @@
+"""Retrieval-serving and training-pair mining over the embedding
+corpus — the two consumers a trained index actually feeds (north
+star; the reference has no vector surface at all, SURVEY.md §2.10):
+
+* ``rag_retrieve_pack`` — the RAG serving composition: IVF-probed
+  retrieval → exact inner-product re-rank → token-budget context
+  packing, per query. The batch shape a retrieval-augmented pipeline
+  runs over millions of queries.
+* ``contrastive_pairs_mining`` — hard-negative + positive mining per
+  anchor (DPR / SimCSE-style contrastive training data): for each
+  anchor, the nearest SAME-label corpus vector and the nearest
+  DIFFERENT-label one, with the margin between them.
+
+Exactness strategy (clustering.py family): micro-unit integer
+vectors, exact BIGINT distances/dot-products, smallest-id tie-breaks
+— both engines replay every election bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from efficient_llm_data_wrangling_spark.queries.clustering import (
+    _KNNJ_NPROBE,
+    _KNNJ_PROBES,
+    _assign,
+    _dist_sql,
+    _dot_int_sql,
+    _dot_int_cols,
+    _fit_codebook,
+    _fit_ctes,
+    _load_vectors,
+    _micro_units,
+    _sq_dist,
+    _sq_dist_cols,
+    _K,
+)
+from efficient_llm_data_wrangling_spark.registry import query
+from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# RAG retrieve → re-rank → pack
+# ---------------------------------------------------------------------------
+
+_RAG_TOPK = 6  # candidates re-ranked into the context, per query
+_RAG_BUDGET = 96  # context token budget (≈3 docs at the corpus mean)
+
+_RAG_ORACLE = f"""
+WITH {_fit_ctes(_K)},
+pbq AS (SELECT vec_id AS pid, x AS px FROM xi WHERE vec_id < {_KNNJ_PROBES}),
+pcell AS (
+  SELECT pid, px, c FROM (
+    SELECT p.pid, p.px, m.c,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {_dist_sql('p.px', 'm.mu')}, m.c) AS rn
+    FROM pbq p CROSS JOIN mu1 m
+  ) WHERE rn <= {_KNNJ_NPROBE}
+),
+cand AS (
+  SELECT p.pid, e.vec_id, {_dot_int_sql('p.px', 'e.x')} AS score
+  FROM pcell p JOIN a2 e ON e.c = p.c AND e.vec_id <> p.pid
+),
+topk AS (
+  SELECT pid, vec_id, score, rk FROM (
+    SELECT pid, vec_id, score,
+           row_number() OVER (
+             PARTITION BY pid ORDER BY score DESC, vec_id) AS rk
+    FROM cand
+  ) WHERE rk <= {_RAG_TOPK}
+),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT t.pid, t.rk, t.vec_id AS doc_id, t.score, k.n_tokens,
+         sum(k.n_tokens) OVER (PARTITION BY t.pid ORDER BY t.rk
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM topk t JOIN tok k ON k.doc_id = t.vec_id
+)
+SELECT pid AS query_id,
+       CAST(rk AS BIGINT) AS ctx_rank,
+       doc_id,
+       CAST(score AS BIGINT) AS score_micro2,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       cum <= {_RAG_BUDGET} AS in_context
+FROM packed
+"""
+
+
+@query("rag_retrieve_pack", oracle=_RAG_ORACLE, tags=("similarity", "retrieval", "trainprep"))
+def rag_retrieve_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving composition, per query of the fixed
+    {_KNNJ_PROBES}-probe set: IVF retrieval (probe the {_KNNJ_NPROBE}
+    nearest cells of the shared one-Lloyd-round codebook), exact
+    integer inner-product re-rank to top-{_RAG_TOPK} documents
+    (doc_id ≡ vec_id in the catalog), then prefix-packing of the
+    ranked hits into a {_RAG_BUDGET}-token context budget using the
+    ``pack_documents_token_budget`` whitespace token counts. Rows
+    carry the packed flag rather than being filtered, so the output
+    grades BOTH the retrieval ranking and the packing boundary.
+
+    Scale: the probe-cell election is a per-query window over the
+    broadcast |codebook| rows (bounded by k, never data-sized); the
+    candidate join is cell-equi against the assigned corpus — cost
+    nprobe × cell, never corpus² — and the re-rank window partitions
+    by query over cell-bounded candidates. The doc-token join keys on
+    doc_id with the small candidate side broadcast; packing is one
+    {_RAG_TOPK}-row cumsum per query. A million queries change only
+    the probe-side row count — every per-query cost is index-bounded.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    cb = _fit_codebook(vectors)
+    probes = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    wc = W.partitionBy("pid").orderBy(F.asc("__dc"), F.asc("__pc"))
+    pcell = (
+        probes.crossJoin(F.broadcast(cb.select(F.col("c").alias("__pc"), "mu")))
+        .select("pid", "px", "__pc", _sq_dist("px", "mu").alias("__dc"))
+        .withColumn("__prn", F.row_number().over(wc))
+        .filter(F.col("__prn") <= _KNNJ_NPROBE)
+        .select("pid", "px", F.col("__pc").alias("__c"))
+    )
+    index = _assign(vectors, cb).select(
+        F.col("c").alias("__c"), F.col("vec_id").alias("doc_id"), F.col("x").alias("__xb")
+    )
+    cand = (
+        pcell.join(index, ["__c"])
+        .filter(F.col("pid") != F.col("doc_id"))
+        .select(
+            "pid", "doc_id", _dot_int_cols(F.col("px"), F.col("__xb")).alias("score")
+        )
+    )
+    wr = W.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        cand.withColumn("ctx_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("ctx_rank") <= _RAG_TOPK)
+    )
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    packed = tok.join(F.broadcast(topk), "doc_id")
+    wp = W.partitionBy("pid").orderBy("ctx_rank").rowsBetween(W.unboundedPreceding, 0)
+    return packed.select(
+        F.col("pid").alias("query_id"),
+        "ctx_rank",
+        "doc_id",
+        F.col("score").alias("score_micro2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_tokens").over(wp).cast("long").alias("cum_tokens"),
+        (F.sum("n_tokens").over(wp) <= _RAG_BUDGET).alias("in_context"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (hard negatives)
+# ---------------------------------------------------------------------------
+
+_CONTRASTIVE_ORACLE = f"""
+WITH xl AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x
+  FROM embeddings
+),
+pb AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, x AS px
+  FROM xl WHERE vec_id < {_KNNJ_PROBES}
+),
+base AS (
+  SELECT p.anchor_id, p.anchor_label, e.vec_id, e.label,
+         {_dist_sql('e.x', 'p.px')} AS d
+  FROM xl e JOIN pb p ON e.vec_id <> p.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id, d FROM (
+    SELECT anchor_id, vec_id, d,
+           row_number() OVER (
+             PARTITION BY anchor_id ORDER BY d, vec_id) AS rn
+    FROM base WHERE label = anchor_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id, d FROM (
+    SELECT anchor_id, vec_id, d,
+           row_number() OVER (
+             PARTITION BY anchor_id ORDER BY d, vec_id) AS rn
+    FROM base WHERE label <> anchor_label
+  ) WHERE rn = 1
+)
+SELECT p.anchor_id, b.anchor_label,
+       p.vec_id AS positive_id, CAST(p.d AS BIGINT) AS positive_d2,
+       n.vec_id AS negative_id, CAST(n.d AS BIGINT) AS negative_d2,
+       CAST(n.d - p.d AS BIGINT) AS margin_d2,
+       n.d > p.d AS separated
+FROM pos p
+JOIN neg n ON n.anchor_id = p.anchor_id
+JOIN (SELECT DISTINCT anchor_id, anchor_label FROM pb) b
+  ON b.anchor_id = p.anchor_id
+"""
+
+
+@query(
+    "contrastive_pairs_mining",
+    oracle=_CONTRASTIVE_ORACLE,
+    tags=("similarity", "retrieval", "trainprep"),
+)
+def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (DPR/SimCSE data prep): for
+    each anchor of the fixed {_KNNJ_PROBES}-probe set, elect the
+    nearest SAME-label corpus vector (the positive) and the nearest
+    DIFFERENT-label one (the hard negative) by exact integer squared
+    L2, and report the margin between them plus the ``separated``
+    verdict (negative strictly farther than positive) — the per-anchor
+    row a contrastive fine-tune consumes as (anchor, positive, hard
+    negative).
+
+    Scale: the anchor set broadcasts against ONE corpus scan, and both
+    elections are conditional ``min(struct(d, id))`` aggregates in the
+    SAME map-side-combinable hash aggregate — no window, no second
+    scan, no per-label shuffle. The ×|anchors| fanout collapses
+    map-side; only |anchors| result rows reach the exchange. Labels
+    never partition the data, so a skewed label distribution cannot
+    skew the shuffle.
+    """
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _micro_units(F.col("embedding")).alias("x"),
+    )
+    pb = vec.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("x").alias("px"),
+    )
+    base = vec.join(F.broadcast(pb), vec["vec_id"] != pb["anchor_id"]).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "label",
+        _sq_dist_cols(F.col("x"), F.col("px")).alias("d"),
+    )
+    same = F.col("label") == F.col("anchor_label")
+    agg = base.groupBy("anchor_id", "anchor_label").agg(
+        F.min(F.when(same, F.struct("d", "vec_id"))).alias("p"),
+        F.min(F.when(~same, F.struct("d", "vec_id"))).alias("n"),
+    )
+    return agg.select(
+        "anchor_id",
+        "anchor_label",
+        F.col("p.vec_id").alias("positive_id"),
+        F.col("p.d").alias("positive_d2"),
+        F.col("n.vec_id").alias("negative_id"),
+        F.col("n.d").alias("negative_d2"),
+        (F.col("n.d") - F.col("p.d")).alias("margin_d2"),
+        (F.col("n.d") > F.col("p.d")).alias("separated"),
+    )

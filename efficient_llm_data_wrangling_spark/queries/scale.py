@@ -141,6 +141,184 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MinHash sketch calibration (portable md5 permutation family)
+# ---------------------------------------------------------------------------
+
+_CAL_LANES = 64
+_CAL_BANDS = 16
+_CAL_ROWS = _CAL_LANES // _CAL_BANDS
+
+
+def _hexint_sql(expr: str, start: int, width: int) -> str:
+    """Local twin of curation._hexint_sql (curation imports from this
+    module, so importing it back would be circular): big-endian integer
+    value of ``width`` hex chars of ``expr`` from 1-based ``start`` —
+    DuckDB's spelling of Spark ``conv(substring(h, start, width), 16, 10)``."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1) * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _perm_min_sql(a: int, b: int) -> str:
+    return (
+        f"list_aggregate([(({a} * x + {b}) % {D._MERSENNE_P}) for x in h], 'min')"
+    )
+
+
+_CAL_SIG_SQL = "[" + ", ".join(
+    _perm_min_sql(a, b) for a, b in D._coefficients(_CAL_LANES, 42)
+) + "]"
+
+_CAL_ORACLE = f"""
+WITH {_CORPUS_SQL.strip()},
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct([CAST({_hexint_sql('md5(s)', 1, 8)} AS BIGINT)
+                        for s in {_shingles_sql()}]) AS h
+  FROM corpus
+),
+sg AS (
+  SELECT doc_id, lang, h, {_CAL_SIG_SQL} AS sig FROM sh
+),
+bnd AS (
+  SELECT doc_id, lang, b.b AS band,
+         array_to_string(sig[(b.b * {_CAL_ROWS} + 1):(b.b * {_CAL_ROWS} + {_CAL_ROWS})], ',') AS key
+  FROM sg, (SELECT unnest(range(0, {_CAL_BANDS})) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bnd a JOIN bnd b
+    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+   AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.left_id, c.right_id,
+         len(list_filter(range(1, {_CAL_LANES} + 1),
+                         i -> sa.sig[i] = sb.sig[i])) AS matches,
+         len(list_intersect(sa.h, sb.h)) AS inter,
+         len(list_distinct(list_concat(sa.h, sb.h))) AS uni
+  FROM cand c
+  JOIN sg sa ON sa.doc_id = c.left_id
+  JOIN sg sb ON sb.doc_id = c.right_id
+),
+milli AS (
+  SELECT (matches * 1000) // {_CAL_LANES} AS est_milli,
+         (inter * 1000) // uni AS exact_milli
+  FROM scored
+)
+SELECT CAST(least(exact_milli // 100, 9) AS BIGINT) AS jaccard_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_milli - exact_milli)) AS BIGINT) AS sum_abs_err_milli,
+       CAST(max(abs(est_milli - exact_milli)) AS BIGINT) AS max_abs_err_milli,
+       CAST(sum(CASE WHEN est_milli > exact_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       CAST(sum(CASE WHEN est_milli < exact_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_under
+FROM milli GROUP BY 1
+"""
+
+
+@query("minhash_error_calibration", oracle=_CAL_ORACLE, tags=("dedup", "sketch"))
+def minhash_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact calibration of the MinHash estimator: over the
+    LSH candidate pairs of the planted-duplicate corpus, compare the
+    {_CAL_LANES}-permutation estimate (``matches/{_CAL_LANES}``, in
+    exact floor-milli) against the exact Jaccard of the hashed shingle
+    sets it estimates, and report per exact-Jaccard decile the pair
+    count, summed/max absolute error, and the over/under split — the
+    study that decides whether {_CAL_LANES} permutations are enough
+    before trusting the sketch at a threshold (expected σ ≈
+    √(J(1−J)/{_CAL_LANES}) ≈ 60 milli at J=0.5, shrinking toward both
+    ends — the report shows exactly that shape).
+
+    The pipeline's production minhash (``dedup_minhash_lsh``) hashes
+    shingles and bands with xxhash64, which has no DuckDB twin — its
+    oracle therefore proves candidate-generation losslessness against
+    exact Jaccard but cannot replay the ESTIMATE. This query swaps in
+    the portable md5 permutation family (identical ``(a·x+b) mod P``
+    formula and literal coefficients, 32-bit md5-prefix shingle
+    hashes, raw signature-slice band keys) so BOTH engines replay
+    signatures, banding, candidates, and the estimate bit-for-bit —
+    the error report itself is what the driver hash-grades.
+
+    Scale: identical posture to ``dedup_minhash_lsh`` — the only
+    shuffle is the (lang, band, key) self-join on exploded band keys;
+    signatures fold map-side ({_CAL_LANES}×8 B per doc); the exact
+    re-verify touches only candidate pairs; the report is ≤10 rows.
+    """
+    tune(spark)
+    corpus = _corpus_with_dups(spark, sf_dir)
+    t = corpus.select("doc_id", "lang", D.tokens(F.col("text")).alias("__t"))
+    md5h = lambda s: F.conv(  # noqa: E731 — the portable 32-bit shingle hash
+        F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    sh = t.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.transform(D.shingles(F.col("__t"), 3), md5h)).alias("h"),
+    )
+    sg = sh.select(
+        "doc_id", "lang", "h", D.minhash_signature(F.col("h"), _CAL_LANES, 42).alias("sig")
+    ).localCheckpoint()
+    bnd = sg.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.lit(_CAL_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "lang",
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice("sig", F.col("band") * _CAL_ROWS + 1, _CAL_ROWS),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("key"),
+    )
+    a = bnd.select(
+        F.col("lang").alias("__lg"), "band", "key", F.col("doc_id").alias("left_id")
+    )
+    b = bnd.select(
+        F.col("lang").alias("__lg"), "band", "key", F.col("doc_id").alias("right_id")
+    )
+    cand = (
+        a.join(b, ["__lg", "band", "key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    sa = sg.select(F.col("doc_id").alias("left_id"), F.col("h").alias("__ha"), F.col("sig").alias("__sa"))
+    sb = sg.select(F.col("doc_id").alias("right_id"), F.col("h").alias("__hb"), F.col("sig").alias("__sb"))
+    scored = (
+        cand.join(sa, "left_id")
+        .join(sb, "right_id")
+        .select(
+            F.size(
+                F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v)
+            ).alias("matches"),
+            F.size(F.array_intersect("__ha", "__hb")).alias("inter"),
+            F.size(F.array_union("__ha", "__hb")).alias("uni"),
+        )
+    )
+    milli = scored.select(
+        F.expr(f"(matches * 1000) div {_CAL_LANES}").alias("est_milli"),
+        F.expr("(inter * 1000) div uni").alias("exact_milli"),
+    )
+    err = F.abs(F.col("est_milli") - F.col("exact_milli"))
+    return milli.groupBy(
+        F.least(F.expr("exact_milli div 100"), F.lit(9)).cast("long").alias("jaccard_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(err).alias("sum_abs_err_milli"),
+        F.max(err).alias("max_abs_err_milli"),
+        F.sum(F.when(F.col("est_milli") > F.col("exact_milli"), 1).otherwise(0)).alias("n_over"),
+        F.sum(F.when(F.col("est_milli") < F.col("exact_milli"), 1).otherwise(0)).alias("n_under"),
+    )
+
+
 _SIMHASH_ORACLE = f"""
 WITH {_CORPUS_SQL}
 SELECT CAST(count(*) AS BIGINT) AS n_docs,

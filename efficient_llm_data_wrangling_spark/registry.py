@@ -78,6 +78,15 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # NOT re-pinned: knn_graph_greedy_search — the r9 checkpoint A/B
     # left its default plan and values bit-identical (refutation
     # recorded in _greedy_report's docstring).
+    # the RAG serving composition: IVF retrieve → exact re-rank →
+    # token-budget context pack (queries/retrieval.py).
+    "rag_retrieve_pack",
+    # contrastive training-pair mining: per-anchor nearest same-label
+    # positive + nearest different-label hard negative + margin.
+    "contrastive_pairs_mining",
+    # sketch-vs-exact MinHash calibration on the portable md5
+    # permutation family — both engines replay the estimate itself.
+    "minhash_error_calibration",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -106,3 +106,30 @@ def test_minhash_candidate_plan_uses_the_fold(spark):
     plan = qe.optimizedPlan().toString()
     assert "zip_with" in plan
     assert "__m0" not in plan  # no aggregate-lane signature path
+
+
+def test_minhash_error_calibration_bookkeeping_and_planted_clones(spark):
+    """The sketch-calibration report's integer bookkeeping must
+    reconcile, and the planted exact clones (identical text ⇒ J=1000,
+    identical signature ⇒ est=1000) must all land in the top decile
+    with zero error — so the top band's zero-error pair count is
+    bounded below by the clone-pair count."""
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        minhash_error_calibration,
+    )
+
+    rows = {r.jaccard_band: r for r in minhash_error_calibration(spark, SF_SMOKE).collect()}
+    assert rows, "calibration report is empty"
+    for band, r in rows.items():
+        assert 0 <= band <= 9
+        assert r.n_over + r.n_under <= r.n_pairs
+        assert r.max_abs_err_milli <= r.sum_abs_err_milli <= r.n_pairs * r.max_abs_err_milli
+        assert 0 <= r.max_abs_err_milli <= 1000
+    clones = (
+        load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") % 7 == 0).count()
+    )
+    top = rows[9]
+    zero_err_pairs = top.n_pairs - top.n_over - top.n_under
+    assert zero_err_pairs >= clones
+    # the sketch must actually err somewhere (it is an estimate)
+    assert any(r.sum_abs_err_milli > 0 for r in rows.values())

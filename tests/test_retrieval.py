@@ -1,0 +1,125 @@
+"""Contract tests for the retrieval-serving family
+(queries/retrieval.py): RAG retrieve→re-rank→pack and contrastive
+pair mining. The DuckDB value oracle is the correctness gate; these
+pin the semantic invariants a hash compare can't name."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_rag_retrieve_pack_prefix_and_ranking_contract(spark):
+    """Per query: ctx_rank is 1..topk dense, cum_tokens is the running
+    sum of n_tokens in rank order, in_context is exactly the
+    cum<=budget prefix (monotone false-after-true boundary), and
+    scores are non-increasing in rank."""
+    from efficient_llm_data_wrangling_spark.queries.retrieval import (
+        _RAG_BUDGET,
+        _RAG_TOPK,
+        rag_retrieve_pack,
+    )
+
+    rows = rag_retrieve_pack(spark, SF_SMOKE).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, qrows in by_q.items():
+        qrows.sort(key=lambda r: r.ctx_rank)
+        assert [r.ctx_rank for r in qrows] == list(range(1, len(qrows) + 1))
+        assert len(qrows) <= _RAG_TOPK
+        cum = 0
+        prev_score = None
+        seen_out = False
+        for r in qrows:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            assert r.in_context == (cum <= _RAG_BUDGET)
+            if not r.in_context:
+                seen_out = True
+            else:
+                # prefix property: never back in after an overflow
+                assert not seen_out
+            if prev_score is not None:
+                assert r.score_micro2 <= prev_score
+            prev_score = r.score_micro2
+            assert r.doc_id != qid  # the query vector never retrieves itself
+    # the budget boundary must actually bite somewhere on this corpus
+    assert any(not r.in_context for r in rows)
+    assert any(r.in_context for r in rows)
+
+
+def test_rag_retrieve_pack_candidates_come_from_probed_cells(spark):
+    """Every retrieved doc must live in one of its query's nprobe
+    nearest codebook cells — the IVF blocking contract."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_NPROBE,
+        _assign,
+        _fit_codebook,
+        _load_vectors,
+        _sq_dist_cols,
+    )
+    from efficient_llm_data_wrangling_spark.queries.retrieval import (
+        rag_retrieve_pack,
+    )
+
+    vectors = _load_vectors(spark, SF_SMOKE)
+    cb = _fit_codebook(vectors)
+    cells = {r.vec_id: r.c for r in _assign(vectors, cb).collect()}
+    mus = {r.c: r.mu for r in cb.collect()}
+    xs = {r.vec_id: r.x for r in vectors.collect()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    rows = rag_retrieve_pack(spark, SF_SMOKE).collect()
+    for r in rows:
+        ranked = sorted(mus, key=lambda c: (d2(xs[r.query_id], mus[c]), c))
+        assert cells[r.doc_id] in ranked[:_KNNJ_NPROBE]
+
+
+def test_contrastive_pairs_labels_and_margin_reconcile(spark):
+    """Positive/negative label membership, exact distances, and the
+    margin/separated bookkeeping all recompute in pure Python."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_PROBES,
+        _micro_units,
+    )
+    from efficient_llm_data_wrangling_spark.queries.retrieval import (
+        contrastive_pairs_mining,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label", _micro_units(F.col("embedding")).alias("x"))
+        .collect()
+    )
+    labels = {r.vec_id: r.label for r in emb}
+    xs = {r.vec_id: r.x for r in emb}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    rows = contrastive_pairs_mining(spark, SF_SMOKE).collect()
+    assert len(rows) == _KNNJ_PROBES
+    for r in rows:
+        assert r.anchor_label == labels[r.anchor_id]
+        assert labels[r.positive_id] == r.anchor_label
+        assert labels[r.negative_id] != r.anchor_label
+        assert r.positive_id != r.anchor_id
+        assert r.positive_d2 == d2(xs[r.anchor_id], xs[r.positive_id])
+        assert r.negative_d2 == d2(xs[r.anchor_id], xs[r.negative_id])
+        assert r.margin_d2 == r.negative_d2 - r.positive_d2
+        assert r.separated == (r.negative_d2 > r.positive_d2)
+        # elected minima: no same/different-label vector is closer
+        for vid, lab in labels.items():
+            if vid == r.anchor_id:
+                continue
+            d = d2(xs[r.anchor_id], xs[vid])
+            if lab == r.anchor_label:
+                assert (d, vid) >= (r.positive_d2, r.positive_id)
+            else:
+                assert (d, vid) >= (r.negative_d2, r.negative_id)
