@@ -38,8 +38,11 @@ from pyspark.sql import functions as F
 from efficient_llm_data_wrangling_spark.operators import dedup as D
 from efficient_llm_data_wrangling_spark.operators.graph import connected_components
 from efficient_llm_data_wrangling_spark.queries.scale import (
+    _CAL_SIG_SQL,
     _CORPUS_SQL,
     _corpus_with_dups,
+    _h32_sql,
+    _portable_minhash,
     _shingles_sql,
 )
 from efficient_llm_data_wrangling_spark.registry import query
@@ -168,6 +171,157 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: near-duplicate eval leakage the n-gram check misses
+# ---------------------------------------------------------------------------
+
+_FUZZY_J_MILLI = 500  # exact-Jaccard verify threshold (milli)
+_FUZZY_BANDS = 32
+_FUZZY_ROWS = 2  # 64 lanes / 32 bands — s-curve midpoint ≈ 0.18
+
+_FUZZY_TRIM_SQL = (
+    "array_to_string((string_split(text, ' '))"
+    "[1:greatest(len(string_split(text, ' ')) - 5, 3)], ' ')"
+)
+
+
+def _fuzzy_bands_sql(src: str) -> str:
+    return f"""
+  SELECT doc_id, b.b AS band,
+         array_to_string(sig[(b.b * {_FUZZY_ROWS} + 1):(b.b * {_FUZZY_ROWS} + {_FUZZY_ROWS})], ',') AS key
+  FROM {src}, (SELECT unnest(range(0, {_FUZZY_BANDS})) AS b) b"""
+
+
+_FUZZY_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents
+),
+tr AS (
+  SELECT doc_id, text FROM t WHERE bucket < 13
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, {_FUZZY_TRIM_SQL} AS text
+  FROM t WHERE bucket = 15
+),
+te AS (SELECT doc_id, text FROM t WHERE bucket = 15),
+sgt AS (
+  SELECT doc_id, h, {_CAL_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_h32_sql()} AS h FROM tr)
+),
+sge AS (
+  SELECT doc_id, h, {_CAL_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_h32_sql()} AS h FROM te)
+),
+bt AS ({_fuzzy_bands_sql('sgt')}),
+be AS ({_fuzzy_bands_sql('sge')}),
+cand AS (
+  SELECT DISTINCT bt.doc_id AS train_id, be.doc_id AS test_id
+  FROM bt JOIN be ON bt.band = be.band AND bt.key = be.key
+),
+ver AS (
+  SELECT c.train_id, c.test_id,
+         (len(list_intersect(a.h, b.h)) * 1000)
+           // len(list_distinct(list_concat(a.h, b.h))) AS jaccard_milli
+  FROM cand c
+  JOIN sgt a ON a.doc_id = c.train_id
+  JOIN sge b ON b.doc_id = c.test_id
+)
+SELECT train_id, test_id,
+       CAST(jaccard_milli AS BIGINT) AS jaccard_milli,
+       train_id >= 3000000 AS planted_leak
+FROM ver WHERE jaccard_milli >= {_FUZZY_J_MILLI}
+"""
+
+
+@query(
+    "decontaminate_minhash_fuzzy",
+    oracle=_FUZZY_DECON_ORACLE,
+    tags=("curation", "dedup", "sketch"),
+)
+def decontaminate_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the companion
+    ``decontaminate_ngram_overlap`` needs for leakage that exact
+    n-gram overlap misses (truncated, lightly edited, or re-wrapped
+    eval documents): every train-side document whose hashed-shingle
+    Jaccard against any test-split document verifies ≥
+    {_FUZZY_J_MILLI} milli, found via the portable md5 MinHash family
+    (``minhash_error_calibration`` grades exactly this sketch) banded
+    at {_FUZZY_BANDS}×{_FUZZY_ROWS} — s-curve midpoint ≈ 0.18, so a
+    true J=0.5 pair is missed with probability (1−0.25)^{_FUZZY_BANDS}
+    ≈ 1e-4 and the exact verify prunes the low-J candidate noise the
+    aggressive banding admits. Leakage is planted deterministically
+    (every test doc re-enters the train side truncated by 5 words,
+    id+3e6 — Jaccard ≈ 0.75, far above both the band midpoint and the
+    verify bar) so the pass provably catches what it exists to catch;
+    ``planted_leak`` marks those rows.
+
+    Scale: the benchmark side is thousands of docs against a 100 TB
+    corpus — its band keys AND its shingle-hash sets broadcast; the
+    corpus side never shuffles before the band join (scan-side explode
+    of {_FUZZY_BANDS} keys/doc), and the exact verify touches only
+    candidates. Identical posture to the production LSH dedup, with
+    every stage replayable by the DuckDB oracle.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) - 1
+    )
+    t = docs.select("doc_id", "text", bucket.alias("bucket"))
+    train = t.filter(F.col("bucket") < 13).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    trimmed = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(3))))
+    leaks = t.filter(F.col("bucket") == 15).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), trimmed.alias("text")
+    )
+    test = t.filter(F.col("bucket") == 15).select("doc_id", "text")
+    sgt = _portable_minhash(train.unionByName(leaks), ["doc_id"]).localCheckpoint()
+    sge = _portable_minhash(test, ["doc_id"]).localCheckpoint()
+
+    def bands(sg: DataFrame, id_alias: str) -> DataFrame:
+        return sg.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_BANDS - 1))).alias("band"),
+            "sig",
+        ).select(
+            id_alias,
+            "band",
+            F.array_join(
+                F.transform(
+                    F.slice("sig", F.col("band") * _FUZZY_ROWS + 1, _FUZZY_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("key"),
+        )
+
+    cand = (
+        bands(sgt, "train_id")
+        .join(F.broadcast(bands(sge, "test_id")), ["band", "key"])
+        .select("train_id", "test_id")
+        .distinct()
+    )
+    ver = (
+        cand.join(sgt.select(F.col("doc_id").alias("train_id"), F.col("h").alias("__ha")), "train_id")
+        .join(
+            F.broadcast(sge.select(F.col("doc_id").alias("test_id"), F.col("h").alias("__hb"))),
+            "test_id",
+        )
+        .select(
+            "train_id",
+            "test_id",
+            F.expr(
+                "(size(array_intersect(__ha, __hb)) * 1000) div size(array_union(__ha, __hb))"
+            ).alias("jaccard_milli"),
+        )
+    )
+    return ver.filter(F.col("jaccard_milli") >= _FUZZY_J_MILLI).select(
+        "train_id",
+        "test_id",
+        F.col("jaccard_milli").cast("long").alias("jaccard_milli"),
+        (F.col("train_id") >= 3000000).alias("planted_leak"),
     )
 
 

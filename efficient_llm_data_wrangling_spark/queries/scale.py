@@ -168,16 +168,50 @@ def _perm_min_sql(a: int, b: int) -> str:
     )
 
 
+#: the 64-lane portable signature over a column named ``h`` — embeds
+#: the literal (a, b) coefficients, so any CTE that exposes the hashed
+#: shingle set as ``h`` can replay the exact Spark signature.
 _CAL_SIG_SQL = "[" + ", ".join(
     _perm_min_sql(a, b) for a, b in D._coefficients(_CAL_LANES, 42)
 ) + "]"
 
+
+def _h32_sql(text_expr: str = "text") -> str:
+    """DuckDB: the distinct 32-bit md5-prefix shingle-hash set of a
+    text expression (the portable twin of :func:`_portable_minhash`'s
+    ``h`` column)."""
+    return (
+        f"list_distinct([CAST({_hexint_sql('md5(s)', 1, 8)} AS BIGINT)"
+        f" for s in {_shingles_sql(text_expr)}])"
+    )
+
+
+def _portable_minhash(df: DataFrame, keep: list[str], text_col: str = "text") -> DataFrame:
+    """(keep…, h, sig): hashed shingle set + 64-lane signature in the
+    PORTABLE md5 permutation family — identical ``(a·x+b) mod P``
+    formula and coefficients as the production xxhash64 pipeline, but
+    with 32-bit md5-prefix shingle hashes so DuckDB replays the
+    signature bit-for-bit (``_h32_sql`` / ``_CAL_SIG_SQL``). Shared by
+    the sketch-calibration report and the fuzzy decontamination pass.
+    Same staging discipline as ``_staged_shingle_hashes``: tokens and
+    hashes each materialize once per row."""
+    t = df.select(*keep, D.tokens(F.col(text_col)).alias("__t"))
+    md5h = lambda s: F.conv(  # noqa: E731 — the portable 32-bit shingle hash
+        F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    sh = t.select(
+        *keep,
+        F.array_distinct(F.transform(D.shingles(F.col("__t"), 3), md5h)).alias("h"),
+    )
+    return sh.select(
+        *keep, "h", D.minhash_signature(F.col("h"), _CAL_LANES, 42).alias("sig")
+    )
+
+
 _CAL_ORACLE = f"""
 WITH {_CORPUS_SQL.strip()},
 sh AS (
-  SELECT doc_id, lang,
-         list_distinct([CAST({_hexint_sql('md5(s)', 1, 8)} AS BIGINT)
-                        for s in {_shingles_sql()}]) AS h
+  SELECT doc_id, lang, {_h32_sql()} AS h
   FROM corpus
 ),
 sg AS (
@@ -249,18 +283,7 @@ def minhash_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     corpus = _corpus_with_dups(spark, sf_dir)
-    t = corpus.select("doc_id", "lang", D.tokens(F.col("text")).alias("__t"))
-    md5h = lambda s: F.conv(  # noqa: E731 — the portable 32-bit shingle hash
-        F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
-    ).cast("long")
-    sh = t.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(F.transform(D.shingles(F.col("__t"), 3), md5h)).alias("h"),
-    )
-    sg = sh.select(
-        "doc_id", "lang", "h", D.minhash_signature(F.col("h"), _CAL_LANES, 42).alias("sig")
-    ).localCheckpoint()
+    sg = _portable_minhash(corpus, ["doc_id", "lang"]).localCheckpoint()
     bnd = sg.select(
         "doc_id",
         "lang",

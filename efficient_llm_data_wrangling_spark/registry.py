@@ -87,6 +87,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # sketch-vs-exact MinHash calibration on the portable md5
     # permutation family — both engines replay the estimate itself.
     "minhash_error_calibration",
+    # fuzzy benchmark decontamination over the same portable sketch —
+    # the near-dup leakage pass exact n-gram overlap misses.
+    "decontaminate_minhash_fuzzy",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -343,3 +343,59 @@ def test_release_delta_reconciles(spark):
         assert r.v2_docs == r.v1_docs + r.n_new_admitted
         assert (r.delta_tokens > 0) == (r.n_new_admitted > 0)
     assert sum(r.n_dup_rejected for r in rows) > 0  # clones must be caught
+
+
+def test_fuzzy_decontamination_catches_every_planted_leak(spark):
+    """Every test-split document re-enters the train side truncated
+    (the planted leak, id+3e6); the fuzzy pass must flag each leak
+    against its origin test doc at J ≥ 500 milli, and every flagged
+    row's Jaccard must recompute exactly from the portable hash sets."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _FUZZY_J_MILLI,
+        decontaminate_minhash_fuzzy,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    rows = decontaminate_minhash_fuzzy(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    bucket = {
+        r.doc_id: int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[0], 16)
+        for r in docs
+    }
+    test_ids = {d for d, b in bucket.items() if b == 15}
+    assert test_ids, "smoke corpus has no test-split docs"
+
+    def h32(text: str) -> set[int]:
+        toks = text.split(" ")
+        n = max(len(toks) - 2, 1)
+        sh = {" ".join(toks[i : i + 3]) for i in range(n)}
+        return {
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+        }
+
+    texts = {r.doc_id: r.text for r in docs}
+
+    def trimmed(text: str) -> str:
+        toks = text.split(" ")
+        return " ".join(toks[: max(len(toks) - 5, 3)])
+
+    flagged = {(r.train_id, r.test_id) for r in rows}
+    for tid in test_ids:
+        assert (tid + 3000000, tid) in flagged, f"planted leak for {tid} missed"
+    for r in rows:
+        assert r.test_id in test_ids
+        assert r.planted_leak == (r.train_id >= 3000000)
+        left = (
+            h32(trimmed(texts[r.train_id - 3000000]))
+            if r.train_id >= 3000000
+            else h32(texts[r.train_id])
+        )
+        right = h32(texts[r.test_id])
+        want = len(left & right) * 1000 // len(left | right)
+        assert r.jaccard_milli == want
+        assert r.jaccard_milli >= _FUZZY_J_MILLI
+        if r.train_id < 3000000:
+            assert bucket[r.train_id] < 13
