@@ -363,3 +363,121 @@ def batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     ).localCheckpoint().createOrReplaceTempView("__bdocs")
     return spark.sql(_padding_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Adaptive data mixing: DoReMi-style multiplicative-weights rounds
+# ---------------------------------------------------------------------------
+
+_MW_ROUNDS = 4
+_MW_EPS = 500  # update gain: w *= (1e6 + eps * excess_milli) / 1e6
+
+
+def _mw_round_ctes() -> str:
+    ctes = [
+        "w0 AS (SELECT source, loss_milli, CAST(1000000 AS BIGINT) AS w FROM loss)"
+    ]
+    for r in range(1, _MW_ROUNDS + 1):
+        p = f"w{r - 1}"
+        ctes.append(
+            f"m{r} AS (SELECT CAST(sum(w * loss_milli) // sum(w) AS BIGINT) AS ml FROM {p})"
+        )
+        ctes.append(
+            f"""w{r} AS (
+  SELECT source, loss_milli,
+         CAST(loss_milli - ml AS BIGINT) AS excess_milli,
+         CAST(w * (1000000 + {_MW_EPS} * (loss_milli - ml)) // 1000000 AS BIGINT) AS w
+  FROM {p}, m{r}
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+_MW_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT source,
+         (len(toks) - len(list_distinct(toks))) * 1000 // len(toks) AS rep_milli
+  FROM t WHERE len(toks) > 0
+),
+loss AS (
+  SELECT source, CAST(sum(rep_milli) // count(*) AS BIGINT) AS loss_milli
+  FROM d GROUP BY source
+),
+{_mw_round_ctes()}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, source, loss_milli, excess_milli, w AS weight_micro FROM w{r}"
+    for r in range(1, _MW_ROUNDS + 1)
+)}
+"""
+
+
+@query("domain_reweight_rounds", oracle=_MW_ORACLE, tags=("trainprep", "iterative", "mixture"))
+def domain_reweight_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive data mixing as relational rounds (DoReMi, Xie et al.
+    2023, with the classic linearized multiplicative-weights update):
+    each source's proxy loss is its mean per-document repetition rate
+    in exact milli (the in-engine difficulty signal; a production run
+    substitutes proxy-model excess loss), and each of the {_MW_ROUNDS}
+    rounds recomputes the current mixture's weighted loss, measures
+    every source's excess over it, and reweights ``w ←
+    w·(1e6 + {_MW_EPS}·excess)/1e6`` in floor-division micro-units —
+    upweighting the domains the current mixture handles worst, exactly
+    DoReMi's control loop. The full per-round trace (loss, excess,
+    weight) is the graded output, so both engines replay every
+    division boundary of the iteration bit-for-bit.
+
+    Scale: the per-source loss is ONE scan-side aggregate over the
+    corpus; every round after that is arithmetic on a |sources|-row
+    frame with the 1-row mixture loss joined in-plan as a broadcast
+    aggregate (the ``stream_drift_monitor`` denominator discipline —
+    no collect, no driver loop). 100 TB changes only the first
+    aggregate's scan time; the iteration cost is independent of data
+    size. localCheckpoint truncates the per-round lineage (the BPE /
+    perceptron round discipline).
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = docs.select("source", toks.alias("toks")).filter(F.size("toks") > 0).select(
+        "source",
+        F.expr(
+            "(size(toks) - size(array_distinct(toks))) * 1000 div size(toks)"
+        ).alias("rep_milli"),
+    )
+    loss = d.groupBy("source").agg(
+        F.expr("sum(rep_milli) div count(*)").cast("long").alias("loss_milli")
+    )
+    w = loss.withColumn("w", F.lit(1000000).cast("long"))
+    traces: list[DataFrame] = []
+    for r in range(1, _MW_ROUNDS + 1):
+        m = w.agg(F.expr("sum(w * loss_milli) div sum(w)").cast("long").alias("ml"))
+        w = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "source",
+                "loss_milli",
+                (F.col("loss_milli") - F.col("ml")).cast("long").alias("excess_milli"),
+                F.expr(
+                    f"CAST(w * (1000000 + {_MW_EPS} * (loss_milli - ml)) div 1000000 AS BIGINT)"
+                ).alias("w"),
+            )
+            .localCheckpoint()
+        )
+        traces.append(
+            w.select(
+                F.lit(r).cast("long").alias("round"),
+                "source",
+                "loss_milli",
+                "excess_milli",
+                F.col("w").alias("weight_micro"),
+            )
+        )
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.unionByName(t)
+    return out

@@ -90,6 +90,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # fuzzy benchmark decontamination over the same portable sketch —
     # the near-dup leakage pass exact n-gram overlap misses.
     "decontaminate_minhash_fuzzy",
+    # DoReMi-style adaptive data mixing: multiplicative-weights rounds
+    # over per-source proxy loss, full trace graded.
+    "domain_reweight_rounds",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -86,3 +86,58 @@ def test_length_sorted_batching_never_pads_more(spark):
     for r in (a, s):
         assert r.wasted_tokens == r.padded_tokens - r.total_tokens
         assert 0 <= r.waste_permille <= 1000
+
+
+def test_domain_reweight_rounds_replays_in_pure_python(spark):
+    """The full multiplicative-weights trace must replay exactly from
+    the collected corpus: per-source floor-mean repetition loss, then
+    4 rounds of mixture-loss / excess / floor-division reweighting —
+    and the iteration must actually move weights in the excess
+    direction (monotone per source across rounds)."""
+    import pyspark.sql.functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        _MW_EPS,
+        _MW_ROUNDS,
+        domain_reweight_rounds,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = domain_reweight_rounds(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    per_source: dict[str, list[int]] = {}
+    for r in docs:
+        toks = [t for t in r.text.split(" ") if t != ""]
+        if not toks:
+            continue
+        rep = (len(toks) - len(set(toks))) * 1000 // len(toks)
+        per_source.setdefault(r.source, []).append(rep)
+    loss = {s: sum(v) // len(v) for s, v in per_source.items()}
+    w = {s: 1_000_000 for s in loss}
+    want = {}
+    for rnd in range(1, _MW_ROUNDS + 1):
+        ml = sum(w[s] * loss[s] for s in w) // sum(w.values())
+        excess = {s: loss[s] - ml for s in w}
+        # python // floors like DuckDB // and Spark div on these
+        # non-negative products (w > 0, factor > 0 by construction)
+        w = {s: w[s] * (1_000_000 + _MW_EPS * excess[s]) // 1_000_000 for s in w}
+        for s in w:
+            want[(rnd, s)] = (loss[s], excess[s], w[s])
+    assert len(rows) == _MW_ROUNDS * len(loss)
+    for r in rows:
+        lm, em, wm = want[(r.round, r.source)]
+        assert (r.loss_milli, r.excess_milli, r.weight_micro) == (lm, em, wm)
+    # weights move monotonically in the (stable-signed) excess direction
+    by_source: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: r.round):
+        by_source.setdefault(r.source, []).append(r)
+    moved = 0
+    for s, tr in by_source.items():
+        signs = {1 if t.excess_milli > 0 else -1 if t.excess_milli < 0 else 0 for t in tr}
+        if len(signs) == 1 and 0 not in signs:
+            ws = [t.weight_micro for t in tr]
+            assert ws == sorted(ws) or ws == sorted(ws, reverse=True)
+            if ws[0] != ws[-1]:
+                moved += 1
+    assert moved > 0  # the control loop is not a fixed point on this corpus
