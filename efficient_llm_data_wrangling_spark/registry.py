@@ -93,6 +93,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # DoReMi-style adaptive data mixing: multiplicative-weights rounds
     # over per-source proxy loss, full trace graded.
     "domain_reweight_rounds",
+    # the capstone's walk-locality lever turned: width-8 beam over the
+    # degree-8 graph with IVF-seeded entries (52.1% vs 34.4%).
+    "knn_graph_serving_beam8",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -793,3 +793,41 @@ def test_assign_cells_narrow_vector_fails_loudly(spark):
         vecs, cb.select("c", F.slice("mu", 1, 3).alias("mu")), dims=3
     ).collect()
     assert ok[0]["cell_id"] == 0
+
+
+def test_serving_beam8_widens_and_dominates_capstone(spark):
+    """The width-8 rung must be the same walk as the capstone with
+    only the frontier widened: identical entry vertices per probe,
+    strictly more touched corpus on average, strictly higher mean
+    recall on this deterministic corpus (the measured 34.4% → 52.1%),
+    and per-row bookkeeping (beam/hops/recall formula) consistent."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _BEAM_HOPS,
+        _BEAM_W8,
+        _BEAM_WIDTH,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        knn_graph_serving_beam8,
+        knn_graph_serving_capstone,
+    )
+    from tests.conftest import SF_SMOKE
+
+    wide = {r.pid: r for r in knn_graph_serving_beam8(spark, SF_SMOKE).collect()}
+    base = {r.pid: r for r in knn_graph_serving_capstone(spark, SF_SMOKE).collect()}
+    assert len(wide) == len(base) == _KNNJ_PROBES
+    for pid, r in wide.items():
+        assert r.beam == _BEAM_W8
+        assert base[pid].beam == _BEAM_WIDTH
+        assert r.n_hops == _BEAM_HOPS
+        # same seeding: entry vertices are identical per probe
+        assert r.entry_id == base[pid].entry_id
+        assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+        assert 0 <= r.n_overlap <= _KNNJ_K
+        # a wider frontier never touches less from the same entry
+        assert r.n_touched >= base[pid].n_touched
+    mean_wide = sum(r.recall_ppm for r in wide.values()) / len(wide)
+    mean_base = sum(r.recall_ppm for r in base.values()) / len(base)
+    assert mean_wide > mean_base
+    tw = sum(r.n_touched for r in wide.values()) / len(wide)
+    tb = sum(r.n_touched for r in base.values()) / len(base)
+    assert tw > tb
