@@ -96,6 +96,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # the capstone's walk-locality lever turned: width-8 beam over the
     # degree-8 graph with IVF-seeded entries (52.1% vs 34.4%).
     "knn_graph_serving_beam8",
+    # KMV distinct-count sketch graded against exact distincts — the
+    # hash-replayable twin of approx_distinct_events' HLL bounds.
+    "kmv_distinct_calibration",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

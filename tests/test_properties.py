@@ -219,3 +219,37 @@ def test_bpe_rounds_match_pure_python_reference(spark, words):
     )
     want = sorted((tuple(syms), types[w]) for w, syms in py_syms.items())
     assert got == want
+
+
+def test_kmv_distinct_calibration_replays_in_pure_python(spark):
+    """The KMV estimator must recompute exactly from the collected
+    events: per event_type, distinct md5-prefix hashes, k-th smallest,
+    (k-1)*2^32 // h_k (exact fallback when fewer than k), and the
+    permille error bookkeeping."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _KMV_K,
+        _KMV_SPACE,
+        kmv_distinct_calibration,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = kmv_distinct_calibration(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id").collect()
+    users: dict[str, set[int]] = {}
+    for r in ev:
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        us = users[r.event_type]
+        assert r.exact_users == len(us)
+        hs = sorted({int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) for u in us})
+        if len(hs) >= _KMV_K:
+            want = (_KMV_K - 1) * _KMV_SPACE // hs[_KMV_K - 1]
+        else:
+            want = len(us)
+        assert r.kmv_users == want
+        assert r.err_permille == abs(want - len(us)) * 1000 // len(us)
+    assert len(rows) == len(users)
