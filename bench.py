@@ -80,10 +80,14 @@ HEADLINE = [
     # search over the built kNN graph — the inference half of graph
     # ANN (what serving the corpus runs per query)
     "knn_graph_greedy_search",
-    # round-9 family (BENCH_r09 seeds its baseline): the composed
+    # round-9 families (BENCH_r09 seeds their baselines): the composed
     # production serving shape — IVF-seeded entries + beam walk over
-    # the degree-8 graph, every serving lever turned together
+    # the degree-8 graph, every serving lever turned together — and
+    # the portable-sketch fuzzy decontamination pass (train-vs-benchmark
+    # LSH band join + exact verify, the new r9 sketch family's
+    # data-scaling representative)
     "knn_graph_serving_capstone",
+    "decontaminate_minhash_fuzzy",
 ]
 
 

