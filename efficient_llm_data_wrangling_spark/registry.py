@@ -99,6 +99,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # KMV distinct-count sketch graded against exact distincts — the
     # hash-replayable twin of approx_distinct_events' HLL bounds.
     "kmv_distinct_calibration",
+    # SEMANTIC decontamination: embedding-cosine leakage vs the test
+    # split — the paraphrase rung completing the exact/fuzzy ladder.
+    "decontaminate_semantic_cosine",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (
