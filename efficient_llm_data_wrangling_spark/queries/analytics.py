@@ -1208,6 +1208,162 @@ def approx_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sample-quantile calibration (hash-replayable estimator vs exact ranks)
+# --------------------------------------------------------------------------
+
+#: 1/8 deterministic sample: first md5 hex digit of the KEY < 2.
+_SQC_SAMPLE_SQL = (
+    "instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1"
+)
+_SQC_QMS = (10, 50, 90)
+
+_SQC_ORACLE = f"""
+WITH c AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         {_SQC_SAMPLE_SQL} AS bh
+  FROM orders
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _SQC_QMS)}]) AS qm),
+nf AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY g),
+s AS (SELECT g, c FROM c WHERE bh < 2),
+ns AS (SELECT g, CAST(count(*) AS BIGINT) AS n_sample FROM s GROUP BY g),
+hws AS (
+  SELECT g, v, sum(freq) OVER (PARTITION BY g ORDER BY v) AS cum
+  FROM (SELECT g, c AS v, CAST(count(*) AS BIGINT) AS freq FROM s GROUP BY g, c)
+),
+est AS (
+  SELECT hws.g, qs.qm,
+         CAST(min(CASE WHEN hws.cum >= (ns.n_sample * qs.qm + 99) // 100
+                       THEN hws.v END) AS BIGINT) AS est_cents
+  FROM hws JOIN ns USING (g) CROSS JOIN qs
+  GROUP BY hws.g, qs.qm
+),
+hwf AS (
+  SELECT g, v, sum(freq) OVER (PARTITION BY g ORDER BY v) AS cum
+  FROM (SELECT g, c AS v, CAST(count(*) AS BIGINT) AS freq FROM c GROUP BY g, c)
+),
+exact AS (
+  SELECT hwf.g, qs.qm,
+         CAST(min(CASE WHEN hwf.cum >= (nf.n * qs.qm + 99) // 100
+                       THEN hwf.v END) AS BIGINT) AS exact_cents
+  FROM hwf JOIN nf USING (g) CROSS JOIN qs
+  GROUP BY hwf.g, qs.qm
+),
+rk AS (
+  SELECT c.g, e.qm,
+         CAST(count(CASE WHEN c.c <= e.est_cents THEN 1 END) AS BIGINT) AS rank_le
+  FROM c JOIN est e ON c.g = e.g
+  GROUP BY c.g, e.qm
+)
+SELECT e.g, CAST(e.qm AS BIGINT) AS qm, nf.n, ns.n_sample,
+       e.est_cents, x.exact_cents,
+       CAST(abs(rk.rank_le * 1000 // nf.n - e.qm * 10) AS BIGINT)
+         AS rank_err_permille
+FROM est e
+JOIN exact x ON e.g = x.g AND e.qm = x.qm
+JOIN nf ON nf.g = e.g
+JOIN ns ON ns.g = e.g
+JOIN rk ON rk.g = e.g AND rk.qm = e.qm
+"""
+
+
+@query("sample_quantile_calibration", oracle=_SQC_ORACLE, tags=("analytics", "sketch"))
+def sample_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-quantile ESTIMATOR graded against exact ranks — the
+    hash-replayable member of the quantile family, completing the
+    sketch-calibration trio (``minhash_error_calibration`` grades the
+    Jaccard estimator, ``kmv_distinct_calibration`` the cardinality
+    estimator, this one the quantile estimator; the GK sketch itself
+    stays bound-asserted in ``approx_quantile_report`` because Spark's
+    ``percentile_approx`` internals have no DuckDB twin): p10/p50/p90
+    of price cents per order priority estimated from the deterministic
+    1/8 md5-keyed sample, then the estimate's TRUE rank in the full
+    data measured as error in exact permille — the empirical
+    Dvoretzky–Kiefer–Wolfowitz shape (~sqrt(q(1-q)/n_s), ≈26‰ at p50
+    for n_s≈375 here) a pipeline consults before trusting sampled
+    statistics for shard sizing or winsorize bounds. Every stage —
+    sampling rule, ceil-rank election, rank probe — replays
+    bit-for-bit in both engines; nothing is bound-asserted.
+
+    Scale: the sample rule is a scan-side predicate (no shuffle to
+    sample); both rank elections are per-group bounded-histogram
+    windows over DISTINCT cents (the ``approx_quantile_report``
+    posture); the rank probe is one more scan with a broadcast
+    15-row estimate join — map-side combinable conditional counts,
+    so the full pass is three scans of one column regardless of
+    corpus size.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    qm_arr = F.array(*[F.lit(q) for q in _SQC_QMS])
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1),
+            )
+            - 1
+        ).alias("bh"),
+    )
+    nf = ords.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    samp = ords.filter(F.col("bh") < 2)
+    ns_ = samp.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+
+    def rank_elect(rows: DataFrame, sizes: DataFrame, size_col: str, out: str) -> DataFrame:
+        hist = rows.groupBy("g", F.col("c").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("freq")
+        )
+        hw = hist.select(
+            "g", "v", F.sum("freq").over(Window.partitionBy("g").orderBy("v")).alias("cum")
+        )
+        return (
+            hw.join(F.broadcast(sizes), "g")
+            .select("g", "v", "cum", size_col, F.explode(qm_arr).alias("qm"))
+            .groupBy("g", "qm")
+            .agg(
+                F.min(
+                    F.expr(f"CASE WHEN cum >= ({size_col} * qm + 99) div 100 THEN v END")
+                )
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    est = rank_elect(samp, ns_, "n_sample", "est_cents")
+    exact = rank_elect(ords, nf, "n", "exact_cents")
+    rk = (
+        ords.join(F.broadcast(est), "g")
+        .groupBy("g", "qm")
+        .agg(
+            F.sum(F.when(F.col("c") <= F.col("est_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_le")
+        )
+    )
+    return (
+        est.join(exact, ["g", "qm"])
+        .join(F.broadcast(nf), "g")
+        .join(F.broadcast(ns_), "g")
+        .join(rk, ["g", "qm"])
+        .select(
+            "g",
+            F.col("qm").cast("long").alias("qm"),
+            "n",
+            "n_sample",
+            "est_cents",
+            "exact_cents",
+            F.expr("CAST(abs(rank_le * 1000 div n - qm * 10) AS BIGINT)").alias(
+                "rank_err_permille"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # RFM segmentation (three scalable ntiles, no global window)
 # --------------------------------------------------------------------------
 

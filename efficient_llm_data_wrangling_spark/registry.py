@@ -102,6 +102,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # SEMANTIC decontamination: embedding-cosine leakage vs the test
     # split — the paraphrase rung completing the exact/fuzzy ladder.
     "decontaminate_semantic_cosine",
+    # sampled-quantile estimator vs exact ranks — the hash-replayable
+    # member of the quantile family (GK stays bound-asserted).
+    "sample_quantile_calibration",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -253,3 +253,48 @@ def test_kmv_distinct_calibration_replays_in_pure_python(spark):
         assert r.kmv_users == want
         assert r.err_permille == abs(want - len(us)) * 1000 // len(us)
     assert len(rows) == len(users)
+
+
+def test_sample_quantile_calibration_replays_in_pure_python(spark):
+    """The sampled-quantile estimator must recompute exactly from the
+    collected orders: md5 1/8 sample rule, ceil-rank election on both
+    the sample and the full data, true-rank probe, and the permille
+    error bookkeeping — and the error must respect the trivial DKW
+    sanity cap for the observed sample sizes."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _SQC_QMS,
+        sample_quantile_calibration,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = sample_quantile_calibration(spark, SF_SMOKE).collect()
+    assert rows
+    ords = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    full: dict[str, list[int]] = {}
+    samp: dict[str, list[int]] = {}
+    for r in ords:
+        cents = int(round(r.o_totalprice * 100))
+        full.setdefault(r.o_orderpriority, []).append(cents)
+        if int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[0], 16) < 2:
+            samp.setdefault(r.o_orderpriority, []).append(cents)
+
+    def elect(vals: list[int], qm: int) -> int:
+        vals = sorted(vals)
+        return vals[(len(vals) * qm + 99) // 100 - 1]
+
+    assert len(rows) == len(full) * len(_SQC_QMS)
+    for r in rows:
+        f, s = sorted(full[r.g]), sorted(samp[r.g])
+        assert (r.n, r.n_sample) == (len(f), len(s))
+        assert r.est_cents == elect(s, r.qm)
+        assert r.exact_cents == elect(f, r.qm)
+        rank_le = sum(1 for v in f if v <= r.est_cents)
+        assert r.rank_err_permille == abs(rank_le * 1000 // len(f) - r.qm * 10)
+        # 4-sigma binomial sanity: a sampling/rank bug lands far outside
+        sigma = (r.qm * (1000 - r.qm) / 1000 / r.n_sample) ** 0.5 * 1000
+        assert r.rank_err_permille <= 4 * sigma + 1000 / r.n_sample + 10
