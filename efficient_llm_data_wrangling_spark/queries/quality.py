@@ -445,3 +445,162 @@ def embedding_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_zero"), 1).otherwise(0)).cast("long").alias("n_zero_vecs"),
         F.sum("n_null_elems").cast("long").alias("n_null_elems"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-signal rank fusion (RRF ensembling of independent filters)
+# --------------------------------------------------------------------------
+
+_RRF_K = 60  # Cormack/Clarke 2009 reciprocal-rank-fusion constant
+
+_RANK_FUSION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, text, toks, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+  FROM t WHERE len(toks) >= 2
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM base
+),
+bg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tok
+),
+bgc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg WHERE bigram IS NOT NULL GROUP BY 1, 2
+),
+top AS (SELECT doc_id, max(c) AS top_c FROM bgc GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id,
+         (b.n_words - b.n_distinct) * 1000 // b.n_words AS rep_milli,
+         top.top_c * 1000 // (b.n_words - 1) AS bigram_milli,
+         len(list_distinct([substr(b.text, i, 1)
+                            for i in range(1, length(b.text) + 1)])) * 1000
+           // length(b.text) AS chardiv_milli
+  FROM base b JOIN top USING (doc_id)
+),
+h_rep AS (SELECT rep_milli AS v, count(*) AS f FROM sig GROUP BY 1),
+c_rep AS (SELECT v, sum(f) OVER (ORDER BY v) - f + 1 AS rk FROM h_rep),
+h_big AS (SELECT bigram_milli AS v, count(*) AS f FROM sig GROUP BY 1),
+c_big AS (SELECT v, sum(f) OVER (ORDER BY v) - f + 1 AS rk FROM h_big),
+h_chd AS (SELECT chardiv_milli AS v, count(*) AS f FROM sig GROUP BY 1),
+c_chd AS (SELECT v, sum(f) OVER (ORDER BY v DESC) - f + 1 AS rk FROM h_chd)
+SELECT s.doc_id,
+       CAST(s.rep_milli AS BIGINT) AS rep_milli,
+       CAST(s.bigram_milli AS BIGINT) AS bigram_milli,
+       CAST(s.chardiv_milli AS BIGINT) AS chardiv_milli,
+       CAST(cr.rk AS BIGINT) AS r_rep,
+       CAST(cb.rk AS BIGINT) AS r_bigram,
+       CAST(cc.rk AS BIGINT) AS r_chardiv,
+       CAST(1000000000 // ({_RRF_K} + cr.rk)
+            + 1000000000 // ({_RRF_K} + cb.rk)
+            + 1000000000 // ({_RRF_K} + cc.rk) AS BIGINT) AS rrf_micro
+FROM sig s
+JOIN c_rep cr ON s.rep_milli = cr.v
+JOIN c_big cb ON s.bigram_milli = cb.v
+JOIN c_chd cc ON s.chardiv_milli = cc.v
+"""
+
+
+@query("quality_rank_fusion", oracle=_RANK_FUSION_ORACLE, tags=("quality", "curation"))
+def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009, k={_RRF_K}) of
+    three independent quality signals — duplicate-word ratio ASC,
+    top-bigram share ASC (both Gopher repetition filters), character
+    diversity DESC (the compression-proxy axis) — the ENSEMBLING
+    primitive a curation pipeline uses when no single learned scorer
+    is trusted: per-document min-ties corpus rank under each signal,
+    fused as Σ floor(1e9/(k+rank)). Everything is exact integer
+    arithmetic (signals in milli, RRF terms in micro via floor
+    division), so ranks, ties, and the fused score replay bit-for-bit
+    in both engines; a downstream top-N select orders by
+    (rrf_micro DESC, doc_id).
+
+    Scale: each global rank is a bounded-histogram election — the
+    signal's value domain is ≤1001 distinct milli values regardless
+    of corpus size, so the cum-sum window runs over ≤1001 rows and
+    the per-doc rank assignment is a broadcast join of that map back
+    onto the signal frame (never a corpus-wide window). Signal
+    extraction reuses the repetition plan's explode + two partial-agg
+    shuffles; the three rank joins are all broadcast.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "text",
+            "toks",
+            F.size("toks").alias("n_words"),
+            F.size(F.array_distinct("toks")).alias("n_distinct"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, n_words - 1), i -> concat(toks[i-1], ' ', toks[i]))")
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    sig = (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("(n_words - n_distinct) * 1000 div n_words").alias("rep_milli"),
+            F.expr("top_c * 1000 div (n_words - 1)").alias("bigram_milli"),
+            F.expr(
+                "size(array_distinct(transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1)))) * 1000 div length(text)"
+            ).alias("chardiv_milli"),
+        )
+        .localCheckpoint()
+    )
+
+    def rank_map(col: str, descending: bool) -> DataFrame:
+        hist = sig.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("f"))
+        order = F.col("v").desc() if descending else F.col("v").asc()
+        return hist.select(
+            "v",
+            (F.sum("f").over(Window.orderBy(order)) - F.col("f") + 1).alias("rk"),
+        )
+
+    out = sig
+    for col, desc_, rank_alias in (
+        ("rep_milli", False, "r_rep"),
+        ("bigram_milli", False, "r_bigram"),
+        ("chardiv_milli", True, "r_chardiv"),
+    ):
+        rm = rank_map(col, desc_).select(
+            F.col("v").alias(col), F.col("rk").alias(rank_alias)
+        )
+        out = out.join(F.broadcast(rm), col)
+    return out.select(
+        "doc_id",
+        F.col("rep_milli").cast("long").alias("rep_milli"),
+        F.col("bigram_milli").cast("long").alias("bigram_milli"),
+        F.col("chardiv_milli").cast("long").alias("chardiv_milli"),
+        F.col("r_rep").cast("long").alias("r_rep"),
+        F.col("r_bigram").cast("long").alias("r_bigram"),
+        F.col("r_chardiv").cast("long").alias("r_chardiv"),
+        F.expr(
+            f"CAST(1000000000 div ({_RRF_K} + r_rep)"
+            f" + 1000000000 div ({_RRF_K} + r_bigram)"
+            f" + 1000000000 div ({_RRF_K} + r_chardiv) AS BIGINT)"
+        ).alias("rrf_micro"),
+    )

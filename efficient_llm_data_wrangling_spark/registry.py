@@ -105,6 +105,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # sampled-quantile estimator vs exact ranks — the hash-replayable
     # member of the quantile family (GK stays bound-asserted).
     "sample_quantile_calibration",
+    # RRF ensembling of three quality signals via bounded-histogram
+    # rank elections — the no-trusted-scorer curation primitive.
+    "quality_rank_fusion",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -100,3 +100,41 @@ def test_embedding_norms_match_numpy(spark):
         assert g.norm_milli_max == max(millis)
         assert g.norm_milli_mean == sum(millis) // len(millis)
         assert g.n_zero_vecs == sum(1 for m in millis if m == 0)
+
+
+def test_quality_rank_fusion_replays_in_pure_python(spark):
+    """Min-tie ranks and the fused RRF score must recompute exactly
+    from the emitted signal values; rank 1 under each signal must be
+    held by a best-value doc, and the fused ordering must not
+    degenerate to any single signal's ordering (the reason an
+    ensemble exists)."""
+    from efficient_llm_data_wrangling_spark.queries.quality import (
+        _RRF_K,
+        quality_rank_fusion,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = quality_rank_fusion(spark, SF_SMOKE).collect()
+    assert rows
+
+    def min_rank(vals, v, descending):
+        better = sum(1 for x in vals if (x > v if descending else x < v))
+        return better + 1
+
+    reps = [r.rep_milli for r in rows]
+    bigs = [r.bigram_milli for r in rows]
+    chds = [r.chardiv_milli for r in rows]
+    for r in rows:
+        assert r.r_rep == min_rank(reps, r.rep_milli, False)
+        assert r.r_bigram == min_rank(bigs, r.bigram_milli, False)
+        assert r.r_chardiv == min_rank(chds, r.chardiv_milli, True)
+        want = (
+            10**9 // (_RRF_K + r.r_rep)
+            + 10**9 // (_RRF_K + r.r_bigram)
+            + 10**9 // (_RRF_K + r.r_chardiv)
+        )
+        assert r.rrf_micro == want
+    fused = sorted(rows, key=lambda r: (-r.rrf_micro, r.doc_id))
+    for single in ("r_rep", "r_bigram", "r_chardiv"):
+        by_single = sorted(rows, key=lambda r: (getattr(r, single), r.doc_id))
+        assert [r.doc_id for r in fused] != [r.doc_id for r in by_single]
