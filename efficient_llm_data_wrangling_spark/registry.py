@@ -108,6 +108,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # RRF ensembling of three quality signals via bounded-histogram
     # rank elections — the no-trusted-scorer curation primitive.
     "quality_rank_fusion",
+    # training-order shuffle-quality audit: per-block source purity
+    # under clustered/arrival/hashed orders via global_rank.
+    "training_order_mixing_report",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -141,3 +141,63 @@ def test_domain_reweight_rounds_replays_in_pure_python(spark):
             if ws[0] != ws[-1]:
                 moved += 1
     assert moved > 0  # the control loop is not a fixed point on this corpus
+
+
+def test_training_order_mixing_report_invariants(spark):
+    """Per-policy invariants the oracle equality can't see: the
+    policy ladder orders as measured (clustered worse than hashed
+    worse-or-equal than interleaved arrival on max share; the reverse
+    on distinct sources), shares recompute from a pure-Python replay
+    of each ordering, and every share is a valid permille."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        _MIX_BLOCK,
+        training_order_mixing_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.policy: r for r in training_order_mixing_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"clustered", "arrival", "hashed"}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source").collect()
+
+    def replay(order_key):
+        ordered = [r.source for r in sorted(docs, key=order_key)]
+        blocks = [
+            ordered[i : i + _MIX_BLOCK] for i in range(0, len(ordered), _MIX_BLOCK)
+        ]
+        shares, srcs = [], []
+        for b in blocks:
+            counts = {}
+            for s in b:
+                counts[s] = counts.get(s, 0) + 1
+            shares.append(max(counts.values()) * 1000 // len(b))
+            srcs.append(len(counts))
+        return blocks, shares, srcs
+
+    keys = {
+        "clustered": lambda r: (r.source, r.doc_id),
+        "arrival": lambda r: (r.doc_id,),
+        "hashed": lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id),
+    }
+    for policy, key in keys.items():
+        blocks, shares, srcs = replay(key)
+        r = rows[policy]
+        assert r.n_blocks == len(blocks)
+        assert r.mean_max_share_permille == sum(shares) // len(shares)
+        assert r.worst_max_share_permille == max(shares)
+        assert r.mean_sources_milli == sum(s * 1000 for s in srcs) // len(srcs)
+        assert r.min_sources == min(srcs)
+        assert 0 < r.worst_max_share_permille <= 1000
+    # the ladder the report exists to show
+    assert (
+        rows["clustered"].worst_max_share_permille
+        > rows["hashed"].worst_max_share_permille
+        >= rows["arrival"].worst_max_share_permille
+    )
+    assert (
+        rows["clustered"].min_sources
+        < rows["hashed"].min_sources
+        <= rows["arrival"].min_sources
+    )
