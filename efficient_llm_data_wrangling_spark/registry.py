@@ -111,6 +111,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # training-order shuffle-quality audit: per-block source purity
     # under clustered/arrival/hashed orders via global_rank.
     "training_order_mixing_report",
+    # the width-8 seeded walk over the 97.9% d8×probe4 build — build
+    # quality buys zero serving recall; residual is walk locality.
+    "knn_graph_serving_best_build",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (
