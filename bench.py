@@ -88,6 +88,13 @@ HEADLINE = [
     # data-scaling representative)
     "knn_graph_serving_capstone",
     "decontaminate_minhash_fuzzy",
+    # round-9 second batch (BENCH_r09 seeds their baselines): the RRF
+    # quality-signal ensemble (bounded-histogram rank elections) and
+    # the training-order shuffle-quality audit (three global_rank
+    # orderings + block-purity reduction) — the cheap representatives
+    # of the r9 curation/trainprep growth
+    "quality_rank_fusion",
+    "training_order_mixing_report",
 ]
 
 

@@ -58,12 +58,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #:    is round 4: the declared r8 spillover (= r8's ``_STALE_R4_FILL``
 #:    minus CORRECTNESS_r08's keys — exactly the re-pin expression the
 #:    r8 registry documented), graded here so the r4-era evidence is
-#:    gone after r9;
+#:    gone after r9. Segment-1 growth to 15 r9-new queries makes
+#:    segments 1+2 fill the window EXACTLY (15+35=50);
 #: 3. ``_STALE_R5_FILL`` — ALL 47 rows whose most recent driver grade
 #:    is round 5 (the next-oldest cohort; every one hash-matched the
-#:    judge's independent 225/225 sweep in r8). Only the first
-#:    ``50 - len(segments 1+2)`` fit; the rest are an EXPLICIT
-#:    next-round spillover list, re-pinned in r10 via
+#:    judge's independent 225/225 sweep in r8). With segments 1+2 at
+#:    exactly 50 rows none fit in r9; they are the EXPLICIT next-round
+#:    spillover list, re-pinned in r10 via
 #:    ``[n for n in _STALE_R5_FILL if n not in DRIVER_GRADE_PRIORITY]``.
 _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # fixed-entry beam walk over the DEGREE-8 graph — the build-degree
