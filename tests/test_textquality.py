@@ -394,3 +394,64 @@ def test_bpe_coverage_bounds(spark):
         {"n_bpe_tokens": "sum"}
     ).collect()[0][0]
     assert total == per_doc
+
+
+def test_shard_balance_report_replays_and_orders(spark):
+    """Every policy's per-shard byte sums must recompute from a pure
+    Python replay of the three assignment rules, all shards must be
+    non-empty, and the measured ordering that the docstring's decision
+    rule rests on must hold (striped strictly tightest spread)."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _SBR_SHARDS,
+        shard_balance_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.policy: r for r in shard_balance_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"hash", "contiguous", "striped"}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    n = len(docs)
+
+    def tally(assign):
+        b = {}
+        for d in docs:
+            s = assign(d)
+            b[s] = b.get(s, 0) + d.n_chars
+        return b
+
+    by_id = {d.doc_id: i for i, d in enumerate(sorted(docs, key=lambda d: d.doc_id))}
+    by_size = {
+        d.doc_id: i
+        for i, d in enumerate(sorted(docs, key=lambda d: (-d.n_chars, d.doc_id)))
+    }
+    tallies = {
+        "hash": tally(
+            lambda d: int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:4], 16)
+            % _SBR_SHARDS
+        ),
+        "contiguous": tally(lambda d: by_id[d.doc_id] * _SBR_SHARDS // n),
+        "striped": tally(lambda d: by_size[d.doc_id] % _SBR_SHARDS),
+    }
+    for policy, b in tallies.items():
+        r = rows[policy]
+        assert r.n_shards == len(b) == _SBR_SHARDS
+        mean = sum(b.values()) // len(b)
+        assert (r.mean_bytes, r.max_bytes, r.min_bytes) == (
+            mean,
+            max(b.values()),
+            min(b.values()),
+        )
+        assert r.imbalance_permille == max(b.values()) * 1000 // mean
+        assert r.spread_permille == (max(b.values()) - min(b.values())) * 1000 // mean
+        assert r.imbalance_permille >= 1000
+    assert (
+        rows["striped"].spread_permille
+        < rows["contiguous"].spread_permille
+        < rows["hash"].spread_permille
+    )
+    assert rows["striped"].imbalance_permille == min(
+        r.imbalance_permille for r in rows.values()
+    )
