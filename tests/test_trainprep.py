@@ -201,3 +201,42 @@ def test_training_order_mixing_report_invariants(spark):
         < rows["hashed"].min_sources
         <= rows["arrival"].min_sources
     )
+
+
+def test_source_ablation_report_replays_in_pure_python(spark):
+    """Every LOO division boundary must recompute from the collected
+    corpus, and the report must reconcile: shares sum to ~1000, every
+    row shares the same corpus mean, and drop_improves is exactly the
+    sign of delta_milli."""
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        source_ablation_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = source_ablation_report(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    per = {}
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        if not toks:
+            continue
+        rep = (len(toks) - len(set(toks))) * 1000 // len(toks)
+        nd, nt, sr = per.get(d.source, (0, 0, 0))
+        per[d.source] = (nd + 1, nt + len(toks), sr + rep)
+    gn = sum(v[0] for v in per.values())
+    gt = sum(v[1] for v in per.values())
+    gs = sum(v[2] for v in per.values())
+    assert len(rows) == len(per)
+    for r in rows:
+        nd, nt, sr = per[r.source]
+        assert (r.n_docs, r.n_tokens) == (nd, nt)
+        assert r.token_share_permille == nt * 1000 // gt
+        assert r.src_mean_rep_milli == sr // nd
+        assert r.corpus_mean_rep_milli == gs // gn
+        assert r.loo_mean_rep_milli == (gs - sr) // (gn - nd)
+        assert r.delta_milli == r.loo_mean_rep_milli - r.corpus_mean_rep_milli
+        assert r.drop_improves == (r.delta_milli < 0)
+    shares = sum(r.token_share_permille for r in rows)
+    assert 1000 - len(rows) <= shares <= 1000
