@@ -126,6 +126,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # leave-one-source-out ablation over the mixing proxy loss — the
     # drop-a-source decision DoReMi's reweighting can't answer.
     "source_ablation_report",
+    # per-decile first-seen shingle share — the data-saturation curve
+    # behind "is the next 10 TB of this crawl worth ingesting?".
+    "corpus_novelty_curve",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -458,3 +458,55 @@ def test_semantic_decontamination_catches_every_planted_paraphrase(spark):
     # drifted under the 0.8 bar and the docstring's claim is stale)
     assert len(rows) == len(test_ids)
     assert all(r.planted_leak for r in rows)
+
+
+def test_corpus_novelty_curve_replays_and_saturates(spark):
+    """The per-decile first-occurrence accounting must recompute from
+    a pure-Python replay of the shingle space, novelty must be a valid
+    permille of occurrences, decile 0 must be (near-)fully novel, and
+    the tail decile must sit well below the head — the saturation
+    shape the curve exists to show."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _NOVELTY_DECILES,
+        corpus_novelty_curve,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(corpus_novelty_curve(spark, SF_SMOKE).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(_NOVELTY_DECILES))
+    docs = sorted(
+        load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect(),
+        key=lambda d: d.doc_id,
+    )
+    n = len(docs)
+
+    def shingle_hashes(text):
+        toks = text.split(" ")
+        w = max(len(toks) - 2, 1)
+        sh = {" ".join(toks[i : i + 3]) for i in range(w)}
+        return {int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh}
+
+    seen: set[int] = set()
+    occ = [0] * _NOVELTY_DECILES
+    novel = [0] * _NOVELTY_DECILES
+    nd = [0] * _NOVELTY_DECILES
+    for i, d in enumerate(docs):
+        dec = i * _NOVELTY_DECILES // n
+        hs = shingle_hashes(d.text)
+        nd[dec] += 1
+        occ[dec] += len(hs)
+        fresh = hs - seen
+        novel[dec] += len(fresh)
+        seen |= fresh
+    for r in rows:
+        assert (r.n_docs, r.n_gram_occ, r.n_novel_grams) == (
+            nd[r.decile],
+            occ[r.decile],
+            novel[r.decile],
+        )
+        assert r.novelty_permille == novel[r.decile] * 1000 // occ[r.decile]
+        assert 0 <= r.novelty_permille <= 1000
+    assert rows[0].novelty_permille == max(r.novelty_permille for r in rows)
+    assert rows[0].novelty_permille >= 900
+    assert rows[-1].novelty_permille < rows[0].novelty_permille
