@@ -129,6 +129,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # per-decile first-seen shingle share — the data-saturation curve
     # behind "is the next 10 TB of this crawl worth ingesting?".
     "corpus_novelty_curve",
+    # Zipf rank-frequency OLS over the portable ln — correctly flags
+    # this template corpus as non-natural (s≈0.18, r²≈0.06).
+    "zipf_exponent_report",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

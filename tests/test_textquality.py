@@ -455,3 +455,44 @@ def test_shard_balance_report_replays_and_orders(spark):
     assert rows["striped"].imbalance_permille == min(
         r.imbalance_permille for r in rows.values()
     )
+
+
+def test_zipf_exponent_report_replays_in_pure_python(spark):
+    """The OLS statistics must recompute from a pure-Python replay of
+    word counts -> top-K rank election -> portable-ln regression, and
+    the honest verdict must hold: this corpus's template lexicon does
+    NOT obey Zipf (shallow slope, near-zero r-squared)."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _ZIPF_TOPK,
+        zipf_exponent_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    row = zipf_exponent_report(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    counts = {}
+    for d in docs:
+        for w in d.text.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPK]
+    n = len(top)
+    assert row.n_fit == n
+    # python floats replay the portable series' LIMIT; math.log is a
+    # different series, so compare the fit loosely but decisively
+    xs = [math.log(i + 1) for i in range(n)]
+    ys = [math.log(c) for _, c in top]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(row.slope_micro / 1e6 - slope) < 5e-4
+    assert abs(row.r2_micro / 1e6 - r2) < 5e-4
+    # the honest verdict: template lexicon, not natural language
+    assert -0.6 < row.slope_micro / 1e6 < 0
+    assert row.r2_micro / 1e6 < 0.5
