@@ -1967,3 +1967,85 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch/repeat plan (the Muennighoff 4-epoch line under temperature mixing)
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 4  # training budget as a multiple of corpus tokens
+_EPOCH_RISK_MILLI = 4000  # >4 epochs: where repeat returns decay
+
+_EPOCH_PLAN_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq
+  FROM t
+),
+g AS (
+  SELECT CAST(sum(isq) AS BIGINT) AS isq_sum,
+         CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+  FROM w
+)
+SELECT source, n_tokens,
+       CAST(isq * 1000 // isq_sum AS BIGINT) AS weight_permille,
+       CAST(corpus_tokens * {_EPOCH_BUDGET_X} * isq // isq_sum AS BIGINT)
+         AS alloc_tokens,
+       CAST(corpus_tokens * {_EPOCH_BUDGET_X} * isq // isq_sum * 1000 // n_tokens
+            AS BIGINT) AS epochs_milli,
+       corpus_tokens * {_EPOCH_BUDGET_X} * isq // isq_sum * 1000 // n_tokens
+         > {_EPOCH_RISK_MILLI} AS repeat_risk
+FROM w, g
+"""
+
+
+@query("epoch_repeat_plan", oracle=_EPOCH_PLAN_ORACLE, tags=("curation", "sampling", "trainprep"))
+def epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch/repeat PLAN a training run derives from its mixture
+    weights — the Muennighoff et al. 2023 check ("repeating past ~4
+    epochs buys little") applied per source BEFORE the run: at a
+    {_EPOCH_BUDGET_X}× corpus-token budget under τ=0.5 temperature
+    weights (exact floor-sqrt integers, the ``corpus_release_manifest``
+    weight discipline), every source's allocated tokens, implied
+    epochs in exact milli, and a ``repeat_risk`` flag at the
+    {_EPOCH_RISK_MILLI}‰ line. The structural finding this table
+    surfaces: temperature sampling's repeat burden falls on the
+    SMALLEST sources (τ<1 upweights them), so exactly the sources
+    below mean size cross the 4-epoch line first — the per-source
+    number that decides whether to relax τ or cap epochs.
+
+    Scale: one token-count aggregate to |sources| rows, the two
+    totals joined back as an in-plan broadcast 1-row aggregate;
+    every division is floor-division on positive BIGINTs, so the
+    whole plan replays bit-for-bit in both engines.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = docs.select("source", F.size(toks).alias("__nt")).groupBy("source").agg(
+        F.sum("__nt").cast("long").alias("n_tokens")
+    )
+    w = t.withColumn(
+        "isq", F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")
+    )
+    g = w.agg(
+        F.sum("isq").cast("long").alias("isq_sum"),
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+    )
+    alloc = f"corpus_tokens * {_EPOCH_BUDGET_X} * isq div isq_sum"
+    return w.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(isq * 1000 div isq_sum AS BIGINT)").alias("weight_permille"),
+        F.expr(f"CAST({alloc} AS BIGINT)").alias("alloc_tokens"),
+        F.expr(f"CAST({alloc} * 1000 div n_tokens AS BIGINT)").alias("epochs_milli"),
+        F.expr(f"{alloc} * 1000 div n_tokens > {_EPOCH_RISK_MILLI}").alias(
+            "repeat_risk"
+        ),
+    )

@@ -132,6 +132,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # Zipf rank-frequency OLS over the portable ln — correctly flags
     # this template corpus as non-natural (s≈0.18, r²≈0.06).
     "zipf_exponent_report",
+    # per-source epoch/repeat plan at a 4× budget under τ=0.5 weights
+    # — the Muennighoff 4-epoch line, burden provably on the smallest.
+    "epoch_repeat_plan",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -510,3 +510,45 @@ def test_corpus_novelty_curve_replays_and_saturates(spark):
     assert rows[0].novelty_permille == max(r.novelty_permille for r in rows)
     assert rows[0].novelty_permille >= 900
     assert rows[-1].novelty_permille < rows[0].novelty_permille
+
+
+def test_epoch_repeat_plan_replays_and_burden_falls_on_small_sources(spark):
+    """Every allocation/epoch division must recompute from a pure
+    Python replay, the budget must reconcile (allocations sum to the
+    4x budget within |sources| floor losses), and the structural
+    finding must hold: every flagged source is smaller than every
+    unflagged one (temperature upweighting puts the repeat burden on
+    the smallest sources)."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _EPOCH_BUDGET_X,
+        _EPOCH_RISK_MILLI,
+        epoch_repeat_plan,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = epoch_repeat_plan(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    tok = {}
+    for d in docs:
+        tok[d.source] = tok.get(d.source, 0) + len([t for t in d.text.split(" ") if t])
+    isq = {s: int(math.floor(math.sqrt(float(n)))) for s, n in tok.items()}
+    isq_sum = sum(isq.values())
+    corpus = sum(tok.values())
+    assert len(rows) == len(tok)
+    for r in rows:
+        n, q = tok[r.source], isq[r.source]
+        assert r.n_tokens == n
+        assert r.weight_permille == q * 1000 // isq_sum
+        alloc = corpus * _EPOCH_BUDGET_X * q // isq_sum
+        assert r.alloc_tokens == alloc
+        assert r.epochs_milli == alloc * 1000 // n
+        assert r.repeat_risk == (r.epochs_milli > _EPOCH_RISK_MILLI)
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    budget = corpus * _EPOCH_BUDGET_X
+    assert budget - len(rows) * (budget // isq_sum + 1) <= total_alloc <= budget
+    risky = [r.n_tokens for r in rows if r.repeat_risk]
+    safe = [r.n_tokens for r in rows if not r.repeat_risk]
+    assert risky and safe, "the 4-epoch line must split this corpus"
+    assert max(risky) < min(safe)
