@@ -255,6 +255,44 @@ def audio_frame_energy(assets: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame
     return ensure_parallelism(assets).mapInPandas(energize, AUDIO_ENERGY_SCHEMA)
 
 
+AUDIO_FRAME_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f", T.LongType()),
+        T.StructField("e", T.LongType()),
+    ]
+)
+
+
+def audio_frames(assets: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Per-FRAME energy rows (doc_id, f, e) — the row-granularity twin
+    of :func:`audio_frame_energy` for downstream relational DSP
+    (VAD segmentation, silence trimming): same unsigned 8-bit PCM
+    interpretation, same framing, same exact-integer energies, but
+    frames survive as rows instead of collapsing to per-asset scalars.
+
+    Scale: output is n_samples/frame rows per asset of 3 longs — the
+    wide payload still never leaves this stage; downstream windows
+    partition by doc_id (per-asset bounded)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fs, es = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"].values, pdf["payload"]):
+                body = np.frombuffer(buf, dtype=np.uint8)[HEADER_LEN:].astype(np.int64)
+                sq = (body - 128) ** 2
+                starts = np.arange(0, len(sq), frame)
+                e = np.add.reduceat(sq, starts) if len(sq) else np.array([], dtype=np.int64)
+                ids.extend([doc_id] * len(e))
+                fs.extend(range(len(e)))
+                es.extend(int(x) for x in e)
+            yield pd.DataFrame({"doc_id": ids, "f": fs, "e": es})
+
+    return ensure_parallelism(assets).mapInPandas(frames, AUDIO_FRAME_ROWS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hash (block-mean pHash over the payload body)
 # ---------------------------------------------------------------------------

@@ -1381,3 +1381,116 @@ def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.expr("n_docs * 1000L div lang_total").alias("share_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio VAD segmentation (gaps-and-islands DSP over frame energies)
+# ---------------------------------------------------------------------------
+
+_VAD_ORACLE = """
+WITH hx AS (SELECT doc_id, to_hex(encode(text)) AS h FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(t.p AS BIGINT) AS bi,
+         (strpos('0123456789ABCDEF', substr(h, CAST(2 * t.p + 1 AS BIGINT), 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substr(h, CAST(2 * t.p + 2 AS BIGINT), 1)) - 1) AS byte
+  FROM hx, unnest(range(0, length(h) // 2)) AS t(p)
+),
+fr AS (
+  SELECT doc_id, bi // 16 AS f,
+         CAST(sum((byte - 128) * (byte - 128)) AS BIGINT) AS e
+  FROM b GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(e) // count(*) AS BIGINT) AS mean_e
+  FROM fr GROUP BY doc_id
+),
+act AS (
+  SELECT fr.doc_id, fr.f,
+         fr.f - row_number() OVER (PARTITION BY fr.doc_id ORDER BY fr.f) AS isl
+  FROM fr JOIN m ON fr.doc_id = m.doc_id
+  WHERE fr.e > m.mean_e
+),
+seg AS (
+  SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS seg_len
+  FROM act GROUP BY doc_id, isl
+),
+pa AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+         CAST(max(seg_len) AS BIGINT) AS longest_segment,
+         CAST(sum(seg_len) AS BIGINT) AS n_active
+  FROM seg GROUP BY doc_id
+)
+SELECT m.doc_id, m.n_frames, m.mean_e,
+       coalesce(pa.n_active, 0) AS n_active,
+       coalesce(pa.n_segments, 0) AS n_segments,
+       coalesce(pa.longest_segment, 0) AS longest_segment,
+       CAST(coalesce(pa.n_active, 0) * 1000 // m.n_frames AS BIGINT)
+         AS active_permille
+FROM m LEFT JOIN pa ON m.doc_id = pa.doc_id
+"""
+
+
+@query("multimodal_vad_segments", oracle=_VAD_ORACLE, tags=("multimodal", "window"))
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the audio payloads — the
+    relational DSP step between raw-audio feature extraction and a
+    speech-only training corpus (what a 100 TB audio pipeline runs to
+    DROP silence before the expensive ASR/codec stage): frames above
+    the asset's own mean energy (adaptive threshold — the energy-gate
+    VAD baseline) grouped into contiguous speech segments by the
+    gaps-and-islands rank trick (island = f − rank(f) over active
+    frames). Per asset: frames, adaptive threshold, active frames,
+    segment count, longest segment, and active share in exact
+    permille — the numbers that size the post-trim corpus. Frame
+    energies come from the Arrow-batched :func:`operators.multimodal.
+    audio_frames` (same PCM interpretation as the graded
+    ``multimodal_audio_energy``, frames surviving as 3-long rows);
+    the oracle recomputes every frame from the hex of the same bytes.
+
+    Scale: the payload never leaves the frame extractor; islands use
+    per-ASSET windows (bounded by frames-per-asset, never a global
+    window), and the two reductions are keyed partial aggregates.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = MM.audio_frames(MM.with_payload(docs)).localCheckpoint()
+    m = fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.expr("CAST(sum(e) div count(*) AS BIGINT)").alias("mean_e"),
+    )
+    act = (
+        fr.join(m, "doc_id")
+        .filter(F.col("e") > F.col("mean_e"))
+        .select(
+            "doc_id",
+            "f",
+            (
+                F.col("f")
+                - F.row_number().over(Window.partitionBy("doc_id").orderBy("f"))
+            ).alias("isl"),
+        )
+    )
+    seg = act.groupBy("doc_id", "isl").agg(F.count(F.lit(1)).cast("long").alias("seg_len"))
+    pa = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.max("seg_len").cast("long").alias("longest_segment"),
+        F.sum("seg_len").cast("long").alias("n_active"),
+    )
+    return (
+        m.join(pa, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "mean_e",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("longest_segment", F.lit(0)).cast("long").alias("longest_segment"),
+            F.expr(
+                "CAST(coalesce(n_active, 0) * 1000 div n_frames AS BIGINT)"
+            ).alias("active_permille"),
+        )
+    )

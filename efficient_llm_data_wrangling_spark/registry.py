@@ -135,6 +135,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # per-source epoch/repeat plan at a 4× budget under τ=0.5 weights
     # — the Muennighoff 4-epoch line, burden provably on the smallest.
     "epoch_repeat_plan",
+    # adaptive-threshold VAD segmentation over audio frame energies —
+    # gaps-and-islands DSP; the silence-drop step before ASR.
+    "multimodal_vad_segments",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

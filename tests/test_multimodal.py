@@ -149,3 +149,55 @@ def test_phash_features_match_python_recompute(spark):
         s = sigs[r.doc_id]
         assert (s.b0, s.b1, s.b2, s.b3) == tuple(bands)
         assert s.n_body == n
+
+
+def test_vad_segments_replay_from_payload_bytes(spark):
+    """Segments must recompute from a pure-Python replay of the PCM
+    framing + adaptive threshold + island grouping, and the island
+    identities must reconcile: active frames = sum of segment lengths,
+    longest <= active, and a doc with active frames has >= 1 segment."""
+    from efficient_llm_data_wrangling_spark.operators.multimodal import (
+        AUDIO_FRAME,
+        HEADER_LEN,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        multimodal_vad_segments,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in multimodal_vad_segments(spark, SF_SMOKE).collect()}
+    assert rows
+    # full replay for a deterministic subset via the payload itself
+    from efficient_llm_data_wrangling_spark.operators.multimodal import with_payload
+
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in with_payload(
+            load_table(spark, SF_SMOKE, "documents")
+        ).select("doc_id", "payload").limit(50).collect()
+    }
+    for doc_id, buf in payloads.items():
+        body = buf[HEADER_LEN:]
+        sq = [(b - 128) ** 2 for b in body]
+        frames = [
+            sum(sq[i : i + AUDIO_FRAME]) for i in range(0, len(sq), AUDIO_FRAME)
+        ]
+        r = rows[doc_id]
+        assert r.n_frames == len(frames)
+        mean_e = sum(frames) // len(frames)
+        assert r.mean_e == mean_e
+        active = [i for i, e in enumerate(frames) if e > mean_e]
+        segs = []
+        for i in active:
+            if segs and i == segs[-1][-1] + 1:
+                segs[-1].append(i)
+            else:
+                segs.append([i])
+        assert r.n_active == len(active)
+        assert r.n_segments == len(segs)
+        assert r.longest_segment == (max(len(s) for s in segs) if segs else 0)
+        assert r.active_permille == len(active) * 1000 // len(frames)
+        assert r.longest_segment <= r.n_active
+        assert (r.n_segments >= 1) == (r.n_active >= 1)
+    assert payloads
