@@ -587,3 +587,128 @@ def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (drift >= _DRIFT_ALERT_PERMILLE).alias("alert"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gram-novelty probe (content freshness at the ingest edge)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_PROBE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, text,
+         instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+           AS bucket
+  FROM documents
+),
+standing AS (
+  SELECT DISTINCT unnest(list_distinct([
+    CAST((instr('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 268435456
+         + (instr('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 16777216
+         + (instr('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 1048576
+         + (instr('0123456789abcdef', substr(md5(s), 4, 1)) - 1) * 65536
+         + (instr('0123456789abcdef', substr(md5(s), 5, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(md5(s), 6, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(md5(s), 7, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(s), 8, 1)) - 1) AS BIGINT)
+    for s in list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)])])) AS gh
+  FROM b WHERE bucket < 13
+),
+arr AS (
+  SELECT doc_id, unnest(list_distinct([
+    CAST((instr('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 268435456
+         + (instr('0123456789abcdef', substr(md5(s), 2, 1)) - 1) * 16777216
+         + (instr('0123456789abcdef', substr(md5(s), 3, 1)) - 1) * 1048576
+         + (instr('0123456789abcdef', substr(md5(s), 4, 1)) - 1) * 65536
+         + (instr('0123456789abcdef', substr(md5(s), 5, 1)) - 1) * 4096
+         + (instr('0123456789abcdef', substr(md5(s), 6, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(md5(s), 7, 1)) - 1) * 16
+         + (instr('0123456789abcdef', substr(md5(s), 8, 1)) - 1) AS BIGINT)
+    for s in list_distinct([array_to_string((string_split(text, ' '))[i:i+2], ' ')
+      for i in range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1)])])) AS gh
+  FROM b WHERE bucket >= 13
+),
+j AS (
+  SELECT a.doc_id, a.gh, s.gh IS NULL AS is_new
+  FROM arr a LEFT JOIN standing s ON a.gh = s.gh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_grams,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         AS novelty_permille
+FROM j GROUP BY doc_id
+"""
+
+
+@query("stream_novelty_probe", oracle=_NOVELTY_PROBE_ORACLE, tags=("streaming", "curation"))
+def stream_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-freshness probe at the INGEST edge — the streaming twin
+    of ``corpus_novelty_curve`` and the gram-level upgrade of
+    ``stream_ingest_dedup``: every ARRIVING document (valid/test md5
+    buckets, streamed from the drop folder) carries the share of its
+    distinct 3-word shingle hashes absent from the STANDING corpus
+    gram index (train buckets) — the per-document number a crawler
+    scheduler consumes to decide whether a source still yields new
+    content (exact dedup answers "seen this doc?"; this answers "seen
+    this CONTENT?"). Stateless stream-static left join at gram
+    granularity — no watermark, no state store, so the verdict is a
+    pure function of the input and the full value oracle replays it;
+    the per-doc roll-up runs batch-side on the finalized sink (the
+    ``stream_drift_monitor`` discipline).
+
+    Scale: the standing index is the 8-bytes/gram artifact the batch
+    novelty pass maintains — broadcast while it fits, shuffled join
+    beyond; only (doc_id, gh) rides the stream (grams explode
+    scan-side, text never leaves the source projection). State is
+    ZERO regardless of stream length.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.operators import dedup as D
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    md5h = lambda s: F.conv(  # noqa: E731 — the portable 32-bit gram hash
+        F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = lambda c: (  # noqa: E731
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(c.cast("string")), 1, 1)
+        )
+        - 1
+    )
+    standing = (
+        load_table(spark, sf_dir, "documents")
+        .filter(bucket(F.col("doc_id")) < 13)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(D.shingles(D.tokens(F.col("text")), 3), md5h)
+                )
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    arriving = (
+        S.stream_documents(spark, sf_dir)
+        .filter(bucket(F.col("doc_id")) >= 13)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(D.shingles(D.tokens(F.col("text")), 3), md5h)
+                )
+            ).alias("gh"),
+        )
+    )
+    probed = arriving.join(
+        F.broadcast(standing.withColumn("__seen", F.lit(1))), "gh", "left"
+    ).select("doc_id", "gh", F.col("__seen").isNull().alias("is_new"))
+    sunk = S.run_to_memory(probed, _sink("novelty_probe"), "append")
+    return sunk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_new_grams"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) * 1000"
+            " div count(*) AS BIGINT)"
+        ).alias("novelty_permille"),
+    )

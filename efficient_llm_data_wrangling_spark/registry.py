@@ -138,6 +138,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # adaptive-threshold VAD segmentation over audio frame energies —
     # gaps-and-islands DSP; the silence-drop step before ASR.
     "multimodal_vad_segments",
+    # streaming gram-novelty probe at the ingest edge — stateless
+    # stream-static gram join; "seen this CONTENT?" per arriving doc.
+    "stream_novelty_probe",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -392,3 +392,45 @@ def test_drift_monitor_reconciles(spark):
     for ws, wrows in by_window.items():
         s = sum(r.share_permille for r in wrows)
         assert 1000 - len(wrows) <= s <= 1000  # floor division loses < 1 per type
+
+
+def test_stream_novelty_probe_replays_in_pure_python(spark):
+    """The gram-novelty verdicts must recompute from a pure-Python
+    replay of the split rule, the 3-shingle space, and the standing
+    index — stateless stream-static semantics mean the streamed result
+    is a pure function of the tables."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        stream_novelty_probe,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in stream_novelty_probe(spark, SF_SMOKE).collect()}
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16)
+
+    def grams(text):
+        toks = text.split(" ")
+        w = max(len(toks) - 2, 1)
+        sh = {" ".join(toks[i : i + 3]) for i in range(w)}
+        return {int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh}
+
+    standing: set[int] = set()
+    arriving = {}
+    for d in docs:
+        if bucket(d.doc_id) < 13:
+            standing |= grams(d.text)
+        else:
+            arriving[d.doc_id] = grams(d.text)
+    assert set(rows) == set(arriving)
+    for doc_id, g in arriving.items():
+        r = rows[doc_id]
+        new = len(g - standing)
+        assert (r.n_grams, r.n_new_grams) == (len(g), new)
+        assert r.novelty_permille == new * 1000 // len(g)
+        assert 0 <= r.novelty_permille <= 1000
