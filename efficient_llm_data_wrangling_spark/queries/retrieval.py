@@ -267,3 +267,204 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n.d") - F.col("p.d")).alias("margin_d2"),
         (F.col("n.d") > F.col("p.d")).alias("separated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (BM25 + dense, the industry-default serving shape)
+# ---------------------------------------------------------------------------
+
+_HYB_RRF_K = 60  # Cormack/Clarke 2009 (the quality_rank_fusion constant)
+_HYB_TOPL = 20  # per-leg candidate list length fused
+
+
+def _hybrid_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BM25_TERMS,
+        _TOKS_SQL,
+        _bm25_term_sql,
+    )
+
+    terms = _BM25_TERMS
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         CAST(len(list_filter(toks, x -> x = '{terms[0]}')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(toks, x -> x = '{terms[1]}')) AS BIGINT) AS tf2,
+         CAST(len(list_filter(toks, x -> x = '{terms[2]}')) AS BIGINT) AS tf3
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+  FROM f
+),
+base AS (SELECT * FROM f CROSS JOIN stats),
+{PM.duck_lnint_ctes("base", "s0", "2 * n + 2", "__lnn_")},
+{PM.duck_lnint_ctes("s0", "s1", "2 * df1 + 1", "__ld1_")},
+{PM.duck_lnint_ctes("s1", "s2", "2 * df2 + 1", "__ld2_")},
+{PM.duck_lnint_ctes("s2", "s3", "2 * df3 + 1", "__ld3_")},
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25_6 DESC, doc_id) AS lex_rank
+  FROM (
+    SELECT doc_id,
+           round({_bm25_term_sql(1)} + {_bm25_term_sql(2)} + {_bm25_term_sql(3)}, 6)
+             AS bm25_6
+    FROM s3 WHERE tf1 + tf2 + tf3 > 0
+  ) QUALIFY lex_rank <= {_HYB_TOPL}
+),
+xi AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          for i in range(1, len(embedding) + 1)] AS x
+  FROM embeddings
+),
+qv AS (SELECT x AS q FROM xi WHERE vec_id = 0),
+den AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS dense_rank
+  FROM (
+    SELECT e.vec_id, {_dot_int_sql('e.x', 'q.q')} AS score
+    FROM xi e, qv q WHERE e.vec_id <> 0
+  ) QUALIFY dense_rank <= {_HYB_TOPL}
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         coalesce(lex.lex_rank, -1) AS lex_rank,
+         coalesce(den.dense_rank, -1) AS dense_rank,
+         CAST(CASE WHEN lex.lex_rank IS NULL THEN 0
+                   ELSE 1000000000 // ({_HYB_RRF_K} + lex.lex_rank) END
+            + CASE WHEN den.dense_rank IS NULL THEN 0
+                   ELSE 1000000000 // ({_HYB_RRF_K} + den.dense_rank) END AS BIGINT)
+           AS rrf_micro
+  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+         AS fused_rank,
+       lex_rank > 0 AND dense_rank > 0 AS in_both
+FROM fused
+"""
+
+
+@query("hybrid_retrieval_fusion", oracle=_hybrid_oracle(), tags=("retrieval", "similarity"))
+def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — the industry-default serving shape
+    (Elastic/Vespa/Weaviate all ship exactly this): the BM25 lexical
+    leg (``bm25_top_docs``'s scoring, portable-ln idf) and the dense
+    leg (exact integer dot against the query vector, here probe
+    vec 0 over the id-aligned embeddings) each produce their
+    top-{_HYB_TOPL} list, fused by reciprocal-rank fusion
+    (k={_HYB_RRF_K}, the ``quality_rank_fusion`` constant) over the
+    UNION of the lists — lexical catches what embeddings miss (exact
+    terms, rare strings), dense catches what BM25 misses (paraphrase),
+    and RRF needs no score normalization across the two incomparable
+    scales, which is precisely why production hybrid uses ranks.
+    Missing-leg ranks surface as -1 with zero contribution;
+    ``in_both`` marks the overlap the fusion rewards.
+
+    Scale: each leg is the already-graded retrieval shape (one
+    corpus-stats broadcast + scan-side scoring + TakeOrdered top-L —
+    no global sort); the fusion joins two ≤{_HYB_TOPL}-row frames and
+    every rank/score decision — BM25's portable-ln doubles, the exact
+    BIGINT dots, the RRF floor divisions — replays bit-for-bit in
+    both engines. A million queries scale the probe side only; the
+    corpus legs stay one scan each.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BM25_TERMS,
+        _bm25_term_sql,
+        _toks_col,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    f = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{term}'))").cast("long").alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS, start=1)
+        ],
+    )
+    stats = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+    staged = f.crossJoin(F.broadcast(stats))
+    staged = PM.stage_spark_lnint(staged, "2 * n + 2", "__lnn_")
+    for i in range(1, 4):
+        staged = PM.stage_spark_lnint(staged, f"2 * df{i} + 1", f"__ld{i}_")
+    score = " + ".join(_bm25_term_sql(i) for i in range(1, 4))
+    lex_top = (
+        staged.filter(F.col("tf1") + F.col("tf2") + F.col("tf3") > 0)
+        .select("doc_id", F.expr(f"round({score}, 6)").alias("bm25_6"))
+        .orderBy(F.col("bm25_6").desc(), "doc_id")
+        .limit(_HYB_TOPL)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25_6").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    vectors = _load_vectors(spark, sf_dir)
+    qv = vectors.filter(F.col("vec_id") == 0).select(F.col("x").alias("q"))
+    den_top = (
+        vectors.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _dot_int_cols(F.col("x"), F.col("q")).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_HYB_TOPL)
+    )
+    den = den_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("long")
+        .alias("dense_rank"),
+    )
+    fused = (
+        lex.join(den, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(-1)).cast("long").alias("dense_rank"),
+            F.expr(
+                f"CAST(CASE WHEN lex_rank IS NULL THEN 0"
+                f" ELSE 1000000000 div ({_HYB_RRF_K} + lex_rank) END"
+                f" + CASE WHEN dense_rank IS NULL THEN 0"
+                f" ELSE 1000000000 div ({_HYB_RRF_K} + dense_rank) END AS BIGINT)"
+            ).alias("rrf_micro"),
+        )
+    )
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        "rrf_micro",
+        F.row_number()
+        .over(W.orderBy(F.col("rrf_micro").desc(), "doc_id"))
+        .cast("long")
+        .alias("fused_rank"),
+        ((F.col("lex_rank") > 0) & (F.col("dense_rank") > 0)).alias("in_both"),
+    )

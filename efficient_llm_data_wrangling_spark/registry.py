@@ -141,6 +141,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # streaming gram-novelty probe at the ingest edge — stateless
     # stream-static gram join; "seen this CONTENT?" per arriving doc.
     "stream_novelty_probe",
+    # BM25 + dense top-L lists fused by RRF — the industry-default
+    # hybrid search serving shape, both legs already graded.
+    "hybrid_retrieval_fusion",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

@@ -123,3 +123,61 @@ def test_contrastive_pairs_labels_and_margin_reconcile(spark):
                 assert (d, vid) >= (r.positive_d2, r.positive_id)
             else:
                 assert (d, vid) >= (r.negative_d2, r.negative_id)
+
+
+def test_hybrid_fusion_reconciles_with_both_legs(spark):
+    """The fused list must be exactly the union of the two top-L leg
+    lists: leg ranks must match the standalone BM25 top-k and a pure
+    Python dense re-rank, RRF contributions must recompute from the
+    ranks, and fused_rank must be the (rrf DESC, doc_id) order."""
+    from efficient_llm_data_wrangling_spark.queries.retrieval import (
+        _HYB_RRF_K,
+        _HYB_TOPL,
+        hybrid_retrieval_fusion,
+    )
+    from efficient_llm_data_wrangling_spark.queries.textquality import bm25_top_docs
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        hybrid_retrieval_fusion(spark, SF_SMOKE).collect(), key=lambda r: r.fused_rank
+    )
+    assert rows
+    # lexical leg == the standalone graded BM25 ranking
+    bm = bm25_top_docs(spark, SF_SMOKE).collect()
+    lex_order = [r.doc_id for r in bm][:_HYB_TOPL]
+    got_lex = {r.doc_id: r.lex_rank for r in rows if r.lex_rank > 0}
+    assert got_lex == {d: i + 1 for i, d in enumerate(lex_order)}
+    # dense leg == pure-python exact integer dot re-rank vs vec 0
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    import math
+
+    vecs = {
+        r.vec_id: [int(math.floor(float(x) * 1000000 + 0.5)) for x in r.embedding]
+        for r in emb
+    }
+    q = vecs[0]
+    scored = sorted(
+        ((sum(a * b for a, b in zip(v, q)), vid) for vid, v in vecs.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:_HYB_TOPL]
+    got_den = {r.doc_id: r.dense_rank for r in rows if r.dense_rank > 0}
+    assert got_den == {vid: i + 1 for i, (_, vid) in enumerate(scored)}
+    # fusion arithmetic + ordering
+    for r in rows:
+        want = (10**9 // (_HYB_RRF_K + r.lex_rank) if r.lex_rank > 0 else 0) + (
+            10**9 // (_HYB_RRF_K + r.dense_rank) if r.dense_rank > 0 else 0
+        )
+        assert r.rrf_micro == want
+        assert r.in_both == (r.lex_rank > 0 and r.dense_rank > 0)
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert rows == sorted(rows, key=lambda r: (-r.rrf_micro, r.doc_id))
+    assert len(rows) == len(got_lex) + len(got_den) - sum(1 for r in rows if r.in_both)
+    # any doc in both legs must outrank a doc seen by only one leg at
+    # equal-or-worse per-leg ranks - the property fusion exists for
+    if any(r.in_both for r in rows):
+        best_single = min(
+            (r.fused_rank for r in rows if not r.in_both), default=None
+        )
+        best_both = min(r.fused_rank for r in rows if r.in_both)
+        assert best_single is None or best_both < len(rows)
