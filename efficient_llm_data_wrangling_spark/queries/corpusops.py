@@ -1663,3 +1663,109 @@ def trigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_trigram_logprob_6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten erasure manifest (the operational privacy op)
+# ---------------------------------------------------------------------------
+
+_ERASE_BUCKET_SQL = (
+    "instr('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1"
+)
+
+_ERASURE_ORACLE = f"""
+WITH erase AS (
+  SELECT c_custkey FROM customer WHERE {_ERASE_BUCKET_SQL} = 15
+),
+eo AS (
+  SELECT o.o_custkey AS c_custkey, o.o_orderkey
+  FROM orders o JOIN erase e ON o.o_custkey = e.c_custkey
+),
+oc AS (SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM eo GROUP BY c_custkey),
+lc AS (
+  SELECT eo.c_custkey, CAST(count(*) AS BIGINT) AS n_lineitems
+  FROM lineitem l JOIN eo ON l.l_orderkey = eo.o_orderkey
+  GROUP BY eo.c_custkey
+),
+ec AS (
+  SELECT ev.user_id AS c_custkey, CAST(count(*) AS BIGINT) AS n_events
+  FROM events ev JOIN erase e ON ev.user_id = e.c_custkey
+  GROUP BY ev.user_id
+)
+SELECT e.c_custkey,
+       coalesce(oc.n_orders, 0) AS n_orders,
+       coalesce(lc.n_lineitems, 0) AS n_lineitems,
+       coalesce(ec.n_events, 0) AS n_events,
+       CAST(1 + coalesce(oc.n_orders, 0) + coalesce(lc.n_lineitems, 0)
+            + coalesce(ec.n_events, 0) AS BIGINT) AS total_rows_to_erase
+FROM erase e
+LEFT JOIN oc ON e.c_custkey = oc.c_custkey
+LEFT JOIN lc ON e.c_custkey = lc.c_custkey
+LEFT JOIN ec ON e.c_custkey = ec.c_custkey
+"""
+
+
+@query("user_erasure_manifest", oracle=_ERASURE_ORACLE, tags=("corpusops", "privacy"))
+def user_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure MANIFEST — the operational
+    privacy op the k-anonymity/l-diversity/t-closeness ladder (which
+    only MEASURES disclosure risk) doesn't cover: for every subject
+    in the erasure set (an md5 key bucket standing in for the DSAR
+    queue), the exact row counts a cascading delete must touch in
+    every table that references them — customer (1), orders
+    (o_custkey), lineitem (via the subject's order keys — the
+    2-hop cascade), events (user_id). ``total_rows_to_erase`` is the
+    number the compliance job reconciles AFTER the delete: post-delete
+    the same manifest must read identically zero, making this query
+    both the work order and the audit.
+
+    Scale: the erasure key set (a DSAR queue — thousands against
+    100 TB) BROADCASTS into one semi-join pass per table; the
+    lineitem leg joins the subjects' ORDER keys (still
+    queue-proportional, never a fact-fact shuffle). Each leg is one
+    scan with map-side combinable counts; at Delta/Iceberg scale the
+    same predicates drive the actual DELETE plus zone-map file
+    pruning, so the manifest prices the rewrite too.
+    """
+    tune(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    erase = cust.filter(bucket == 15).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    eo = orders.join(
+        F.broadcast(erase), orders["o_custkey"] == erase["c_custkey"]
+    ).select("c_custkey", "o_orderkey")
+    oc = eo.groupBy("c_custkey").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    li = load_table(spark, sf_dir, "lineitem")
+    lc = (
+        li.join(F.broadcast(eo), li["l_orderkey"] == eo["o_orderkey"])
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ec = (
+        ev.join(F.broadcast(erase), ev["user_id"] == erase["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return (
+        erase.join(oc, "c_custkey", "left")
+        .join(lc, "c_custkey", "left")
+        .join(ec, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.expr(
+                "CAST(1 + coalesce(n_orders, 0) + coalesce(n_lineitems, 0)"
+                " + coalesce(n_events, 0) AS BIGINT)"
+            ).alias("total_rows_to_erase"),
+        )
+    )

@@ -144,6 +144,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # BM25 + dense top-L lists fused by RRF — the industry-default
     # hybrid search serving shape, both legs already graded.
     "hybrid_retrieval_fusion",
+    # right-to-be-forgotten cascade manifest: broadcast the DSAR key
+    # set, one semi-join pass per table — work order AND audit.
+    "user_erasure_manifest",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (
