@@ -604,3 +604,74 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + 1000000000 div ({_RRF_K} + r_chardiv) AS BIGINT)"
         ).alias("rrf_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# DQ quarantine split (the dead-letter routing the expectations gate feeds)
+# --------------------------------------------------------------------------
+
+#: (bit, rule name, violation predicate SQL) — shared order defines the mask.
+_DQ_RULES_SQL = (
+    ("nonneg_price", "NOT coalesce(o_totalprice >= 0, FALSE)"),
+    ("known_status", "NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)"),
+    ("custkey_set", "NOT coalesce(o_custkey IS NOT NULL, FALSE)"),
+    ("price_cap", "NOT coalesce(o_totalprice <= 400000, FALSE)"),
+)
+
+_QUARANTINE_ORACLE = f"""
+WITH v AS (
+  SELECT o_orderkey,
+         {" + ".join(f"(CASE WHEN {pred} THEN {1 << i} ELSE 0 END)"
+                     for i, (_, pred) in enumerate(_DQ_RULES_SQL))} AS reason_mask
+  FROM orders
+)
+SELECT o_orderkey, CAST(reason_mask AS BIGINT) AS reason_mask,
+       array_to_string([r for r in [{", ".join(
+           f"CASE WHEN reason_mask & {1 << i} <> 0 THEN '{name}' END"
+           for i, (name, _) in enumerate(_DQ_RULES_SQL))}] if r IS NOT NULL], ',')
+         AS reasons
+FROM v WHERE reason_mask <> 0
+"""
+
+
+@query("dq_quarantine_split", oracle=_QUARANTINE_ORACLE, tags=("quality", "etl"))
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter ROUTING the expectation suite feeds — the
+    operational half ``dq_expectations_orders`` (which only counts)
+    doesn't cover: every row failing any rule is emitted with a
+    reason BITMASK (rule i violated ⇒ bit i, rule order shared with
+    the suite) and the human-readable reason list — exactly the
+    quarantine manifest a medallion pipeline writes next to the clean
+    table so failures are triaged by rule, replayed after a fix, and
+    never silently dropped. Clean rows route to the main table by the
+    complementary ``reason_mask = 0`` predicate in the same single
+    pass.
+
+    Scale: one scan, all rules evaluated as scan-side expressions in
+    one projection (adding a rule adds an expression, never a pass);
+    the quarantine side is violation-proportional, and the bitmask is
+    exact integer arithmetic both engines replay bit-for-bit.
+    """
+    tune(spark)
+    o = load_table(spark, sf_dir, "orders")
+    mask = None
+    for i, (_, pred) in enumerate(_DQ_RULES_SQL):
+        term = F.expr(f"CASE WHEN {pred} THEN {1 << i} ELSE 0 END")
+        mask = term if mask is None else mask + term
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                *[
+                    F.expr(f"CASE WHEN reason_mask & {1 << i} <> 0 THEN '{name}' END")
+                    for i, (name, _) in enumerate(_DQ_RULES_SQL)
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return (
+        o.select("o_orderkey", mask.cast("long").alias("reason_mask"))
+        .filter(F.col("reason_mask") != 0)
+        .select("o_orderkey", "reason_mask", reasons.alias("reasons"))
+    )

@@ -147,6 +147,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # right-to-be-forgotten cascade manifest: broadcast the DSAR key
     # set, one semi-join pass per table — work order AND audit.
     "user_erasure_manifest",
+    # dead-letter routing with per-row reason bitmask — the
+    # operational half of the dq_expectations counting gate.
+    "dq_quarantine_split",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

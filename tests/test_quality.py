@@ -138,3 +138,33 @@ def test_quality_rank_fusion_replays_in_pure_python(spark):
     for single in ("r_rep", "r_bigram", "r_chardiv"):
         by_single = sorted(rows, key=lambda r: (getattr(r, single), r.doc_id))
         assert [r.doc_id for r in fused] != [r.doc_id for r in by_single]
+
+
+def test_dq_quarantine_split_reconciles_with_expectation_counts(spark):
+    """The quarantine manifest must reconcile with the counting gate:
+    per-rule bit tallies equal dq_expectations_orders' violation
+    counts, reasons decode the mask in rule order, and no clean row
+    leaks into quarantine (every mask is non-zero and within range)."""
+    from efficient_llm_data_wrangling_spark.queries.quality import (
+        _DQ_RULES_SQL,
+        dq_expectations_orders,
+        dq_quarantine_split,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = dq_quarantine_split(spark, SF_SMOKE).collect()
+    gate = {r.rule: r for r in dq_expectations_orders(spark, SF_SMOKE).collect()}
+    names = [name for name, _ in _DQ_RULES_SQL]
+    assert set(gate) == set(names)
+    bit_tallies = {name: 0 for name in names}
+    for r in rows:
+        assert 0 < r.reason_mask < (1 << len(names))
+        decoded = [n for i, n in enumerate(names) if r.reason_mask & (1 << i)]
+        assert r.reasons == ",".join(decoded)
+        for n in decoded:
+            bit_tallies[n] += 1
+    for name in names:
+        assert bit_tallies[name] == gate[name].n_violations, name
+    # the suite plants price_cap violations, so the path is exercised
+    assert bit_tallies["price_cap"] > 0
+    assert len(rows) <= sum(bit_tallies.values())
