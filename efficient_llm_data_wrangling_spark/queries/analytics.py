@@ -1555,3 +1555,155 @@ def kmv_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_permille"),
     )
+
+
+# --------------------------------------------------------------------------
+# Replicate-spread uncertainty for the sampled quantile estimator
+# --------------------------------------------------------------------------
+
+_QRS_REPS = 8  # disjoint 1/16 md5 replicates (hex digits 0..7)
+
+_QRS_ORACLE = f"""
+WITH c AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         {_SQC_SAMPLE_SQL} AS bh
+  FROM orders
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _SQC_QMS)}]) AS qm),
+nf AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY g),
+s AS (SELECT g, bh AS rep, c FROM c WHERE bh < {_QRS_REPS}),
+ns AS (SELECT g, rep, CAST(count(*) AS BIGINT) AS n_rep FROM s GROUP BY g, rep),
+hws AS (
+  SELECT g, rep, v, sum(freq) OVER (PARTITION BY g, rep ORDER BY v) AS cum
+  FROM (SELECT g, rep, c AS v, CAST(count(*) AS BIGINT) AS freq
+        FROM s GROUP BY g, rep, c)
+),
+est AS (
+  SELECT hws.g, hws.rep, qs.qm,
+         CAST(min(CASE WHEN hws.cum >= (ns.n_rep * qs.qm + 99) // 100
+                       THEN hws.v END) AS BIGINT) AS est_cents
+  FROM hws JOIN ns ON hws.g = ns.g AND hws.rep = ns.rep CROSS JOIN qs
+  GROUP BY hws.g, hws.rep, qs.qm
+),
+sp AS (
+  SELECT g, qm,
+         CAST(count(*) AS BIGINT) AS n_reps,
+         CAST(min(est_cents) AS BIGINT) AS est_min,
+         CAST(max(est_cents) AS BIGINT) AS est_max,
+         CAST((list_sort(list(est_cents)))
+              [({_QRS_REPS} * 50 + 99) // 100] AS BIGINT) AS est_median
+  FROM est GROUP BY g, qm
+),
+rs AS (
+  SELECT c.g, sp.qm,
+         CAST(count(CASE WHEN c.c > sp.est_min AND c.c <= sp.est_max
+                    THEN 1 END) AS BIGINT) AS span_rows
+  FROM c JOIN sp ON c.g = sp.g
+  GROUP BY c.g, sp.qm
+)
+SELECT sp.g, CAST(sp.qm AS BIGINT) AS qm, sp.n_reps,
+       sp.est_min, sp.est_median, sp.est_max,
+       CAST(rs.span_rows * 1000 // nf.n AS BIGINT) AS spread_rank_permille
+FROM sp
+JOIN rs ON sp.g = rs.g AND sp.qm = rs.qm
+JOIN nf ON nf.g = sp.g
+"""
+
+
+@query("quantile_replicate_spread", oracle=_QRS_ORACLE, tags=("analytics", "sketch"))
+def quantile_replicate_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-based UNCERTAINTY for the sampled quantile estimator —
+    the deterministic bootstrap completing the calibration story
+    (``sample_quantile_calibration`` grades one sample's ERROR; this
+    grades the estimator's SPREAD, the number that decides whether
+    the sample rate is big enough to act on): {_QRS_REPS} disjoint
+    1/16 md5 replicates each elect p10/p50/p90 per priority, and the
+    report carries min/median/max replicate estimates plus the
+    empirical confidence width in RANK space — full-data rows strictly
+    between the extreme estimates, in exact permille (the
+    scale-free width a shard-sizing decision compares against its
+    tolerance). Replicates are hash-disjoint so the spread is a real
+    between-sample statistic, and every election and division replays
+    bit-for-bit in both engines — no randomness, no bootstrap
+    resampling driver loop.
+
+    Scale: the replicate column is the SAME scan-side md5 digit the
+    calibration query reads (no extra pass); elections are per-(group,
+    replicate) bounded-histogram windows; the rank-span probe is one
+    more scan against a broadcast 15-row min/max frame. Replicate
+    count multiplies only the bounded histogram, never the scans.
+    """
+    tune(spark)
+    from pyspark.sql import Window
+
+    qm_arr = F.array(*[F.lit(q) for q in _SQC_QMS])
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1),
+            )
+            - 1
+        ).alias("bh"),
+    )
+    nf = ords.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = ords.filter(F.col("bh") < _QRS_REPS).select("g", F.col("bh").alias("rep"), "c")
+    ns_ = s.groupBy("g", "rep").agg(F.count(F.lit(1)).cast("long").alias("n_rep"))
+    hist = s.groupBy("g", "rep", F.col("c").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    hw = hist.select(
+        "g",
+        "rep",
+        "v",
+        F.sum("freq").over(Window.partitionBy("g", "rep").orderBy("v")).alias("cum"),
+    )
+    est = (
+        hw.join(F.broadcast(ns_), ["g", "rep"])
+        .select("g", "rep", "v", "cum", "n_rep", F.explode(qm_arr).alias("qm"))
+        .groupBy("g", "rep", "qm")
+        .agg(
+            F.min(F.expr("CASE WHEN cum >= (n_rep * qm + 99) div 100 THEN v END"))
+            .cast("long")
+            .alias("est_cents")
+        )
+    )
+    med_ix = (_QRS_REPS * 50 + 99) // 100
+    sp = est.groupBy("g", "qm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.min("est_cents").cast("long").alias("est_min"),
+        F.max("est_cents").cast("long").alias("est_max"),
+        F.expr(f"CAST(array_sort(collect_list(est_cents))[{med_ix - 1}] AS BIGINT)").alias(
+            "est_median"
+        ),
+    )
+    rs = (
+        ords.join(F.broadcast(sp.select("g", "qm", "est_min", "est_max")), "g")
+        .groupBy("g", "qm")
+        .agg(
+            F.sum(
+                F.when((F.col("c") > F.col("est_min")) & (F.col("c") <= F.col("est_max")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("span_rows")
+        )
+    )
+    return (
+        sp.join(rs, ["g", "qm"])
+        .join(F.broadcast(nf), "g")
+        .select(
+            "g",
+            F.col("qm").cast("long").alias("qm"),
+            "n_reps",
+            "est_min",
+            "est_median",
+            "est_max",
+            F.expr("CAST(span_rows * 1000 div n AS BIGINT)").alias(
+                "spread_rank_permille"
+            ),
+        )
+    )

@@ -150,6 +150,9 @@ _NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
     # dead-letter routing with per-row reason bitmask — the
     # operational half of the dq_expectations counting gate.
     "dq_quarantine_split",
+    # deterministic-bootstrap spread of the sampled quantile estimator
+    # over 8 disjoint md5 replicates — uncertainty, not just error.
+    "quantile_replicate_spread",
 )
 
 _STALE_R4_SPILL: tuple[str, ...] = (

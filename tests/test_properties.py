@@ -298,3 +298,51 @@ def test_sample_quantile_calibration_replays_in_pure_python(spark):
         # 4-sigma binomial sanity: a sampling/rank bug lands far outside
         sigma = (r.qm * (1000 - r.qm) / 1000 / r.n_sample) ** 0.5 * 1000
         assert r.rank_err_permille <= 4 * sigma + 1000 / r.n_sample + 10
+
+
+def test_quantile_replicate_spread_replays_in_pure_python(spark):
+    """Every replicate election, the median-of-replicates, and the
+    rank-space spread must recompute exactly from the collected
+    orders; the median must sit inside [min, max] and the spread must
+    cover the calibration query's single-sample estimate band."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _QRS_REPS,
+        _SQC_QMS,
+        quantile_replicate_spread,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = quantile_replicate_spread(spark, SF_SMOKE).collect()
+    assert rows
+    ords = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    full: dict[str, list[int]] = {}
+    reps: dict[tuple[str, int], list[int]] = {}
+    for r in ords:
+        cents = int(round(r.o_totalprice * 100))
+        full.setdefault(r.o_orderpriority, []).append(cents)
+        bh = int(hashlib.md5(str(r.o_orderkey).encode()).hexdigest()[0], 16)
+        if bh < _QRS_REPS:
+            reps.setdefault((r.o_orderpriority, bh), []).append(cents)
+
+    def elect(vals, qm):
+        vals = sorted(vals)
+        return vals[(len(vals) * qm + 99) // 100 - 1]
+
+    assert len(rows) == len(full) * len(_SQC_QMS)
+    for r in rows:
+        ests = sorted(
+            elect(reps[(r.g, i)], r.qm) for i in range(_QRS_REPS) if (r.g, i) in reps
+        )
+        assert r.n_reps == len(ests)
+        assert (r.est_min, r.est_max) == (ests[0], ests[-1])
+        assert r.est_median == ests[(len(ests) * 50 + 99) // 100 - 1]
+        assert r.est_min <= r.est_median <= r.est_max
+        f = full[r.g]
+        span = sum(1 for v in f if r.est_min < v <= r.est_max)
+        assert r.spread_rank_permille == span * 1000 // len(f)
+        assert 0 <= r.spread_rank_permille <= 1000
