@@ -47,139 +47,35 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-9 window, maintained as three segments so that every
+#: round. Round-10 window, maintained as three segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
 #: registers it:
 #:
-#: 1. ``_NEW_OR_CHANGED_IN_R9`` — queries registered OR semantically
+#: 1. ``_NEW_OR_CHANGED_IN_R10`` — queries registered OR semantically
 #:    rebuilt this round (extend this tuple in the registering
 #:    commit; growth displaces fills from the tail automatically);
-#: 2. ``_STALE_R4_SPILL`` — the 35 rows whose most recent driver grade
-#:    is round 4: the declared r8 spillover (= r8's ``_STALE_R4_FILL``
-#:    minus CORRECTNESS_r08's keys — exactly the re-pin expression the
-#:    r8 registry documented). Segment-1 growth past 15 r9-new queries
-#:    (15+35=50 filled the window exactly) displaces r4 rows from the
-#:    TAIL — the displaced rows are the EXPLICIT r4-cohort spillover,
-#:    re-pinned FIRST in r10 via
-#:    ``[n for n in _STALE_R4_SPILL if n not in DRIVER_GRADE_PRIORITY]``
-#:    (each hash-matched the judge's independent sweep in r8 and the
-#:    local full-registry sweeps this round, so the gap is evidence
-#:    freshness only, never untested code);
-#: 3. ``_STALE_R5_FILL`` — ALL 47 rows whose most recent driver grade
-#:    is round 5 (the next-oldest cohort; every one hash-matched the
-#:    judge's independent 225/225 sweep in r8). With segments 1+2 over
-#:    50 rows none fit in r9; they are the EXPLICIT next-round
-#:    spillover list, re-pinned in r10 (after the r4 remainder) via
+#: 2. ``_STALE_R4_REMAINDER`` — the 11 rows whose most recent driver
+#:    grade is still round 4: exactly
+#:    ``[n for n in r9._STALE_R4_SPILL if n not in r9 window]`` — the
+#:    re-pin expression the r9 registry documented, now evaluated
+#:    (CORRECTNESS_r09 graded the other 24 green). Once CORRECTNESS_r10
+#:    lands these, the r4 cohort is fully retired and the staleness
+#:    floor becomes round 5;
+#: 3. ``_STALE_R5_FILL`` — the 47 rows whose most recent driver grade
+#:    is round 5 (every one hash-matched the judge's independent
+#:    250/250 sweep in r9). Segments 1+2 leave 50-len(seg1)-11 slots;
+#:    the tail past slot 50 is the EXPLICIT r11 spillover, re-pinned
+#:    next round via
 #:    ``[n for n in _STALE_R5_FILL if n not in DRIVER_GRADE_PRIORITY]``.
-_NEW_OR_CHANGED_IN_R9: tuple[str, ...] = (
-    # fixed-entry beam walk over the DEGREE-8 graph — the build-degree
-    # lever of serving, isolated (queries/clustering.py).
-    "knn_graph_beam_search_degree8",
-    # the composed production serving shape: IVF-seeded entries + beam
-    # walk + degree-8 graph — the ladder's capstone.
-    "knn_graph_serving_capstone",
-    # recall ladder gained the probe4 and descent1_d8 rungs (r9 knobs;
-    # output rows added, so values changed).
-    "knn_graph_recall_report",
-    # NOT re-pinned: knn_graph_greedy_search — the r9 checkpoint A/B
-    # left its default plan and values bit-identical (refutation
-    # recorded in _greedy_report's docstring).
-    # the RAG serving composition: IVF retrieve → exact re-rank →
-    # token-budget context pack (queries/retrieval.py).
-    "rag_retrieve_pack",
-    # contrastive training-pair mining: per-anchor nearest same-label
-    # positive + nearest different-label hard negative + margin.
-    "contrastive_pairs_mining",
-    # sketch-vs-exact MinHash calibration on the portable md5
-    # permutation family — both engines replay the estimate itself.
-    "minhash_error_calibration",
-    # fuzzy benchmark decontamination over the same portable sketch —
-    # the near-dup leakage pass exact n-gram overlap misses.
-    "decontaminate_minhash_fuzzy",
-    # DoReMi-style adaptive data mixing: multiplicative-weights rounds
-    # over per-source proxy loss, full trace graded.
-    "domain_reweight_rounds",
-    # the capstone's walk-locality lever turned: width-8 beam over the
-    # degree-8 graph with IVF-seeded entries (52.1% vs 34.4%).
-    "knn_graph_serving_beam8",
-    # KMV distinct-count sketch graded against exact distincts — the
-    # hash-replayable twin of approx_distinct_events' HLL bounds.
-    "kmv_distinct_calibration",
-    # SEMANTIC decontamination: embedding-cosine leakage vs the test
-    # split — the paraphrase rung completing the exact/fuzzy ladder.
-    "decontaminate_semantic_cosine",
-    # sampled-quantile estimator vs exact ranks — the hash-replayable
-    # member of the quantile family (GK stays bound-asserted).
-    "sample_quantile_calibration",
-    # RRF ensembling of three quality signals via bounded-histogram
-    # rank elections — the no-trusted-scorer curation primitive.
-    "quality_rank_fusion",
-    # training-order shuffle-quality audit: per-block source purity
-    # under clustered/arrival/hashed orders via global_rank.
-    "training_order_mixing_report",
-    # the width-8 seeded walk over the 97.9% d8×probe4 build — build
-    # quality buys zero serving recall; residual is walk locality.
-    "knn_graph_serving_best_build",
-    # shard byte-balance study: contiguous/hash/striped policies —
-    # the epoch straggler multiplier of the output layout.
-    "shard_balance_report",
-    # leave-one-source-out ablation over the mixing proxy loss — the
-    # drop-a-source decision DoReMi's reweighting can't answer.
-    "source_ablation_report",
-    # per-decile first-seen shingle share — the data-saturation curve
-    # behind "is the next 10 TB of this crawl worth ingesting?".
-    "corpus_novelty_curve",
-    # Zipf rank-frequency OLS over the portable ln — correctly flags
-    # this template corpus as non-natural (s≈0.18, r²≈0.06).
-    "zipf_exponent_report",
-    # per-source epoch/repeat plan at a 4× budget under τ=0.5 weights
-    # — the Muennighoff 4-epoch line, burden provably on the smallest.
-    "epoch_repeat_plan",
-    # adaptive-threshold VAD segmentation over audio frame energies —
-    # gaps-and-islands DSP; the silence-drop step before ASR.
-    "multimodal_vad_segments",
-    # streaming gram-novelty probe at the ingest edge — stateless
-    # stream-static gram join; "seen this CONTENT?" per arriving doc.
-    "stream_novelty_probe",
-    # BM25 + dense top-L lists fused by RRF — the industry-default
-    # hybrid search serving shape, both legs already graded.
-    "hybrid_retrieval_fusion",
-    # right-to-be-forgotten cascade manifest: broadcast the DSAR key
-    # set, one semi-join pass per table — work order AND audit.
-    "user_erasure_manifest",
-    # dead-letter routing with per-row reason bitmask — the
-    # operational half of the dq_expectations counting gate.
-    "dq_quarantine_split",
-    # deterministic-bootstrap spread of the sampled quantile estimator
-    # over 8 disjoint md5 replicates — uncertainty, not just error.
-    "quantile_replicate_spread",
+#:
+#: Round-9 window (kept for the audit trail and the re-pin
+#: expressions above): 26 ``_NEW_OR_CHANGED_IN_R9`` + first 24 of the
+#: 35-row r4 spillover — all 50 graded green in CORRECTNESS_r09.
+_NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
+    # (extended in the registering commit of each r10 query)
 )
 
-_STALE_R4_SPILL: tuple[str, ...] = (
-    "json_extract_events",
-    "knn_ivf_pq",
-    "label_counts",
-    "lang_share_by_source",
-    "length_percentile_filter_documents",
-    "mask_contacts_documents",
-    "min_class_count",
-    "multi_key_rank_events",
-    "ntile_customer_acctbal",
-    "outlier_iqr_prices",
-    "pair_join_text",
-    "pii_redact_documents",
-    "pq_encode_embeddings",
-    "pricing_summary",
-    "repetition_ratio_documents",
-    "sample_head_k",
-    "segment_dedup_corpus",
-    "semi_join_customers",
-    "serialize_keyed_part",
-    "serialize_values_customer",
-    "shard_assign_documents",
-    "snapshot_diff_orders",
-    "sql_scalar_udf_charge",
-    "stats_moments_lineitem",
+_STALE_R4_REMAINDER: tuple[str, ...] = (
     "string_functions_customer",
     "substring_dedup_windows",
     "top_orders",
@@ -192,6 +88,7 @@ _STALE_R4_SPILL: tuple[str, ...] = (
     "window_top_order_per_customer",
     "word_counts_documents",
 )
+
 
 _STALE_R5_FILL: tuple[str, ...] = (
     "ann_recall_report",
@@ -244,7 +141,7 @@ _STALE_R5_FILL: tuple[str, ...] = (
 )
 
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = tuple(
-    dict.fromkeys(_NEW_OR_CHANGED_IN_R9 + _STALE_R4_SPILL + _STALE_R5_FILL)
+    dict.fromkeys(_NEW_OR_CHANGED_IN_R10 + _STALE_R4_REMAINDER + _STALE_R5_FILL)
 )[:50]
 
 
