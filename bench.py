@@ -95,6 +95,14 @@ HEADLINE = [
     # of the r9 curation/trainprep growth
     "quality_rank_fusion",
     "training_order_mixing_report",
+    # round-10 family (BENCH_r10 seeds its baseline): the streaming
+    # near-dup ingest gate — stateless stream-static MinHash band join
+    # of arrivals vs the standing corpus band index + batch-side exact
+    # verify; the cheap representative of the r10 streaming/sketch
+    # growth (the r10 graph rungs ride the already-priced serving
+    # family and are deliberately NOT added — three graph headliners
+    # already carry 58% of the bench; see BENCH_OVERHEAD note)
+    "stream_neardup_gate",
 ]
 
 
@@ -377,6 +385,57 @@ R8_DRIVER_RATIOS = {
 }
 
 
+#: The DRIVER's round-9 run as calibration ratios (BENCH_r09.json —
+#: queries medians / calibration 0.226 s). Covers all 41 r9
+#: headliners. FIRST chain link computed from an INTERLEAVED
+#: calibration median (n=42 samples spread through the loop), so
+#: vs_r9 ratios are free of the single-scalar ±25% ambiguity the r8
+#: link carried; the r10 addition seeds its baseline in BENCH_r10.
+R9_DRIVER_RATIOS = {
+    "pair_join_text": 2.854,
+    "pricing_summary": 3.814,
+    "comparator_tolerance": 7.712,
+    "window_top_order_per_customer": 1.345,
+    "filter_project_lineitem": 0.965,
+    "dedup_exact_documents": 1.27,
+    "dedup_minhash_lsh": 10.584,
+    "text_quality_documents": 3.137,
+    "knn_brute_force": 1.522,
+    "asof_join_events": 1.876,
+    "rollup_pricing": 3.85,
+    "multimodal_decode": 2.341,
+    "stream_tumbling_counts": 5.496,
+    "sessionize_events": 2.009,
+    "upsert_snapshot_orders": 1.73,
+    "connected_components_halving": 15.832,
+    "correlated_avg_qty_filter": 4.102,
+    "repetition_ratio_documents": 3.814,
+    "stream_stream_attribution": 13.022,
+    "chunk_documents_overlap": 1.058,
+    "pack_documents_token_budget": 0.841,
+    "decontaminate_ngram_overlap": 4.562,
+    "corpus_curation_pipeline": 4.049,
+    "bm25_top_docs": 3.845,
+    "substring_dedup_windows": 9.177,
+    "knn_ivf_pq": 6.111,
+    "ccnet_perplexity_buckets": 5.496,
+    "dsir_importance_weights": 5.301,
+    "local_supplier_volume": 3.69,
+    "bpe_train_rounds": 9.221,
+    "stream_admission_pipeline": 5.832,
+    "tpch_q11_important_stock": 3.403,
+    "zorder_layout_report": 2.664,
+    "corpus_release_manifest": 4.982,
+    "knn_graph_nn_descent_round": 46.46,
+    "compaction_plan_report": 1.668,
+    "knn_graph_greedy_search": 103.823,
+    "knn_graph_serving_capstone": 114.553,
+    "decontaminate_minhash_fuzzy": 16.628,
+    "quality_rank_fusion": 11.81,
+    "training_order_mixing_report": 7.659,
+}
+
+
 def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     """N wall-time samples (sorted). The median is the headline number
     — robust to one-off JIT/GC noise in either direction; min and max
@@ -484,6 +543,11 @@ def main() -> None:
         for n, r in ratios.items()
         if n in R8_DRIVER_RATIOS
     }
+    ratio_vs_r9_driver = {
+        n: round(r / R9_DRIVER_RATIOS[n], 3)
+        for n, r in ratios.items()
+        if n in R9_DRIVER_RATIOS
+    }
 
     def _summ(d: dict[str, float]) -> dict:
         """Median / worst scalar summary of a per-query ratio dict —
@@ -519,6 +583,7 @@ def main() -> None:
         "ratio_vs_r6_driver": ratio_vs_r6_driver,
         "ratio_vs_r7_driver": ratio_vs_r7_driver,
         "ratio_vs_r8_driver": ratio_vs_r8_driver,
+        "ratio_vs_r9_driver": ratio_vs_r9_driver,
         "sf": sf,
         "queries": timings,
     }
@@ -537,8 +602,8 @@ def main() -> None:
         "sf": sf,
         "calibration_sec": cal,
         "calibration_n": len(cal_samples),
-        "vs_r7_driver": _summ(ratio_vs_r7_driver),
         "vs_r8_driver": _summ(ratio_vs_r8_driver),
+        "vs_r9_driver": _summ(ratio_vs_r9_driver),
     }
     print(fit_line(payload))
 
@@ -553,7 +618,7 @@ def fit_line(payload: dict, budget: int = 1900) -> str:
     fields (metric, value, unit, sf) are never dropped."""
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= budget:
-        for drop in ("vs_r7_driver", "vs_r8_driver", "queries"):
+        for drop in ("vs_r8_driver", "vs_r9_driver", "queries"):
             payload.pop(drop, None)
             payload["truncated"] = True
             line = json.dumps(payload, separators=(",", ":"))

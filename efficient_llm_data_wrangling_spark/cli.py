@@ -163,6 +163,7 @@ def build_parser() -> argparse.ArgumentParser:
     # engine-side extensions (not in the reference surface)
     p.add_argument("--impute_col", type=str, default=None, help="Imputation target column (required for non-benchmark imputation dirs).")
     p.add_argument("--offline-golden", action="store_true", help="Use the recorded golden functions instead of a live LLM (hermetic run).")
+    p.add_argument("--trial_workers", type=int, default=0, help="Concurrent synthesis trials (0 = auto: min(num_trials, 8); 1 = the reference's serial loop). Trials are independent LLM calls with a fixed seed schedule, so fan-out changes wall-time only.")
     p.add_argument("--master", type=str, default="local[*]", help="Spark master.")
     return p
 
@@ -207,12 +208,18 @@ def main(argv: list[str] | None = None) -> dict:
         if args.num_run != -1:
             test = test.limit(args.num_run)
         compiler = SemanticCompiler(client=client)
+        workers = (
+            args.trial_workers
+            if args.trial_workers > 0
+            else min(args.num_trials, 8)
+        )
         result = run_wrangling_task(
             WranglerTask(
                 task=task, train=train, test=test, instruction=instruction,
                 k=args.k, d=args.d, num_trials=args.num_trials, seed=args.seed,
             ),
             compiler,
+            max_workers=workers,
         )
         row = result.metrics.collect()[0].asDict()
         row["task_number"] = i

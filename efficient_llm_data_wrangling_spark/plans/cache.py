@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 from collections.abc import Sequence
 
 
@@ -26,6 +27,10 @@ class FunctionCache:
     def __init__(self, path: str | None = None):
         self.path = path
         self._mem: dict[str, dict] = {}
+        # concurrent trials (wrangler.run_wrangling_task max_workers>1)
+        # may put() simultaneously; the lock serializes the snapshot
+        # write so two threads never race on the same .tmp file
+        self._lock = threading.Lock()
         if path and os.path.exists(path):
             with open(path, encoding="utf-8") as fh:
                 self._mem = json.load(fh)
@@ -34,9 +39,10 @@ class FunctionCache:
         return self._mem.get(key)
 
     def put(self, key: str, source: str, accuracy: float) -> None:
-        self._mem[key] = {"source": source, "accuracy": accuracy}
-        if self.path:
-            tmp = f"{self.path}.tmp"
-            with open(tmp, "w", encoding="utf-8") as fh:
-                json.dump(self._mem, fh, indent=2)
-            os.replace(tmp, self.path)
+        with self._lock:
+            self._mem[key] = {"source": source, "accuracy": accuracy}
+            if self.path:
+                tmp = f"{self.path}.tmp"
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    json.dump(self._mem, fh, indent=2)
+                os.replace(tmp, self.path)

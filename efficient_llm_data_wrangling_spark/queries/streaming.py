@@ -712,3 +712,242 @@ def stream_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*) AS BIGINT)"
         ).alias("novelty_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup ingest gate (the fuzzy rung of the streaming ladder)
+# ---------------------------------------------------------------------------
+
+def _neardup_gate_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _BUCKET_SQL,
+        _FUZZY_J_MILLI,
+        _FUZZY_TRIM_SQL,
+        _fuzzy_bands_sql,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        _CAL_SIG_SQL,
+        _h32_sql,
+    )
+
+    b2 = "instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_BUCKET_SQL} AS bucket, {b2} AS b2 FROM documents
+),
+standing AS (SELECT doc_id, text FROM t WHERE bucket < 13),
+arr AS (
+  SELECT doc_id AS arr_id, text FROM t WHERE bucket >= 13
+  UNION ALL
+  SELECT doc_id + 3000000 AS arr_id, {_FUZZY_TRIM_SQL} AS text
+  FROM t WHERE bucket < 13 AND b2 = 0 AND len(string_split(text, ' ')) >= 30
+),
+sgs AS (
+  SELECT doc_id, h, {_CAL_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_h32_sql()} AS h FROM standing)
+),
+sga AS (
+  SELECT arr_id, h, {_CAL_SIG_SQL} AS sig
+  FROM (SELECT arr_id, {_h32_sql()} AS h FROM arr)
+),
+sgaa AS (SELECT arr_id AS doc_id, sig FROM sga),
+bs AS ({_fuzzy_bands_sql('sgs')}),
+ba AS ({_fuzzy_bands_sql('sgaa')}),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS arr_id, bs.doc_id AS corpus_id
+  FROM ba JOIN bs ON ba.band = bs.band AND ba.key = bs.key
+),
+ver AS (
+  SELECT c.arr_id, c.corpus_id,
+         (len(list_intersect(a.h, s.h)) * 1000)
+           // len(list_distinct(list_concat(a.h, s.h))) AS j
+  FROM cand c
+  JOIN sga a ON a.arr_id = c.arr_id
+  JOIN sgs s ON s.doc_id = c.corpus_id
+),
+best AS (
+  SELECT arr_id, corpus_id, j, n_candidates FROM (
+    SELECT arr_id, corpus_id, j,
+           row_number() OVER (PARTITION BY arr_id ORDER BY j DESC, corpus_id DESC) AS rn,
+           count(*) OVER (PARTITION BY arr_id) AS n_candidates
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT a.arr_id,
+       CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(b.corpus_id, -1) AS BIGINT) AS best_corpus_id,
+       CAST(coalesce(b.j, -1) AS BIGINT) AS best_jaccard_milli,
+       coalesce(b.j, -1) >= {_FUZZY_J_MILLI} AS is_neardup,
+       a.arr_id >= 3000000 AS planted_leak
+FROM (SELECT arr_id FROM arr) a LEFT JOIN best b ON a.arr_id = b.arr_id
+"""
+
+
+@query(
+    "stream_neardup_gate",
+    oracle=_neardup_gate_oracle(),
+    tags=("streaming", "dedup", "sketch", "curation"),
+)
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup admission gate at the ingest edge — the fuzzy rung the
+    streaming dedup ladder was missing (VERDICT r9 item 5):
+    ``stream_ingest_dedup`` answers "seen this exact doc?",
+    ``stream_novelty_probe`` answers "seen these exact grams?"; this
+    answers "is the arriving doc a NEAR-duplicate of anything in the
+    standing corpus?" — the gate a production firehose runs so a
+    re-wrapped or truncated copy never reaches the training mix. Same
+    portable MinHash family and 32×2 banding as the batch
+    ``decontaminate_minhash_fuzzy`` (s-curve midpoint ≈ 0.18), roles
+    reversed: the arriving doc computes its 64-lane signature
+    SCAN-SIDE and explodes 32 band keys; a stateless stream-static
+    equi-join against the standing corpus band index emits candidate
+    (arrival, corpus) pairs to the sink; exact-Jaccard verification
+    and the per-arrival verdict run batch-side on the finalized sink
+    (the ``stream_drift_monitor`` discipline). ZERO stream state at
+    any stream length — no watermark, no dedup store — so the verdict
+    is a pure function of the input and the full value oracle replays
+    every band election and Jaccard bit-for-bit.
+
+    Near-dup arrivals are PLANTED deterministically: every standing
+    doc in the b2=0 md5 slice with ≥ 30 tokens re-arrives truncated
+    by 5 words (arr_id = doc_id + 3e6; shingle Jaccard ≥ (n−7)/(n−2)
+    ≈ 0.78 at the 30-token floor — the floor exists because trimming
+    5 words from a short doc drops J below the verify bar: doc 122 at
+    sf0.001 verified 0.444, correctly sub-threshold), so the gate
+    provably catches what it exists to catch (test-pinned: every
+    planted row verifies is_neardup).
+
+    Scale: the arriving side carries only (arr_id, band, key) into the
+    join — 32 rows/doc of ~16 bytes, text never leaves the scan. The
+    standing band index is ~32 rows × 8-byte key hash per corpus doc:
+    broadcast while it fits (graded posture), a shuffled stream-static
+    join beyond — still stateless either way, and re-built only when
+    the standing corpus compacts (it is the SAME artifact the batch
+    LSH dedup maintains). Verification touches candidates only, and
+    the roll-up is one groupBy over the candidate sliver plus a
+    left join from the arrival manifest.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _FUZZY_BANDS,
+        _FUZZY_J_MILLI,
+        _FUZZY_ROWS,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import _portable_minhash
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    hexd = lambda c, i: (  # noqa: E731 — i-th md5 hex digit of the id
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(c.cast("string")), i, 1)
+        )
+        - 1
+    )
+    toks = F.split(F.col("text"), " ")
+    trimmed = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(3)))
+    )
+    leg_t = "array<struct<arr_id:bigint,atext:string>>"
+
+    def arrivals(df: DataFrame) -> DataFrame:
+        """(arr_id, text): true arrivals (buckets ≥ 13) plus the
+        planted truncated re-arrivals of the b2=0 standing slice —
+        a scan-side conditional explode, identical on the streaming
+        and the batch-replay side."""
+        bucket, b2 = hexd(F.col("doc_id"), 1), hexd(F.col("doc_id"), 2)
+        legs = (
+            F.when(
+                bucket >= 13,
+                F.array(
+                    F.struct(
+                        F.col("doc_id").cast("long").alias("arr_id"),
+                        F.col("text").alias("atext"),
+                    )
+                ),
+            )
+            .when(
+                (b2 == 0) & (F.size(toks) >= 30),
+                F.array(
+                    F.struct(
+                        (F.col("doc_id") + 3000000).cast("long").alias("arr_id"),
+                        trimmed.alias("atext"),
+                    )
+                ),
+            )
+            .otherwise(F.lit(None).cast(leg_t))
+        )
+        return (
+            df.select(F.explode(legs).alias("__a"))
+            .select(F.col("__a.arr_id").alias("arr_id"), F.col("__a.atext").alias("text"))
+        )
+
+    def bands(sg: DataFrame, id_col: str) -> DataFrame:
+        return sg.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_BANDS - 1))).alias("band"),
+            "sig",
+        ).select(
+            id_col,
+            "band",
+            F.array_join(
+                F.transform(
+                    F.slice("sig", F.col("band") * _FUZZY_ROWS + 1, _FUZZY_ROWS),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("key"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(hexd(F.col("doc_id"), 1) < 13).select("doc_id", "text")
+    sgs = _portable_minhash(standing, ["doc_id"]).localCheckpoint()
+    bst = bands(sgs.select("doc_id", "sig"), "doc_id").select(
+        F.col("doc_id").alias("corpus_id"), "band", "key"
+    )
+
+    # the stream: signature + band keys scan-side, stateless
+    # stream-static band join, candidate pairs appended to the sink
+    arr_stream = arrivals(S.stream_documents(spark, sf_dir))
+    ba = bands(
+        _portable_minhash(arr_stream, ["arr_id"]).select("arr_id", "sig"), "arr_id"
+    )
+    cand_stream = ba.join(F.broadcast(bst), ["band", "key"]).select(
+        "arr_id", "corpus_id"
+    )
+    sunk = S.run_to_memory(cand_stream, _sink("neardup_gate"), "append")
+
+    # batch-side verdict on the finalized sink: exact-Jaccard verify on
+    # candidates only, then one roll-up + manifest left join
+    arr_batch = arrivals(docs)
+    sga = _portable_minhash(arr_batch, ["arr_id"]).localCheckpoint()
+    pairs = sunk.distinct()
+    ver = (
+        pairs.join(sga.select("arr_id", F.col("h").alias("__ha")), "arr_id")
+        .join(
+            sgs.select(F.col("doc_id").alias("corpus_id"), F.col("h").alias("__hb")),
+            "corpus_id",
+        )
+        .select(
+            "arr_id",
+            "corpus_id",
+            F.expr(
+                "(size(array_intersect(__ha, __hb)) * 1000)"
+                " div size(array_union(__ha, __hb))"
+            ).alias("j"),
+        )
+    )
+    best = ver.groupBy("arr_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.max(F.struct("j", "corpus_id")).alias("__m"),
+    )
+    return (
+        arr_batch.select("arr_id")
+        .join(best, "arr_id", "left")
+        .select(
+            "arr_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.col("__m.corpus_id"), F.lit(-1)).cast("long").alias("best_corpus_id"),
+            F.coalesce(F.col("__m.j"), F.lit(-1)).cast("long").alias("best_jaccard_milli"),
+            (F.coalesce(F.col("__m.j"), F.lit(-1)) >= _FUZZY_J_MILLI).alias("is_neardup"),
+            (F.col("arr_id") >= 3000000).alias("planted_leak"),
+        )
+    )

@@ -72,7 +72,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: expressions above): 26 ``_NEW_OR_CHANGED_IN_R9`` + first 24 of the
 #: 35-row r4 spillover — all 50 graded green in CORRECTNESS_r09.
 _NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
-    # (extended in the registering commit of each r10 query)
+    # the width-16 serving rung: the last width before the return
+    # bend — the r10 walk-locality knob (queries/clustering.py).
+    "knn_graph_serving_beam16",
+    # the budget-recall frontier: one row per (build, serve) config,
+    # every graded rung + the past-the-bend and hop-axis probes.
+    "ann_frontier_report",
+    # the streaming rung of the fuzzy-dedup ladder: stateless
+    # stream-static MinHash BAND join of arrivals vs the standing
+    # corpus band index, planted near-dup arrivals provably flagged.
+    "stream_neardup_gate",
 )
 
 _STALE_R4_REMAINDER: tuple[str, ...] = (

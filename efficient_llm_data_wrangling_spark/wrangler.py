@@ -61,34 +61,80 @@ def _sample_demos(task: WranglerTask, seed: int) -> DataFrame:
     return sample_k_seeded(task.train, task.k, seed=seed)
 
 
-def run_wrangling_task(task: WranglerTask, compiler: SemanticCompiler) -> WranglerResult:
+def _run_trial(
+    task: WranglerTask, compiler: SemanticCompiler, trial: int
+) -> CompiledFunction:
+    """ONE synthesis trial at its scheduled seed (task.seed +
+    trial×{RESEED_STEP}) — the body of the reference's num_trials loop
+    (run_wrangler.py:16-56), extracted so trials can run serially or
+    concurrently with an identical seed schedule."""
+    seed = task.seed + trial * RESEED_STEP
+    demos = _sample_demos(task, seed)
+    demo_rows = [
+        (row["text"], row["label_str"])
+        for row in demos.select("text", "label_str").collect()
+    ]
+    if not demo_rows:
+        raise ValueError("train frame produced no demonstrations")
+    supervision = sample_k_seeded(task.train, task.d, seed=seed + 1)
+    return compiler.compile(
+        task.task, demos, demo_rows,
+        supervision=supervision, instruction=task.instruction,
+    )
+
+
+def run_wrangling_task(
+    task: WranglerTask,
+    compiler: SemanticCompiler,
+    max_workers: int = 1,
+) -> WranglerResult:
     """G9/G10 — multi-trial synthesis with reseeding, best-function
-    routing, distributed apply + metrics."""
-    last_error: Exception | None = None
-    candidates: list[CompiledFunction] = []
-    for trial in range(task.num_trials):
-        seed = task.seed + trial * RESEED_STEP
-        demos = _sample_demos(task, seed)
-        demo_rows = [
-            (row["text"], row["label_str"])
-            for row in demos.select("text", "label_str").collect()
-        ]
-        if not demo_rows:
-            raise ValueError("train frame produced no demonstrations")
-        supervision = sample_k_seeded(task.train, task.d, seed=seed + 1)
+    routing, distributed apply + metrics.
+
+    ``max_workers`` > 1 fans the trials out as concurrent driver
+    threads (the reference runs them serially, run_wrangler.py:16-56,
+    but they are INDEPENDENT LLM calls — the X1 economics — and each
+    trial's Spark validation jobs schedule concurrently under FAIR-ish
+    local execution). The seed schedule is preserved exactly (trial i
+    always runs at task.seed + i×{RESEED_STEP}) and best-function
+    routing is keyed by (accuracy, lowest trial index) — a pure
+    function of the trial RESULTS, so serial and concurrent execution
+    select the identical function whenever the client is one whose
+    response depends only on the request (the live client at
+    temperature 0.2/seed 42, a single-response stub, or any replay
+    keyed on the prompt). A multi-response ``OfflineStubClient``
+    script is consumed in GLOBAL call order by design (it exists to
+    model trial-varying responses in serial tests) — drive it with
+    ``max_workers=1``."""
+    n = task.num_trials
+    results: list[CompiledFunction | None] = [None] * n
+    errors: list[Exception | None] = [None] * n
+
+    def _one(i: int) -> None:
         try:
-            candidates.append(
-                compiler.compile(
-                    task.task, demos, demo_rows,
-                    supervision=supervision, instruction=task.instruction,
-                )
-            )
+            results[i] = _run_trial(task, compiler, i)
         except SynthesisFailed as exc:  # reseed and retry next trial
-            last_error = exc
+            errors[i] = exc
+
+    workers = max(1, min(n, max_workers))
+    if workers == 1:
+        for i in range(n):
+            _one(i)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(_one, range(n)))
+
+    candidates = [(i, c) for i, c in enumerate(results) if c is not None]
     if not candidates:
+        last_error = next((e for e in errors if e is not None), None)
         raise last_error or SynthesisFailed(f"no trials succeeded for {task.task!r}")
 
-    best = max(candidates, key=lambda c: c.accuracy)  # run_wrangler.py:210-213
+    # run_wrangler.py:210-213 — max accuracy, first trial wins ties
+    # (identical to the serial loop's first-max semantics, and
+    # independent of completion order)
+    best = max(candidates, key=lambda pair: (pair[1].accuracy, -pair[0]))[1]
     predictions = apply_function(task.test, best.source, task.task)
     metrics = confusion_metrics(predictions, "pred", "label_str")
     return WranglerResult(best, predictions, metrics, len(candidates))

@@ -88,3 +88,82 @@ def test_cli_entity_matching_path(spark, tmp_path):
     t = report["tasks"][0]
     assert t["total"] == 10
     assert t["tn"] == 10 and t["tp"] == 0 and t["acc"] == 1.0
+
+
+def test_trial_fanout_wall_time_drop_and_cli_flag(spark, tmp_path):
+    """VERDICT r9 item 7, the wall-time half: with a request-pure
+    client that sleeps like a real LLM round-trip, 4 independent
+    trials under the concurrent fan-out finish in well under the
+    serial loop's wall time (offline, deterministic — the sleep IS
+    the simulated latency, so the comparison is load-independent).
+    Then the CLI surface: --trial_workers plumbs through a hermetic
+    --offline-golden run and leaves the metrics identical to the
+    serial run's."""
+    import time
+
+    from efficient_llm_data_wrangling_spark.plans.compiler import SemanticCompiler
+    from efficient_llm_data_wrangling_spark.plans import golden
+    from efficient_llm_data_wrangling_spark.wrangler import (
+        WranglerTask,
+        run_wrangling_task,
+    )
+
+    class SleepyGoldenClient:
+        """Single-response (request-pure) client with a fixed simulated
+        LLM latency per call."""
+
+        def complete(self, messages):
+            time.sleep(0.5)
+            return golden.GOLDEN_BY_TASK["data_transformation"]
+
+    bench = tmp_path / "data_transformation" / "benchmark-dates"
+    bench.mkdir(parents=True)
+    rows = ["// reformat the date"]
+    for i in range(1, 21):
+        rows.append(f"2024-03-{i:02d} 00:00:00\t\tMar {i:02d}, 2024")
+    (bench / "data.txt").write_text("\n".join(rows))
+
+    base = spark.createDataFrame(
+        [
+            (i, f"2024-03-{i:02d} 00:00:00", f"Mar {i:02d}, 2024")
+            for i in range(1, 41)
+        ],
+        "id int, text string, label_str string",
+    )
+    task = WranglerTask(
+        task="data_transformation",
+        train=base.filter("id <= 20"),
+        test=base.filter("id > 20"),
+        d=10,
+        num_trials=4,
+    )
+
+    elapsed = {}
+    results = {}
+    for workers in (1, 4):
+        t0 = time.time()
+        results[workers] = run_wrangling_task(
+            task, SemanticCompiler(client=SleepyGoldenClient()), max_workers=workers
+        )
+        elapsed[workers] = time.time() - t0
+    # 4 × 0.5 s of pure latency serial vs ≥0.5 s concurrent: demand at
+    # least the 1.5 s the fan-out provably removes, minus slack
+    assert elapsed[4] < elapsed[1] - 1.0, elapsed
+    assert results[1].compiled.source == results[4].compiled.source
+    assert (
+        results[1].metrics.collect() == results[4].metrics.collect()
+    )
+
+    from efficient_llm_data_wrangling_spark.cli import main
+
+    reports = {}
+    for workers in ("1", "4"):
+        reports[workers] = main([
+            "--data_dir", str(bench),
+            "--output_dir", str(tmp_path / f"out{workers}"),
+            "--offline-golden",
+            "--num_trials", "4",
+            "--trial_workers", workers,
+        ])
+    assert reports["1"]["mean"] == reports["4"]["mean"]
+    assert reports["1"]["mean"]["acc"] == 1.0

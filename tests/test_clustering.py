@@ -878,3 +878,80 @@ def test_serving_best_build_isolates_walk_locality(spark):
     # so a regression in either direction (a walk bug collapsing
     # recall, or an oracle/code drift suddenly 'improving' it) fails
     assert abs(mean_best - mean_b8) <= 150_000, (mean_best, mean_b8)
+
+
+def test_beam16_rung_and_frontier_reconcile(spark):
+    """r10 walk-locality rung + frontier acceptance table, pinned
+    together so the frontier can never drift from the rungs it
+    tabulates: (a) the width-16 rung is the beam8 walk with only the
+    frontier widened (identical per-probe entries, never fewer touched
+    vertices, strictly higher mean recall — the measured 52.1% → 86.5%
+    at sf0.01); (b) every frontier row's sums reconcile EXACTLY with
+    the corresponding graded rung's per-probe rows (capstone/beam8/
+    beam16 re-collected here); (c) the frontier's own bookkeeping
+    (row count, key uniqueness, integer recall/touched formulas, width
+    monotonicity, per-build edge-count consistency) holds."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _BEAM_HOPS,
+        _BEAM_W8,
+        _BEAM_W16,
+        _BEAM_WIDTH,
+        _FRONTIER_GRID,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        ann_frontier_report,
+        knn_graph_serving_beam8,
+        knn_graph_serving_beam16,
+        knn_graph_serving_capstone,
+    )
+    from tests.conftest import SF_SMOKE
+
+    w16 = {r.pid: r for r in knn_graph_serving_beam16(spark, SF_SMOKE).collect()}
+    w8 = {r.pid: r for r in knn_graph_serving_beam8(spark, SF_SMOKE).collect()}
+    w4 = {r.pid: r for r in knn_graph_serving_capstone(spark, SF_SMOKE).collect()}
+    assert len(w16) == len(w8) == len(w4) == _KNNJ_PROBES
+    for pid, r in w16.items():
+        assert r.beam == _BEAM_W16 and r.n_hops == _BEAM_HOPS
+        assert r.entry_id == w8[pid].entry_id  # same IVF seeding
+        assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+        assert r.n_touched >= w8[pid].n_touched
+    mean16 = sum(r.recall_ppm for r in w16.values()) / len(w16)
+    mean8 = sum(r.recall_ppm for r in w8.values()) / len(w8)
+    assert mean16 > mean8
+
+    rows = ann_frontier_report(spark, SF_SMOKE).collect()
+    assert len(rows) == len(_FRONTIER_GRID) == 10
+    keyed = {(r.build, r.serve, r.beam, r.n_hops): r for r in rows}
+    assert len(keyed) == 10  # (build, serve, beam, hops) is unique
+    for r in rows:
+        assert r.n_probes == _KNNJ_PROBES
+        assert r.recall_ppm == r.sum_overlap * 1000000 // (_KNNJ_K * r.n_probes)
+        assert r.mean_touched_milli == r.sum_touched * 1000 // r.n_probes
+        assert 0 <= r.sum_overlap <= _KNNJ_K * r.n_probes
+
+    def reconcile(frow, rung_rows):
+        assert frow.sum_overlap == sum(x.n_overlap for x in rung_rows.values())
+        assert frow.sum_touched == sum(x.n_touched for x in rung_rows.values())
+
+    reconcile(keyed[("d8", "ivf_seeded", _BEAM_WIDTH, _BEAM_HOPS)], w4)
+    reconcile(keyed[("d8", "ivf_seeded", _BEAM_W8, _BEAM_HOPS)], w8)
+    reconcile(keyed[("d8", "ivf_seeded", _BEAM_W16, _BEAM_HOPS)], w16)
+
+    # width monotone in both axes on the d8 seeded 4-hop ladder
+    ladder = [
+        keyed[("d8", "ivf_seeded", b, _BEAM_HOPS)] for b in (4, 8, 16, 32)
+    ]
+    for lo, hi in zip(ladder, ladder[1:]):
+        assert hi.sum_touched >= lo.sum_touched
+        assert hi.sum_overlap >= lo.sum_overlap
+    # deeper hops never lose touched vertices at the same width
+    assert (
+        keyed[("d8", "ivf_seeded", _BEAM_W16, 10)].sum_touched
+        >= keyed[("d8", "ivf_seeded", _BEAM_W16, _BEAM_HOPS)].sum_touched
+    )
+    # one edge count per build; denser builds carry more edges
+    per_build = {}
+    for r in rows:
+        per_build.setdefault(r.build, set()).add(r.build_edges)
+    assert all(len(v) == 1 for v in per_build.values())
+    assert next(iter(per_build["k3"])) < next(iter(per_build["d8"]))

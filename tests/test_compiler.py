@@ -293,3 +293,57 @@ def test_live_replay_end_to_end(spark, task, demo_rows, entry):
     assert out.entry_name == entry
     assert out.accuracy == 1.0 and out.iterations == 1
     assert len(requests) == 1 and requests[0]["messages"][0]["role"] == "system"
+
+
+def test_parallel_trials_match_serial_selection(spark):
+    """VERDICT r9 item 7: trials are independent LLM calls, so the
+    fan-out must be a pure wall-time optimization — with a client
+    whose response is a function of the REQUEST (here: an explicit
+    prompt→response map built from each trial's scheduled demo
+    sample), the serial loop (max_workers=1) and the concurrent
+    fan-out (max_workers=2) must select the IDENTICAL best function
+    with identical accuracy and trial accounting. Trial 0 is scripted
+    to a 0-accuracy candidate and trial 1 to the winning one, both
+    below an unreachable threshold, so the cross-trial best-of routing
+    itself is what's being compared."""
+    from efficient_llm_data_wrangling_spark.plans.prompts import formulate_prompt
+    from efficient_llm_data_wrangling_spark.wrangler import RESEED_STEP, _sample_demos
+
+    CONST_A = "def string_transformation(s):\n    return 'A'\n"
+    base = spark.createDataFrame(
+        [(i, chr(97 + i % 26), "A") for i in range(50)],
+        "id int, text string, label_str string",
+    )
+    task = WranglerTask(
+        task="data_transformation",
+        train=base.filter("id < 20"),
+        test=base.filter("id >= 20"),
+        d=10,
+        num_trials=2,
+    )
+
+    # request-pure client: response keyed on the first-turn user
+    # content each trial's seed deterministically produces
+    scripted = {}
+    for trial, resp in ((0, WRONG), (1, CONST_A)):
+        demos = _sample_demos(task, task.seed + trial * RESEED_STEP)
+        rows = [(r["text"], r["label_str"]) for r in demos.select("text", "label_str").collect()]
+        scripted[formulate_prompt(task.task, None, rows)[1]["content"]] = resp
+
+    class PureClient:
+        def complete(self, messages):
+            return scripted[messages[1]["content"]]
+
+    outs = {}
+    for workers in (1, 2):
+        result = run_wrangling_task(
+            task,
+            SemanticCompiler(client=PureClient(), depth=1, threshold=1.01),
+            max_workers=workers,
+        )
+        outs[workers] = result
+    a, b = outs[1], outs[2]
+    assert a.compiled.source == b.compiled.source == CONST_A.strip()
+    assert a.compiled.accuracy == b.compiled.accuracy > 0.0
+    assert a.trials_used == b.trials_used == 2
+    assert a.metrics.collect() == b.metrics.collect()

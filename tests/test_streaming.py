@@ -434,3 +434,51 @@ def test_stream_novelty_probe_replays_in_pure_python(spark):
         assert (r.n_grams, r.n_new_grams) == (len(g), new)
         assert r.novelty_permille == new * 1000 // len(g)
         assert 0 <= r.novelty_permille <= 1000
+
+
+def test_stream_neardup_gate_catches_planted_and_bookkeeping(spark):
+    """The fuzzy ingest gate must (a) cover exactly the replayed
+    arrival manifest (true arrivals = buckets ≥ 13, planted = the b2=0
+    standing slice truncated by 5 words), (b) flag EVERY planted
+    near-dup arrival (J ≈ 0.75 sits far above the 32×2 band midpoint
+    ≈ 0.18 and the 500-milli verify bar — the s-curve miss probability
+    is ~1e-4 per banded pair), and (c) keep verdict bookkeeping
+    internally consistent (threshold ⇔ flag, no-candidates ⇔ -1
+    sentinels, planted marker ⇔ id range)."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.curation import _FUZZY_J_MILLI
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        stream_neardup_gate,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.arr_id: r for r in stream_neardup_gate(spark, SF_SMOKE).collect()}
+    assert rows
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    expected = set()
+    for d in docs:
+        hx = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        if int(hx[0], 16) >= 13:
+            expected.add(d.doc_id)
+        elif int(hx[1], 16) == 0 and len(d.text.split(" ")) >= 30:
+            expected.add(d.doc_id + 3000000)
+    assert set(rows) == expected
+
+    planted = [r for r in rows.values() if r.arr_id >= 3000000]
+    assert planted
+    for r in planted:
+        assert r.planted_leak
+        assert r.is_neardup, (r.arr_id, r.best_jaccard_milli)
+        assert r.n_candidates >= 1
+        assert r.best_corpus_id >= 0
+        assert r.best_jaccard_milli >= _FUZZY_J_MILLI
+    for r in rows.values():
+        assert r.planted_leak == (r.arr_id >= 3000000)
+        assert r.is_neardup == (r.best_jaccard_milli >= _FUZZY_J_MILLI)
+        if r.n_candidates == 0:
+            assert r.best_corpus_id == -1 and r.best_jaccard_milli == -1
+        else:
+            assert r.best_corpus_id >= 0 and 0 <= r.best_jaccard_milli <= 1000
