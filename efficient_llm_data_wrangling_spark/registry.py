@@ -82,6 +82,10 @@ _NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
     # stream-static MinHash BAND join of arrivals vs the standing
     # corpus band index, planted near-dup arrivals provably flagged.
     "stream_neardup_gate",
+    # the navigability hypothesis tested: RobustPrune (RNG rule) over
+    # the degree-16 pool, beam8 walk — the measured NEGATIVE that
+    # closes the build-side ladder (alpha>=1.2 inert, alpha=1 harmful).
+    "knn_graph_serving_pruned",
 )
 
 _STALE_R4_REMAINDER: tuple[str, ...] = (

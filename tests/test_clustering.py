@@ -955,3 +955,38 @@ def test_beam16_rung_and_frontier_reconcile(spark):
         per_build.setdefault(r.build, set()).add(r.build_edges)
     assert all(len(v) == 1 for v in per_build.values())
     assert next(iter(per_build["k3"])) < next(iter(per_build["d8"]))
+
+
+def test_serving_pruned_is_beam8_walk_and_negative_finding_holds(spark):
+    """The RobustPrune rung must be the beam8 walk with only the graph
+    swapped (same IVF entries per probe, same width/hops/grading), and
+    the measured NEGATIVE must hold on the deterministic corpus: the
+    alpha=1 (RNG-rule) pruned graph never LIFTS mean serving recall
+    over the unpruned degree-8 walk (sf0.01: 52.1% → 47.9%; sf0.001:
+    53.1% → 45.8%) — pinned two-sided-ish (no lift AND no collapse) so
+    either a prune bug destroying the graph or a drift 'improving' the
+    finding fails loudly."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _BEAM_HOPS,
+        _BEAM_W8,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        knn_graph_serving_beam8,
+        knn_graph_serving_pruned,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pr = {r.pid: r for r in knn_graph_serving_pruned(spark, SF_SMOKE).collect()}
+    b8 = {r.pid: r for r in knn_graph_serving_beam8(spark, SF_SMOKE).collect()}
+    assert len(pr) == len(b8) == _KNNJ_PROBES
+    for pid, r in pr.items():
+        assert r.beam == _BEAM_W8 and r.n_hops == _BEAM_HOPS
+        assert r.entry_id == b8[pid].entry_id  # same shared-fit seeding
+        assert r.recall_ppm == r.n_overlap * 1000000 // _KNNJ_K
+        assert 0 <= r.n_overlap <= _KNNJ_K
+    mean_pr = sum(r.recall_ppm for r in pr.values()) / len(pr)
+    mean_b8 = sum(r.recall_ppm for r in b8.values()) / len(b8)
+    # the finding: pruning never lifts; and the pruned graph still
+    # serves (no collapse below half the unpruned walk's recall)
+    assert mean_pr <= mean_b8, (mean_pr, mean_b8)
+    assert mean_pr >= mean_b8 * 0.5, (mean_pr, mean_b8)
