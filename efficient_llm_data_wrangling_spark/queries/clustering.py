@@ -2580,6 +2580,22 @@ def knn_graph_serving_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     vectors = _load_vectors(spark, sf_dir)
     cb = _fit_codebook(vectors)
+    g = _robust_prune_edges(spark, sf_dir, vectors, cb)
+    ed = _edge_table(vectors, g)
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    return _walk_report(vectors, ed, pb, _ivf_entries(vectors, cb), beam_width=_BEAM_W8)
+
+
+def _robust_prune_edges(
+    spark: SparkSession, sf_dir: str, vectors: DataFrame, cb: DataFrame
+) -> DataFrame:
+    """(vec_id, neighbor_id): the alpha=1 RobustPrune graph over the
+    degree-{_PRUNE_K} descent candidate pool — the Spark twin of
+    :func:`_prune_ctes`, shared by the graded rung and the frontier's
+    prune row. Each of the {_PRUNE_R} steps is one bounded per-vertex
+    window election + one keyed join, checkpointed like walk hops."""
     mp = (
         _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE)
         .select("vec_id", "neighbor_id")
@@ -2618,12 +2634,7 @@ def knn_graph_serving_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = kept[0]
     for kf in kept[1:]:
         pruned = pruned.unionAll(kf)
-    g = pruned.select(F.col("p").alias("vec_id"), F.col("nid").alias("neighbor_id"))
-    ed = _edge_table(vectors, g)
-    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
-        F.col("vec_id").alias("pid"), F.col("x").alias("px")
-    )
-    return _walk_report(vectors, ed, pb, _ivf_entries(vectors, cb), beam_width=_BEAM_W8)
+    return pruned.select(F.col("p").alias("vec_id"), F.col("nid").alias("neighbor_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -2662,6 +2673,7 @@ _FRONTIER_GRID: tuple[tuple[str, str, str, bool, int, int, str], ...] = (
     ("d8", "ivf_seeded", "gu1d8", True, _BEAM_W8, 10, "v8"),
     ("d8", "ivf_seeded", "gu1d8", True, _BEAM_W16, 10, "v9"),
     ("d84", "ivf_seeded", "gu1d84", True, _BEAM_W8, _BEAM_HOPS, "v10"),
+    ("d8pr", "ivf_seeded", "gupr", True, _BEAM_W8, _BEAM_HOPS, "v11"),
 )
 
 
@@ -2704,7 +2716,12 @@ def _frontier_oracle() -> str:
         f"pef AS (SELECT vec_id AS pid, CAST({entry} AS BIGINT) AS v0 "
         f"FROM xi WHERE vec_id < {probes})",
     ]
-    for bt, gu in (("k3", "gu1k3f"), ("d8", "gu1d8"), ("d84", "gu1d84")):
+    for bt, gu in (
+        ("k3", "gu1k3f"),
+        ("d8", "gu1d8"),
+        ("d84", "gu1d84"),
+        ("d8pr", "gupr"),
+    ):
         ctes.append(
             f"""ed{bt} AS (
   SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
@@ -2791,6 +2808,7 @@ FROM sm{s} s CROSS JOIN ne{bt} ne"""
         )
     sql = (
         f"WITH {_FIT_CTES},\n{_KNNJ_K3_CTES},\n{_KNNJ_D8_CTES},\n{_KNNJ_D84_CTES},\n"
+        f"{_prune_ctes()},\n"
         + ",\n".join(ctes)
         + "\n"
         + "\nUNION ALL\n".join(finals)
@@ -2814,8 +2832,10 @@ def ann_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded one at a time appears as a row computed by the SAME
     operators (shared codebook fit, shared exact grading, shared
     builds; ``tests/test_clustering.py`` pins row-vs-rung equality),
-    plus the two off-ladder probes that close the knob story: width 32
-    (past the bend) and width 16 × hops 10 (the hop axis).
+    plus the two off-ladder probes that close the knob story — width
+    32 (past the bend) and width 16 × hops 10 (the hop axis) — and the
+    alpha=1 RobustPrune build (``knn_graph_serving_pruned``'s measured
+    negative, visible in the table as lower recall at equal touched).
 
     What the table says at sf0.01 (recall@3 / mean touched): the
     width axis pays ~flat 0.40-0.5 pt/vertex from width 4 (34.4% @
@@ -2831,7 +2851,8 @@ def ann_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shared codebook fit and ONE exact-grading scan feed all
     ten rows (localCheckpointed, like the recall report's r8 fix);
     each build chain is the graded descent posture ((2k)² bounded
-    expansion, one keyed shuffle per round) materialized once and
+    expansion, one keyed shuffle per round — the prune build adds its
+    {_PRUNE_R} bounded window-election steps) materialized once and
     walked by up to six configs; each walk is the graded posture — per
     hop ONE edge-table scan against a broadcast ≤probes×beam frontier.
     The summary rows are 1-row aggregates crossJoined with 1-row edge
@@ -2860,6 +2881,9 @@ def ann_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k3": _build(_KNNJ_K, _KNNJ_NPROBE),
         "d8": _build(_KNNJ_D8, _KNNJ_NPROBE),
         "d84": _build(_KNNJ_D8, 4),
+        "d8pr": _edge_table(
+            vectors, _robust_prune_edges(spark, sf_dir, vectors, cb)
+        ),
     }
 
     def _row(bt: str, st: str, beam: int, hops: int) -> DataFrame:

@@ -1705,6 +1705,14 @@ LEFT JOIN ec ON e.c_custkey = ec.c_custkey
 """
 
 
+#: Broadcast guard for the erasure cascade's order-key frame: ~16
+#: bytes/row of (custkey, orderkey) longs — 5M rows ≈ 80 MB, the sane
+#: ceiling for an executor-broadcast table. A DSAR queue sits orders
+#: of magnitude below this; a bulk purge crossing it degrades to a
+#: keyed shuffle join, never an executor OOM.
+_ERASE_BROADCAST_MAX_ROWS = 5_000_000
+
+
 @query("user_erasure_manifest", oracle=_ERASURE_ORACLE, tags=("corpusops", "privacy"))
 def user_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten erasure MANIFEST — the operational
@@ -1722,10 +1730,18 @@ def user_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the erasure key set (a DSAR queue — thousands against
     100 TB) BROADCASTS into one semi-join pass per table; the
     lineitem leg joins the subjects' ORDER keys (still
-    queue-proportional, never a fact-fact shuffle). Each leg is one
-    scan with map-side combinable counts; at Delta/Iceberg scale the
-    same predicates drive the actual DELETE plus zone-map file
-    pruning, so the manifest prices the rewrite too.
+    queue-proportional, never a fact-fact shuffle). The order-key
+    frame is SIZE-GUARDED (VERDICT r9 note #3): it materializes once
+    (it feeds both the per-subject order count and the lineitem leg —
+    the two-consumer derived frame localCheckpoint discipline), its
+    exact row count gates the broadcast hint, and past
+    {_ERASE_BROADCAST_MAX_ROWS} keys the hint is dropped so the
+    lineitem leg becomes a keyed shuffle join instead of an
+    executor-memory risk — a pathological queue (a class action, a
+    bulk purge) degrades to a bigger shuffle, never an OOM. Each leg
+    is one scan with map-side combinable counts; at Delta/Iceberg
+    scale the same predicates drive the actual DELETE plus zone-map
+    file pruning, so the manifest prices the rewrite too.
     """
     tune(spark)
     cust = load_table(spark, sf_dir, "customer")
@@ -1738,13 +1754,21 @@ def user_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     erase = cust.filter(bucket == 15).select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
-    eo = orders.join(
-        F.broadcast(erase), orders["o_custkey"] == erase["c_custkey"]
-    ).select("c_custkey", "o_orderkey")
+    eo = (
+        orders.join(F.broadcast(erase), orders["o_custkey"] == erase["c_custkey"])
+        .select("c_custkey", "o_orderkey")
+        .localCheckpoint()
+    )
+    # bounded driver scalar: the subjects' order-key count — the
+    # number that decides whether the lineitem leg may broadcast
+    n_order_keys = eo.count()
     oc = eo.groupBy("c_custkey").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     li = load_table(spark, sf_dir, "lineitem")
+    eo_hinted = (
+        F.broadcast(eo) if n_order_keys <= _ERASE_BROADCAST_MAX_ROWS else eo
+    )
     lc = (
-        li.join(F.broadcast(eo), li["l_orderkey"] == eo["o_orderkey"])
+        li.join(eo_hinted, li["l_orderkey"] == eo["o_orderkey"])
         .groupBy("c_custkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_lineitems"))
     )

@@ -86,6 +86,11 @@ _NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
     # the degree-16 pool, beam8 walk — the measured NEGATIVE that
     # closes the build-side ladder (alpha>=1.2 inert, alpha=1 harmful).
     "knn_graph_serving_pruned",
+    # plan-changed (values identical): the erasure cascade's order-key
+    # frame is now localCheckpointed once and its broadcast hint is
+    # row-count-guarded (VERDICT r9 note #3) — re-pinned per the r7
+    # plan-changed precedent.
+    "user_erasure_manifest",
 )
 
 _STALE_R4_REMAINDER: tuple[str, ...] = (

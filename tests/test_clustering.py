@@ -920,9 +920,9 @@ def test_beam16_rung_and_frontier_reconcile(spark):
     assert mean16 > mean8
 
     rows = ann_frontier_report(spark, SF_SMOKE).collect()
-    assert len(rows) == len(_FRONTIER_GRID) == 10
+    assert len(rows) == len(_FRONTIER_GRID) == 11
     keyed = {(r.build, r.serve, r.beam, r.n_hops): r for r in rows}
-    assert len(keyed) == 10  # (build, serve, beam, hops) is unique
+    assert len(keyed) == 11  # (build, serve, beam, hops) is unique
     for r in rows:
         assert r.n_probes == _KNNJ_PROBES
         assert r.recall_ppm == r.sum_overlap * 1000000 // (_KNNJ_K * r.n_probes)
@@ -936,6 +936,17 @@ def test_beam16_rung_and_frontier_reconcile(spark):
     reconcile(keyed[("d8", "ivf_seeded", _BEAM_WIDTH, _BEAM_HOPS)], w4)
     reconcile(keyed[("d8", "ivf_seeded", _BEAM_W8, _BEAM_HOPS)], w8)
     reconcile(keyed[("d8", "ivf_seeded", _BEAM_W16, _BEAM_HOPS)], w16)
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_graph_serving_pruned,
+    )
+    pruned = {r.pid: r for r in knn_graph_serving_pruned(spark, SF_SMOKE).collect()}
+    reconcile(keyed[("d8pr", "ivf_seeded", _BEAM_W8, _BEAM_HOPS)], pruned)
+    # the prune row carries the measured negative: never above the
+    # unpruned d8 walk at the same width
+    assert (
+        keyed[("d8pr", "ivf_seeded", _BEAM_W8, _BEAM_HOPS)].sum_overlap
+        <= keyed[("d8", "ivf_seeded", _BEAM_W8, _BEAM_HOPS)].sum_overlap
+    )
 
     # width monotone in both axes on the d8 seeded 4-hop ladder
     ladder = [

