@@ -91,6 +91,10 @@ _NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
     # row-count-guarded (VERDICT r9 note #3) — re-pinned per the r7
     # plan-changed precedent.
     "user_erasure_manifest",
+    # IVF codebook drift monitor: old-fit codebook, both slices
+    # assigned, per-cell occupancy + quantization-error drift — the
+    # "retrain the index?" signal of index operations.
+    "knn_ivf_drift_report",
 )
 
 _STALE_R4_REMAINDER: tuple[str, ...] = (

@@ -1001,3 +1001,47 @@ def test_serving_pruned_is_beam8_walk_and_negative_finding_holds(spark):
     # serves (no collapse below half the unpruned walk's recall)
     assert mean_pr <= mean_b8, (mean_pr, mean_b8)
     assert mean_pr >= mean_b8 * 0.5, (mean_pr, mean_b8)
+
+
+def test_ivf_drift_report_reconciles_and_is_bounded(spark):
+    """Drift-report invariants recomputed from the slices themselves:
+    cells partition both slices exactly (counts sum to the split
+    sizes), shares/drift/means follow the integer formulas, the alert
+    predicate is exactly the stated disjunction, and the codebook fits
+    on the OLD slice only (its k-row output covers every assignment)."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _DRIFT_OLD_BUCKETS,
+        _DRIFT_QERR_DEN,
+        _DRIFT_QERR_NUM,
+        _DRIFT_SHARE_PERMILLE,
+        _K,
+        knn_ivf_drift_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    import hashlib
+
+    rows = knn_ivf_drift_report(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= _K
+    ids = [r.vec_id for r in load_table(spark, SF_SMOKE, "embeddings").select("vec_id").collect()]
+    t_old = sum(
+        1 for v in ids
+        if int(hashlib.md5(str(v).encode()).hexdigest()[0], 16) < _DRIFT_OLD_BUCKETS
+    )
+    t_new = len(ids) - t_old
+    assert sum(r.n_old for r in rows) == t_old
+    assert sum(r.n_new for r in rows) == t_new
+    for r in rows:
+        assert r.share_old_permille == r.n_old * 1000 // t_old
+        assert r.share_new_permille == r.n_new * 1000 // t_new
+        assert r.drift_permille == abs(r.share_new_permille - r.share_old_permille)
+        if r.n_old == 0:
+            assert r.qerr_old_mean == -1
+        if r.n_new == 0:
+            assert r.qerr_new_mean == -1
+        expect_alert = (r.drift_permille >= _DRIFT_SHARE_PERMILLE) or (
+            r.qerr_old_mean > 0
+            and r.qerr_new_mean > 0
+            and r.qerr_new_mean * _DRIFT_QERR_DEN > r.qerr_old_mean * _DRIFT_QERR_NUM
+        )
+        assert r.alert == expect_alert
