@@ -95,6 +95,10 @@ _NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
     # assigned, per-cell occupancy + quantization-error drift — the
     # "retrain the index?" signal of index operations.
     "knn_ivf_drift_report",
+    # held-out loss vs training-prefix size: the data-scaling curve
+    # (loss-side twin of corpus_novelty_curve), cumulative tier models
+    # from ONE vocabulary pass, integer micro-nat NLLs.
+    "data_scaling_curve",
 )
 
 _STALE_R4_REMAINDER: tuple[str, ...] = (

@@ -1045,3 +1045,61 @@ def test_ivf_drift_report_reconciles_and_is_bounded(spark):
             and r.qerr_new_mean * _DRIFT_QERR_DEN > r.qerr_old_mean * _DRIFT_QERR_NUM
         )
         assert r.alert == expect_alert
+
+
+def test_robust_prune_matches_pure_python_replay(spark):
+    """Both engines express RobustPrune with the same unrolled
+    selection/dominance formulas, so engine-vs-oracle matching cannot
+    catch a shared-formula bug (the BPE delimiter lesson). Replay the
+    prune in pure Python from the collected candidate frame — greedy:
+    take the nearest remaining candidate, drop every remaining c with
+    d²(s,c) ≤ d²(p,c), repeat to degree R — and demand the identical
+    edge set."""
+    from pyspark.sql import functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_D8,
+        _KNNJ_NPROBE,
+        _PRUNE_K,
+        _PRUNE_R,
+        _descent_round,
+        _fit_codebook,
+        _knn_multiprobe_pairs,
+        _load_vectors,
+        _robust_prune_edges,
+    )
+    from tests.conftest import SF_SMOKE
+
+    vectors = _load_vectors(spark, SF_SMOKE)
+    cb = _fit_codebook(vectors)
+    engine = set(
+        (r.vec_id, r.neighbor_id)
+        for r in _robust_prune_edges(spark, SF_SMOKE, vectors, cb).collect()
+    )
+
+    mp = (
+        _knn_multiprobe_pairs(spark, SF_SMOKE, vectors, cb, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    cand = _descent_round(vectors, mp, k=_PRUNE_K).collect()
+    x = {r.vec_id: r.x for r in vectors.collect()}
+
+    by_p: dict[int, list] = {}
+    for r in cand:
+        by_p.setdefault(r.vec_id, []).append((r.l2sq_micro, r.neighbor_id))
+
+    def d2(a, b):
+        return sum((ai - bi) * (ai - bi) for ai, bi in zip(x[a], x[b]))
+
+    replay = set()
+    for p, cands in by_p.items():
+        rem = sorted(cands)  # (dpc, cid) — the election order
+        for _ in range(_PRUNE_R):
+            if not rem:
+                break
+            sdpc, sid = rem[0]
+            replay.add((p, sid))
+            rem = [(dpc, cid) for dpc, cid in rem[1:] if d2(sid, cid) > dpc]
+    assert engine == replay
+    assert replay  # non-vacuous

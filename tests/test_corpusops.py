@@ -450,3 +450,80 @@ def test_erasure_broadcast_guard_degrades_to_shuffle_not_oom(spark, monkeypatch)
     assert ("SortMergeJoin" in guarded_plan) or ("ShuffledHashJoin" in guarded_plan), (
         guarded_plan[:2000]
     )
+
+
+def test_data_scaling_curve_matches_pure_python_replay(spark):
+    """Full from-first-principles replay of the scaling curve at
+    SF_SMOKE: tokenization, md5 tier bands, cumulative tier counts,
+    fixed smoothing vocabulary, the bit-portable integer-ln series
+    (same operation order as the SQL template), per-token micro-nat
+    rounding, and the integer mean — the engine and the oracle share
+    every formula, so only an independent replay can catch a
+    shared-formula bug."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.functions.portable_math import LN2_SQL
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        _SCALE_EVAL_BAND,
+        _SCALE_TIERS,
+        data_scaling_curve,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.train_buckets: r for r in data_scaling_curve(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == sorted(_SCALE_TIERS)
+
+    ln2 = float(LN2_SQL.split("'")[1])
+
+    def lnint(v: int) -> float:
+        b = v.bit_length()
+        m = v / float(1 << (b - 1))
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        acc = 1.0 / 31.0
+        for k in range(29, 0, -2):
+            acc = 1.0 / k + z2 * acc
+        return float(b - 1) * ln2 + 2.0 * (z * acc)
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    tmax = max(_SCALE_TIERS)
+    vocab_all = set()
+    tier_counts = {t: {} for t in _SCALE_TIERS}
+    tier_tokens = {t: 0 for t in _SCALE_TIERS}
+    tier_docs = {t: 0 for t in _SCALE_TIERS}
+    eval_toks = []
+    for d in docs:
+        band = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[0], 16)
+        toks = [x for x in d.text.split(" ") if x != ""]
+        vocab_all.update(toks)
+        if band < tmax:
+            for t in _SCALE_TIERS:
+                if band < t:
+                    tier_docs[t] += 1
+                    tier_tokens[t] += len(toks)
+                    cc = tier_counts[t]
+                    for tok in toks:
+                        cc[tok] = cc.get(tok, 0) + 1
+        elif band == _SCALE_EVAL_BAND:
+            eval_toks.extend(toks)
+    v = len(vocab_all)
+    assert eval_toks
+    import math
+
+    for t in _SCALE_TIERS:
+        r = rows[t]
+        assert r.n_train_docs == tier_docs[t]
+        assert r.n_train_tokens == tier_tokens[t]
+        assert r.n_eval_tokens == len(eval_toks)
+        assert r.vocab_size == v
+        lt = lnint(tier_tokens[t] + v)
+        s_nll = sum(
+            int(math.floor((lt - lnint(tier_counts[t].get(tok, 0) + 1)) * 1000000 + 0.5))
+            for tok in eval_toks
+        )
+        assert r.xent_micro_nats == s_nll // len(eval_toks)
+    # more data never makes the smoothed held-out loss dramatically
+    # worse; train sizes are strictly nested
+    sizes = [rows[t].n_train_tokens for t in sorted(rows)]
+    assert sizes == sorted(sizes)
