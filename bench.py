@@ -101,7 +101,7 @@ HEADLINE = [
     # verify; the cheap representative of the r10 streaming/sketch
     # growth (the r10 graph rungs ride the already-priced serving
     # family and are deliberately NOT added — three graph headliners
-    # already carry 58% of the bench; see BENCH_OVERHEAD note)
+    # already carry ~52% of the bench; see BENCH_OVERHEAD.md)
     "stream_neardup_gate",
 ]
 
