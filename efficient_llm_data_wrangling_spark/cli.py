@@ -163,7 +163,7 @@ def build_parser() -> argparse.ArgumentParser:
     # engine-side extensions (not in the reference surface)
     p.add_argument("--impute_col", type=str, default=None, help="Imputation target column (required for non-benchmark imputation dirs).")
     p.add_argument("--offline-golden", action="store_true", help="Use the recorded golden functions instead of a live LLM (hermetic run).")
-    p.add_argument("--trial_workers", type=int, default=0, help="Concurrent synthesis trials (0 = auto: min(num_trials, 8); 1 = the reference's serial loop). Trials are independent LLM calls with a fixed seed schedule, so fan-out changes wall-time only.")
+    p.add_argument("--trial_workers", type=int, default=0, help="Concurrent synthesis trials (0 = auto: min(num_trials, 8) for --offline-golden, 1 — the reference's serial loop — for live clients, which may rate-limit and whose selection guarantee assumes request-pure responses; pass >1 explicitly to fan out live calls). Trials are independent LLM calls with a fixed seed schedule, so fan-out changes wall-time only.")
     p.add_argument("--master", type=str, default="local[*]", help="Spark master.")
     return p
 
@@ -208,10 +208,14 @@ def main(argv: list[str] | None = None) -> dict:
         if args.num_run != -1:
             test = test.limit(args.num_run)
         compiler = SemanticCompiler(client=client)
+        # auto fan-out only for the hermetic stub: live endpoints may
+        # rate-limit, and the "identical function selected" guarantee
+        # (wrangler.py docstring) conditions on request-pure clients —
+        # live concurrency is opt-in via an explicit --trial_workers>1
         workers = (
             args.trial_workers
             if args.trial_workers > 0
-            else min(args.num_trials, 8)
+            else (min(args.num_trials, 8) if args.offline_golden else 1)
         )
         result = run_wrangling_task(
             WranglerTask(

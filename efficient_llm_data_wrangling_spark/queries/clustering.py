@@ -2869,7 +2869,7 @@ def _frontier_oracle() -> str:
     one-row summary per grid config, UNION ALL'd into the frontier
     table. The walk CTE shape is byte-for-byte ``_walk_oracle_sql``'s
     (tc/cd/bm unrolled hops, touched-set grading) with names suffixed
-    so ten walks coexist; shared CTEs (pb/ex/md/pe, each build) are
+    so the len(_FRONTIER_GRID) walks coexist; shared CTEs (pb/ex/md/pe, each build) are
     emitted ONCE and MATERIALIZED, so DuckDB prices each exactly once
     like the Spark side's localCheckpoints."""
     k, probes, entry = _KNNJ_K, _KNNJ_PROBES, _GREEDY_ENTRY
@@ -3035,7 +3035,8 @@ def ann_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     width-16, deepen hops for the mid-90s.
 
     Scale: one shared codebook fit and ONE exact-grading scan feed all
-    ten rows (localCheckpointed, like the recall report's r8 fix);
+    len(_FRONTIER_GRID) rows (localCheckpointed, like the recall
+    report's r8 fix);
     each build chain is the graded descent posture ((2k)² bounded
     expansion, one keyed shuffle per round — the prune build adds its
     {_PRUNE_R} bounded window-election steps) materialized once and

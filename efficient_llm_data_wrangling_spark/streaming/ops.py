@@ -166,6 +166,11 @@ def _stream_partitions() -> str | None:
         return None
 
 
+#: the most recently terminated run_to_memory query (see the
+#: diagnostics hook in its body); None until the first stream runs
+LAST_QUERY = None
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -194,6 +199,13 @@ def run_to_memory(
             writer = writer.option("checkpointLocation", ckpt)
         query = writer.start()
         query.awaitTermination()
+        # diagnostics hook: the terminated query's last micro-batch
+        # IncrementalExecution stays reachable here so tests can
+        # assert on the EXECUTED streaming plan (join strategies,
+        # state operators) — run_to_memory's return frame only sees
+        # the memory sink, never the streaming plan that filled it
+        global LAST_QUERY
+        LAST_QUERY = query
     finally:
         if nparts is not None and prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -128,7 +128,10 @@ def run_wrangling_task(
 
     candidates = [(i, c) for i, c in enumerate(results) if c is not None]
     if not candidates:
-        last_error = next((e for e in errors if e is not None), None)
+        # preserve the serial loop's diagnostic: the LAST trial's
+        # error surfaced to the caller (run_wrangler.py's loop would
+        # have raised on its final iteration)
+        last_error = next((e for e in reversed(errors) if e is not None), None)
         raise last_error or SynthesisFailed(f"no trials succeeded for {task.task!r}")
 
     # run_wrangler.py:210-213 — max accuracy, first trial wins ties

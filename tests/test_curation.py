@@ -384,26 +384,26 @@ def test_fuzzy_decontamination_catches_every_planted_leak(spark):
 
     flagged = {(r.train_id, r.test_id) for r in rows}
     for tid in test_ids:
-        assert (tid + 3000000, tid) in flagged, f"planted leak for {tid} missed"
+        assert (-(tid + 1), tid) in flagged, f"planted leak for {tid} missed"
     for r in rows:
         assert r.test_id in test_ids
-        assert r.planted_leak == (r.train_id >= 3000000)
+        assert r.planted_leak == (r.train_id < 0)
         left = (
-            h32(trimmed(texts[r.train_id - 3000000]))
-            if r.train_id >= 3000000
+            h32(trimmed(texts[-r.train_id - 1]))
+            if r.train_id < 0
             else h32(texts[r.train_id])
         )
         right = h32(texts[r.test_id])
         want = len(left & right) * 1000 // len(left | right)
         assert r.jaccard_milli == want
         assert r.jaccard_milli >= _FUZZY_J_MILLI
-        if r.train_id < 3000000:
+        if r.train_id >= 0:
             assert bucket[r.train_id] < 13
 
 
 def test_semantic_decontamination_catches_every_planted_paraphrase(spark):
     """Every test-split vector re-enters the train side under the
-    fixed rotation mix (the planted paraphrase, id+3e6); the semantic
+    fixed rotation mix (the planted paraphrase, id −(vec_id+1)); the semantic
     pass must flag each against its origin vector at cosine >= 0.8,
     and every flagged cosine must recompute bit-for-bit from the
     house left-to-right double fold."""
@@ -440,13 +440,13 @@ def test_semantic_decontamination_catches_every_planted_paraphrase(spark):
 
     flagged = {(r.train_id, r.test_id) for r in rows}
     for tid in test_ids:
-        assert (tid + 3000000, tid) in flagged, f"planted paraphrase for {tid} missed"
+        assert (-(tid + 1), tid) in flagged, f"planted paraphrase for {tid} missed"
     for r in rows:
         assert r.test_id in test_ids
-        assert r.planted_leak == (r.train_id >= 3000000)
+        assert r.planted_leak == (r.train_id < 0)
         left = (
-            perturb(vecs[r.train_id - 3000000])
-            if r.train_id >= 3000000
+            perturb(vecs[-r.train_id - 1])
+            if r.train_id < 0
             else vecs[r.train_id]
         )
         want = cos(left, vecs[r.test_id])
