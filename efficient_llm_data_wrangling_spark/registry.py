@@ -47,108 +47,49 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-10 window, maintained as three segments so that every
+#: round. Round-11 window, maintained as three segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
 #: registers it:
 #:
-#: 1. ``_NEW_OR_CHANGED_IN_R10`` — queries registered OR semantically
+#: 1. ``_NEW_OR_CHANGED_IN_R11`` — queries registered OR semantically
 #:    rebuilt this round (extend this tuple in the registering
 #:    commit; growth displaces fills from the tail automatically);
-#: 2. ``_STALE_R4_REMAINDER`` — the 11 rows whose most recent driver
-#:    grade is still round 4: exactly
-#:    ``[n for n in r9._STALE_R4_SPILL if n not in r9 window]`` — the
-#:    re-pin expression the r9 registry documented, now evaluated
-#:    (CORRECTNESS_r09 graded the other 24 green). Once CORRECTNESS_r10
-#:    lands these, the r4 cohort is fully retired and the staleness
-#:    floor becomes round 5;
-#: 3. ``_STALE_R5_FILL`` — the 47 rows whose most recent driver grade
-#:    is round 5 (every one hash-matched the judge's independent
-#:    250/250 sweep in r9). Segments 1+2 leave 50-len(seg1)-11 slots;
-#:    the tail past slot 50 is the EXPLICIT r11 spillover, re-pinned
+#: 2. ``_STALE_R5_REMAINDER`` — the 15 rows whose most recent driver
+#:    grade is still round 5: exactly
+#:    ``[n for n in r10._STALE_R5_FILL if n not in r10 window]`` — the
+#:    re-pin expression the r10 registry documented, now evaluated
+#:    (CORRECTNESS_r10 graded the other 32 green). Once CORRECTNESS_r11
+#:    lands these, the r5 cohort is fully retired and the staleness
+#:    floor becomes round 6;
+#: 3. ``_STALE_R6_FILL`` — the 47 rows whose most recent driver grade
+#:    is round 6 (every one hash-matched the judge's independent
+#:    256/256 sweep in r10). Segments 1+2 leave 50-len(seg1)-15 slots;
+#:    the tail past slot 50 is the EXPLICIT r12 spillover, re-pinned
 #:    next round via
-#:    ``[n for n in _STALE_R5_FILL if n not in DRIVER_GRADE_PRIORITY]``.
+#:    ``[n for n in _STALE_R6_FILL if n not in DRIVER_GRADE_PRIORITY]``.
 #:
-#: Round-9 window (kept for the audit trail and the re-pin
-#: expressions above): 26 ``_NEW_OR_CHANGED_IN_R9`` + first 24 of the
-#: 35-row r4 spillover — all 50 graded green in CORRECTNESS_r09.
-_NEW_OR_CHANGED_IN_R10: tuple[str, ...] = (
-    # the width-16 serving rung: the last width before the return
-    # bend — the r10 walk-locality knob (queries/clustering.py).
-    "knn_graph_serving_beam16",
-    # the budget-recall frontier: one row per (build, serve) config,
-    # every graded rung + the past-the-bend and hop-axis probes.
-    "ann_frontier_report",
-    # the streaming rung of the fuzzy-dedup ladder: stateless
-    # stream-static MinHash BAND join of arrivals vs the standing
-    # corpus band index, planted near-dup arrivals provably flagged.
+#: Round-10 window (kept for the audit trail and the re-pin
+#: expressions above): 7 ``_NEW_OR_CHANGED_IN_R10`` (beam16, frontier,
+#: neardup gate, pruned rung, erasure re-pin, drift report, scaling
+#: curve) + the 11 r4-remainder rows + first 32 of the 47-row r5
+#: cohort — all 50 graded green in CORRECTNESS_r10, retiring the r4
+#: cohort.
+_NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
+    # plan-changed AND hardened (values changed): the standing
+    # band-index broadcast is now row-count-guarded (VERDICT r10 note
+    # #1) and planted arrival ids moved to the negative integers
+    # (-(doc_id+1)) so planted_leak can never misflag or collide at
+    # any scale (r10 ADVICE hardening).
     "stream_neardup_gate",
-    # the navigability hypothesis tested: RobustPrune (RNG rule) over
-    # the degree-16 pool, beam8 walk — the measured NEGATIVE that
-    # closes the build-side ladder (alpha>=1.2 inert, alpha=1 harmful).
-    "knn_graph_serving_pruned",
-    # plan-changed (values identical): the erasure cascade's order-key
-    # frame is now localCheckpointed once and its broadcast hint is
-    # row-count-guarded (VERDICT r9 note #3) — re-pinned per the r7
-    # plan-changed precedent.
-    "user_erasure_manifest",
-    # IVF codebook drift monitor: old-fit codebook, both slices
-    # assigned, per-cell occupancy + quantization-error drift — the
-    # "retrain the index?" signal of index operations.
-    "knn_ivf_drift_report",
-    # held-out loss vs training-prefix size: the data-scaling curve
-    # (loss-side twin of corpus_novelty_curve), cumulative tier models
-    # from ONE vocabulary pass, integer micro-nat NLLs.
-    "data_scaling_curve",
+    # hardened (values changed): planted train ids -(doc_id+1) — same
+    # ADVICE hardening, batch fuzzy rung.
+    "decontaminate_minhash_fuzzy",
+    # hardened (values changed): planted train ids -(vec_id+1) — same
+    # ADVICE hardening, semantic rung.
+    "decontaminate_semantic_cosine",
 )
 
-_STALE_R4_REMAINDER: tuple[str, ...] = (
-    "string_functions_customer",
-    "substring_dedup_windows",
-    "top_orders",
-    "udtf_bigrams_documents",
-    "union_all_topup",
-    "upsert_snapshot_orders",
-    "variant_shred_events",
-    "weighted_mean_pandas_udaf",
-    "window_rank_functions_orders",
-    "window_top_order_per_customer",
-    "word_counts_documents",
-)
-
-
-_STALE_R5_FILL: tuple[str, ...] = (
-    "ann_recall_report",
-    "approx_quantile_report",
-    "bigram_logprob_documents",
-    "bpe_merge_round",
-    "ccnet_perplexity_buckets",
-    "char_entropy_documents",
-    "cosine_histogram_embeddings",
-    "curation_funnel_report",
-    "customer_order_distribution",
-    "dataset_card_by_source",
-    "dedup_embedding_cosine",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "dedup_savings_report",
-    "dsir_importance_weights",
-    "dsir_select_topk",
-    "embedding_norm_report",
-    "entity_match_jaccard",
-    "epoch_upsample_by_source",
-    "event_anomaly_zscore",
-    "ewma_user_value",
-    "forecast_revenue_change",
-    "incremental_dedup_batch",
-    "join_skew_report",
-    "k_anonymity_report",
-    "knn_ivf_codebook_table",
-    "lang_confusion_report",
-    "local_supplier_volume",
-    "market_share_by_year",
-    "mixture_drift_report",
-    "multimodal_audio_energy",
-    "nation_pair_volume",
+_STALE_R5_REMAINDER: tuple[str, ...] = (
     "packing_efficiency_report",
     "returned_item_customers",
     "rfm_customer_segments",
@@ -166,8 +107,59 @@ _STALE_R5_FILL: tuple[str, ...] = (
     "wrangler_e2e_transformation",
 )
 
+
+_STALE_R6_FILL: tuple[str, ...] = (
+    "apply_transformation_dates",
+    "argmin_part_per_type",
+    "asof_join_events",
+    "behavior_signature_similarity",
+    "bpe_train_rounds",
+    "centroid_embeddings_by_label",
+    "chunk_documents_overlap",
+    "class_balance_orders",
+    "correlated_avg_qty_filter",
+    "detect_error_suppliers",
+    "dq_expectations_orders",
+    "having_large_orders",
+    "impute_priority_word",
+    "knn_brute_force",
+    "knn_ivf",
+    "knn_join_multiprobe",
+    "knn_join_within_cells",
+    "l_diversity_report",
+    "levenshtein_match_parts",
+    "mmr_diversified_topk",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+    "multimodal_resize_meta",
+    "nested_agg_nations_above_avg",
+    "pack_documents_token_budget",
+    "profile_orders",
+    "profit_by_nation_year",
+    "range_join_events",
+    "rolling_user_value_7d",
+    "salted_join_orders",
+    "scalar_subquery_acctbal",
+    "scorer_calibration_report",
+    "split_assign_documents",
+    "split_rest_customers",
+    "stratified_sample_orders",
+    "t_closeness_report",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_documents",
+    "text_tfidf",
+    "text_token_counts",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_stock",
+    "tpch_q2_min_cost_supplier",
+    "trigram_logprob_documents",
+    "zorder_layout_report",
+)
+
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = tuple(
-    dict.fromkeys(_NEW_OR_CHANGED_IN_R10 + _STALE_R4_REMAINDER + _STALE_R5_FILL)
+    dict.fromkeys(_NEW_OR_CHANGED_IN_R11 + _STALE_R5_REMAINDER + _STALE_R6_FILL)
 )[:50]
 
 
