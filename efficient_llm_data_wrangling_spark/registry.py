@@ -87,6 +87,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # hardened (values changed): planted train ids -(vec_id+1) — same
     # ADVICE hardening, semantic rung.
     "decontaminate_semantic_cosine",
+    # semantics changed (VERDICT r10 item 5): the occupancy alert is
+    # now magnitude-floor AND 4σ binomial-significance (integer
+    # cross-multiplied, 1/√population-scaled), with the per-cell noise
+    # term reported; stationary corpus reads quiet, planted skew
+    # test-pinned to still alert.
+    "knn_ivf_drift_report",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -1014,6 +1014,7 @@ def test_ivf_drift_report_reconciles_and_is_bounded(spark):
         _DRIFT_QERR_DEN,
         _DRIFT_QERR_NUM,
         _DRIFT_SHARE_PERMILLE,
+        _DRIFT_Z2,
         _K,
         knn_ivf_drift_report,
     )
@@ -1039,12 +1040,84 @@ def test_ivf_drift_report_reconciles_and_is_bounded(spark):
             assert r.qerr_old_mean == -1
         if r.n_new == 0:
             assert r.qerr_new_mean == -1
-        expect_alert = (r.drift_permille >= _DRIFT_SHARE_PERMILLE) or (
+        p_pm = (r.n_old + r.n_new) * 1000 // (t_old + t_new)
+        want_noise = (_DRIFT_Z2 * p_pm * (1000 - p_pm)) // max(t_old, 1) + (
+            _DRIFT_Z2 * p_pm * (1000 - p_pm)
+        ) // max(t_new, 1)
+        assert r.occ_noise_permille2 == want_noise
+        expect_alert = (
+            r.drift_permille >= _DRIFT_SHARE_PERMILLE
+            and r.drift_permille**2 > r.occ_noise_permille2
+        ) or (
             r.qerr_old_mean > 0
             and r.qerr_new_mean > 0
             and r.qerr_new_mean * _DRIFT_QERR_DEN > r.qerr_old_mean * _DRIFT_QERR_NUM
         )
         assert r.alert == expect_alert
+    # the md5 split is stationary by construction: with the bar sized
+    # to the binomial noise, the drift-free corpus must read QUIET
+    assert not any(r.alert for r in rows)
+
+
+def test_ivf_drift_planted_skew_still_alerts(spark):
+    """The 4σ-scaled occupancy bar must stay SENSITIVE: feed the
+    production drift logic (the _drift_frame helper the query itself
+    calls) a new slice where one cell's arriving mass is tripled —
+    real drift, not sampling noise — and demand the skewed cell
+    alerts while the stationary twin of the same frames stays quiet
+    on the occupancy axis."""
+    from pyspark.sql import functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _DRIFT_OLD_BUCKETS,
+        _assign,
+        _drift_frame,
+        _K,
+        _load_vectors,
+        _update,
+    )
+    from tests.conftest import SF_SMOKE
+
+    vectors = _load_vectors(spark, SF_SMOKE)
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    old = vectors.filter(bucket < _DRIFT_OLD_BUCKETS).localCheckpoint()
+    new = vectors.filter(bucket >= _DRIFT_OLD_BUCKETS).localCheckpoint()
+
+    # which cell will we skew? assign the new slice with the SAME fit
+    # the helper performs and pick the most populous cell
+    seeds = (
+        old.orderBy("vec_id")
+        .limit(_K)
+        .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
+    )
+    cb = _update(_assign(old, seeds)).localCheckpoint()
+    counts = _assign(new, cb).groupBy("c").count().collect()
+    target = max(counts, key=lambda r: r["count"])["c"]
+
+    in_cell = _assign(new, cb).filter(F.col("c") == target).select("vec_id", "x")
+    extra = in_cell.union(in_cell).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "x"
+    )
+    skewed = new.union(extra)
+
+    quiet = {r.cell_id: r for r in _drift_frame(old, new).collect()}
+    loud = {r.cell_id: r for r in _drift_frame(old, skewed).collect()}
+    # stationary twin: no occupancy alert anywhere (qerr axis untouched)
+    for r in quiet.values():
+        assert not (
+            r.drift_permille >= 20 and r.drift_permille**2 > r.occ_noise_permille2
+        ), r
+    # planted twin: the skewed cell fires on the occupancy axis
+    t = loud[target]
+    assert t.drift_permille >= 20
+    assert t.drift_permille**2 > t.occ_noise_permille2
+    assert t.alert
 
 
 def test_robust_prune_matches_pure_python_replay(spark):
