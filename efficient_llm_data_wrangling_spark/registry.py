@@ -93,6 +93,15 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # term reported; stationary corpus reads quiet, planted skew
     # test-pinned to still alert.
     "knn_ivf_drift_report",
+    # NEW (VERDICT r10 item 3): the beam16 walk at the DiskANN
+    # production memory posture — hop-time asymmetric distances over
+    # 8×8 PQ codes (priced against reconstructions), every touched
+    # vertex re-ranked exactly (the per-visit full-precision read).
+    "knn_graph_serving_adc",
+    # values changed: the frontier gains row v12 (the ADC posture) so
+    # the compression trade sits in the acceptance table; row-vs-rung
+    # equality extended to the new rung.
+    "ann_frontier_report",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -920,9 +920,9 @@ def test_beam16_rung_and_frontier_reconcile(spark):
     assert mean16 > mean8
 
     rows = ann_frontier_report(spark, SF_SMOKE).collect()
-    assert len(rows) == len(_FRONTIER_GRID) == 11
+    assert len(rows) == len(_FRONTIER_GRID) == 12
     keyed = {(r.build, r.serve, r.beam, r.n_hops): r for r in rows}
-    assert len(keyed) == 11  # (build, serve, beam, hops) is unique
+    assert len(keyed) == 12  # (build, serve, beam, hops) is unique
     for r in rows:
         assert r.n_probes == _KNNJ_PROBES
         assert r.recall_ppm == r.sum_overlap * 1000000 // (_KNNJ_K * r.n_probes)
@@ -941,6 +941,23 @@ def test_beam16_rung_and_frontier_reconcile(spark):
     )
     pruned = {r.pid: r for r in knn_graph_serving_pruned(spark, SF_SMOKE).collect()}
     reconcile(keyed[("d8pr", "ivf_seeded", _BEAM_W8, _BEAM_HOPS)], pruned)
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        knn_graph_serving_adc,
+    )
+    adc = {r.pid: r for r in knn_graph_serving_adc(spark, SF_SMOKE).collect()}
+    reconcile(keyed[("d8", "adc_w16", _BEAM_W16, _BEAM_HOPS)], adc)
+    # the ADC row must navigate (no collapse) and stay in the same
+    # band as its uncompressed twin; the sf0.01 measurement (69.8% vs
+    # 86.5%, the ~16pt navigation loss) lives in the rung docstring —
+    # at THIS 50-vector smoke corpus the two walks are noise-level
+    # apart and ADC can even edge ahead (71 vs 69 overlap here: its
+    # rerouted beam touched 115 more vertices), so the pin is a band,
+    # not a one-sided claim
+    adc_row = keyed[("d8", "adc_w16", _BEAM_W16, _BEAM_HOPS)]
+    unc_row = keyed[("d8", "ivf_seeded", _BEAM_W16, _BEAM_HOPS)]
+    assert adc_row.sum_overlap > 0
+    assert adc_row.sum_overlap >= unc_row.sum_overlap // 2
+    assert adc_row.sum_overlap <= unc_row.sum_overlap + 8
     # the prune row carries the measured negative: never above the
     # unpruned d8 walk at the same width
     assert (
@@ -1176,3 +1193,72 @@ def test_robust_prune_matches_pure_python_replay(spark):
             rem = [(dpc, cid) for dpc, cid in rem[1:] if d2(sid, cid) > dpc]
     assert engine == replay
     assert replay  # non-vacuous
+
+
+def test_pq_reconstruct_matches_pure_python_replay(spark):
+    """Both engines express the PQ fit/encode with the same formulas
+    (seed subvectors, one truncating-integer-mean Lloyd round,
+    (d, code) argmin), so engine-vs-oracle matching cannot catch a
+    shared-formula bug (the BPE delimiter lesson). Replay the whole
+    reconstruction in pure Python from the collected micro-unit
+    vectors and demand identical arrays."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _ADC_DSUB,
+        _ADC_KS,
+        _ADC_M,
+        _load_vectors,
+        _pq_reconstruct,
+    )
+    from tests.conftest import SF_SMOKE
+
+    vectors = _load_vectors(spark, SF_SMOKE).localCheckpoint()
+    xs = {r.vec_id: list(r.x) for r in vectors.collect()}
+    got = {r.vec_id: list(r.x) for r in _pq_reconstruct(vectors).collect()}
+    assert set(got) == set(xs)
+
+    def tdiv(a: int, b: int) -> int:  # Spark div / DuckDB //: truncate
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def sub(v, j):
+        return v[j * _ADC_DSUB : (j + 1) * _ADC_DSUB]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for j in range(_ADC_M):
+        seeds = {c: sub(xs[c], j) for c in xs if c < _ADC_KS}
+        # assign every subvector to its (d, code)-argmin seed
+        members: dict[int, list] = {}
+        for v, x in xs.items():
+            s = sub(x, j)
+            code = min(seeds, key=lambda c: (d2(s, seeds[c]), c))
+            members.setdefault(code, []).append(s)
+        # one Lloyd round: truncating integer mean per surviving code
+        cw1 = {
+            c: [tdiv(sum(m[i] for m in ms), len(ms)) for i in range(_ADC_DSUB)]
+            for c, ms in members.items()
+        }
+        # encode against the updated codebook
+        for v, x in xs.items():
+            s = sub(x, j)
+            code = min(cw1, key=lambda c: (d2(s, cw1[c]), c))
+            assert got[v][j * _ADC_DSUB : (j + 1) * _ADC_DSUB] == cw1[code], (
+                v, j, code,
+            )
+
+
+def test_adc_rung_identity_codes_equal_beam16(spark, monkeypatch):
+    """The ADC rung is beam16 with ONE variable changed — the walk's
+    resident coordinates. Pin that: with the reconstruction forced to
+    the identity, knn_graph_serving_adc must reproduce the graded
+    beam16 rung row-for-row (same entries, same touched counts, same
+    best/recall), so the ~16pt gap the docstring reports can only
+    ever come from the compression, not from the re-rank plumbing."""
+    import efficient_llm_data_wrangling_spark.queries.clustering as C
+    from tests.conftest import SF_SMOKE
+
+    monkeypatch.setattr(C, "_pq_reconstruct", lambda v: v.select("vec_id", "x"))
+    adc = sorted(tuple(r) for r in C.knn_graph_serving_adc(spark, SF_SMOKE).collect())
+    w16 = sorted(tuple(r) for r in C.knn_graph_serving_beam16(spark, SF_SMOKE).collect())
+    assert adc == w16
