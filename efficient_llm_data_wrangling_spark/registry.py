@@ -102,6 +102,11 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # the compression trade sits in the acceptance table; row-vs-rung
     # equality extended to the new rung.
     "ann_frontier_report",
+    # NEW (VERDICT r10 item 4): filtered vector search — the graded
+    # walk constrained to a metadata predicate at five selectivities,
+    # graded vs exact filtered neighbors; the cliff (walk dies between
+    # 50% and 25% selectivity) measured and pinned.
+    "knn_graph_serving_filtered",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

