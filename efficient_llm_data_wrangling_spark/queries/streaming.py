@@ -718,6 +718,33 @@ def stream_novelty_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming near-dup ingest gate (the fuzzy rung of the streaming ladder)
 # ---------------------------------------------------------------------------
 
+def _band_rows(sg: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, band, key): the 32×2 banded key rows of a portable
+    MinHash signature frame — the LSH dedup artifact's row shape,
+    shared by the near-dup gate (both its sides) and the band-index
+    maintenance stream."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _FUZZY_BANDS,
+        _FUZZY_ROWS,
+    )
+
+    return sg.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        id_col,
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice("sig", F.col("band") * _FUZZY_ROWS + 1, _FUZZY_ROWS),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("key"),
+    )
+
+
 #: broadcast the standing band index only while its EXACT row count
 #: sits under this bound (~32 band rows/doc × ~24 B ≈ 120 MB at the
 #: bound — the erasure cascade's guard discipline, corpusops.py:1713);
@@ -835,9 +862,10 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_NEARDUP_BAND_BROADCAST_MAX_ROWS} rows it broadcasts (the graded
     posture at every tested SF), above it the same stream-static
     equi-join runs shuffled (VERDICT r10 note #1, the erasure-guard
-    pattern) — still stateless either way, and re-built only when the
-    standing corpus compacts (it is the SAME artifact the batch LSH
-    dedup maintains). Verification touches candidates only, and the
+    pattern) — still stateless either way — and the index itself ages
+    with the stream via ``stream_band_index_maintenance`` (r11), the
+    foreachBatch leg that versions in each batch's band rows (it is
+    the SAME artifact the batch LSH dedup maintains). Verification touches candidates only, and the
     roll-up is one groupBy over the candidate sliver plus a left join
     from the arrival manifest.
     """
@@ -894,22 +922,7 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("__a.arr_id").alias("arr_id"), F.col("__a.atext").alias("text"))
         )
 
-    def bands(sg: DataFrame, id_col: str) -> DataFrame:
-        return sg.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(_FUZZY_BANDS - 1))).alias("band"),
-            "sig",
-        ).select(
-            id_col,
-            "band",
-            F.array_join(
-                F.transform(
-                    F.slice("sig", F.col("band") * _FUZZY_ROWS + 1, _FUZZY_ROWS),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("key"),
-        )
+    bands = _band_rows
 
     docs = load_table(spark, sf_dir, "documents")
     standing = docs.filter(hexd(F.col("doc_id"), 1) < 13).select("doc_id", "text")
@@ -975,3 +988,122 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("arr_id") < 0).alias("planted_leak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming band-index maintenance (the dedup artifact ages with the stream)
+# ---------------------------------------------------------------------------
+
+def _band_maint_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _BUCKET_SQL,
+        _fuzzy_bands_sql,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        _CAL_SIG_SQL,
+        _h32_sql,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {_BUCKET_SQL} AS bucket FROM documents
+),
+standing AS (SELECT doc_id, text FROM t WHERE bucket < 13),
+arr AS (SELECT doc_id AS arr_id, text FROM t WHERE bucket >= 13),
+sgs AS (
+  SELECT doc_id, h, {_CAL_SIG_SQL} AS sig
+  FROM (SELECT doc_id, {_h32_sql()} AS h FROM standing)
+),
+sga AS (
+  SELECT arr_id, h, {_CAL_SIG_SQL} AS sig
+  FROM (SELECT arr_id, {_h32_sql()} AS h FROM arr)
+),
+sgaa AS (SELECT arr_id AS doc_id, sig FROM sga),
+bs AS ({_fuzzy_bands_sql('sgs')}),
+baa AS ({_fuzzy_bands_sql('sgaa')}),
+hit AS (
+  SELECT arr_id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT b.doc_id AS arr_id, b.band, b.key
+    FROM baa b JOIN bs s ON b.band = s.band AND b.key = s.key
+  ) GROUP BY arr_id
+),
+cf AS (
+  SELECT arr_id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT DISTINCT a.doc_id AS arr_id, a.band, a.key
+    FROM baa a JOIN baa b
+      ON a.band = b.band AND a.key = b.key AND b.doc_id < a.doc_id
+  ) GROUP BY arr_id
+)
+SELECT a.arr_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_index_hits,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_batch_conflicts,
+       (coalesce(h.n, 0) = 0 AND coalesce(c.n, 0) = 0) AS admitted
+FROM (SELECT arr_id FROM arr) a
+LEFT JOIN hit h ON a.arr_id = h.arr_id
+LEFT JOIN cf c ON a.arr_id = c.arr_id
+"""
+
+
+@query(
+    "stream_band_index_maintenance",
+    oracle=_band_maint_oracle(),
+    tags=("streaming", "dedup", "sketch", "sink"),
+)
+def stream_band_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTENANCE of the standing MinHash band index — closing the
+    "re-built only when the standing corpus compacts" hand-off the
+    near-dup gate's docstring names (VERDICT r10 item 6): arriving
+    docs compute their 64-lane signatures and 32 band keys SCAN-side
+    (the gate's posture), and a ``foreachBatch`` leg grades each
+    micro-batch against the CURRENT index version then appends the
+    batch's band rows into a new immutable version — the
+    ``stream_upsert_sink_totals`` atomic-swap topology applied to the
+    dedup artifact, so the gate's index ages with the stream.
+
+    The index absorbs everything SEEN (a dedup index flags
+    re-arrivals of anything it has witnessed); admission is recorded
+    per arrival in the returned manifest: ``n_index_hits`` — its
+    (band, key) pairs already in the index as of its batch;
+    ``n_batch_conflicts`` — keys shared with a smaller-id arrival in
+    the same batch; ``admitted`` — both zero, first-seen wins.
+    Because the seen-set grows order-free, the final index after ANY
+    batch partitioning equals the band index batch-built on
+    standing ∪ arrivals (the multi-batch convergence test), and under
+    id-ordered ingestion the manifest is batch-split-invariant, which
+    is what lets THIS single-file run carry a full value oracle.
+
+    Scale: per batch, 32 band rows/arrival flow through the stream
+    (text never leaves the scan); the index probe is one keyed
+    equi-join against the current version, the intra-batch conflict
+    check a self-join bounded by batch size, and the version write
+    appends |batch|×32 rows (a table format swaps the rewrite for a
+    metadata commit — same foreachBatch shape).
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.scale import _portable_minhash
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    hexd1 = lambda c: (  # noqa: E731 — first md5 hex digit of the id
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(c.cast("string")), 1, 1)
+        )
+        - 1
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(hexd1(F.col("doc_id")) < 13).select("doc_id", "text")
+    sgs = _portable_minhash(standing, ["doc_id"]).localCheckpoint()
+    bst = _band_rows(sgs.select("doc_id", "sig"), "doc_id").select(
+        F.col("doc_id").alias("id"), "band", "key"
+    )
+
+    arr_stream = (
+        S.stream_documents(spark, sf_dir)
+        .filter(hexd1(F.col("doc_id")) >= 13)
+        .select(F.col("doc_id").cast("long").alias("arr_id"), "text")
+    )
+    ba_stream = _band_rows(
+        _portable_minhash(arr_stream, ["arr_id"]).select("arr_id", "sig"), "arr_id"
+    )
+    base = _ephemeral_sink_dir("elldw_band_maint_")
+    manifest_dir, _ = S.band_index_upsert_to_parquet(ba_stream, bst, base)
+    return spark.read.parquet(manifest_dir)

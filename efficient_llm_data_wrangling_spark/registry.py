@@ -107,6 +107,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # graded vs exact filtered neighbors; the cliff (walk dies between
     # 50% and 25% selectivity) measured and pinned.
     "knn_graph_serving_filtered",
+    # NEW (VERDICT r10 item 6): the band-index maintenance stream —
+    # foreachBatch versions each batch's band rows into the standing
+    # dedup artifact (seen-set semantics ⇒ order-free convergence,
+    # multi-batch ≡ batch-built test-pinned); full value oracle on the
+    # admission manifest.
+    "stream_band_index_maintenance",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

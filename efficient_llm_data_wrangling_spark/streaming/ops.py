@@ -677,3 +677,128 @@ def upsert_totals_to_parquet(
     latest = _latest()
     assert latest is not None, "stream produced no snapshot version"
     return latest
+
+
+def band_index_upsert_to_parquet(
+    band_stream: DataFrame,
+    standing_bands: DataFrame,
+    base_dir: str,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, str]:
+    """Versioned maintenance of the MinHash BAND INDEX — the dedup
+    artifact ``stream_neardup_gate`` joins against — so the gate's
+    index ages with the stream instead of waiting for a corpus
+    compaction (VERDICT r10 item 6). ``standing_bands`` (id, band,
+    key — the batch LSH's 32-rows/doc sketch index) is written as
+    version v0 before the stream starts; each micro-batch of arriving
+    band rows (computed SCAN-side on the stream, exactly the gate's
+    posture) is graded against the CURRENT version and then appended
+    to it — the ``upsert_totals_to_parquet`` atomic-version-swap
+    topology applied to the dedup artifact.
+
+    Semantics: the index absorbs the sketch of everything SEEN —
+    admitted or not — because a dedup index exists to flag re-arrivals
+    of anything it has ever witnessed; what admission MEANS is
+    recorded per arrival in the manifest: ``n_index_hits`` ((band,
+    key) collisions with the index as of the batch), ``n_batch_
+    conflicts`` (keys shared with a smaller-id arrival in the SAME
+    batch), ``admitted`` = both zero, i.e. first-seen wins. Because
+    the seen-set grows order-free, the final index after ANY batch
+    partitioning equals the batch-built index on the union (pinned by
+    the multi-batch convergence test), and under id-ordered ingestion
+    the manifest is batch-split-invariant too.
+
+    Scale: per batch the delta is 32 rows/arrival; the index-hit probe
+    is one keyed equi-join against the current version (broadcast
+    while it fits, shuffled beyond — the gate's guarded posture), the
+    intra-batch conflict check one self-equi-join bounded by batch
+    size, and the version write appends |batch|×32 rows. A table
+    format (Iceberg/Delta) swaps the full rewrite for a metadata
+    commit, same foreachBatch shape.
+    """
+    from pathlib import Path
+
+    spark = band_stream.sparkSession
+    root = Path(base_dir)
+    manifest_dir = root / "manifest"
+    manifest_dir.mkdir(parents=True, exist_ok=True)
+    standing_bands.select(
+        F.col("id").cast("long").alias("id"), "band", "key"
+    ).write.mode("overwrite").parquet(str(root / "v0"))
+
+    def _latest() -> str:
+        versions = sorted(
+            (d for d in root.glob("v*") if (d / "_SUCCESS").exists()),
+            key=lambda d: int(d.name[1:]),
+        )
+        return str(versions[-1])
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ba = batch_df.select(
+            F.col("arr_id").cast("long").alias("arr_id"), "band", "key"
+        ).localCheckpoint()
+        idx = spark.read.parquet(_latest())
+        hits = (
+            ba.join(idx, ["band", "key"])
+            .select("arr_id", "band", "key")
+            .distinct()
+            .groupBy("arr_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_index_hits"))
+        )
+        other = ba.select(
+            F.col("arr_id").alias("__oid"), "band", "key"
+        )
+        conf = (
+            ba.join(other, ["band", "key"])
+            .filter(F.col("__oid") < F.col("arr_id"))
+            .select("arr_id", "band", "key")
+            .distinct()
+            .groupBy("arr_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_batch_conflicts"))
+        )
+        manifest = (
+            ba.select("arr_id")
+            .distinct()
+            .join(hits, "arr_id", "left")
+            .join(conf, "arr_id", "left")
+            .select(
+                "arr_id",
+                F.coalesce("n_index_hits", F.lit(0)).cast("long").alias("n_index_hits"),
+                F.coalesce("n_batch_conflicts", F.lit(0))
+                .cast("long")
+                .alias("n_batch_conflicts"),
+                (
+                    F.coalesce("n_index_hits", F.lit(0)).eqNullSafe(0)
+                    & F.coalesce("n_batch_conflicts", F.lit(0)).eqNullSafe(0)
+                ).alias("admitted"),
+            )
+        )
+        manifest.write.mode("append").parquet(str(manifest_dir))
+        idx.unionByName(
+            ba.select(F.col("arr_id").alias("id"), "band", "key")
+        ).write.mode("overwrite").parquet(str(root / f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    nparts = _stream_partitions()
+    if nparts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+    try:
+        writer = (
+            band_stream.writeStream.outputMode("append")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+        )
+        ckpt = checkpoint_dir if checkpoint_dir is not None else _fast_checkpoint_dir()
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        writer.start().awaitTermination()
+    finally:
+        if nparts is not None and prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if ckpt is not None and checkpoint_dir is None:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return str(manifest_dir), _latest()

@@ -537,3 +537,105 @@ def test_neardup_gate_band_broadcast_guard_degrades_to_shuffle(spark, monkeypatc
         "ShuffledHashJoin" in guarded_plan
     ), guarded_plan[:2000]
     assert "BroadcastHashJoin" not in guarded_plan, guarded_plan[:2000]
+
+
+def test_band_index_maintenance_multibatch_converges(spark, tmp_path):
+    """The maintained band index must be BATCH-PARTITIONING-FREE: feed
+    the arrival backlog as two id-ordered files (maxFilesPerTrigger=1
+    → two real micro-batches, two version swaps), and demand (a) the
+    final index equals the band index batch-built on standing ∪ ALL
+    arrivals — the seen-set order-independence the query docstring
+    claims, (b) per-arrival admitted flags equal the single-batch
+    graded query's (batch-split invariance under id-ordered
+    ingestion), and (c) more than one version was actually written."""
+    import duckdb
+    import os
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from efficient_llm_data_wrangling_spark.queries.scale import _portable_minhash
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        _band_rows,
+        stream_band_index_maintenance,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from efficient_llm_data_wrangling_spark.streaming import ops as S
+
+    src = f"{SF_SMOKE}/documents.parquet"
+    d = tmp_path / "docs_split"
+    d.mkdir()
+    con = duckdb.connect()
+    arr_pred = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) >= 13"
+    mid = con.sql(
+        f"SELECT median(doc_id) FROM '{src}' WHERE {arr_pred}"
+    ).fetchone()[0]
+    con.sql(
+        f"COPY (SELECT doc_id, text FROM '{src}' WHERE {arr_pred} AND doc_id <= {mid} "
+        f"ORDER BY doc_id) TO '{d}/part1.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT doc_id, text FROM '{src}' WHERE {arr_pred} AND doc_id > {mid} "
+        f"ORDER BY doc_id) TO '{d}/part2.parquet' (FORMAT PARQUET)"
+    )
+    now = 1_700_000_000
+    os.utime(d / "part1.parquet", (now, now))
+    os.utime(d / "part2.parquet", (now + 100, now + 100))
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hexd1 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    standing = docs.filter(hexd1 < 13).select("doc_id", "text")
+    sgs = _portable_minhash(standing, ["doc_id"]).localCheckpoint()
+    bst = _band_rows(sgs.select("doc_id", "sig"), "doc_id").select(
+        F.col("doc_id").alias("id"), "band", "key"
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    arr_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .select(F.col("doc_id").cast("long").alias("arr_id"), "text")
+    )
+    ba_stream = _band_rows(
+        _portable_minhash(arr_stream, ["arr_id"]).select("arr_id", "sig"), "arr_id"
+    )
+    base = tmp_path / "band_idx"
+    manifest_dir, latest = S.band_index_upsert_to_parquet(
+        ba_stream, bst, str(base)
+    )
+
+    # (c) two arrival batches → at least v0, v1, v2
+    versions = sorted(p.name for p in base.glob("v*"))
+    assert len(versions) >= 3, versions
+
+    # (a) final index ≡ batch-built on the union
+    arr_batch = docs.filter(hexd1 >= 13).select(
+        F.col("doc_id").cast("long").alias("arr_id"), "text"
+    )
+    want_idx = bst.unionByName(
+        _band_rows(
+            _portable_minhash(arr_batch, ["arr_id"]).select("arr_id", "sig"),
+            "arr_id",
+        ).select(F.col("arr_id").alias("id"), "band", "key")
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(latest).collect())
+    want = sorted(tuple(r) for r in want_idx.collect())
+    assert got == want
+
+    # (b) admitted flags are batch-split-invariant
+    multi = {r.arr_id: r.admitted for r in spark.read.parquet(manifest_dir).collect()}
+    single = {
+        r.arr_id: r.admitted
+        for r in stream_band_index_maintenance(spark, SF_SMOKE).collect()
+    }
+    assert multi == single
