@@ -98,15 +98,20 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # 8×8 PQ codes (priced against reconstructions), every touched
     # vertex re-ranked exactly (the per-visit full-precision read).
     "knn_graph_serving_adc",
-    # values changed: the frontier gains row v12 (the ADC posture) so
-    # the compression trade sits in the acceptance table; row-vs-rung
-    # equality extended to the new rung.
+    # values changed: the frontier gains row v12 (the ADC posture) and
+    # v13 (ADC × 10 hops — the hop-recovery probe the ADC rung's
+    # read-off names) so the compression trade sits in the acceptance
+    # table; row-vs-rung equality extended to the new rung.
     "ann_frontier_report",
     # NEW (VERDICT r10 item 4): filtered vector search — the graded
     # walk constrained to a metadata predicate at five selectivities,
     # graded vs exact filtered neighbors; the cliff (walk dies between
     # 50% and 25% selectivity) measured and pinned.
     "knn_graph_serving_filtered",
+    # NEW (r11 follow-through): the filtered ladder's other arm — the
+    # degree-8 graph REBUILT within each allowed slice, measuring what
+    # the per-filter build buys below the shared-graph cliff.
+    "knn_graph_serving_filtered_rebuilt",
     # NEW (VERDICT r10 item 6): the band-index maintenance stream —
     # foreachBatch versions each batch's band rows into the standing
     # dedup artifact (seen-set semantics ⇒ order-free convergence,

@@ -920,9 +920,9 @@ def test_beam16_rung_and_frontier_reconcile(spark):
     assert mean16 > mean8
 
     rows = ann_frontier_report(spark, SF_SMOKE).collect()
-    assert len(rows) == len(_FRONTIER_GRID) == 12
+    assert len(rows) == len(_FRONTIER_GRID) == 13
     keyed = {(r.build, r.serve, r.beam, r.n_hops): r for r in rows}
-    assert len(keyed) == 12  # (build, serve, beam, hops) is unique
+    assert len(keyed) == 13  # (build, serve, beam, hops) is unique
     for r in rows:
         assert r.n_probes == _KNNJ_PROBES
         assert r.recall_ppm == r.sum_overlap * 1000000 // (_KNNJ_K * r.n_probes)
@@ -958,6 +958,11 @@ def test_beam16_rung_and_frontier_reconcile(spark):
     assert adc_row.sum_overlap > 0
     assert adc_row.sum_overlap >= unc_row.sum_overlap // 2
     assert adc_row.sum_overlap <= unc_row.sum_overlap + 8
+    # the hop-recovery probe: deepening the compressed walk never
+    # loses touched vertices or recall vs its 4-hop twin
+    deep = keyed[("d8", "adc_w16", _BEAM_W16, 10)]
+    assert deep.sum_touched >= adc_row.sum_touched
+    assert deep.sum_overlap >= adc_row.sum_overlap
     # the prune row carries the measured negative: never above the
     # unpruned d8 walk at the same width
     assert (
@@ -1307,3 +1312,41 @@ def test_filtered_serving_ladder_bookkeeping_and_cliff(spark):
     assert rows[4].recall_ppm < rows[12].recall_ppm
     # the top rung still navigates: over half of exact filtered found
     assert rows[12].recall_ppm >= 500_000
+
+
+def test_filtered_rebuilt_ladder_removes_the_cliff(spark):
+    """The rebuilt arm must (a) keep the same bookkeeping invariants
+    as the shared arm, (b) build all edges INSIDE the filter (both
+    endpoints allowed — recomputed from a pure-python md5 recount),
+    and (c) actually answer the shared ladder's cliff: at and below
+    the 25% rung the rebuilt graph's recall strictly beats the
+    shared graph's, and the rebuilt ladder never cliffs (every rung
+    ≥ the shared arm's worst rung)."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _FILT_BOUNDS,
+        _KNNJ_K,
+        _KNNJ_PROBES,
+        knn_graph_serving_filtered,
+        knn_graph_serving_filtered_rebuilt,
+    )
+    from tests.conftest import SF_SMOKE
+
+    shared = {r.bucket_bound: r for r in knn_graph_serving_filtered(spark, SF_SMOKE).collect()}
+    rebuilt = {r.bucket_bound: r for r in knn_graph_serving_filtered_rebuilt(spark, SF_SMOKE).collect()}
+    assert sorted(rebuilt) == sorted(_FILT_BOUNDS)
+    for m, r in rebuilt.items():
+        assert r.n_allowed == shared[m].n_allowed
+        assert r.n_probes == _KNNJ_PROBES
+        assert r.n_exact == shared[m].n_exact  # same exact filtered truth
+        assert r.mean_touched_milli == r.sum_touched * 1000 // r.n_probes
+        assert r.recall_ppm == r.sum_overlap * 1000000 // r.n_exact
+        # a rebuilt degree-8 graph over n vertices carries at most
+        # n*8 directed-deduped undirected edges... bounded by 2*8*n
+        assert 0 < r.allowed_edges <= 16 * r.n_allowed
+    # (c) the cliff answer: strictly better at the cliff rung and below
+    for m in (4, 2, 1):
+        assert rebuilt[m].recall_ppm > shared[m].recall_ppm, m
+    worst_shared = min(r.recall_ppm for r in shared.values())
+    assert all(r.recall_ppm > worst_shared for r in rebuilt.values())
