@@ -702,7 +702,12 @@ def band_index_upsert_to_parquet(
     recorded per arrival in the manifest: ``n_index_hits`` ((band,
     key) collisions with the index as of the batch), ``n_batch_
     conflicts`` (keys shared with a smaller-id arrival in the SAME
-    batch), ``admitted`` = both zero, i.e. first-seen wins. Because
+    batch), ``admitted`` = both zero, i.e. first-seen wins. Both
+    per-batch writes are IDEMPOTENT (the manifest overwrites its own
+    ``b{batch_id}`` subdirectory, the index its ``v{batch_id+1}``
+    version), so foreachBatch's at-least-once replay after a crash
+    cannot double-count — pass ``checkpoint_dir`` and a restart
+    resumes exactly-once (pinned by the restart-recovery test). Because
     the seen-set grows order-free, the final index after ANY batch
     partitioning equals the batch-built index on the union (pinned by
     the multi-batch convergence test), and under id-ordered ingestion
@@ -775,7 +780,13 @@ def band_index_upsert_to_parquet(
                 ).alias("admitted"),
             )
         )
-        manifest.write.mode("append").parquet(str(manifest_dir))
+        # IDEMPOTENT per-batch manifest write: foreachBatch is
+        # at-least-once, so a crash-rerun batch must overwrite its own
+        # subdirectory rather than append rows twice (the version
+        # write below is already idempotent — same v{batch_id+1} path)
+        manifest.write.mode("overwrite").parquet(
+            str(manifest_dir / f"b{batch_id}")
+        )
         idx.unionByName(
             ba.select(F.col("arr_id").alias("id"), "band", "key")
         ).write.mode("overwrite").parquet(str(root / f"v{batch_id + 1}"))
@@ -801,4 +812,4 @@ def band_index_upsert_to_parquet(
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
-    return str(manifest_dir), _latest()
+    return f"{manifest_dir}/b*", _latest()

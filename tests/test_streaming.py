@@ -639,3 +639,101 @@ def test_band_index_maintenance_multibatch_converges(spark, tmp_path):
         for r in stream_band_index_maintenance(spark, SF_SMOKE).collect()
     }
     assert multi == single
+
+
+def test_band_index_maintenance_restart_recovery(spark, tmp_path):
+    """Exactly-once across a restart for the maintained dedup index:
+    drain half the arrival backlog with a persistent checkpoint, let
+    the second half arrive while the job is down, restart the SAME
+    checkpoint — the final index must equal the batch-built index on
+    the union and the manifest must cover every arrival exactly once
+    (foreachBatch is at-least-once; both per-batch writes are
+    idempotent by path). An idle third restart must add no version
+    and no manifest rows."""
+    import duckdb
+    import os
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from efficient_llm_data_wrangling_spark.queries.scale import _portable_minhash
+    from efficient_llm_data_wrangling_spark.queries.streaming import _band_rows
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from efficient_llm_data_wrangling_spark.streaming import ops as S
+
+    src = f"{SF_SMOKE}/documents.parquet"
+    d = tmp_path / "docs_restart"
+    d.mkdir()
+    con = duckdb.connect()
+    arr_pred = "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) >= 13"
+    mid = con.sql(f"SELECT median(doc_id) FROM '{src}' WHERE {arr_pred}").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT doc_id, text FROM '{src}' WHERE {arr_pred} AND doc_id <= {mid}) "
+        f"TO '{d}/a.parquet' (FORMAT PARQUET)"
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    hexd1 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    standing = docs.filter(hexd1 < 13).select("doc_id", "text")
+    sgs = _portable_minhash(standing, ["doc_id"]).localCheckpoint()
+    bst = _band_rows(sgs.select("doc_id", "sig"), "doc_id").select(
+        F.col("doc_id").alias("id"), "band", "key"
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def band_stream():
+        raw = spark.readStream.schema(schema).parquet(str(d)).select(
+            F.col("doc_id").cast("long").alias("arr_id"), "text"
+        )
+        return _band_rows(
+            _portable_minhash(raw, ["arr_id"]).select("arr_id", "sig"), "arr_id"
+        )
+
+    base = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    S.band_index_upsert_to_parquet(band_stream(), bst, base, checkpoint_dir=ckpt)
+
+    # the second half arrives while the job is down
+    con.sql(
+        f"COPY (SELECT doc_id, text FROM '{src}' WHERE {arr_pred} AND doc_id > {mid}) "
+        f"TO '{d}/b.parquet' (FORMAT PARQUET)"
+    )
+    now = os.stat(d / "a.parquet").st_mtime
+    os.utime(d / "b.parquet", (now + 100, now + 100))
+    manifest_glob, latest = S.band_index_upsert_to_parquet(
+        band_stream(), bst, base, checkpoint_dir=ckpt
+    )
+
+    # final index ≡ batch-built on the union (no double-appended rows)
+    arr_batch = docs.filter(hexd1 >= 13).select(
+        F.col("doc_id").cast("long").alias("arr_id"), "text"
+    )
+    want_idx = bst.unionByName(
+        _band_rows(
+            _portable_minhash(arr_batch, ["arr_id"]).select("arr_id", "sig"),
+            "arr_id",
+        ).select(F.col("arr_id").alias("id"), "band", "key")
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(latest).collect())
+    assert got == sorted(tuple(r) for r in want_idx.collect())
+
+    # manifest covers every arrival exactly once
+    man = spark.read.parquet(manifest_glob).collect()
+    arr_ids = [r.arr_id for r in arr_batch.select("arr_id").collect()]
+    assert sorted(r.arr_id for r in man) == sorted(arr_ids)
+
+    # idle restart: no new version, no new manifest rows
+    from pathlib import Path
+
+    versions_before = sorted(p.name for p in Path(base).glob("v*"))
+    S.band_index_upsert_to_parquet(band_stream(), bst, base, checkpoint_dir=ckpt)
+    assert sorted(p.name for p in Path(base).glob("v*")) == versions_before
+    assert spark.read.parquet(manifest_glob).count() == len(man)
