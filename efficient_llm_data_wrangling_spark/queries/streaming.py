@@ -1107,3 +1107,294 @@ def stream_band_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     base = _ephemeral_sink_dir("elldw_band_maint_")
     manifest_dir, _ = S.band_index_upsert_to_parquet(ba_stream, bst, base)
     return spark.read.parquet(manifest_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic gate (the paraphrase rung of the streaming dedup ladder)
+# ---------------------------------------------------------------------------
+
+#: query-side coarse cells probed per arriving vector (the graded IVF
+#: multiprobe posture applied at the ingest edge)
+_SEMG_NPROBE = 2
+#: broadcast the standing (cell, corpus_id) assignment only while its
+#: EXACT row count sits under this bound (1 row/vector — the near-dup
+#: gate's guard discipline)
+_SEMG_BROADCAST_MAX_ROWS = 50_000_000
+
+
+def _semantic_gate_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _SEM_DECON_COS,
+        _SEM_PERTURB_SQL,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import _cos_sql
+
+    b1 = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
+    b2 = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1"
+    micro = "[CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) for i in range(1, len(v) + 1)]"
+    dist = "list_sum([ (a.x[i] - m.mu[i]) * (a.x[i] - m.mu[i]) for i in range(1, len(a.x) + 1) ])"
+    return f"""
+WITH t AS (
+  SELECT vec_id, embedding, {b1} AS b1, {b2} AS b2 FROM embeddings
+),
+standing AS (
+  SELECT vec_id,
+         [CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding) + 1)] AS v
+  FROM t WHERE b1 < 13
+),
+xs AS (SELECT vec_id, {micro} AS x FROM standing),
+mu0 AS (SELECT vec_id AS c, x AS mu FROM xs ORDER BY vec_id LIMIT 8),
+a1 AS (
+  SELECT vec_id, x, c FROM (
+    SELECT a.vec_id, a.x, m.c,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY {dist}, m.c) AS rn
+    FROM xs a CROSS JOIN mu0 m
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.c, j.j, a.x[j.j] AS v
+  FROM a1 a CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+),
+s1 AS (
+  SELECT c, j, CAST(sum(v) // count(*) AS BIGINT) AS mu_j
+  FROM u1 GROUP BY c, j
+),
+mu1 AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM s1 GROUP BY c),
+sa AS (
+  SELECT vec_id, c FROM (
+    SELECT a.vec_id, m.c,
+           row_number() OVER (
+             PARTITION BY a.vec_id ORDER BY {dist}, m.c) AS rn
+    FROM xs a CROSS JOIN mu1 m
+  ) WHERE rn = 1
+),
+arr AS (
+  SELECT vec_id AS arr_id,
+         [CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding) + 1)] AS v
+  FROM t WHERE b1 >= 13
+  UNION ALL
+  SELECT -(vec_id + 1) AS arr_id, {_SEM_PERTURB_SQL} AS v
+  FROM t WHERE b1 < 13 AND b2 = 0
+),
+ax AS (SELECT arr_id, v, {micro} AS x FROM arr),
+pc AS (
+  SELECT arr_id, c FROM (
+    SELECT a.arr_id, m.c,
+           row_number() OVER (
+             PARTITION BY a.arr_id ORDER BY {dist}, m.c) AS rn
+    FROM ax a CROSS JOIN mu1 m
+  ) WHERE rn <= {_SEMG_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.arr_id, s.vec_id AS corpus_id
+  FROM pc p JOIN sa s ON p.c = s.c
+),
+ver AS (
+  SELECT c.arr_id, c.corpus_id,
+         {_cos_sql("a.v", "s.v")} AS cosine
+  FROM cand c
+  JOIN arr a ON a.arr_id = c.arr_id
+  JOIN standing s ON s.vec_id = c.corpus_id
+),
+best AS (
+  SELECT arr_id, corpus_id, cosine, n_candidates FROM (
+    SELECT arr_id, corpus_id, cosine,
+           row_number() OVER (PARTITION BY arr_id ORDER BY cosine DESC, corpus_id DESC) AS rn,
+           count(*) OVER (PARTITION BY arr_id) AS n_candidates
+    FROM ver
+  ) WHERE rn = 1
+)
+SELECT a.arr_id,
+       CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(b.corpus_id, -1) AS BIGINT) AS best_corpus_id,
+       CAST(coalesce(b.cosine, -1.0) AS DOUBLE) AS best_cosine,
+       coalesce(b.cosine, -1.0) >= {_SEM_DECON_COS} AS is_semdup,
+       a.arr_id < 0 AS planted_leak
+FROM (SELECT arr_id FROM arr) a LEFT JOIN best b ON a.arr_id = b.arr_id
+"""
+
+
+@query(
+    "stream_semantic_gate",
+    oracle=_semantic_gate_oracle(),
+    tags=("streaming", "dedup", "curation", "similarity"),
+)
+def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC admission gate at the ingest edge — the PARAPHRASE
+    rung that makes the streaming dedup ladder match the batch
+    decontamination ladder rung for rung (exact doc →
+    ``stream_ingest_dedup``, exact gram → ``stream_novelty_probe``,
+    fuzzy lexical → ``stream_neardup_gate``, THIS → the re-embedding
+    of the same content in different words, the contamination mode
+    n-gram methods provably miss). An arriving VECTOR computes its
+    {_SEMG_NPROBE} nearest standing IVF cells SCAN-side (the coarse
+    codebook — 8 centroids fitted on the standing slice, smallest-id
+    seeds + one Lloyd round — rides the stream expressions as
+    literals, exactly how a serving process holds its codebook in
+    memory); a stateless stream-static equi-join on the cell key
+    against the standing (cell → member) assignment emits candidate
+    pairs to the sink; exact double-precision cosine verification and
+    the per-arrival verdict run batch-side on the finalized sink (the
+    near-dup gate's discipline). ZERO stream state at any stream
+    length, so the verdict is a pure function of the input and the
+    oracle replays every fit step, cell election, and cosine
+    bit-for-bit.
+
+    Paraphrase arrivals are PLANTED deterministically: every standing
+    vector in the b2=0 md5 slice re-arrives under the fixed rotation
+    mix (v + 0.25·roll(v,1), ``decontaminate_semantic_cosine``'s
+    planting; cosine vs origin 0.968-0.976 against a natural
+    cross-split max of 0.474, so the 0.8 bar never faces a close
+    float call), with arr_id = −(vec_id+1) — the collision-proof
+    negative id space. The gate provably catches what it exists to
+    catch: every planted arrival's probe cells contain its origin's
+    cell (the perturbation moves vectors far less than cell diameters
+    at k=8), test-pinned.
+
+    Scale: the arriving side carries only (arr_id, cell) into the
+    join — {_SEMG_NPROBE} rows/vector, the embedding never leaves the
+    scan; the standing side is 1 row/vector whose EXACT count gates
+    the broadcast hint (the near-dup gate's guard). Verification
+    touches candidates only — per arrival the members of
+    {_SEMG_NPROBE} cells, the IVF-bounded candidate budget, never the
+    corpus.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.operators.dedup import cosine_sim
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _assign,
+        _micro_units,
+        _sq_dist_cols,
+        _update,
+    )
+    from efficient_llm_data_wrangling_spark.queries.curation import _SEM_DECON_COS
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    hexd = lambda c, i: (  # noqa: E731 — i-th md5 hex digit of the id
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(c.cast("string")), i, 1)
+        )
+        - 1
+    )
+    dbl = F.expr("transform(embedding, e -> cast(e as double))")
+    ndim = 64
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.lit(0.25) * F.element_at(F.col("embedding"), (i + 1) % ndim + 1).cast("double"),
+    )
+    leg_t = "array<struct<arr_id:bigint,v:array<double>>>"
+
+    def arrivals(df: DataFrame) -> DataFrame:
+        b1, b2 = hexd(F.col("vec_id"), 1), hexd(F.col("vec_id"), 2)
+        legs = (
+            F.when(
+                b1 >= 13,
+                F.array(
+                    F.struct(
+                        F.col("vec_id").cast("long").alias("arr_id"),
+                        dbl.alias("v"),
+                    )
+                ),
+            )
+            .when(
+                b2 == 0,
+                F.array(
+                    F.struct(
+                        (-(F.col("vec_id") + 1)).cast("long").alias("arr_id"),
+                        perturbed.alias("v"),
+                    )
+                ),
+            )
+            .otherwise(F.lit(None).cast(leg_t))
+        )
+        return df.select(F.explode(legs).alias("__a")).select(
+            F.col("__a.arr_id").alias("arr_id"), F.col("__a.v").alias("v")
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(hexd(F.col("vec_id"), 1) < 13).select(
+        "vec_id", dbl.alias("v")
+    )
+    xs = standing.select(
+        "vec_id", _micro_units(F.col("v")).alias("x")
+    ).localCheckpoint()
+    seeds = (
+        xs.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
+    )
+    cb = _update(_assign(xs, seeds)).localCheckpoint()
+    sa = _assign(xs, cb).select("c", F.col("vec_id").alias("corpus_id"))
+    # the codebook rides the stream expressions as literals — the
+    # serving-process posture (bounded driver scalar: 8 centroid rows)
+    cents = sorted((r["c"], list(r["mu"])) for r in cb.collect())
+
+    def probe_cells(df: DataFrame) -> DataFrame:
+        """(arr_id, c): each arrival's {_SEMG_NPROBE} nearest cells by
+        (distance, cell-id) — the codebook as literal expressions, the
+        election one array_sort over an 8-struct array (no window, so
+        it runs scan-side on the append-mode stream)."""
+        x = _micro_units(F.col("v"))
+        scored = F.array(
+            *[
+                F.struct(
+                    _sq_dist_cols(
+                        x, F.array(*[F.lit(int(m)) for m in mu])
+                    ).alias("d"),
+                    F.lit(int(c)).cast("long").alias("c"),
+                )
+                for c, mu in cents
+            ]
+        )
+        return df.withColumn("__scored", scored).select(
+            "arr_id",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort(__scored), 1, {_SEMG_NPROBE}), t -> t.c)"
+                )
+            ).alias("c"),
+        )
+
+    # scan-side cell election on the STREAM, count-guarded broadcast of
+    # the standing assignment, candidates appended statelessly
+    n_sa = sa.count()
+    sa_hinted = F.broadcast(sa) if n_sa <= _SEMG_BROADCAST_MAX_ROWS else sa
+    stream_cells = probe_cells(arrivals(S.stream_embeddings(spark, sf_dir)))
+    cand_stream = stream_cells.join(sa_hinted, "c").select("arr_id", "corpus_id")
+    sunk = S.run_to_memory(cand_stream, _sink("semantic_gate"), "append")
+
+    # batch-side verdict: exact cosine on candidates only
+    arr_batch = arrivals(emb).localCheckpoint()
+    pairs = sunk.distinct()
+    ver = (
+        pairs.join(arr_batch.select("arr_id", F.col("v").alias("__va")), "arr_id")
+        .join(
+            standing.select(
+                F.col("vec_id").alias("corpus_id"), F.col("v").alias("__vb")
+            ),
+            "corpus_id",
+        )
+        .select(
+            "arr_id",
+            "corpus_id",
+            cosine_sim(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+    )
+    best = ver.groupBy("arr_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.max(F.struct("cosine", "corpus_id")).alias("__m"),
+    )
+    return (
+        arr_batch.select("arr_id")
+        .join(best, "arr_id", "left")
+        .select(
+            "arr_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce(F.col("__m.corpus_id"), F.lit(-1)).cast("long").alias("best_corpus_id"),
+            F.coalesce(F.col("__m.cosine"), F.lit(-1.0)).cast("double").alias("best_cosine"),
+            (F.coalesce(F.col("__m.cosine"), F.lit(-1.0)) >= float(_SEM_DECON_COS)).alias("is_semdup"),
+            (F.col("arr_id") < 0).alias("planted_leak"),
+        )
+    )

@@ -112,6 +112,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # degree-8 graph REBUILT within each allowed slice, measuring what
     # the per-filter build buys below the shared-graph cliff.
     "knn_graph_serving_filtered_rebuilt",
+    # NEW (r11): the PARAPHRASE rung that completes the streaming
+    # dedup ladder rung-for-rung with the batch decontamination
+    # ladder — arriving vectors probe 2 standing IVF cells scan-side
+    # (codebook as literals), stateless stream-static cell join,
+    # exact-cosine verify batch-side; planted rotation-mix arrivals
+    # all caught at their origin, zero false flags.
+    "stream_semantic_gate",
     # NEW (VERDICT r10 item 6): the band-index maintenance stream —
     # foreachBatch versions each batch's band rows into the standing
     # dedup artifact (seen-set semantics ⇒ order-free convergence,

@@ -93,6 +93,17 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(schema).parquet(path)
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table as a file stream — the arriving-vector
+    side of ingest-time semantic operators (the semantic dedup gate).
+    Schema from the parquet footer like :func:`stream_documents`;
+    no event time, so consumers must be stateless."""
+    tune(spark)
+    path = _stream_dir(sf_dir, table="embeddings")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file stream with ``ts`` normalized to a
     watermark-capable ``timestamp``, matching the batch loader's values.

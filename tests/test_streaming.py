@@ -737,3 +737,52 @@ def test_band_index_maintenance_restart_recovery(spark, tmp_path):
     S.band_index_upsert_to_parquet(band_stream(), bst, base, checkpoint_dir=ckpt)
     assert sorted(p.name for p in Path(base).glob("v*")) == versions_before
     assert spark.read.parquet(manifest_glob).count() == len(man)
+
+
+def test_stream_semantic_gate_catches_planted_paraphrases_only(spark):
+    """The semantic ingest gate must (a) cover exactly the replayed
+    arrival manifest (true arrivals = bucket1 ≥ 13, planted = the
+    b2=0 standing slice under the rotation mix, negative ids), (b)
+    flag EVERY planted paraphrase AND attribute it to its origin
+    vector (best_corpus_id = −arr_id−1: the 0.968-0.976 planted
+    cosine always beats the ≤0.474 natural ceiling), (c) flag ZERO
+    true arrivals (the 0.8 bar sits above the natural cross-split
+    maximum), and (d) keep verdict bookkeeping consistent."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.curation import _SEM_DECON_COS
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        stream_semantic_gate,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.arr_id: r for r in stream_semantic_gate(spark, SF_SMOKE).collect()}
+    assert rows
+
+    ids = [r.vec_id for r in load_table(spark, SF_SMOKE, "embeddings").select("vec_id").collect()]
+    expected = set()
+    for v in ids:
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        if int(hx[0], 16) >= 13:
+            expected.add(v)
+        elif int(hx[1], 16) == 0:
+            expected.add(-(v + 1))
+    assert set(rows) == expected
+
+    planted = [r for r in rows.values() if r.arr_id < 0]
+    assert planted
+    for r in planted:
+        assert r.planted_leak
+        assert r.is_semdup, (r.arr_id, r.best_cosine)
+        assert r.best_corpus_id == -r.arr_id - 1, r
+        assert r.best_cosine >= float(_SEM_DECON_COS)
+    for r in rows.values():
+        if r.arr_id >= 0:
+            assert not r.is_semdup, (r.arr_id, r.best_cosine)
+        assert r.planted_leak == (r.arr_id < 0)
+        assert r.is_semdup == (r.best_cosine >= float(_SEM_DECON_COS))
+        if r.n_candidates == 0:
+            assert r.best_corpus_id == -1 and r.best_cosine == -1.0
+        else:
+            assert r.best_corpus_id >= 0 and -1.0 <= r.best_cosine <= 1.0
