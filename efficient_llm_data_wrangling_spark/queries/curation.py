@@ -2055,3 +2055,203 @@ def epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_risk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax mixture plan (epoch-capped uniform language sampling)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_E = 2  # per-language epoch cap (UniMax N)
+_UNIMAX_BUD_N, _UNIMAX_BUD_D = 3, 2  # budget = corpus tokens * 3 div 2
+
+_UNIMAX_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens * {_UNIMAX_E} AS BIGINT) AS cap_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS isq,
+         CAST(row_number() OVER
+              (ORDER BY n_tokens * {_UNIMAX_E}, lang) AS BIGINT) AS r,
+         CAST(coalesce(sum(n_tokens * {_UNIMAX_E}) OVER
+              (ORDER BY n_tokens * {_UNIMAX_E}, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS c_prev
+  FROM t
+),
+g AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(isq) AS BIGINT) AS isq_sum,
+         CAST(sum(n_tokens) * {_UNIMAX_BUD_N} // {_UNIMAX_BUD_D} AS BIGINT)
+           AS budget
+  FROM w
+),
+k AS (
+  SELECT g.budget, g.n_langs, g.isq_sum,
+         CAST(coalesce(max(CASE WHEN w.cap_tokens * (g.n_langs - w.r + 1)
+                                     + w.c_prev <= g.budget
+                                THEN w.r END), 0) AS BIGINT) AS k
+  FROM w, g GROUP BY g.budget, g.n_langs, g.isq_sum
+),
+lvl AS (
+  SELECT k.budget, k.n_langs, k.isq_sum, k.k,
+         CAST(coalesce(sum(CASE WHEN w.r <= k.k THEN w.cap_tokens END), 0)
+              AS BIGINT) AS capped_mass
+  FROM w, k GROUP BY k.budget, k.n_langs, k.isq_sum, k.k
+),
+lvl2 AS (
+  SELECT *,
+         CASE WHEN n_langs > k
+              THEN CAST((budget - capped_mass) // (n_langs - k) AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END AS water_level
+  FROM lvl
+)
+SELECT w.lang, w.n_tokens, w.cap_tokens,
+       w.r <= l.k AS capped,
+       CAST(CASE WHEN w.r <= l.k THEN w.cap_tokens
+                 ELSE l.water_level END AS BIGINT) AS alloc_tokens,
+       CAST((CASE WHEN w.r <= l.k THEN w.cap_tokens ELSE l.water_level END)
+            * 1000 // w.n_tokens AS BIGINT) AS epochs_milli,
+       l.water_level,
+       CAST(l.budget - l.capped_mass
+            - coalesce(l.water_level, 0) * (l.n_langs - l.k)
+            AS BIGINT) AS leftover_tokens,
+       CAST(l.budget // l.n_langs * 1000 // w.n_tokens AS BIGINT)
+         AS uniform_epochs_milli,
+       CAST(l.budget * w.isq // l.isq_sum * 1000 // w.n_tokens AS BIGINT)
+         AS tau05_epochs_milli
+FROM w, lvl2 l
+"""
+
+
+@query(
+    "unimax_mixture_plan",
+    oracle=_UNIMAX_ORACLE,
+    tags=("curation", "sampling", "mixture", "trainprep"),
+)
+def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture plan (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling") — the epoch-capped water-fill that
+    completes the mixture-planning family: ``temperature_mixture_weights``
+    gives the smooth power-law rule, ``epoch_repeat_plan`` flags where
+    that rule over-repeats the small sources, and THIS is the
+    allocation that makes over-repetition impossible by construction:
+    spread the token budget (here {_UNIMAX_BUD_N}/{_UNIMAX_BUD_D}× the
+    corpus) as uniformly as possible across languages subject to a
+    hard per-language cap of {_UNIMAX_E} epochs.
+
+    The water-fill is elected relationally, every step exact BIGINT:
+    languages ranked ascending by cap (lang tie-break), the capped
+    prefix is the largest rank r with ``cap_r·(n−r+1) + Σcap_{{<r}} ≤
+    budget`` (the standard prefix condition — monotone because caps
+    ascend), and the uncapped languages share the remaining budget at
+    one floor-divided water level, the floor remainder reported as
+    ``leftover_tokens`` so ``Σ alloc + leftover = budget`` reconciles
+    exactly.
+
+    Measured election at the tested SFs — data-dependent, which is the
+    point: sf0.01/sf0.1 cap FOUR languages (de/fr/es/zh at exactly
+    2000 milli-epochs; en takes the surplus at 844/791) while sf0.001
+    caps two (de/zh) with es/fr/en at the level. The two comparison
+    columns price the alternatives at the same budget: uniform
+    sampling would push the smallest language to 2296 milli-epochs
+    (the over-repetition the cap prevents), while τ=0.5 temperature
+    lands within ~90 milli of the cap at this mild 3.3× skew — the
+    honest note that UniMax's advantage concentrates on long-tail
+    skew, exactly the regime Chung et al. target.
+
+    Scale: ONE token-count aggregate over the corpus; every later step
+    runs on the |langs|-row frame (bounded by the language inventory,
+    tens — the documented bounded-frame window convention), joined
+    back as in-plan broadcast 1-row aggregates. Positive-BIGINT floor
+    division throughout, so both engines replay the election
+    bit-for-bit.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = docs.select("lang", F.size(toks).alias("__nt")).groupBy("lang").agg(
+        F.sum("__nt").cast("long").alias("n_tokens")
+    )
+    w = (
+        t.withColumn("cap_tokens", F.expr(f"CAST(n_tokens * {_UNIMAX_E} AS BIGINT)"))
+        .withColumn(
+            "isq", F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)")
+        )
+    )
+    win = W.orderBy("cap_tokens", "lang")
+    w = w.withColumn("r", F.row_number().over(win).cast("long")).withColumn(
+        "c_prev",
+        F.coalesce(
+            F.sum("cap_tokens").over(win.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    g = w.agg(
+        F.sum("n_tokens").cast("long").alias("corpus_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum("isq").cast("long").alias("isq_sum"),
+    ).withColumn(
+        "budget",
+        F.expr(f"CAST(corpus_tokens * {_UNIMAX_BUD_N} div {_UNIMAX_BUD_D} AS BIGINT)"),
+    )
+    wj = w.crossJoin(F.broadcast(g))
+    k = wj.groupBy("budget", "n_langs", "isq_sum").agg(
+        F.coalesce(
+            F.max(
+                F.expr(
+                    "CASE WHEN cap_tokens * (n_langs - r + 1) + c_prev <= budget"
+                    " THEN r END"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("k")
+    )
+    lvl = (
+        w.crossJoin(F.broadcast(k))
+        .groupBy("budget", "n_langs", "isq_sum", "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN r <= k THEN cap_tokens END")), F.lit(0)
+            )
+            .cast("long")
+            .alias("capped_mass")
+        )
+        .withColumn(
+            "water_level",
+            F.expr(
+                "CASE WHEN n_langs > k"
+                " THEN CAST((budget - capped_mass) div (n_langs - k) AS BIGINT)"
+                " ELSE CAST(NULL AS BIGINT) END"
+            ),
+        )
+    )
+    alloc = "CASE WHEN r <= k THEN cap_tokens ELSE water_level END"
+    return w.crossJoin(F.broadcast(lvl)).select(
+        "lang",
+        "n_tokens",
+        "cap_tokens",
+        F.expr("r <= k").alias("capped"),
+        F.expr(f"CAST({alloc} AS BIGINT)").alias("alloc_tokens"),
+        F.expr(f"CAST(({alloc}) * 1000 div n_tokens AS BIGINT)").alias(
+            "epochs_milli"
+        ),
+        "water_level",
+        F.expr(
+            "CAST(budget - capped_mass"
+            " - coalesce(water_level, 0) * (n_langs - k) AS BIGINT)"
+        ).alias("leftover_tokens"),
+        F.expr("CAST(budget div n_langs * 1000 div n_tokens AS BIGINT)").alias(
+            "uniform_epochs_milli"
+        ),
+        F.expr("CAST(budget * isq div isq_sum * 1000 div n_tokens AS BIGINT)").alias(
+            "tau05_epochs_milli"
+        ),
+    )

@@ -125,6 +125,16 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # multi-batch ≡ batch-built test-pinned); full value oracle on the
     # admission manifest.
     "stream_band_index_maintenance",
+    # NEW (r11): UniMax epoch-capped water-fill over languages — the
+    # mixture-planning rule that makes small-language over-repetition
+    # impossible by construction; closed-form capped-prefix election
+    # in exact BIGINTs, pure-Python replay test-pinned.
+    "unimax_mixture_plan",
+    # NEW (r11): ranking-aware retrieval eval — nDCG@10 / MRR / recall
+    # per (policy, query) over the fixed probe set with integer
+    # micro-discount constants shared by both engines; exact policy is
+    # the nDCG≡1000 control, superset monotonicity test-pinned.
+    "retrieval_ndcg_report",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -552,3 +552,65 @@ def test_epoch_repeat_plan_replays_and_burden_falls_on_small_sources(spark):
     safe = [r.n_tokens for r in rows if not r.repeat_risk]
     assert risky and safe, "the 4-epoch line must split this corpus"
     assert max(risky) < min(safe)
+
+
+def test_unimax_plan_replays_and_caps_bind_on_smallest(spark):
+    """The water-fill election must recompute bit-for-bit from a pure
+    Python replay of the documented closed form, every language must
+    respect the epoch cap (the UniMax guarantee), the budget must
+    reconcile exactly (Σ alloc + leftover = budget), the capped set
+    must be an ascending-cap prefix, and the uniform comparison column
+    must show the over-repetition the cap prevents."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _UNIMAX_BUD_D,
+        _UNIMAX_BUD_N,
+        _UNIMAX_E,
+        unimax_mixture_plan,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = unimax_mixture_plan(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect()
+    tok: dict[str, int] = {}
+    for d in docs:
+        tok[d.lang] = tok.get(d.lang, 0) + len([t for t in d.text.split(" ") if t])
+    assert len(rows) == len(tok)
+    corpus = sum(tok.values())
+    budget = corpus * _UNIMAX_BUD_N // _UNIMAX_BUD_D
+    ordered = sorted(tok.items(), key=lambda kv: (kv[1] * _UNIMAX_E, kv[0]))
+    caps = [n * _UNIMAX_E for _, n in ordered]
+    n = len(caps)
+    # closed-form capped-prefix election (monotone because caps ascend)
+    k, c = 0, 0
+    for r in range(1, n + 1):
+        if caps[r - 1] * (n - r + 1) + c <= budget:
+            k = r
+        c += caps[r - 1]
+    capped_mass = sum(caps[:k])
+    level = (budget - capped_mass) // (n - k) if k < n else None
+    leftover = budget - capped_mass - (level or 0) * (n - k)
+    expect = {
+        lang: (caps[i] if i < k else level) for i, (lang, _) in enumerate(ordered)
+    }
+    by_lang = {r.lang: r for r in rows}
+    for i, (lang, ntok) in enumerate(ordered):
+        r = by_lang[lang]
+        assert r.n_tokens == ntok
+        assert r.cap_tokens == caps[i]
+        assert r.capped == (i < k)
+        assert r.alloc_tokens == expect[lang]
+        assert r.epochs_milli == expect[lang] * 1000 // ntok
+        assert r.water_level == level
+        assert r.leftover_tokens == leftover
+        assert r.uniform_epochs_milli == budget // n * 1000 // ntok
+        # the UniMax guarantee: no language past the epoch cap
+        assert r.epochs_milli <= _UNIMAX_E * 1000
+        if r.capped:
+            assert r.epochs_milli == _UNIMAX_E * 1000
+    assert sum(r.alloc_tokens for r in rows) + leftover == budget
+    # the election must be non-trivial on this corpus: both sides exist
+    assert 0 < k < n, f"water-fill must split this corpus, got k={k}/{n}"
+    # uniform sampling would over-repeat the smallest language
+    assert max(r.uniform_epochs_milli for r in rows) > _UNIMAX_E * 1000

@@ -181,3 +181,48 @@ def test_hybrid_fusion_reconciles_with_both_legs(spark):
         )
         best_both = min(r.fused_rank for r in rows if r.in_both)
         assert best_single is None or best_both < len(rows)
+
+
+def test_ndcg_report_control_monotonicity_and_internal_consistency(spark):
+    """The exact policy is the self-validating control (nDCG ≡ 1000);
+    ivf2's candidate set is a superset of ivf1's, so per query its
+    nDCG / relevant-count / reciprocal-rank pointwise dominate (the
+    j-th best of a superset has a better-or-equal total-order key,
+    hence better-or-equal graded relevance); every derived column must
+    recompute from its parts; and the headline finding must hold:
+    blocked-index nDCG exceeds recall@10 because misses concentrate in
+    the tail ranks."""
+    from efficient_llm_data_wrangling_spark.queries.retrieval import (
+        _NDCG_IDCG,
+        _NDCG_K,
+        retrieval_ndcg_report,
+    )
+
+    rows = retrieval_ndcg_report(spark, SF_SMOKE).collect()
+    assert rows
+    by = {(r.policy, r.query_id): r for r in rows}
+    policies = {r.policy for r in rows}
+    assert policies == {"exact", "ivf1", "ivf2"}
+    qids = {r.query_id for r in rows}
+    for r in rows:
+        # derived-column consistency
+        assert r.ndcg_permille == r.dcg_micro * 1000 // _NDCG_IDCG
+        assert r.recall10_permille == r.n_relevant * 1000 // _NDCG_K
+        assert 0 <= r.dcg_micro <= _NDCG_IDCG
+        assert r.n_relevant <= r.n_retrieved <= _NDCG_K
+        if r.policy == "exact":
+            assert r.n_retrieved == _NDCG_K
+            assert r.dcg_micro == _NDCG_IDCG
+            assert r.ndcg_permille == 1000
+            assert r.recall10_permille == 1000
+            assert r.rr_top1_milli == 1000
+    for q in qids:
+        r1, r2 = by[("ivf1", q)], by[("ivf2", q)]
+        assert r2.ndcg_permille >= r1.ndcg_permille
+        assert r2.n_relevant >= r1.n_relevant
+        assert r2.rr_top1_milli >= r1.rr_top1_milli
+    for pol in ("ivf1", "ivf2"):
+        sub = [r for r in rows if r.policy == pol]
+        mean_ndcg = sum(r.ndcg_permille for r in sub) / len(sub)
+        mean_rec = sum(r.recall10_permille for r in sub) / len(sub)
+        assert mean_ndcg > mean_rec, (pol, mean_ndcg, mean_rec)
