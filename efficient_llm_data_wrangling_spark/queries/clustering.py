@@ -1839,12 +1839,56 @@ def knn_graph_beam_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _walk_report(vectors, ed, pb, entries)
 
 
+def _frontier_walk(
+    vectors: DataFrame, ed: DataFrame, qb: DataFrame, entries: DataFrame,
+    beam_width: int = _BEAM_WIDTH,
+    hops: int = _BEAM_HOPS,
+) -> DataFrame:
+    """The touched-set accumulation of the shared beam walk — the walk
+    BODY of ``_walk_report`` lifted out (r11, byte-identical logic and
+    checkpoint placement) so consumers that need the raw (pid, v, d)
+    touched frame rather than the graded summary can reuse it: the
+    incremental-insert rung runs THIS walk per arriving vector to
+    elect the new vertex's out-edges (the FreshDiskANN insert path is
+    literally a serving walk whose result becomes edges). ``qb`` is
+    the query frame (pid, px); ``entries`` is (pid, v0)."""
+    touched = (
+        vectors.join(
+            F.broadcast(entries.join(qb, "pid")),
+            vectors["vec_id"] == F.col("v0"),
+        )
+        .select(
+            "pid",
+            F.col("v0").cast("long").alias("v"),
+            _sq_dist("x", "px").cast("long").alias("d"),
+        )
+        .localCheckpoint()
+    )
+    wb = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("v"))
+    beam = touched  # hop 0: the entry vertex is the whole frontier
+    for _ in range(hops):
+        frontier = beam.join(qb, "pid").select("pid", "px", F.col("v").alias("u"))
+        cands = (
+            ed.join(F.broadcast(frontier), "u")
+            .filter(F.col("v") != F.col("pid"))
+            .select("pid", "v", _sq_dist("nx", "px").cast("long").alias("d"))
+        )
+        touched = touched.unionAll(cands).distinct().localCheckpoint()
+        beam = (
+            touched.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= beam_width)
+            .select("pid", "v", "d")
+        )
+    return touched
+
+
 def _walk_report(
     vectors: DataFrame, ed: DataFrame, pb: DataFrame, entries: DataFrame,
     beam_width: int = _BEAM_WIDTH,
     hops: int = _BEAM_HOPS,
     exact: DataFrame | None = None,
     rerank: DataFrame | None = None,
+    mark: DataFrame | None = None,
 ) -> DataFrame:
     """The shared beam walk + bookkeeping: from per-probe start
     vertices ``entries`` (pid, v0), run ``hops`` (default
@@ -1866,34 +1910,15 @@ def _walk_report(
     expansion; each visited node's full-precision coordinates are
     read once and used for the final ranking), so the reported
     recall isolates pure NAVIGATION loss. ``None`` keeps the walk
-    bit-identical to every previously graded rung."""
-    touched = (
-        vectors.join(
-            F.broadcast(entries.join(pb, "pid")),
-            vectors["vec_id"] == F.col("v0"),
-        )
-        .select(
-            "pid",
-            F.col("v0").cast("long").alias("v"),
-            _sq_dist("x", "px").cast("long").alias("d"),
-        )
-        .localCheckpoint()
-    )
+    bit-identical to every previously graded rung.
+
+    ``mark`` (r11, the incremental-insert rung): an optional 1-column
+    (v,) frame of marked vertex ids; when set, the report gains an
+    ``n_overlap_marked`` column — the exact-hit count restricted to
+    marked targets — so a consumer can split recall by whether the
+    true neighbor is a marked (e.g. newly-inserted) vertex."""
+    touched = _frontier_walk(vectors, ed, pb, entries, beam_width, hops)
     wb = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("v"))
-    beam = touched  # hop 0: the entry vertex is the whole frontier
-    for _ in range(hops):
-        frontier = beam.join(pb, "pid").select("pid", "px", F.col("v").alias("u"))
-        cands = (
-            ed.join(F.broadcast(frontier), "u")
-            .filter(F.col("v") != F.col("pid"))
-            .select("pid", "v", _sq_dist("nx", "px").cast("long").alias("d"))
-        )
-        touched = touched.unionAll(cands).distinct().localCheckpoint()
-        beam = (
-            touched.withColumn("__rn", F.row_number().over(wb))
-            .filter(F.col("__rn") <= beam_width)
-            .select("pid", "v", "d")
-        )
     if rerank is not None:
         rescored = (
             touched.select("pid", "v")
@@ -1919,7 +1944,7 @@ def _walk_report(
         "pid", F.col("v").alias("best_vertex"), F.col("d").alias("best_l2sq")
     )
     nt = touched.groupBy("pid").agg(F.count(F.lit(1)).cast("long").alias("n_touched"))
-    return (
+    rep = (
         bs.join(F.broadcast(nt), "pid")
         .join(F.broadcast(ov), "pid", "left")
         .join(F.broadcast(entries), "pid")
@@ -1935,6 +1960,18 @@ def _walk_report(
             F.expr(f"coalesce(n, 0) * 1000000L div {_KNNJ_K}").alias("recall_ppm"),
         )
     )
+    if mark is None:
+        return rep
+    ovm = (
+        tk.join(exact, (tk["pid"] == exact["pid"]) & (tk["v"] == exact["nid"]))
+        .select(tk["pid"].alias("pid"), tk["v"].alias("v"))
+        .join(F.broadcast(mark), "v")
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nm"))
+    )
+    return rep.join(F.broadcast(ovm), "pid", "left").withColumn(
+        "n_overlap_marked", F.coalesce(F.col("__nm"), F.lit(0)).cast("long")
+    ).drop("__nm")
 
 
 # ---------------------------------------------------------------------------
@@ -4933,4 +4970,546 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out_rows[0]
     for o in out_rows[1:]:
         out = out.unionAll(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental graph-index maintenance (the FreshDiskANN insert path)
+# ---------------------------------------------------------------------------
+
+
+def _incr_oracle() -> str:
+    """The incremental-insert oracle: standing slice fit + degree-8
+    build (the ``_filtered_oracle(rebuilt=True)`` slice-build pattern
+    on the drift monitor's standing split), one insertion walk per
+    arriving vector (the ``_walk_oracle_sql`` tc/cd/bm shape with
+    arrivals as the query set), out-edge election + degree-capped
+    back-edge re-election, then TWO graded serving walks — over the
+    incrementally-maintained graph and over the full rebuild — each
+    summarized into one row with the arrival-target recall split."""
+    k, probes, entry = _KNNJ_K, _KNNJ_PROBES, _GREEDY_ENTRY
+    hops, beam, kd = _BEAM_HOPS, _BEAM_W16, _KNNJ_D8
+    bexpr = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
+    ctes = [
+        f"xis AS (SELECT vec_id, x FROM xi WHERE {bexpr} < {_DRIFT_OLD_BUCKETS})",
+        f"xia AS (SELECT vec_id, x FROM xi WHERE {bexpr} >= {_DRIFT_OLD_BUCKETS})",
+        # standing slice fit (seeds = the _K smallest standing ids, one
+        # truncating-integer Lloyd round — the drift/filtered pattern)
+        f"mu0inc AS (SELECT vec_id AS c, x AS mu FROM xis ORDER BY vec_id LIMIT {_K})",
+        f"a1inc AS ({_assign_sql('xis', 'mu0inc')})",
+        f"""u1inc AS (
+  SELECT a.c, j.j, a.x[j.j] AS v
+  FROM a1inc a CROSS JOIN (SELECT unnest(range(1, {_DIMS} + 1)) AS j) j
+)""",
+        """s1inc AS (
+  SELECT c, j, CAST(sum(v) // count(*) AS BIGINT) AS mu_j
+  FROM u1inc GROUP BY c, j
+)""",
+        "mu1inc AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM s1inc GROUP BY c)",
+        f"azinc AS ({_assign_sql('xis', 'mu1inc')})",
+        # degree-8 multiprobe seed + one descent round WITHIN standing
+        f"""princ AS (
+  SELECT vec_id, x, c FROM (
+    SELECT t.vec_id, t.x, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM xis t CROSS JOIN mu1inc m
+  ) WHERE rn <= {_KNNJ_NPROBE}
+)""",
+        f"""mpinc AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+    FROM princ a JOIN azinc b ON a.c = b.c AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {kd}
+)""",
+        _round_ctes("mpinc", "inc"),
+        f"g1inc AS (SELECT vec_id, neighbor_id FROM rrinc WHERE rn <= {kd})",
+        """gsinc AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM g1inc
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g1inc
+  )
+)""",
+        """edsinc AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM gsinc g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+        # standing medoid entries for the insertion walks
+        f"""mdinc AS (
+  SELECT c, vec_id AS mid FROM (
+    SELECT a.c, a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.c
+             ORDER BY {_dist_sql('a.x', 'm.mu')}, a.vec_id) AS rn
+    FROM azinc a JOIN mu1inc m ON a.c = m.c
+    WHERE a.vec_id >= {probes}
+  ) WHERE rn = 1
+)""",
+        f"fbinc AS (SELECT CAST(min(vec_id) AS BIGINT) AS fb FROM azinc WHERE vec_id >= {probes})",
+        "abq AS (SELECT vec_id AS pid, x AS px FROM xia)",
+        f"aainc AS ({_assign_sql('xia', 'mu1inc')})",
+        """aeinc AS (
+  SELECT a.vec_id AS pid, CAST(COALESCE(mdinc.mid, fbinc.fb) AS BIGINT) AS v0
+  FROM aainc a LEFT JOIN mdinc ON a.c = mdinc.c CROSS JOIN fbinc
+)""",
+        # insertion walk (suffix aw): arrivals as queries over edsinc
+        f"""tc0aw AS (
+  SELECT pe.pid, pe.v0 AS v,
+         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
+  FROM aeinc pe JOIN abq pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
+)""",
+        "bm0aw AS (SELECT pid, v, d FROM tc0aw)",
+    ]
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"""cd{r}aw AS (
+  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
+  FROM bm{r - 1}aw b JOIN abq p ON b.pid = p.pid JOIN edsinc e ON e.u = b.v
+  WHERE e.v <> b.pid
+)"""
+        )
+        ctes.append(
+            f"""tc{r}aw AS (
+  SELECT DISTINCT pid, v, d FROM (
+    SELECT pid, v, d FROM tc{r - 1}aw
+    UNION ALL
+    SELECT pid, v, d FROM cd{r}aw
+  )
+)"""
+        )
+        ctes.append(
+            f"""bm{r}aw AS (
+  SELECT pid, v, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{r}aw
+  ) WHERE rn <= {beam}
+)"""
+        )
+    ctes += [
+        # arrival out-edges = exact top-kd of each arrival's touched set
+        f"""aout AS (
+  SELECT pid AS vec_id, v AS neighbor_id, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{hops}aw
+  ) WHERE rn <= {kd}
+)""",
+        # degree-capped back-edge re-election over old ∪ back candidates
+        f"""oldinc AS (
+  SELECT g.vec_id, g.neighbor_id, CAST({_dist_sql('xa.x', 'xb.x')} AS BIGINT) AS d
+  FROM g1inc g JOIN xi xa ON g.vec_id = xa.vec_id
+  JOIN xi xb ON g.neighbor_id = xb.vec_id
+)""",
+        "backinc AS (SELECT neighbor_id AS vec_id, vec_id AS neighbor_id, d FROM aout)",
+        f"""g1up AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rn
+    FROM (SELECT * FROM oldinc UNION ALL SELECT * FROM backinc)
+  ) WHERE rn <= {kd}
+)""",
+        """gdinc AS (
+  SELECT vec_id, neighbor_id FROM g1up
+  UNION ALL
+  SELECT vec_id, neighbor_id FROM aout
+)""",
+        """guinc2 AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM gdinc
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM gdinc
+  )
+)""",
+        """edinc AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM guinc2 g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+        # serving entries: incremental arm under the STANDING fit
+        f"azall AS ({_assign_sql('xi', 'mu1inc')})",
+        f"""mdall AS (
+  SELECT c, vec_id AS mid FROM (
+    SELECT a.c, a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.c
+             ORDER BY {_dist_sql('a.x', 'm.mu')}, a.vec_id) AS rn
+    FROM azall a JOIN mu1inc m ON a.c = m.c
+    WHERE a.vec_id >= {probes}
+  ) WHERE rn = 1
+)""",
+        f"""peinc AS (
+  SELECT p.vec_id AS pid, CAST(COALESCE(mdall.mid, {entry}) AS BIGINT) AS v0
+  FROM azall p LEFT JOIN mdall ON p.c = mdall.c
+  WHERE p.vec_id < {probes}
+)""",
+        # shared probe/exact frames + rebuilt arm's entries/edges
+        f"pbf AS (SELECT vec_id AS pid, x AS px FROM xi WHERE vec_id < {probes})",
+        f"""exf AS (
+  SELECT pid, vec_id AS nid FROM (
+    SELECT p.pid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {_dist_sql('e.x', 'p.px')}, e.vec_id) AS rn
+    FROM xi e JOIN pbf p ON e.vec_id <> p.pid
+  ) WHERE rn <= {k}
+)""",
+        f"""mdrb AS (
+  SELECT c, vec_id AS mid FROM (
+    SELECT a.c, a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.c
+             ORDER BY {_dist_sql('a.x', 'm.mu')}, a.vec_id) AS rn
+    FROM a2 a JOIN mu1 m ON a.c = m.c
+    WHERE a.vec_id >= {probes}
+  ) WHERE rn = 1
+)""",
+        f"""perb AS (
+  SELECT p.vec_id AS pid, CAST(COALESCE(mdrb.mid, {entry}) AS BIGINT) AS v0
+  FROM a2 p LEFT JOIN mdrb ON p.c = mdrb.c
+  WHERE p.vec_id < {probes}
+)""",
+        """edrb AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM gu1d8 g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+    ]
+    # two graded serving walks: iw (incremental graph) / rw (rebuilt)
+    for s, pe, edge in (("iw", "peinc", "edinc"), ("rw", "perb", "edrb")):
+        ctes.append(
+            f"""tc0{s} AS (
+  SELECT pe.pid, pe.v0 AS v,
+         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
+  FROM {pe} pe JOIN pbf pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
+)"""
+        )
+        ctes.append(f"bm0{s} AS (SELECT pid, v, d FROM tc0{s})")
+        for r in range(1, hops + 1):
+            ctes.append(
+                f"""cd{r}{s} AS (
+  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
+  FROM bm{r - 1}{s} b JOIN pbf p ON b.pid = p.pid JOIN {edge} e ON e.u = b.v
+  WHERE e.v <> b.pid
+)"""
+            )
+            ctes.append(
+                f"""tc{r}{s} AS (
+  SELECT DISTINCT pid, v, d FROM (
+    SELECT pid, v, d FROM tc{r - 1}{s}
+    UNION ALL
+    SELECT pid, v, d FROM cd{r}{s}
+  )
+)"""
+            )
+            ctes.append(
+                f"""bm{r}{s} AS (
+  SELECT pid, v, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{r}{s}
+  ) WHERE rn <= {beam}
+)"""
+            )
+        ctes.append(
+            f"""tk{s} AS (
+  SELECT pid, v FROM (
+    SELECT pid, v,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{hops}{s}
+  ) WHERE rn <= {k}
+)"""
+        )
+        ctes.append(
+            f"""ov{s} AS (
+  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
+  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
+  GROUP BY t.pid
+)"""
+        )
+        ctes.append(
+            f"""ovm{s} AS (
+  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
+  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
+  JOIN xia a ON t.v = a.vec_id
+  GROUP BY t.pid
+)"""
+        )
+        ctes.append(
+            f"""sm{s} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(n_touched) AS BIGINT) AS sum_touched,
+         CAST(sum(n_ov) AS BIGINT) AS sum_overlap,
+         CAST(sum(n_ovm) AS BIGINT) AS sum_overlap_arrival
+  FROM (
+    SELECT nt.pid, nt.n_touched,
+           COALESCE(o.n, 0) AS n_ov, COALESCE(m.n, 0) AS n_ovm
+    FROM (SELECT pid, CAST(count(*) AS BIGINT) AS n_touched
+          FROM tc{hops}{s} GROUP BY pid) nt
+    LEFT JOIN ov{s} o ON nt.pid = o.pid
+    LEFT JOIN ovm{s} m ON nt.pid = m.pid
+  )
+)"""
+        )
+    ctes += [
+        "nsi AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM xis)",
+        "nai AS (SELECT CAST(count(*) AS BIGINT) AS n_arrivals FROM xia)",
+        "bei AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM guinc2)",
+        "berb AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM gu1d8)",
+        """nea AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_arrival
+  FROM exf e JOIN xia a ON e.nid = a.vec_id
+)""",
+    ]
+    finals = []
+    for variant, sm, be in (("incremental", "smiw", "bei"), ("rebuilt", "smrw", "berb")):
+        finals.append(
+            f"""SELECT '{variant}' AS variant,
+       ns.n_standing, na.n_arrivals, be.build_edges,
+       s.n_probes, s.sum_touched,
+       CAST(s.sum_touched * 1000 // s.n_probes AS BIGINT) AS mean_touched_milli,
+       s.sum_overlap,
+       CAST(s.sum_overlap * 1000000 // ({k} * s.n_probes) AS BIGINT) AS recall_ppm,
+       ne.n_exact_arrival, s.sum_overlap_arrival,
+       CAST(CASE WHEN ne.n_exact_arrival > 0
+                 THEN s.sum_overlap_arrival * 1000000 // ne.n_exact_arrival
+                 ELSE 0 END AS BIGINT) AS arrival_recall_ppm
+FROM {sm} s CROSS JOIN nsi ns CROSS JOIN nai na
+CROSS JOIN {be} be CROSS JOIN nea ne"""
+        )
+    sql = (
+        f"WITH {_FIT_CTES},\n{_KNNJ_D8_CTES},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+    return _mat(sql)
+
+
+@query(
+    "knn_graph_incremental_insert",
+    oracle=_incr_oracle(),
+    tags=("similarity", "clustering", "ann", "iterative", "diagnostics"),
+)
+def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-index MAINTENANCE — the question every
+    deployed graph index faces between rebuilds (the FreshDiskANN
+    insert path, Singh et al. 2021): vectors keep arriving; can they
+    join the index by WALKING it, or must the whole graph be rebuilt?
+    The corpus splits on the drift monitor's md5 standing/arrival line
+    ({_DRIFT_OLD_BUCKETS}/16 ≈ 69% standing); the degree-{_KNNJ_D8}
+    graph is built on the standing slice only (slice fit + multiprobe
+    + one descent round — the ``filtered_rebuilt`` build operators),
+    then every arrival is inserted BATCH-style: one width-{_BEAM_W16}
+    {_BEAM_HOPS}-hop insertion walk on the standing graph (literally
+    ``_frontier_walk``, the serving walk body), its exact top-{_KNNJ_D8}
+    touched vertices become the arrival's out-edges, and each chosen
+    standing vertex re-elects its own top-{_KNNJ_D8} out-edges among
+    old neighbors ∪ pointing arrivals (the degree-capped back-edge
+    prune). The graded serving walk then runs over BOTH the maintained
+    graph (entries under the standing fit — the codebook a live
+    process would actually hold) and the full rebuild (exactly the
+    ``knn_graph_serving_beam16`` posture, the control arm), against
+    the SAME full-corpus exact neighbors; ``arrival_recall_ppm``
+    isolates the targets that entered incrementally.
+
+    Measured answer at sf0.01 (153 arrivals onto 347 standing):
+    incremental maintenance reads 79.2% recall@3 vs the rebuild's
+    86.5% at equal walk budget (the rebuilt row reproduces the graded
+    beam16 rung exactly — the built-in control) — batch insertion
+    keeps ~92% of rebuild quality — and the arrival-target split shows
+    WHERE the loss lives: exact neighbors that are themselves arrivals
+    read 65.4% incremental vs 76.9% rebuilt, because batch-inserted
+    vertices never edge to EACH OTHER (every insertion walk ran on the
+    pre-arrival graph), exactly the staleness a FreshDiskANN periodic
+    consolidation exists to repair. The honest flip at sf0.001: the
+    maintained graph BEATS the rebuild (77.1% vs 71.9%, arrivals 82.9%
+    vs 74.3%) — insertion walks on a small standing graph are
+    near-exhaustive, so insert-by-walk out-edges are near-exact while
+    the rebuild's single descent round is approximate; walk-based
+    insertion is not a degraded rebuild but a different (sometimes
+    better) edge-selection rule. Read-off: insert-by-walk carries a
+    serving index between rebuilds, and the consolidation cadence
+    should key on the arrival SHARE (the arrival-target gap grows with
+    it), not wall-clock.
+
+    Scale: the insertion walks are the serving shape — per hop ONE
+    standing-edge-table scan against a broadcast ≤|batch|×{_BEAM_W16}
+    frontier, so a million-arrival batch rides the same scans; the
+    back-edge re-election is one |edges|+|batch|×{_KNNJ_D8}-row keyed
+    window, and no step ever touches corpus² pairs.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    standing = vectors.filter(bucket < _DRIFT_OLD_BUCKETS).localCheckpoint()
+    arrivals = vectors.filter(bucket >= _DRIFT_OLD_BUCKETS).localCheckpoint()
+    # standing slice fit + degree-8 build (the filtered_rebuilt operators)
+    seeds = (
+        standing.orderBy("vec_id")
+        .limit(_K)
+        .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
+    )
+    cbS = _update(_assign(standing, seeds)).localCheckpoint()
+    mp = (
+        _knn_multiprobe_pairs(
+            spark, sf_dir, standing, cbS, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE
+        )
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    g1s = (
+        _descent_round(standing, mp, k=_KNNJ_D8)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    edS = _edge_table(standing, g1s)
+    # standing medoid entries for the insertion walks
+    azS = _assign(standing, cbS)
+    mdS = (
+        azS.filter(F.col("vec_id") >= _KNNJ_PROBES)
+        .join(F.broadcast(cbS), "c")
+        .select("c", "vec_id", _sq_dist("x", "mu").alias("dc"))
+        .groupBy("c")
+        .agg(F.min(F.struct("dc", "vec_id")).alias("m"))
+        .select("c", F.col("m.vec_id").alias("mid"))
+    )
+    fbS = azS.filter(F.col("vec_id") >= _KNNJ_PROBES).agg(
+        F.min("vec_id").cast("long").alias("fb")
+    )
+    abq = arrivals.select(F.col("vec_id").alias("pid"), F.col("x").alias("px"))
+    entriesA = (
+        _assign(arrivals, cbS)
+        .select(F.col("vec_id").alias("pid"), "c")
+        .join(F.broadcast(mdS), "c", "left")
+        .crossJoin(F.broadcast(fbS))
+        .select(
+            "pid", F.coalesce(F.col("mid"), F.col("fb")).cast("long").alias("v0")
+        )
+    )
+    # the insertion walk: every arrival walks the standing graph
+    touched = _frontier_walk(
+        standing, edS, abq, entriesA, beam_width=_BEAM_W16, hops=_BEAM_HOPS
+    )
+    wA = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("v"))
+    aout = (
+        touched.withColumn("__rn", F.row_number().over(wA))
+        .filter(F.col("__rn") <= _KNNJ_D8)
+        .select(
+            F.col("pid").alias("vec_id"), F.col("v").alias("neighbor_id"), "d"
+        )
+        .localCheckpoint()
+    )
+    # degree-capped back-edge re-election on the standing side
+    xa = vectors.select("vec_id", F.col("x").alias("__xa"))
+    xb = vectors.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("__xb"))
+    oldd = (
+        g1s.join(xa, "vec_id")
+        .join(xb, "neighbor_id")
+        .select("vec_id", "neighbor_id", _sq_dist("__xa", "__xb").alias("d"))
+    )
+    back = aout.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id"), "d"
+    )
+    wU = W.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    g1u = (
+        oldd.unionAll(back)
+        .withColumn("__rn", F.row_number().over(wU))
+        .filter(F.col("__rn") <= _KNNJ_D8)
+        .select("vec_id", "neighbor_id")
+    )
+    gdi = g1u.unionAll(aout.select("vec_id", "neighbor_id")).localCheckpoint()
+    edI = _edge_table(vectors, gdi)
+    # serving entries for the incremental arm: the STANDING fit's view
+    azAll = _assign(vectors, cbS)
+    mdI = (
+        azAll.filter(F.col("vec_id") >= _KNNJ_PROBES)
+        .join(F.broadcast(cbS), "c")
+        .select("c", "vec_id", _sq_dist("x", "mu").alias("dc"))
+        .groupBy("c")
+        .agg(F.min(F.struct("dc", "vec_id")).alias("m"))
+        .select("c", F.col("m.vec_id").alias("mid"))
+    )
+    entriesI = (
+        azAll.filter(F.col("vec_id") < _KNNJ_PROBES)
+        .select(F.col("vec_id").alias("pid"), "c")
+        .join(F.broadcast(mdI), "c", "left")
+        .select(
+            "pid",
+            F.coalesce(F.col("mid"), F.lit(_GREEDY_ENTRY)).cast("long").alias("v0"),
+        )
+    )
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    exact = _exact_probe_topk(vectors).localCheckpoint()
+    markA = arrivals.select(F.col("vec_id").alias("v"))
+    wrI = _walk_report(
+        vectors, edI, pb, entriesI, beam_width=_BEAM_W16, exact=exact, mark=markA
+    )
+    # the control arm: the graded full-rebuild beam16 posture
+    cbF, _, (g1f,) = _knn_descent_chain(spark, sf_dir, rounds=1, k=_KNNJ_D8)
+    edR = _edge_table(vectors, g1f)
+    wrR = _walk_report(
+        vectors,
+        edR,
+        pb,
+        _ivf_entries(vectors, cbF),
+        beam_width=_BEAM_W16,
+        exact=exact,
+        mark=markA,
+    )
+    nS = standing.agg(F.count(F.lit(1)).cast("long").alias("n_standing"))
+    nA = arrivals.agg(F.count(F.lit(1)).cast("long").alias("n_arrivals"))
+    nEA = (
+        exact.join(markA.withColumnRenamed("v", "nid"), "nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_arrival"))
+    )
+    out: DataFrame | None = None
+    for variant, wr, ed in (("incremental", wrI, edI), ("rebuilt", wrR, edR)):
+        agg = wr.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("n_touched").cast("long").alias("sum_touched"),
+            F.sum("n_overlap").cast("long").alias("sum_overlap"),
+            F.sum("n_overlap_marked").cast("long").alias("sum_overlap_arrival"),
+        )
+        be = ed.agg(F.count(F.lit(1)).cast("long").alias("build_edges"))
+        row = (
+            agg.crossJoin(F.broadcast(nS))
+            .crossJoin(F.broadcast(nA))
+            .crossJoin(F.broadcast(be))
+            .crossJoin(F.broadcast(nEA))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_standing",
+                "n_arrivals",
+                "build_edges",
+                "n_probes",
+                "sum_touched",
+                F.expr("sum_touched * 1000L div n_probes").alias(
+                    "mean_touched_milli"
+                ),
+                "sum_overlap",
+                F.expr(f"sum_overlap * 1000000L div ({_KNNJ_K} * n_probes)").alias(
+                    "recall_ppm"
+                ),
+                "n_exact_arrival",
+                "sum_overlap_arrival",
+                F.expr(
+                    "CAST(CASE WHEN n_exact_arrival > 0"
+                    " THEN sum_overlap_arrival * 1000000L div n_exact_arrival"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("arrival_recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
     return out

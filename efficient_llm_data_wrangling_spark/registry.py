@@ -135,6 +135,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # micro-discount constants shared by both engines; exact policy is
     # the nDCG≡1000 control, superset monotonicity test-pinned.
     "retrieval_ndcg_report",
+    # NEW (r11): FreshDiskANN-style incremental graph maintenance —
+    # arrivals insert by walking the standing graph (out-edges = walk
+    # top-8, degree-capped back-edge re-election), graded vs the full
+    # rebuild with the arrival-target recall split; rebuilt arm ≡
+    # beam16 rung test-pinned.
+    "knn_graph_incremental_insert",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

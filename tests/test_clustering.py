@@ -1350,3 +1350,47 @@ def test_filtered_rebuilt_ladder_removes_the_cliff(spark):
         assert rebuilt[m].recall_ppm > shared[m].recall_ppm, m
     worst_shared = min(r.recall_ppm for r in shared.values())
     assert all(r.recall_ppm > worst_shared for r in rebuilt.values())
+
+
+def test_incremental_insert_reconciles_with_beam16_and_splits_recall(spark):
+    """The rebuilt control arm must aggregate EXACTLY the graded
+    beam16 rung's per-probe rows (same build, same entries, same
+    walk); every derived column must recompute from its parts; the
+    arrival split must be bounded by its parts; and the small-corpus
+    finding must hold at the smoke SF: insertion walks on a small
+    standing graph are near-exhaustive, so the maintained graph beats
+    the single-descent-round rebuild."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_K,
+        knn_graph_incremental_insert,
+        knn_graph_serving_beam16,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.variant: r for r in knn_graph_incremental_insert(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"incremental", "rebuilt"}
+    inc, reb = rows["incremental"], rows["rebuilt"]
+    # shared corpus facts agree across arms
+    for col in ("n_standing", "n_arrivals", "n_probes", "n_exact_arrival"):
+        assert getattr(inc, col) == getattr(reb, col), col
+    assert inc.n_standing > 0 and inc.n_arrivals > 0
+    assert 0 < inc.n_exact_arrival <= _KNNJ_K * inc.n_probes
+    for r in (inc, reb):
+        assert r.mean_touched_milli == r.sum_touched * 1000 // r.n_probes
+        assert r.recall_ppm == r.sum_overlap * 1_000_000 // (_KNNJ_K * r.n_probes)
+        assert (
+            r.arrival_recall_ppm
+            == r.sum_overlap_arrival * 1_000_000 // r.n_exact_arrival
+        )
+        assert r.sum_overlap_arrival <= r.sum_overlap
+        assert r.sum_overlap_arrival <= r.n_exact_arrival
+        assert r.sum_overlap <= _KNNJ_K * r.n_probes
+    # the control arm IS the graded beam16 rung, aggregated
+    b16 = knn_graph_serving_beam16(spark, SF_SMOKE).collect()
+    assert reb.n_probes == len(b16)
+    assert reb.sum_touched == sum(r.n_touched for r in b16)
+    assert reb.sum_overlap == sum(r.n_overlap for r in b16)
+    # the small-corpus flip: walk-based insertion's near-exhaustive
+    # out-edge election beats the approximate descent-round rebuild
+    assert inc.recall_ppm > reb.recall_ppm
+    assert inc.arrival_recall_ppm > reb.arrival_recall_ppm
