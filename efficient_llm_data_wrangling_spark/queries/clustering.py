@@ -5513,3 +5513,512 @@ def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Delete-consolidation maintenance (the erasure half of index ops)
+# ---------------------------------------------------------------------------
+
+_DEL_BUCKETS = 13  # md5(vec_id) first hex >= 13 = the erased set (~19%)
+
+
+def _del_oracle() -> str:
+    """The delete-consolidation oracle: the graded full d8 graph, the
+    FreshDiskANN delete rule (survivor→survivor edges kept; every
+    survivor that pointed at a deleted vertex gains that vertex's
+    surviving out-neighbors as candidates; degree-capped re-election),
+    a survivors-only rebuild as the control arm, and the graded
+    serving walk over both — one summary row per arm vs exact
+    SURVIVOR neighbors."""
+    k, probes, entry = _KNNJ_K, _KNNJ_PROBES, _GREEDY_ENTRY
+    hops, beam, kd = _BEAM_HOPS, _BEAM_W16, _KNNJ_D8
+    bexpr = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
+    ctes = [
+        f"xds AS (SELECT vec_id, x FROM xi WHERE {bexpr} < {_DEL_BUCKETS})",
+        f"xdd AS (SELECT vec_id, x FROM xi WHERE {bexpr} >= {_DEL_BUCKETS})",
+        # consolidation over the directed pre-delete graph g1d8
+        f"""keptdl AS (
+  SELECT g.vec_id, g.neighbor_id
+  FROM g1d8 g
+  JOIN xds su ON g.vec_id = su.vec_id
+  JOIN xds sv ON g.neighbor_id = sv.vec_id
+)""",
+        f"""brdl AS (
+  SELECT DISTINCT a.vec_id, b.neighbor_id
+  FROM g1d8 a
+  JOIN xds su ON a.vec_id = su.vec_id
+  JOIN xdd dp ON a.neighbor_id = dp.vec_id
+  JOIN g1d8 b ON b.vec_id = a.neighbor_id
+  JOIN xds sw ON b.neighbor_id = sw.vec_id
+  WHERE b.neighbor_id <> a.vec_id
+)""",
+        f"""canddl AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM keptdl
+    UNION ALL
+    SELECT vec_id, neighbor_id FROM brdl
+  )
+)""",
+        f"""g1co AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT c.vec_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {_dist_sql('xa.x', 'xb.x')}, c.neighbor_id) AS rn
+    FROM canddl c
+    JOIN xi xa ON c.vec_id = xa.vec_id
+    JOIN xi xb ON c.neighbor_id = xb.vec_id
+  ) WHERE rn <= {kd}
+)""",
+        """guco AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM g1co
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g1co
+  )
+)""",
+        """edco AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM guco g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+        # consolidated arm entries: pre-delete codebook, surviving medoids
+        f"""mdco AS (
+  SELECT c, vec_id AS mid FROM (
+    SELECT a.c, a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.c
+             ORDER BY {_dist_sql('a.x', 'm.mu')}, a.vec_id) AS rn
+    FROM a2 a JOIN mu1 m ON a.c = m.c
+    JOIN xds s ON a.vec_id = s.vec_id
+    WHERE a.vec_id >= {probes}
+  ) WHERE rn = 1
+)""",
+        f"fbco AS (SELECT CAST(min(vec_id) AS BIGINT) AS fb FROM xds WHERE vec_id >= {probes})",
+        f"""peco AS (
+  SELECT p.vec_id AS pid, CAST(COALESCE(mdco.mid, fbco.fb) AS BIGINT) AS v0
+  FROM a2 p LEFT JOIN mdco ON p.c = mdco.c CROSS JOIN fbco
+  WHERE p.vec_id < {probes}
+)""",
+        # survivors-only rebuild (slice fit + multiprobe + descent)
+        f"mu0dl AS (SELECT vec_id AS c, x AS mu FROM xds ORDER BY vec_id LIMIT {_K})",
+        f"a1dl AS ({_assign_sql('xds', 'mu0dl')})",
+        f"""u1dl AS (
+  SELECT a.c, j.j, a.x[j.j] AS v
+  FROM a1dl a CROSS JOIN (SELECT unnest(range(1, {_DIMS} + 1)) AS j) j
+)""",
+        """s1dl AS (
+  SELECT c, j, CAST(sum(v) // count(*) AS BIGINT) AS mu_j
+  FROM u1dl GROUP BY c, j
+)""",
+        "mu1dl AS (SELECT c, list(mu_j ORDER BY j) AS mu FROM s1dl GROUP BY c)",
+        f"azdl AS ({_assign_sql('xds', 'mu1dl')})",
+        f"""prdl2 AS (
+  SELECT vec_id, x, c FROM (
+    SELECT t.vec_id, t.x, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM xds t CROSS JOIN mu1dl m
+  ) WHERE rn <= {_KNNJ_NPROBE}
+)""",
+        f"""mpdl2 AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+    FROM prdl2 a JOIN azdl b ON a.c = b.c AND a.vec_id <> b.vec_id
+  ) WHERE rn <= {kd}
+)""",
+        _round_ctes("mpdl2", "dl2"),
+        f"g1dl AS (SELECT vec_id, neighbor_id FROM rrdl2 WHERE rn <= {kd})",
+        """gudl AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM g1dl
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g1dl
+  )
+)""",
+        """eddl AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM gudl g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+        # rebuilt arm entries under the slice fit
+        f"""mddl AS (
+  SELECT c, vec_id AS mid FROM (
+    SELECT a.c, a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.c
+             ORDER BY {_dist_sql('a.x', 'm.mu')}, a.vec_id) AS rn
+    FROM azdl a JOIN mu1dl m ON a.c = m.c
+    WHERE a.vec_id >= {probes}
+  ) WHERE rn = 1
+)""",
+        f"""apdl AS (
+  SELECT vec_id AS pid, c FROM (
+    SELECT t.vec_id, m.c,
+           row_number() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist_sql('t.x', 'm.mu')}, m.c) AS rn
+    FROM xi t CROSS JOIN mu1dl m
+    WHERE t.vec_id < {probes}
+  ) WHERE rn = 1
+)""",
+        f"""pedl AS (
+  SELECT p.pid, CAST(COALESCE(mddl.mid, fbco.fb) AS BIGINT) AS v0
+  FROM apdl p LEFT JOIN mddl ON p.c = mddl.c CROSS JOIN fbco
+)""",
+        # probes + exact SURVIVOR neighbors
+        f"pbf AS (SELECT vec_id AS pid, x AS px FROM xi WHERE vec_id < {probes})",
+        f"""exf AS (
+  SELECT pid, vec_id AS nid FROM (
+    SELECT p.pid, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.pid
+             ORDER BY {_dist_sql('e.x', 'p.px')}, e.vec_id) AS rn
+    FROM xds e JOIN pbf p ON e.vec_id <> p.pid
+  ) WHERE rn <= {k}
+)""",
+    ]
+    for s, pe, edge in (("cw", "peco", "edco"), ("dw", "pedl", "eddl")):
+        ctes.append(
+            f"""tc0{s} AS (
+  SELECT pe.pid, pe.v0 AS v,
+         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
+  FROM {pe} pe JOIN pbf pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
+)"""
+        )
+        ctes.append(f"bm0{s} AS (SELECT pid, v, d FROM tc0{s})")
+        for r in range(1, hops + 1):
+            ctes.append(
+                f"""cd{r}{s} AS (
+  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
+  FROM bm{r - 1}{s} b JOIN pbf p ON b.pid = p.pid JOIN {edge} e ON e.u = b.v
+  WHERE e.v <> b.pid
+)"""
+            )
+            ctes.append(
+                f"""tc{r}{s} AS (
+  SELECT DISTINCT pid, v, d FROM (
+    SELECT pid, v, d FROM tc{r - 1}{s}
+    UNION ALL
+    SELECT pid, v, d FROM cd{r}{s}
+  )
+)"""
+            )
+            ctes.append(
+                f"""bm{r}{s} AS (
+  SELECT pid, v, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{r}{s}
+  ) WHERE rn <= {beam}
+)"""
+            )
+        ctes.append(
+            f"""tk{s} AS (
+  SELECT pid, v FROM (
+    SELECT pid, v,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{hops}{s}
+  ) WHERE rn <= {k}
+)"""
+        )
+        ctes.append(
+            f"""ov{s} AS (
+  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
+  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
+  GROUP BY t.pid
+)"""
+        )
+        ctes.append(
+            f"""sm{s} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(n_touched) AS BIGINT) AS sum_touched,
+         CAST(sum(n_ov) AS BIGINT) AS sum_overlap
+  FROM (
+    SELECT nt.pid, nt.n_touched, COALESCE(o.n, 0) AS n_ov
+    FROM (SELECT pid, CAST(count(*) AS BIGINT) AS n_touched
+          FROM tc{hops}{s} GROUP BY pid) nt
+    LEFT JOIN ov{s} o ON nt.pid = o.pid
+  )
+)"""
+        )
+    ctes += [
+        "nsv AS (SELECT CAST(count(*) AS BIGINT) AS n_survivors FROM xds)",
+        "ndl AS (SELECT CAST(count(*) AS BIGINT) AS n_deleted FROM xdd)",
+        "beco AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM guco)",
+        "bedl AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM gudl)",
+        """nbco AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_new_edges
+  FROM g1co c LEFT JOIN g1d8 o
+    ON c.vec_id = o.vec_id AND c.neighbor_id = o.neighbor_id
+  WHERE o.vec_id IS NULL
+)""",
+        """nbdl AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_new_edges
+  FROM g1dl c LEFT JOIN g1d8 o
+    ON c.vec_id = o.vec_id AND c.neighbor_id = o.neighbor_id
+  WHERE o.vec_id IS NULL
+)""",
+        """erco AS (
+  SELECT CAST((SELECT count(*) FROM guco) - count(*) AS BIGINT)
+    AS n_edges_to_erased
+  FROM guco g
+  JOIN xds a ON g.vec_id = a.vec_id
+  JOIN xds b ON g.neighbor_id = b.vec_id
+)""",
+        """erdl AS (
+  SELECT CAST((SELECT count(*) FROM gudl) - count(*) AS BIGINT)
+    AS n_edges_to_erased
+  FROM gudl g
+  JOIN xds a ON g.vec_id = a.vec_id
+  JOIN xds b ON g.neighbor_id = b.vec_id
+)""",
+    ]
+    finals = []
+    for variant, sm, be, nb, er in (
+        ("consolidated", "smcw", "beco", "nbco", "erco"),
+        ("rebuilt", "smdw", "bedl", "nbdl", "erdl"),
+    ):
+        finals.append(
+            f"""SELECT '{variant}' AS variant,
+       ns.n_survivors, nd.n_deleted, be.build_edges, nb.n_new_edges,
+       er.n_edges_to_erased,
+       s.n_probes, s.sum_touched,
+       CAST(s.sum_touched * 1000 // s.n_probes AS BIGINT) AS mean_touched_milli,
+       s.sum_overlap,
+       CAST(s.sum_overlap * 1000000 // ({k} * s.n_probes) AS BIGINT) AS recall_ppm
+FROM {sm} s CROSS JOIN nsv ns CROSS JOIN ndl nd
+CROSS JOIN {be} be CROSS JOIN {nb} nb CROSS JOIN {er} er"""
+        )
+    sql = (
+        f"WITH {_FIT_CTES},\n{_KNNJ_D8_CTES},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+    return _mat(sql)
+
+
+@query(
+    "knn_graph_delete_consolidate",
+    oracle=_del_oracle(),
+    tags=("similarity", "clustering", "ann", "iterative", "diagnostics", "privacy"),
+)
+def knn_graph_delete_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-consolidation — the erasure half of graph-index
+    maintenance, and where the privacy family meets the ANN family:
+    when right-to-be-forgotten subjects (``user_erasure_manifest``)
+    include EMBEDDINGS, the vector index must forget them too, and a
+    100 TB index cannot rebuild per DSAR. The FreshDiskANN delete rule
+    (Singh et al. 2021) applied relationally: ~19% of vectors (md5
+    bucket >= {_DEL_BUCKETS}) are erased from the graded degree-{_KNNJ_D8}
+    graph; survivor→survivor edges stay, and every survivor that
+    pointed AT a deleted vertex inherits that vertex's surviving
+    out-neighbors as candidates (the local bridge that keeps the
+    graph navigable where a hub vanished), then re-elects its exact
+    top-{_KNNJ_D8} — one keyed window, no corpus² step. The control
+    arm rebuilds on survivors only (slice fit + multiprobe + one
+    descent round — the maintenance-family build operators). Both
+    arms serve the graded width-{_BEAM_W16} {_BEAM_HOPS}-hop walk and
+    are graded vs exact SURVIVOR neighbors — deleted vectors can
+    never be returned by construction (they have no vertex), which is
+    the erasure guarantee; 3 of the 32 probe QUERIES are themselves
+    erased index members and keep querying (erasure removes your data
+    from the index, not your right to search it).
+
+    Measured answer — consolidation serves at PARITY with a fresh
+    survivors-rebuild, in both directions: 83.3% vs 79.2% recall@3 at
+    sf0.01 (consolidation ahead +4.2pt), 84.4% vs 86.5% at sf0.001
+    (behind −2.1pt) — while electing only 606 new directed edges
+    (the deleted vertices' in-edge repairs) against the rebuild's
+    full slice fit + multiprobe + descent pass. ``n_edges_to_erased``
+    is the erasure AUDIT column and reads 0 by construction on both
+    arms — the column a DSAR compliance check queries. The read-off
+    pairs with the insert rung's: inserts accumulate arrival-arrival
+    blindness and eventually want a consolidating rebuild; deletes
+    don't — bridge locally and keep serving.
+
+    Scale: the bridge candidates are one self-join of the directed
+    edge list restricted through the deleted set (each deleted vertex
+    contributes in-degree × out-degree ≤ {_KNNJ_D8}² pairs), the
+    re-election one keyed window over ≤2·{_KNNJ_D8}² rows per
+    survivor, and the serving walks are the shared ladder shape (per
+    hop one edge-table scan against a broadcast frontier).
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    survivors = vectors.filter(bucket < _DEL_BUCKETS).localCheckpoint()
+    deleted = vectors.filter(bucket >= _DEL_BUCKETS).localCheckpoint()
+    # the graded pre-delete build (full corpus, degree 8)
+    cbF, _, (g1f,) = _knn_descent_chain(spark, sf_dir, rounds=1, k=_KNNJ_D8)
+    g1f = g1f.select("vec_id", "neighbor_id").localCheckpoint()
+    sid = survivors.select("vec_id")
+    did = deleted.select("vec_id")
+    kept = (
+        g1f.join(sid, "vec_id")
+        .join(sid.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .select("vec_id", "neighbor_id")
+    )
+    # bridges: u --x--> p (deleted) --> w, u/w survivors
+    a = g1f.join(sid, "vec_id").join(
+        did.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).select(F.col("vec_id").alias("__u"), F.col("neighbor_id").alias("__p"))
+    b = g1f.join(
+        sid.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).select(F.col("vec_id").alias("__p"), F.col("neighbor_id").alias("__w"))
+    bridges = (
+        a.join(b, "__p")
+        .filter(F.col("__u") != F.col("__w"))
+        .select(F.col("__u").alias("vec_id"), F.col("__w").alias("neighbor_id"))
+        .distinct()
+    )
+    cand = kept.unionAll(bridges).distinct()
+    xa = vectors.select("vec_id", F.col("x").alias("__xa"))
+    xb = vectors.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("__xb"))
+    wU = W.partitionBy("vec_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    g1c = (
+        cand.join(xa, "vec_id")
+        .join(xb, "neighbor_id")
+        .select("vec_id", "neighbor_id", _sq_dist("__xa", "__xb").alias("__d"))
+        .withColumn("__rn", F.row_number().over(wU))
+        .filter(F.col("__rn") <= _KNNJ_D8)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    edC = _edge_table(vectors, g1c)
+    # consolidated arm entries: pre-delete codebook, surviving medoids
+    asgF = _assign(vectors, cbF).localCheckpoint()
+    mdC = (
+        asgF.join(sid, "vec_id")
+        .filter(F.col("vec_id") >= _KNNJ_PROBES)
+        .join(F.broadcast(cbF), "c")
+        .select("c", "vec_id", _sq_dist("x", "mu").alias("dc"))
+        .groupBy("c")
+        .agg(F.min(F.struct("dc", "vec_id")).alias("m"))
+        .select("c", F.col("m.vec_id").alias("mid"))
+    )
+    fb = survivors.filter(F.col("vec_id") >= _KNNJ_PROBES).agg(
+        F.min("vec_id").cast("long").alias("fb")
+    )
+    entriesC = (
+        asgF.filter(F.col("vec_id") < _KNNJ_PROBES)
+        .select(F.col("vec_id").alias("pid"), "c")
+        .join(F.broadcast(mdC), "c", "left")
+        .crossJoin(F.broadcast(fb))
+        .select(
+            "pid", F.coalesce(F.col("mid"), F.col("fb")).cast("long").alias("v0")
+        )
+    )
+    # rebuilt arm: survivors-only slice build
+    seeds = (
+        survivors.orderBy("vec_id")
+        .limit(_K)
+        .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
+    )
+    cbD = _update(_assign(survivors, seeds)).localCheckpoint()
+    mp = (
+        _knn_multiprobe_pairs(
+            spark, sf_dir, survivors, cbD, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE
+        )
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    g1d = (
+        _descent_round(survivors, mp, k=_KNNJ_D8)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    edD = _edge_table(survivors, g1d)
+    azD = _assign(survivors, cbD)
+    mdD = (
+        azD.filter(F.col("vec_id") >= _KNNJ_PROBES)
+        .join(F.broadcast(cbD), "c")
+        .select("c", "vec_id", _sq_dist("x", "mu").alias("dc"))
+        .groupBy("c")
+        .agg(F.min(F.struct("dc", "vec_id")).alias("m"))
+        .select("c", F.col("m.vec_id").alias("mid"))
+    )
+    probes_v = vectors.filter(F.col("vec_id") < _KNNJ_PROBES)
+    entriesD = (
+        _assign(probes_v, cbD)
+        .select(F.col("vec_id").alias("pid"), "c")
+        .join(F.broadcast(mdD), "c", "left")
+        .crossJoin(F.broadcast(fb))
+        .select(
+            "pid", F.coalesce(F.col("mid"), F.col("fb")).cast("long").alias("v0")
+        )
+    )
+    pb = probes_v.select(F.col("vec_id").alias("pid"), F.col("x").alias("px"))
+    exact = _exact_probe_topk(vectors, universe=survivors).localCheckpoint()
+    wrC = _walk_report(vectors, edC, pb, entriesC, beam_width=_BEAM_W16, exact=exact)
+    wrD = _walk_report(
+        survivors, edD, pb, entriesD, beam_width=_BEAM_W16, exact=exact
+    )
+    nS = survivors.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    nD = deleted.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
+    old = g1f.withColumnRenamed("vec_id", "__ou").withColumnRenamed(
+        "neighbor_id", "__ov"
+    )
+    out: DataFrame | None = None
+    for variant, wr, ed, g1x in (
+        ("consolidated", wrC, edC, g1c),
+        ("rebuilt", wrD, edD, g1d),
+    ):
+        agg = wr.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("n_touched").cast("long").alias("sum_touched"),
+            F.sum("n_overlap").cast("long").alias("sum_overlap"),
+        )
+        be = ed.agg(F.count(F.lit(1)).cast("long").alias("build_edges"))
+        nb = (
+            g1x.join(
+                old,
+                (g1x["vec_id"] == old["__ou"])
+                & (g1x["neighbor_id"] == old["__ov"]),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_new_edges"))
+        )
+        ok = (
+            ed.select("u", "v")
+            .join(sid.withColumnRenamed("vec_id", "u"), "u")
+            .join(sid.withColumnRenamed("vec_id", "v"), "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_ok"))
+        )
+        row = (
+            agg.crossJoin(F.broadcast(nS))
+            .crossJoin(F.broadcast(nD))
+            .crossJoin(F.broadcast(be))
+            .crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(ok))
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_survivors",
+                "n_deleted",
+                "build_edges",
+                "n_new_edges",
+                F.expr("CAST(build_edges - __n_ok AS BIGINT)").alias(
+                    "n_edges_to_erased"
+                ),
+                "n_probes",
+                "sum_touched",
+                F.expr("sum_touched * 1000L div n_probes").alias(
+                    "mean_touched_milli"
+                ),
+                "sum_overlap",
+                F.expr(f"sum_overlap * 1000000L div ({_KNNJ_K} * n_probes)").alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -141,6 +141,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # rebuild with the arrival-target recall split; rebuilt arm ≡
     # beam16 rung test-pinned.
     "knn_graph_incremental_insert",
+    # NEW (r11): the DELETE half of index maintenance — FreshDiskANN
+    # consolidation (survivor edges kept, deleted vertices' in-edges
+    # bridged through their out-neighbors, degree-capped re-election)
+    # vs survivors-rebuild, graded vs exact survivor neighbors; the
+    # n_edges_to_erased audit column reads 0 by construction.
+    "knn_graph_delete_consolidate",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -1394,3 +1394,36 @@ def test_incremental_insert_reconciles_with_beam16_and_splits_recall(spark):
     # out-edge election beats the approximate descent-round rebuild
     assert inc.recall_ppm > reb.recall_ppm
     assert inc.arrival_recall_ppm > reb.arrival_recall_ppm
+
+
+def test_delete_consolidate_erasure_guarantee_and_parity(spark):
+    """The erasure audit column must read ZERO on both arms (no edge
+    touches an erased vertex — the DSAR guarantee), derived columns
+    must recompute, the consolidation must be LOCAL (far fewer new
+    edges than the rebuild), and the two arms must serve within a
+    10-point recall band of each other (the parity finding)."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_K,
+        knn_graph_delete_consolidate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.variant: r for r in knn_graph_delete_consolidate(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"consolidated", "rebuilt"}
+    con, reb = rows["consolidated"], rows["rebuilt"]
+    for col in ("n_survivors", "n_deleted", "n_probes"):
+        assert getattr(con, col) == getattr(reb, col), col
+    assert con.n_survivors > 0 and con.n_deleted > 0
+    for r in (con, reb):
+        # the erasure guarantee: no surviving edge touches an erased id
+        assert r.n_edges_to_erased == 0
+        assert r.mean_touched_milli == r.sum_touched * 1000 // r.n_probes
+        assert r.recall_ppm == r.sum_overlap * 1_000_000 // (_KNNJ_K * r.n_probes)
+        assert 0 < r.n_new_edges < r.build_edges
+    # locality: the bridge repair elects fewer new edges than a full
+    # rebuild introduces (1.96x fewer at the smoke SF, 2.0x at sf0.01)
+    assert con.n_new_edges < reb.n_new_edges
+    # parity: the two maintenance answers serve within a 10pt band
+    assert abs(con.recall_ppm - reb.recall_ppm) < 100_000
