@@ -2255,3 +2255,102 @@ def unimax_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau05_epochs_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size distribution (the crawler-loop detector)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SIZE_ORACLE = f"""
+WITH RECURSIVE {_CORPUS_SQL.strip()},
+sets AS (
+  SELECT doc_id, lang, {_shingles_sql()} AS sh FROM corpus
+),
+pairs AS (
+  SELECT a.doc_id AS l, b.doc_id AS r
+  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+edges AS (SELECT l AS a, r AS b FROM pairs UNION SELECT r, l FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS rid FROM corpus
+  UNION
+  SELECT e.a, r.rid FROM edges e JOIN reach r ON r.node = e.b
+),
+canon AS (SELECT node AS doc_id, CAST(min(rid) AS BIGINT) AS cid FROM reach GROUP BY node),
+cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS size FROM canon GROUP BY cid),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total FROM corpus)
+SELECT size AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS n_docs,
+       CAST((size - 1) * count(*) AS BIGINT) AS n_redundant,
+       CAST(size * count(*) * 1000 // t.n_docs_total AS BIGINT)
+         AS corpus_share_permille,
+       CAST((size - 1) * count(*) * 1000 // t.n_docs_total AS BIGINT)
+         AS redundant_share_permille
+FROM cs, tot t GROUP BY size, t.n_docs_total
+"""
+
+
+@query(
+    "dup_cluster_size_report",
+    oracle=_CLUSTER_SIZE_ORACLE,
+    tags=("curation", "dedup", "diagnostics"),
+)
+def dup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIZE DISTRIBUTION of near-dup families — the diagnostic a
+    dedup pass publishes before anyone trusts its savings number, and
+    the crawler-loop detector: a healthy crawl reads almost-all
+    singletons with a thin tail of small families; a mirror site or a
+    template loop reads as ONE giant cluster, and this table's max
+    ``cluster_size`` row is the pager metric (Lee et al. 2022 report
+    exactly this curve for C4's 61-way duplicated sentences). One row
+    per family size: family count, docs, redundant docs a canonical
+    dedup would drop ((size−1) per family), and both as exact
+    per-mille of the corpus. Families are the SAME connected
+    components ``dedup_cluster_canonical`` labels (exact-Jaccard ≥0.8
+    pairs, lang-blocked) — this is their histogram, so the two
+    queries reconcile by construction: Σ n_redundant here = its
+    non-canonical row count.
+
+    Scale: pair generation is the blocked dedup path (never global
+    O(n²)); CC is O(log d) pointer-jumping rounds on the pair list;
+    the histogram is two tiny aggregates past the canonical labels
+    (|clusters| rows, then |distinct sizes| rows). The total is one
+    in-plan broadcast 1-row aggregate.
+    """
+    tune(spark)
+    corpus = _corpus_with_dups(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, block_col="lang", threshold=0.8)
+    comp = connected_components(pairs, src="left_id", dst="right_id")
+    canon = (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cid"),
+        )
+    )
+    cs = canon.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("size"))
+    tot = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    return (
+        cs.groupBy(F.col("size").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            F.expr("CAST(cluster_size * n_clusters AS BIGINT)").alias("n_docs"),
+            F.expr("CAST((cluster_size - 1) * n_clusters AS BIGINT)").alias(
+                "n_redundant"
+            ),
+            F.expr(
+                "CAST(cluster_size * n_clusters * 1000 div n_docs_total AS BIGINT)"
+            ).alias("corpus_share_permille"),
+            F.expr(
+                "CAST((cluster_size - 1) * n_clusters * 1000 div n_docs_total"
+                " AS BIGINT)"
+            ).alias("redundant_share_permille"),
+        )
+    )

@@ -268,3 +268,113 @@ def compaction_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv.createOrReplaceTempView("__cfiles")
     return spark.sql(_compaction_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot retention plan (the VACUUM / expire_snapshots decision)
+# ---------------------------------------------------------------------------
+
+_RET_DAYS = 7  # retention window: keep snapshots from the last 7 version-days
+
+
+def _retention_sql(dv: str) -> str:
+    """Engine-portable plan body over view ``__vfiles``
+    (part, v, n_rows, bytes) — the simulated per-(partition,
+    version-day) rewrite inventory: each day with ≥1 event overwrites
+    its partition (the ``overwrite_partitions_dynamic`` write
+    pattern), so file (part, v) is referenced by snapshots
+    [v, next_rewrite(part) − 1] and is reclaimable exactly when that
+    interval ends before the retained window starts. Shared template
+    so Spark (``dv='div'``) and DuckDB (``dv='//'``) cannot drift."""
+    return f"""
+WITH mk AS (
+  SELECT max(v) - {_RET_DAYS} + 1 AS min_keep, max(v) AS v_max,
+         CAST(count(DISTINCT v) AS BIGINT) AS n_versions
+  FROM __vfiles
+),
+s AS (
+  SELECT part, v, n_rows, bytes,
+         lead(v) OVER (PARTITION BY part ORDER BY v) AS next_v
+  FROM __vfiles
+),
+f AS (
+  SELECT s.part, s.v, s.n_rows, s.bytes, s.next_v,
+         CASE WHEN s.next_v IS NOT NULL AND s.next_v - 1 < mk.min_keep
+              THEN 1 ELSE 0 END AS expired,
+         CASE WHEN s.next_v IS NULL THEN 1 ELSE 0 END AS is_live
+  FROM s, mk
+)
+SELECT f.part,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(f.is_live) AS BIGINT) AS n_live,
+       CAST(sum(f.expired) AS BIGINT) AS n_expired,
+       CAST(count(*) - sum(f.expired) AS BIGINT) AS n_retained,
+       CAST(sum(f.bytes) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN f.expired = 1 THEN f.bytes ELSE 0 END) AS BIGINT)
+         AS bytes_reclaimable,
+       CAST(sum(CASE WHEN f.expired = 1 THEN f.bytes ELSE 0 END) * 1000
+            {dv} sum(f.bytes) AS BIGINT) AS reclaim_permille,
+       CAST(max(CASE WHEN f.is_live = 1 THEN f.v END) AS BIGINT) AS live_version,
+       CAST(min(mk.min_keep) AS BIGINT) AS min_keep_version,
+       CAST(min(mk.n_versions) AS BIGINT) AS n_versions
+FROM f, mk GROUP BY f.part
+"""
+
+
+_RETENTION_ORACLE = (
+    "WITH __vfiles AS (\n"
+    "  SELECT event_type AS part,\n"
+    "         CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS v,\n"
+    "         CAST(count(*) AS BIGINT) AS n_rows,\n"
+    "         CAST(sum(32 + coalesce(length(props), 0)) AS BIGINT) AS bytes\n"
+    "  FROM events GROUP BY 1, 2\n"
+    "),\n"
+    + _retention_sql("//").strip().removeprefix("WITH ")
+)
+
+
+@query("snapshot_retention_plan", oracle=_RETENTION_ORACLE, tags=("layout", "scale"))
+def snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION planning — the Delta VACUUM / Iceberg
+    ``expire_snapshots`` decision, simulated on the same inventory
+    discipline as ``compaction_plan_report``: daily dynamic-partition
+    overwrites leave one file per (partition, version-day); a file is
+    referenced by every snapshot from its write until its partition's
+    next rewrite, so under a keep-last-{_RET_DAYS}-days policy it is
+    reclaimable exactly when its reference interval ends before the
+    retained window starts. Per partition: files total/live/expired/
+    retained, bytes reclaimable in exact per-mille, the live version,
+    and the global retention facts (cutoff, version count). The row a
+    table-maintenance service reads before issuing the delete — and
+    the reason VACUUM is safe to run: nothing inside the retained
+    window is ever listed. The interval rule also gets right the case
+    a naive age-based file delete gets WRONG: a file OLDER than the
+    cutoff whose next rewrite falls inside the window stays retained
+    (a time-travel query at the window edge still reads it) — it
+    fires whenever a partition's version gaps span the cutoff.
+
+    Scale: one fact pass builds the (partition, version) inventory;
+    everything after runs on |files| rows — the next-rewrite lookup is
+    a per-partition ``lead`` window over the inventory, the window
+    facts one in-plan broadcast 1-row aggregate. Integer throughout
+    (same 32+len(props) byte proxy as compaction).
+    """
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    inv = (
+        events.select(
+            F.col("event_type").alias("part"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("v"),
+            (F.lit(32) + F.coalesce(F.length("props"), F.lit(0)))
+            .cast("long")
+            .alias("rb"),
+        )
+        .groupBy("part", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("rb").cast("long").alias("bytes"),
+        )
+        .localCheckpoint()
+    )
+    inv.createOrReplaceTempView("__vfiles")
+    return spark.sql(_retention_sql("div"))

@@ -147,6 +147,14 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # vs survivors-rebuild, graded vs exact survivor neighbors; the
     # n_edges_to_erased audit column reads 0 by construction.
     "knn_graph_delete_consolidate",
+    # NEW (r11): near-dup family size histogram — the crawler-loop
+    # detector; reconciles exactly with dedup_cluster_canonical
+    # (test-pinned Σ n_redundant = its non-canonical count).
+    "dup_cluster_size_report",
+    # NEW (r11): snapshot retention plan — the VACUUM/expire_snapshots
+    # decision on the compaction-report inventory discipline; interval
+    # reference rule, pure-Python replay test-pinned.
+    "snapshot_retention_plan",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

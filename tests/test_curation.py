@@ -614,3 +614,31 @@ def test_unimax_plan_replays_and_caps_bind_on_smallest(spark):
     assert 0 < k < n, f"water-fill must split this corpus, got k={k}/{n}"
     # uniform sampling would over-repeat the smallest language
     assert max(r.uniform_epochs_milli for r in rows) > _UNIMAX_E * 1000
+
+
+def test_cluster_size_report_reconciles_with_canonical(spark):
+    """The size histogram must reconcile exactly with the canonical
+    labeling it tabulates: Σ n_docs = corpus size, Σ n_redundant =
+    the canonical query's non-canonical row count, and every derived
+    per-mille recomputes; the planted-dup corpus must show both
+    singletons and at least one multi-doc family."""
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        dedup_cluster_canonical,
+        dup_cluster_size_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = dup_cluster_size_report(spark, SF_SMOKE).collect()
+    assert rows
+    canon = dedup_cluster_canonical(spark, SF_SMOKE).collect()
+    n_total = len(canon)
+    n_non_canonical = sum(1 for r in canon if not r.is_canonical)
+    assert sum(r.n_docs for r in rows) == n_total
+    assert sum(r.n_redundant for r in rows) == n_non_canonical
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_redundant == (r.cluster_size - 1) * r.n_clusters
+        assert r.corpus_share_permille == r.n_docs * 1000 // n_total
+        assert r.redundant_share_permille == r.n_redundant * 1000 // n_total
+    sizes = {r.cluster_size for r in rows}
+    assert 1 in sizes and max(sizes) >= 2

@@ -74,3 +74,58 @@ def test_compaction_plan_invariants(spark):
         assert 0 <= r.bytes_rewritten <= r.bytes_total
         assert 0 <= r.write_amp_permille <= 1000
         assert r.avg_file_bytes_after >= r.avg_file_bytes_before
+
+
+def test_retention_plan_replays_interval_rule(spark):
+    """Every column must recompute from a pure Python replay of the
+    interval rule over the same (partition, version-day) inventory
+    (the rule retains any file whose reference interval reaches the
+    window, including files written before the cutoff — the case an
+    age-based delete gets wrong when version gaps span the cutoff)."""
+    from efficient_llm_data_wrangling_spark.queries.layout import (
+        _RET_DAYS,
+        snapshot_retention_plan,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.part: r for r in snapshot_retention_plan(spark, SF_SMOKE).collect()}
+    assert rows
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.col("event_type").alias("part"),
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400").alias("v"),
+            (F.lit(32) + F.coalesce(F.length("props"), F.lit(0))).alias("rb"),
+        )
+        .groupBy("part", "v")
+        .agg(F.sum("rb").alias("bytes"))
+        .collect()
+    )
+    inv: dict[str, dict[int, int]] = {}
+    for r in ev:
+        inv.setdefault(r.part, {})[r.v] = r.bytes
+    v_max = max(v for d in inv.values() for v in d)
+    n_versions = len({v for d in inv.values() for v in d})
+    min_keep = v_max - _RET_DAYS + 1
+    for part, days in inv.items():
+        vs = sorted(days)
+        expired, reclaim, total = 0, 0, 0
+        for i, v in enumerate(vs):
+            nxt = vs[i + 1] if i + 1 < len(vs) else None
+            total += days[v]
+            if nxt is not None and nxt - 1 < min_keep:
+                expired += 1
+                reclaim += days[v]
+        r = rows[part]
+        assert r.n_files == len(vs)
+        assert r.n_live == 1
+        assert r.n_expired == expired
+        assert r.n_retained == len(vs) - expired
+        assert r.bytes_total == total
+        assert r.bytes_reclaimable == reclaim
+        assert r.reclaim_permille == reclaim * 1000 // total
+        assert r.live_version == vs[-1]
+        assert r.min_keep_version == min_keep
+        assert r.n_versions == n_versions
