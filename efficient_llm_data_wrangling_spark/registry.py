@@ -155,6 +155,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # decision on the compaction-report inventory discipline; interval
     # reference rule, pure-Python replay test-pinned.
     "snapshot_retention_plan",
+    # NEW (r11): the OTHER tokenizer algorithm — one SentencePiece
+    # unigram-LM hard-EM round (integer Viterbi DP over the word-type
+    # histogram, shared step expressions, staged checkpoints vs CTE
+    # re-expansion); full pure-Python replay test-pinned, which caught
+    # a real shared-formula ln-precedence bug the oracle could not.
+    "unigram_lm_tokenizer_round",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -496,3 +496,101 @@ def test_zipf_exponent_report_replays_in_pure_python(spark):
     # the honest verdict: template lexicon, not natural language
     assert -0.6 < row.slope_micro / 1e6 < 0
     assert row.r2_micro / 1e6 < 0.5
+
+
+def test_unigram_round_matches_pure_python_replay(spark):
+    """Full from-first-principles replay of the unigram-LM round at
+    the smoke SF: tokenization, word-type histogram, substring seed
+    vocabulary, the bit-portable integer-ln piece costs, the Viterbi
+    DP with smallest-predecessor ties, backpointer walk, hard-EM
+    counts, corpus objective, fertility, and re-estimated costs — the
+    engine and the oracle share every formula, so only an independent
+    replay can catch a shared-formula bug."""
+    from efficient_llm_data_wrangling_spark.functions.portable_math import LN2_SQL
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _UNI_MAXLEN,
+        _UNI_MAXPIECE,
+        unigram_lm_tokenizer_round,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.piece: r for r in unigram_lm_tokenizer_round(spark, SF_SMOKE).collect()}
+    assert rows
+
+    ln2 = float(LN2_SQL.split("'")[1])
+
+    def lnint(v: int) -> float:
+        b = v.bit_length()
+        m = v / float(1 << (b - 1))
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        acc = 1.0 / 31.0
+        for k in range(29, 0, -2):
+            acc = 1.0 / k + z2 * acc
+        return float(b - 1) * ln2 + 2.0 * (z * acc)
+
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    freq: dict[str, int] = {}
+    for d in docs:
+        for t in d.text.split(" "):
+            if t and 1 <= len(t) <= _UNI_MAXLEN:
+                freq[t] = freq.get(t, 0) + 1
+    seed: dict[str, int] = {}
+    for w, f in freq.items():
+        for j in range(len(w)):
+            for piece_len in range(1, _UNI_MAXPIECE + 1):
+                if j + piece_len <= len(w):
+                    seed[w[j : j + piece_len]] = (
+                        seed.get(w[j : j + piece_len], 0) + f
+                    )
+    tot = sum(seed.values())
+    cost = {
+        p: int(math.floor((lnint(tot) - lnint(c)) * 1_000_000 + 0.5))
+        for p, c in seed.items()
+    }
+    vcount: dict[str, int] = {}
+    nll = 0
+    pieces_tok = 0
+    total_tokens = 0
+    for w, f in freq.items():
+        L = len(w)
+        dp = [0] + [None] * L
+        bp = [None] * (L + 1)
+        for i in range(1, L + 1):
+            best, bj = None, None
+            for j in range(max(0, i - _UNI_MAXPIECE), i):
+                c = dp[j] + cost[w[j:i]]
+                if best is None or c < best:  # strict: smallest j wins ties
+                    best, bj = c, j
+            dp[i], bp[i] = best, bj
+        nll += f * dp[L]
+        total_tokens += f
+        cur = L
+        segs = []
+        while cur > 0:
+            segs.append(w[bp[cur] : cur])
+            cur = bp[cur]
+        pieces_tok += f * len(segs)
+        for s in segs:
+            vcount[s] = vcount.get(s, 0) + f
+    vtot = sum(vcount.values())
+    fertility = pieces_tok * 1000 // total_tokens
+    assert len(rows) == len(seed)
+    for p, r in rows.items():
+        assert r.seed_count == seed[p]
+        assert r.seed_cost_micro == cost[p]
+        assert r.viterbi_count == vcount.get(p, 0)
+        assert r.kept == (p in vcount)
+        if p in vcount:
+            assert r.new_cost_micro == int(
+                math.floor((lnint(vtot) - lnint(vcount[p])) * 1_000_000 + 0.5)
+            )
+        else:
+            assert r.new_cost_micro == -1
+        assert r.corpus_nll_micro == nll
+        assert r.fertility_milli == fertility
+    # the Kudo shape: most seed pieces die in one hard-EM round
+    assert 0 < len(vcount) < len(seed) // 2
