@@ -161,6 +161,16 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # re-expansion); full pure-Python replay test-pinned, which caught
     # a real shared-formula ln-precedence bug the oracle could not.
     "unigram_lm_tokenizer_round",
+    # NEW (r11): join-size estimation by md5 key-domain sampling (the
+    # CBO input), graded vs exact per-mille; the F2 self-join and the
+    # small-domain failure mode (n_keys_sampled=0 ⇒ est 0) included;
+    # pure-Python replay test-pinned.
+    "join_cardinality_estimate",
+    # NEW (r11): incremental view maintenance under erasure — count and
+    # sum maintained by retraction (oracle recomputes directly, so the
+    # hash equality IS the IVM theorem), max honestly flagged as
+    # non-maintainable via max_invalidated.
+    "ivm_erasure_rollup",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -346,3 +346,49 @@ def test_quantile_replicate_spread_replays_in_pure_python(spark):
         span = sum(1 for v in f if r.est_min < v <= r.est_max)
         assert r.spread_rank_permille == span * 1000 // len(f)
         assert 0 <= r.spread_rank_permille <= 1000
+
+
+def test_join_cardinality_estimate_replays_and_flags_empty_sample(spark):
+    """Pure-Python replay of every leg at the smoke SF: per-key
+    frequency products for exact cardinality, the md5 1/16 key-domain
+    sample for the estimate, and the derived error column; the
+    events self-join must exhibit the documented small-domain failure
+    (zero sampled keys ⇒ estimate 0) that n_keys_sampled exists to
+    flag."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _JCE_LEGS,
+        _JCE_RATE,
+        join_cardinality_estimate,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.join_name: r for r in join_cardinality_estimate(spark, SF_SMOKE).collect()}
+    assert set(rows) == {name for name, *_ in _JCE_LEGS}
+
+    def bucket(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[0], 16)
+
+    for name, a_tbl, a_key, b_tbl, b_key in _JCE_LEGS:
+        ca: dict = {}
+        for x in load_table(spark, SF_SMOKE, a_tbl).select(a_key).collect():
+            ca[x[0]] = ca.get(x[0], 0) + 1
+        cb: dict = {}
+        for x in load_table(spark, SF_SMOKE, b_tbl).select(b_key).collect():
+            cb[x[0]] = cb.get(x[0], 0) + 1
+        exact = sum(c * cb.get(k, 0) for k, c in ca.items())
+        sampled = [k for k in ca if bucket(k) == 0]
+        est = _JCE_RATE * sum(
+            ca[k] * cb.get(k, 0) for k in sampled if k in cb
+        )
+        r = rows[name]
+        assert r.n_keys_sampled == len(sampled)
+        assert r.exact_rows == exact
+        assert r.est_rows == est
+        assert r.abs_err_permille == abs(est - exact) * 1000 // max(exact, 1)
+    # the documented small-domain failure mode at the smoke SF
+    ev = rows["events_user_selfjoin"]
+    assert ev.n_keys_sampled == 0 and ev.est_rows == 0
+    assert ev.abs_err_permille == 1000

@@ -77,3 +77,27 @@ def test_bench_line_fits_driver_tail_at_any_size():
     for key in ("metric", "value", "unit", "sf"):
         assert key in parsed
     assert parsed.get("truncated") is True
+
+
+def test_ivm_rollup_retraction_identity_and_max_flag(spark):
+    """The IVM identities must hold row-by-row (maintained = base −
+    erased for count and sum), the max flag must agree with a direct
+    comparison of erased-max vs base-max, and max_surviving must
+    differ from max_base exactly on invalidated groups."""
+    from efficient_llm_data_wrangling_spark.queries.etl import ivm_erasure_rollup
+    from tests.conftest import SF_SMOKE
+
+    rows = ivm_erasure_rollup(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    invalidated = 0
+    for r in rows:
+        assert r.n_maintained == r.n_base - r.n_erased
+        assert r.sum_maintained_cents == r.sum_base_cents - r.sum_erased_cents
+        assert r.max_surviving_cents <= r.max_base_cents
+        if r.max_invalidated:
+            invalidated += 1
+            assert r.max_surviving_cents < r.max_base_cents
+        else:
+            assert r.max_surviving_cents == r.max_base_cents
+    # the smoke corpus exercises the invalidation path
+    assert invalidated >= 1
