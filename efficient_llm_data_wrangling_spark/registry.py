@@ -171,6 +171,16 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # hash equality IS the IVM theorem), max honestly flagged as
     # non-maintainable via max_invalidated.
     "ivm_erasure_rollup",
+    # NEW (r11): histogram-based predicate selectivity (the other CBO
+    # input) — uniform-within-bucket interpolation in exact BIGINTs,
+    # graded per-mille across three predicate regimes.
+    "predicate_selectivity_estimate",
+    # NEW (r11): column-level data-contract drift — null-rate bar plus
+    # class-appropriate domain checks (unseen-share for categorical,
+    # out-of-range for continuous; NDV density measured and rejected
+    # as saturation-blind); planted-drift test through the shared
+    # template.
+    "schema_drift_report",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -101,3 +101,74 @@ def test_ivm_rollup_retraction_identity_and_max_flag(spark):
             assert r.max_surviving_cents == r.max_base_cents
     # the smoke corpus exercises the invalidation path
     assert invalidated >= 1
+
+
+def test_schema_drift_replays_and_planted_drift_alerts(spark):
+    """The stationary corpus must read quiet (both drift bars), every
+    derived column must recompute from a pure Python replay (including
+    the class-appropriate domain probes), and a planted drift through
+    the SAME shared template — a field going half-null, an enum
+    exploding into free text, and a continuous column jumping out of
+    range — must trip exactly the right bars."""
+    from pyspark.sql import functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.etl import (
+        _SDRIFT_CAT,
+        _SDRIFT_NEW_DAYS,
+        _sdrift_sql,
+        schema_drift_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.column_name: r for r in schema_drift_report(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "value", "props", "ts"
+    ).collect()
+    days = [int(r.ts.timestamp()) // 86400 for r in ev]
+    cut = max(days) - _SDRIFT_NEW_DAYS + 1
+    old = [r for r, d in zip(ev, days) if d < cut]
+    new = [r for r, d in zip(ev, days) if d >= cut]
+    for col, r in rows.items():
+        n_o, n_n = len(old), len(new)
+        nn_o = sum(1 for x in old if x[col] is not None)
+        nn_n = sum(1 for x in new if x[col] is not None)
+        ov = {x[col] for x in old if x[col] is not None}
+        nv = {x[col] for x in new if x[col] is not None}
+        assert (r.n_old, r.n_new) == (n_o, n_n)
+        assert r.null_old_pm == (n_o - nn_o) * 1000 // n_o
+        assert r.null_new_pm == (n_n - nn_n) * 1000 // n_n
+        assert (r.ndv_old, r.ndv_new) == (len(ov), len(nv))
+        if col in _SDRIFT_CAT:
+            assert r.n_unseen_new == len(nv - ov)
+            assert r.unseen_share_pm == len(nv - ov) * 1000 // max(len(nv), 1)
+            assert r.n_oor_new == -1 and r.oor_new_pm == -1
+        else:
+            oor = sum(1 for x in new if x[col] is not None
+                      and not (min(ov) <= x[col] <= max(ov)))
+            assert r.n_oor_new == oor
+            assert r.oor_new_pm == oor * 1000 // max(nn_n, 1)
+            assert r.n_unseen_new == -1 and r.unseen_share_pm == -1
+        assert not r.null_drift and not r.domain_drift, col  # stationary
+    # planted drift through the SAME template
+    base = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "value", "props"
+    )
+    base.createOrReplaceTempView("__sdold")
+    planted = base.select(
+        "user_id",
+        # enum explodes into free text: unseen-share step
+        F.concat(F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "event_type"
+        ),
+        # continuous column jumps out of the corpus range
+        (F.col("value") + F.lit(1e9)).alias("value"),
+        # field goes dark for half the rows: null-rate step
+        F.when(F.col("user_id") % 2 == 0, F.col("props")).alias("props"),
+    )
+    planted.createOrReplaceTempView("__sdnew")
+    prows = {r.column_name: r for r in spark.sql(_sdrift_sql("div")).collect()}
+    assert prows["props"].null_drift and not prows["props"].domain_drift
+    assert prows["event_type"].domain_drift and not prows["event_type"].null_drift
+    assert prows["value"].domain_drift and not prows["value"].null_drift
+    assert not prows["user_id"].null_drift and not prows["user_id"].domain_drift
