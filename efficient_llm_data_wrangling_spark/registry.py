@@ -181,6 +181,11 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # as saturation-blind); planted-drift test through the shared
     # template.
     "schema_drift_report",
+    # NEW (r11): RM3 pseudo-relevance feedback — BM25 query expansion
+    # over a generic inverted index (data-elected terms), contributions
+    # micro-rounded before summation so every election is order-free
+    # BIGINT; full pure-Python replay test-pinned.
+    "bm25_rm3_expansion",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

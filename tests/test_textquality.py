@@ -594,3 +594,91 @@ def test_unigram_round_matches_pure_python_replay(spark):
         assert r.fertility_milli == fertility
     # the Kudo shape: most seed pieces die in one hard-EM round
     assert 0 < len(vcount) < len(seed) // 2
+
+
+def test_rm3_expansion_matches_pure_python_replay(spark):
+    """Full from-first-principles replay of both RM3 rounds at the
+    smoke SF: inverted index, portable-ln idf, micro-rounded
+    contributions, feedback election, RM1 expansion vote, integer
+    interpolation, and both ranked lists — plus the movement property
+    (expansion changes the top-k but keeps continuity)."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.functions.portable_math import LN2_SQL
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _RM3_ALPHA,
+        _RM3_EXP,
+        _RM3_FB,
+        _RM3_TOPK,
+        bm25_rm3_expansion,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = bm25_rm3_expansion(spark, SF_SMOKE).collect()
+    got = {
+        v: [(r.rk, r.doc_id, r.score_micro) for r in sorted(rows, key=lambda x: x.rk) if r.variant == v]
+        for v in ("bm25", "rm3")
+    }
+    ln2 = float(LN2_SQL.split("'")[1])
+
+    def lnint(v: int) -> float:
+        b = v.bit_length()
+        m = v / float(1 << (b - 1))
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        acc = 1.0 / 31.0
+        for k in range(29, 0, -2):
+            acc = 1.0 / k + z2 * acc
+        return float(b - 1) * ln2 + 2.0 * (z * acc)
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    inv: dict[int, dict[str, int]] = {}
+    dl: dict[int, int] = {}
+    for d in docs:
+        toks = [x for x in d.text.split(" ") if x]
+        dl[d.doc_id] = len(toks)
+        tf: dict[str, int] = {}
+        for x in toks:
+            tf[x] = tf.get(x, 0) + 1
+        inv[d.doc_id] = tf
+    n = len(docs)
+    avgdl = float(sum(dl.values())) / float(n)
+    df: dict[str, int] = {}
+    for tfs in inv.values():
+        for term in tfs:
+            df[term] = df.get(term, 0) + 1
+
+    def contrib(doc: int, term: str) -> int:
+        tf = inv[doc][term]
+        idf = lnint(2 * n + 2) - lnint(2 * df[term] + 1)
+        sat = (tf * (_BM25_K1 + 1.0)) / (
+            tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl[doc] / avgdl)
+        )
+        return int(math.floor(idf * sat * 1_000_000 + 0.5))
+
+    def score(doc: int, q: dict[str, int]) -> int:
+        return sum(w * contrib(doc, t) for t, w in q.items() if t in inv[doc])
+
+    q1 = {t: 1 for t in _BM25_TERMS}
+    s1 = {d: score(d, q1) for d in inv if any(t in inv[d] for t in q1)}
+    fb = sorted(s1, key=lambda d: (-s1[d], d))[:_RM3_FB]
+    rm1: dict[str, int] = {}
+    for d in fb:
+        for t, tf in inv[d].items():
+            if t not in q1:
+                rm1[t] = rm1.get(t, 0) + tf * s1[d]
+    expt = sorted(rm1, key=lambda t: (-rm1[t], t))[:_RM3_EXP]
+    q2 = {t: _RM3_ALPHA for t in _BM25_TERMS}
+    q2.update({t: 1 for t in expt})
+    s2 = {d: score(d, q2) for d in inv if any(t in inv[d] for t in q2)}
+    top1 = sorted(s1, key=lambda d: (-s1[d], d))[:_RM3_TOPK]
+    top2 = sorted(s2, key=lambda d: (-s2[d], d))[:_RM3_TOPK]
+    assert got["bm25"] == [(i + 1, d, s1[d]) for i, d in enumerate(top1)]
+    assert got["rm3"] == [(i + 1, d, s2[d]) for i, d in enumerate(top2)]
+    moved = set(top2) - set(top1)
+    assert moved, "expansion must move the list"
+    assert len(set(top1) & set(top2)) >= _RM3_TOPK // 2, "but keep continuity"
