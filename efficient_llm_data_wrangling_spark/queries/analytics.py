@@ -1931,3 +1931,134 @@ def predicate_selectivity_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         )
     ).createOrReplaceTempView("__pselcents")
     return spark.sql(_psel_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Predicate selectivity, equi-depth (the escalation, measured)
+# ---------------------------------------------------------------------------
+
+
+def _pseld_sql(dv: str) -> str:
+    """Engine-portable equi-depth estimator body over views
+    ``__pselcents`` (c — for the shared predicate definitions and the
+    exact grading) and ``__pseldepth`` (bkt, lo_b, hi_b, cnt — the
+    rank-bucketed histogram): same three predicates, interpolation
+    within each bucket's own VALUE range."""
+    B = _PSEL_B
+    return f"""
+WITH b AS (
+  SELECT CAST(min(c) AS BIGINT) AS mn, CAST(max(c) AS BIGINT) AS mx
+  FROM __pselcents
+),
+p AS (
+  SELECT 'mid_quarter' AS pred_name,
+         CAST(mn + (mx - mn + 1) * 3 {dv} 8 AS BIGINT) AS lo,
+         CAST(mn + (mx - mn + 1) * 5 {dv} 8 - 1 AS BIGINT) AS hi
+  FROM b
+  UNION ALL
+  SELECT 'top_decile',
+         CAST(mn + (mx - mn + 1) * 9 {dv} 10 AS BIGINT), mx FROM b
+  UNION ALL
+  SELECT 'narrow_slab',
+         CAST(mn + (mx - mn + 1) {dv} 2 AS BIGINT),
+         CAST(mn + (mx - mn + 1) {dv} 2 + (mx - mn + 1) {dv} 100 AS BIGINT)
+  FROM b
+),
+est AS (
+  SELECT p.pred_name, p.lo, p.hi,
+         CAST(coalesce(sum(
+           d.cnt * greatest(CAST(0 AS BIGINT),
+             least(p.hi, d.hi_b) - greatest(p.lo, d.lo_b) + 1)
+           {dv} (d.hi_b - d.lo_b + 1)
+         ), 0) AS BIGINT) AS est_rows
+  FROM p, __pseldepth d GROUP BY p.pred_name, p.lo, p.hi
+),
+ex AS (
+  SELECT p.pred_name,
+         CAST(count(CASE WHEN s.c BETWEEN p.lo AND p.hi THEN 1 END) AS BIGINT)
+           AS exact_rows
+  FROM p, __pselcents s GROUP BY p.pred_name
+)
+SELECT e.pred_name, e.lo AS lo_cents, e.hi AS hi_cents,
+       CAST({B} AS BIGINT) AS n_buckets,
+       e.est_rows, x.exact_rows,
+       CAST(CASE WHEN e.est_rows >= x.exact_rows
+                 THEN e.est_rows - x.exact_rows
+                 ELSE x.exact_rows - e.est_rows END * 1000
+            {dv} CASE WHEN x.exact_rows > 0 THEN x.exact_rows ELSE 1 END
+            AS BIGINT) AS abs_err_permille
+FROM est e JOIN ex x ON e.pred_name = x.pred_name
+"""
+
+
+_PSELD_ORACLE = (
+    "WITH __pselcents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+    " AS BIGINT) AS c, o_orderkey FROM orders),\n"
+    "__pseldepth AS (\n"
+    "  SELECT bkt, CAST(min(c) AS BIGINT) AS lo_b, CAST(max(c) AS BIGINT) AS hi_b,\n"
+    "         CAST(count(*) AS BIGINT) AS cnt\n"
+    "  FROM (SELECT c,\n"
+    "          (row_number() OVER (ORDER BY c, o_orderkey) - 1)\n"
+    f"          * {_PSEL_B} // (SELECT count(*) FROM __pselcents) AS bkt\n"
+    "        FROM __pselcents)\n"
+    "  GROUP BY bkt\n"
+    "),\n"
+    + _pseld_sql("//").strip().removeprefix("WITH ")
+)
+
+
+@query(
+    "predicate_selectivity_equidepth",
+    oracle=_PSELD_ORACLE,
+    tags=("analytics", "diagnostics", "scale"),
+)
+def predicate_selectivity_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ESCALATION the equi-width estimator's docstring names,
+    measured: the same three predicates estimated from a {_PSEL_B}-bucket
+    EQUI-DEPTH histogram (buckets hold equal row counts, so resolution
+    concentrates where the mass is — exactly what the narrow-slab
+    regime needs). Buckets come from the scalable global-rank
+    machinery (``sampling.global_rank``: range exchange + parallel
+    local rank, never a single-partition window — the
+    ``ntile_customer_acctbal`` posture); interpolation runs within
+    each bucket's own value range in exact BIGINTs. Measured against
+    the equi-width rung, and the result is POPULATION-conditional —
+    the honest finding: at sf0.01 (~156 rows/bucket) the escalation
+    pays where it should (narrow slab 59‰ → 39‰, the other regimes
+    unchanged at 0‰/2‰), but at sf0.001 (~16 rows/bucket) equi-depth
+    is WORSE across the board (narrow 66‰ → 200‰): thin equal-count
+    buckets have noisy value ranges, so the within-bucket uniformity
+    assumption degrades faster than equi-width's fixed grid. The
+    production read-off: the escalation ladder is equi-width →
+    equi-depth → sampling, but ANALYZE must size rows-per-bucket, not
+    just bucket count — a histogram knob that silently flips sign on
+    small partitions.
+
+    Scale: one scan + the range-exchange rank (the global sort a real
+    ANALYZE pays once per column), then the estimator runs on
+    {_PSEL_B} bucket rows × 3 predicates; the exact side is grading
+    cost only. No single-partition window anywhere.
+    """
+    tune(spark)
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "c"
+        ),
+        "o_orderkey",
+    )
+    cents.createOrReplaceTempView("__pselcents")
+    ranked = SAMP.global_rank(cents, ["c", "o_orderkey"], out_col="rn")
+    nf = cents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    depth = (
+        ranked.crossJoin(F.broadcast(nf))
+        .select("c", F.expr(f"(rn - 1) * {_PSEL_B} div n").alias("bkt"))
+        .groupBy("bkt")
+        .agg(
+            F.min("c").cast("long").alias("lo_b"),
+            F.max("c").cast("long").alias("hi_b"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+        .localCheckpoint()
+    )
+    depth.createOrReplaceTempView("__pseldepth")
+    return spark.sql(_pseld_sql("div"))

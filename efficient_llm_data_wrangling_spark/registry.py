@@ -186,6 +186,10 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # micro-rounded before summation so every election is order-free
     # BIGINT; full pure-Python replay test-pinned.
     "bm25_rm3_expansion",
+    # NEW (r11): the selectivity escalation, measured — equi-depth via
+    # the scalable global-rank bucketing; the population-conditional
+    # finding (thin buckets lose to the fixed grid) test-pinned.
+    "predicate_selectivity_equidepth",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -392,3 +392,66 @@ def test_join_cardinality_estimate_replays_and_flags_empty_sample(spark):
     ev = rows["events_user_selfjoin"]
     assert ev.n_keys_sampled == 0 and ev.est_rows == 0
     assert ev.abs_err_permille == 1000
+
+
+def test_equidepth_selectivity_replays_and_population_finding_holds(spark):
+    """Pure-Python replay of the equi-depth estimator at the smoke SF:
+    rank bucketing, per-bucket value ranges, within-bucket
+    interpolation, and the derived error column; plus the
+    population-conditional finding — at ~16 rows/bucket the equal-count
+    histogram is WORSE than the fixed grid on the narrow slab."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _PSEL_B,
+        predicate_selectivity_equidepth,
+        predicate_selectivity_estimate,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.pred_name: r
+        for r in predicate_selectivity_equidepth(spark, SF_SMOKE).collect()
+    }
+    cents = sorted(
+        (r.c, r.k)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select(
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("c"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .collect()
+    )
+    n = len(cents)
+    vals = [c for c, _ in cents]
+    mn, mx = vals[0], vals[-1]
+    span = mx - mn + 1
+    preds = {
+        "mid_quarter": (mn + span * 3 // 8, mn + span * 5 // 8 - 1),
+        "top_decile": (mn + span * 9 // 10, mx),
+        "narrow_slab": (mn + span // 2, mn + span // 2 + span // 100),
+    }
+    buckets: dict[int, list[int]] = {}
+    for i, v in enumerate(vals):
+        buckets.setdefault(i * _PSEL_B // n, []).append(v)
+    for name, (lo, hi) in preds.items():
+        est = 0
+        for bv in buckets.values():
+            lo_b, hi_b, cnt = min(bv), max(bv), len(bv)
+            ov = max(0, min(hi, hi_b) - max(lo, lo_b) + 1)
+            est += cnt * ov // (hi_b - lo_b + 1)
+        exact = sum(1 for v in vals if lo <= v <= hi)
+        r = rows[name]
+        assert (r.lo_cents, r.hi_cents) == (lo, hi)
+        assert r.est_rows == est
+        assert r.exact_rows == exact
+        assert r.abs_err_permille == abs(est - exact) * 1000 // max(exact, 1)
+    # population-conditional finding at the smoke SF: thin buckets lose
+    width = {
+        r.pred_name: r
+        for r in predicate_selectivity_estimate(spark, SF_SMOKE).collect()
+    }
+    assert (
+        rows["narrow_slab"].abs_err_permille
+        > width["narrow_slab"].abs_err_permille
+    )
