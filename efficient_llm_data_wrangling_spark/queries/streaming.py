@@ -1398,3 +1398,224 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("arr_id") < 0).alias("planted_leak"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming data-contract gate (the drift report at the ingest edge)
+# ---------------------------------------------------------------------------
+
+_CONTRACT_NULL_BAR_PM = 50  # null-rate shift vs the standing profile
+_CONTRACT_UNSEEN_BAR_PM = 500  # unseen share of the window's rows
+_CONTRACT_OOR_BAR_PM = 50  # out-of-standing-range share
+
+#: the scan-side contract flag expressions — module-level so the
+#: planted-drift test drives the IDENTICAL expressions over a batch
+#: frame carrying the same standing-profile columns.
+_CONTRACT_FLAGS = {
+    "f_null": "CASE WHEN props IS NULL THEN 1 ELSE 0 END",
+    "f_oor": (
+        "CASE WHEN value IS NOT NULL AND (value < vmin OR value > vmax)"
+        " THEN 1 ELSE 0 END"
+    ),
+    "f_type": (
+        "CASE WHEN event_type IS NOT NULL AND __t_seen IS NULL"
+        " THEN 1 ELSE 0 END"
+    ),
+    "f_user": (
+        "CASE WHEN user_id IS NOT NULL AND __u_seen IS NULL"
+        " THEN 1 ELSE 0 END"
+    ),
+}
+
+_CONTRACT_ORACLE = f"""
+WITH d AS (
+  SELECT *, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 86400 AS day
+  FROM events
+),
+c AS (SELECT max(day) - 7 + 1 AS min_new FROM d),
+old AS (SELECT d.* FROM d, c WHERE d.day < c.min_new),
+arr AS (SELECT d.* FROM d, c WHERE d.day >= c.min_new),
+vb AS (SELECT min(value) AS vmin, max(value) AS vmax FROM old),
+stypes AS (SELECT DISTINCT event_type FROM old WHERE event_type IS NOT NULL),
+susers AS (SELECT DISTINCT user_id FROM old WHERE user_id IS NOT NULL),
+snull AS (
+  SELECT CAST((count(*) - count(props)) * 1000 // count(*) AS BIGINT)
+    AS standing_null_pm
+  FROM old
+),
+fl AS (
+  SELECT date_trunc('day', a.ts) AS window_start,
+         date_trunc('day', a.ts) + INTERVAL 1 DAY AS window_end,
+         CASE WHEN a.props IS NULL THEN 1 ELSE 0 END AS f_null,
+         CASE WHEN a.value IS NOT NULL
+                   AND (a.value < vb.vmin OR a.value > vb.vmax)
+              THEN 1 ELSE 0 END AS f_oor,
+         CASE WHEN a.event_type IS NOT NULL AND t.event_type IS NULL
+              THEN 1 ELSE 0 END AS f_type,
+         CASE WHEN a.user_id IS NOT NULL AND u.user_id IS NULL
+              THEN 1 ELSE 0 END AS f_user
+  FROM arr a
+  CROSS JOIN vb
+  LEFT JOIN stypes t ON a.event_type = t.event_type
+  LEFT JOIN susers u ON a.user_id = u.user_id
+),
+wm AS (SELECT max(ts) - INTERVAL 1 DAY AS hor FROM arr),
+w AS (
+  SELECT window_start, window_end,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(f_null) AS BIGINT) AS n_props_null,
+         CAST(sum(f_oor) AS BIGINT) AS n_value_oor,
+         CAST(sum(f_type) AS BIGINT) AS n_type_unseen,
+         CAST(sum(f_user) AS BIGINT) AS n_user_unseen
+  FROM fl GROUP BY window_start, window_end
+),
+f AS (SELECT w.* FROM w, wm WHERE w.window_end <= wm.hor)
+SELECT f.window_start, f.window_end, f.n_rows,
+       f.n_props_null,
+       CAST(f.n_props_null * 1000 // f.n_rows AS BIGINT) AS null_pm,
+       s.standing_null_pm,
+       CASE WHEN f.n_props_null * 1000 // f.n_rows >= s.standing_null_pm
+            THEN f.n_props_null * 1000 // f.n_rows - s.standing_null_pm
+                 > {_CONTRACT_NULL_BAR_PM}
+            ELSE s.standing_null_pm - f.n_props_null * 1000 // f.n_rows
+                 > {_CONTRACT_NULL_BAR_PM} END AS null_alert,
+       f.n_value_oor,
+       CAST(f.n_value_oor * 1000 // f.n_rows AS BIGINT) AS oor_pm,
+       f.n_value_oor * 1000 // f.n_rows > {_CONTRACT_OOR_BAR_PM} AS oor_alert,
+       f.n_type_unseen,
+       f.n_type_unseen > 0 AS type_alert,
+       f.n_user_unseen,
+       CAST(f.n_user_unseen * 1000 // f.n_rows AS BIGINT) AS user_unseen_pm,
+       f.n_user_unseen * 1000 // f.n_rows > {_CONTRACT_UNSEEN_BAR_PM}
+         AS user_alert
+FROM f, snull s
+"""
+
+
+@query(
+    "stream_contract_gate",
+    oracle=_CONTRACT_ORACLE,
+    tags=("streaming", "dq", "diagnostics"),
+)
+def stream_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-contract check at the INGEST edge — the streaming twin
+    of ``schema_drift_report``, completing the drift family the way
+    the dedup ladder is completed (every batch alarm has a streaming
+    rung): arriving events carry their contract flags SCAN-side
+    against the standing profile (props-null; value outside the
+    standing [min, max]; event_type / user_id never seen standing —
+    the standing distinct sets and bounds ride broadcast stream-static
+    joins, ZERO stream state beyond the windowed aggregation), and
+    every watermark-finalized 1-DAY window reports its violation
+    counts with the same class-appropriate bars as the batch report:
+    a >{_CONTRACT_NULL_BAR_PM}‰ null-rate shift vs the standing rate,
+    a >{_CONTRACT_OOR_BAR_PM}‰ out-of-range share, ANY unseen enum
+    value (type_alert — a 5-value enum admits no tolerance), and a
+    >{_CONTRACT_UNSEEN_BAR_PM}‰ unseen-user share (new users are
+    normal; a window of MOSTLY new users is a bot wave). The windowed
+    flag-sums are the graded streaming aggregation (tumbling-counts
+    emission semantics); permilles and verdicts run batch-side on the
+    finalized sink, so the full value oracle replays window
+    assignment, emission rule, and every alert.
+
+    Scale: per-row cost is four codegen'd flag expressions plus two
+    broadcast lookups (the standing profile is an artifact the gate
+    loads, not recomputes — the band-index-maintenance posture);
+    state is one windowed count bounded by watermark horizon. On this
+    stationary corpus every finalized window reads quiet on all four
+    bars — the planted-drift path is test-pinned through the same
+    flag expressions.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day_b = F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG) div 86400")
+    cut = ev.agg((F.max(day_b) - F.lit(7) + F.lit(1)).alias("min_new"))
+    old = ev.crossJoin(F.broadcast(cut)).filter(day_b < F.col("min_new"))
+    vb = old.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    stypes = (
+        old.filter(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
+        .withColumn("__t_seen", F.lit(1))
+    )
+    susers = (
+        old.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .withColumn("__u_seen", F.lit(1))
+    )
+    snull = old.agg(
+        F.expr(
+            "CAST((count(*) - count(props)) * 1000 div count(*) AS BIGINT)"
+        ).alias("standing_null_pm")
+    )
+    sev = S.stream_events(spark, sf_dir)
+    arr = sev.crossJoin(F.broadcast(cut)).filter(day_b >= F.col("min_new"))
+    flagged = (
+        arr.crossJoin(F.broadcast(vb))
+        .join(F.broadcast(stypes), "event_type", "left")
+        .join(F.broadcast(susers), "user_id", "left")
+        .select(
+            "ts",
+            *[F.expr(e).alias(n) for n, e in _CONTRACT_FLAGS.items()],
+        )
+    )
+    win = (
+        flagged.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("f_null").cast("long").alias("n_props_null"),
+            F.sum("f_oor").cast("long").alias("n_value_oor"),
+            F.sum("f_type").cast("long").alias("n_type_unseen"),
+            F.sum("f_user").cast("long").alias("n_user_unseen"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_rows",
+            "n_props_null",
+            "n_value_oor",
+            "n_type_unseen",
+            "n_user_unseen",
+        )
+    )
+    sunk = S.run_to_memory(win, _sink("contract_gate"), "append").select(
+        F.col("window_start").cast(_NTZ).alias("window_start"),
+        F.col("window_end").cast(_NTZ).alias("window_end"),
+        "n_rows",
+        "n_props_null",
+        "n_value_oor",
+        "n_type_unseen",
+        "n_user_unseen",
+    )
+    null_pm = "n_props_null * 1000L div n_rows"
+    return sunk.crossJoin(F.broadcast(snull)).select(
+        "window_start",
+        "window_end",
+        "n_rows",
+        "n_props_null",
+        F.expr(f"CAST({null_pm} AS BIGINT)").alias("null_pm"),
+        "standing_null_pm",
+        F.expr(
+            f"CASE WHEN {null_pm} >= standing_null_pm"
+            f" THEN {null_pm} - standing_null_pm > {_CONTRACT_NULL_BAR_PM}"
+            f" ELSE standing_null_pm - ({null_pm}) > {_CONTRACT_NULL_BAR_PM} END"
+        ).alias("null_alert"),
+        "n_value_oor",
+        F.expr("CAST(n_value_oor * 1000L div n_rows AS BIGINT)").alias("oor_pm"),
+        F.expr(
+            f"n_value_oor * 1000L div n_rows > {_CONTRACT_OOR_BAR_PM}"
+        ).alias("oor_alert"),
+        "n_type_unseen",
+        F.expr("n_type_unseen > 0").alias("type_alert"),
+        "n_user_unseen",
+        F.expr("CAST(n_user_unseen * 1000L div n_rows AS BIGINT)").alias(
+            "user_unseen_pm"
+        ),
+        F.expr(
+            f"n_user_unseen * 1000L div n_rows > {_CONTRACT_UNSEEN_BAR_PM}"
+        ).alias("user_alert"),
+    )

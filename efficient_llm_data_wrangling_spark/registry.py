@@ -190,6 +190,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # the scalable global-rank bucketing; the population-conditional
     # finding (thin buckets lose to the fixed grid) test-pinned.
     "predicate_selectivity_equidepth",
+    # NEW (r11): the data-contract check at the ingest edge — the
+    # streaming twin of schema_drift_report: scan-side contract flags
+    # against the standing profile (broadcast stream-static lookups,
+    # zero extra state), per finalized 1-day window with the batch
+    # report's class-appropriate bars; full value oracle, planted
+    # flags test-pinned through the shared expressions.
+    "stream_contract_gate",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

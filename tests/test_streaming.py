@@ -786,3 +786,52 @@ def test_stream_semantic_gate_catches_planted_paraphrases_only(spark):
             assert r.best_corpus_id == -1 and r.best_cosine == -1.0
         else:
             assert r.best_corpus_id >= 0 and -1.0 <= r.best_cosine <= 1.0
+
+
+def test_contract_gate_quiet_on_stationary_and_planted_flags_fire(spark):
+    """Every finalized window of the stationary corpus must read quiet
+    on all four contract bars with derived columns recomputing from
+    their counts; and a planted batch driven through the IDENTICAL
+    flag expressions — out-of-range values, an unseen enum, an unseen
+    user wave, props going dark — must raise each flag exactly."""
+    from pyspark.sql import functions as F
+
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        _CONTRACT_FLAGS,
+        stream_contract_gate,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = stream_contract_gate(spark, SF_SMOKE).collect()
+    assert rows, "watermark must finalize at least one window"
+    for r in rows:
+        assert r.null_pm == r.n_props_null * 1000 // r.n_rows
+        assert r.oor_pm == r.n_value_oor * 1000 // r.n_rows
+        assert r.user_unseen_pm == r.n_user_unseen * 1000 // r.n_rows
+        assert not r.null_alert and not r.oor_alert
+        assert not r.type_alert and not r.user_alert
+        assert r.n_type_unseen == 0
+    # planted batch through the identical expressions
+    ev = load_table(spark, SF_SMOKE, "events")
+    vb = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    planted = (
+        ev.limit(64)
+        .crossJoin(F.broadcast(vb))
+        .select(
+            (F.col("value") + F.lit(1e9)).alias("value"),  # out of range
+            F.lit("brand_new_type").alias("event_type"),
+            (F.col("user_id") + F.lit(10_000_000)).alias("user_id"),
+            F.lit(None).cast("string").alias("props"),  # gone dark
+            "vmin",
+            "vmax",
+            F.lit(None).cast("int").alias("__t_seen"),  # unseen markers
+            F.lit(None).cast("int").alias("__u_seen"),
+        )
+    )
+    got = planted.select(
+        *[F.expr(e).alias(n) for n, e in _CONTRACT_FLAGS.items()]
+    ).agg(*[F.sum(n).alias(n) for n in _CONTRACT_FLAGS]).collect()[0]
+    n = planted.count()
+    assert got.f_null == n and got.f_oor == n
+    assert got.f_type == n and got.f_user == n
