@@ -110,6 +110,14 @@ HEADLINE = [
     # already-priced serving family and are deliberately NOT added;
     # three graph headliners already carry ~52% of the bench)
     "stream_band_index_maintenance",
+    # round-11 continued batch (BENCH_r11 seeds its baseline): the
+    # unigram-LM tokenizer round — the staged integer-Viterbi DP is a
+    # genuinely new execution shape (unrolled per-word shortest path
+    # with periodic checkpoints) worth its own price; the other
+    # r11-continued operators ride priced families (graph maintenance
+    # → the serving family, CBO estimators/drift reports → cheap
+    # scan-aggregates, RM3 → the BM25 family)
+    "unigram_lm_tokenizer_round",
 ]
 
 
