@@ -4978,15 +4978,59 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _incr_oracle() -> str:
-    """The incremental-insert oracle: standing slice fit + degree-8
-    build (the ``_filtered_oracle(rebuilt=True)`` slice-build pattern
-    on the drift monitor's standing split), one insertion walk per
-    arriving vector (the ``_walk_oracle_sql`` tc/cd/bm shape with
-    arrivals as the query set), out-edge election + degree-capped
-    back-edge re-election, then TWO graded serving walks — over the
-    incrementally-maintained graph and over the full rebuild — each
-    summarized into one row with the arrival-target recall split."""
+def _arrival_walk_ctes(s: str, edge: str) -> list[str]:
+    """The arrival-as-query walk (CTE suffix ``s``): every arrival
+    (query frame ``abq``, entries ``aeinc`` — the standing medoids)
+    runs the width-{_BEAM_W16} beam walk over edge CTE ``edge``. The
+    insert rung walks the STANDING edge table (the pre-arrival graph);
+    the re-walk consolidation arm walks the MAINTAINED one."""
+    hops, beam = _BEAM_HOPS, _BEAM_W16
+    ctes = [
+        f"""tc0{s} AS (
+  SELECT pe.pid, pe.v0 AS v,
+         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
+  FROM aeinc pe JOIN abq pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
+)""",
+        f"bm0{s} AS (SELECT pid, v, d FROM tc0{s})",
+    ]
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"""cd{r}{s} AS (
+  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
+  FROM bm{r - 1}{s} b JOIN abq p ON b.pid = p.pid JOIN {edge} e ON e.u = b.v
+  WHERE e.v <> b.pid
+)"""
+        )
+        ctes.append(
+            f"""tc{r}{s} AS (
+  SELECT DISTINCT pid, v, d FROM (
+    SELECT pid, v, d FROM tc{r - 1}{s}
+    UNION ALL
+    SELECT pid, v, d FROM cd{r}{s}
+  )
+)"""
+        )
+        ctes.append(
+            f"""bm{r}{s} AS (
+  SELECT pid, v, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{r}{s}
+  ) WHERE rn <= {beam}
+)"""
+        )
+    return ctes
+
+
+def _incr_build_ctes() -> list[str]:
+    """CTE prefix shared by the insert and consolidate maintenance
+    rungs: standing/arrival split on the drift monitor's md5 line,
+    standing slice fit + degree-8 build, one insertion walk per
+    arrival, out-edge election + degree-capped back-edge re-election
+    (``gdinc``/``guinc2``/``edinc`` — the maintained graph and its
+    serving edge table), serving entries under the STANDING fit
+    (``azall``/``mdall``/``peinc``), and the shared probe/exact
+    grading frames ``pbf``/``exf``."""
     k, probes, entry = _KNNJ_K, _KNNJ_PROBES, _GREEDY_ENTRY
     hops, beam, kd = _BEAM_HOPS, _BEAM_W16, _KNNJ_D8
     bexpr = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
@@ -5057,40 +5101,9 @@ def _incr_oracle() -> str:
   SELECT a.vec_id AS pid, CAST(COALESCE(mdinc.mid, fbinc.fb) AS BIGINT) AS v0
   FROM aainc a LEFT JOIN mdinc ON a.c = mdinc.c CROSS JOIN fbinc
 )""",
-        # insertion walk (suffix aw): arrivals as queries over edsinc
-        f"""tc0aw AS (
-  SELECT pe.pid, pe.v0 AS v,
-         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
-  FROM aeinc pe JOIN abq pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
-)""",
-        "bm0aw AS (SELECT pid, v, d FROM tc0aw)",
     ]
-    for r in range(1, hops + 1):
-        ctes.append(
-            f"""cd{r}aw AS (
-  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
-  FROM bm{r - 1}aw b JOIN abq p ON b.pid = p.pid JOIN edsinc e ON e.u = b.v
-  WHERE e.v <> b.pid
-)"""
-        )
-        ctes.append(
-            f"""tc{r}aw AS (
-  SELECT DISTINCT pid, v, d FROM (
-    SELECT pid, v, d FROM tc{r - 1}aw
-    UNION ALL
-    SELECT pid, v, d FROM cd{r}aw
-  )
-)"""
-        )
-        ctes.append(
-            f"""bm{r}aw AS (
-  SELECT pid, v, d FROM (
-    SELECT pid, v, d,
-           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
-    FROM tc{r}aw
-  ) WHERE rn <= {beam}
-)"""
-        )
+    # insertion walk (suffix aw): arrivals as queries over edsinc
+    ctes += _arrival_walk_ctes("aw", "edsinc")
     ctes += [
         # arrival out-edges = exact top-kd of each arrival's touched set
         f"""aout AS (
@@ -5158,6 +5171,137 @@ def _incr_oracle() -> str:
     FROM xi e JOIN pbf p ON e.vec_id <> p.pid
   ) WHERE rn <= {k}
 )""",
+    ]
+    return ctes
+
+
+def _serve_sum_ctes(s: str, pe: str, edge: str) -> list[str]:
+    """One graded width-{_BEAM_W16} serving walk (CTE suffix ``s``)
+    from entry CTE ``pe`` over edge CTE ``edge``, plus its one-row
+    summary ``sm{{s}}`` carrying the arrival-target overlap split —
+    the per-arm walk/summary body every maintenance final consumes."""
+    k, hops, beam = _KNNJ_K, _BEAM_HOPS, _BEAM_W16
+    ctes = [
+        f"""tc0{s} AS (
+  SELECT pe.pid, pe.v0 AS v,
+         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
+  FROM {pe} pe JOIN pbf pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
+)""",
+        f"bm0{s} AS (SELECT pid, v, d FROM tc0{s})",
+    ]
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"""cd{r}{s} AS (
+  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
+  FROM bm{r - 1}{s} b JOIN pbf p ON b.pid = p.pid JOIN {edge} e ON e.u = b.v
+  WHERE e.v <> b.pid
+)"""
+        )
+        ctes.append(
+            f"""tc{r}{s} AS (
+  SELECT DISTINCT pid, v, d FROM (
+    SELECT pid, v, d FROM tc{r - 1}{s}
+    UNION ALL
+    SELECT pid, v, d FROM cd{r}{s}
+  )
+)"""
+        )
+        ctes.append(
+            f"""bm{r}{s} AS (
+  SELECT pid, v, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{r}{s}
+  ) WHERE rn <= {beam}
+)"""
+        )
+    ctes.append(
+        f"""tk{s} AS (
+  SELECT pid, v FROM (
+    SELECT pid, v,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{hops}{s}
+  ) WHERE rn <= {k}
+)"""
+    )
+    ctes.append(
+        f"""ov{s} AS (
+  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
+  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
+  GROUP BY t.pid
+)"""
+    )
+    ctes.append(
+        f"""ovm{s} AS (
+  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
+  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
+  JOIN xia a ON t.v = a.vec_id
+  GROUP BY t.pid
+)"""
+    )
+    ctes.append(
+        f"""sm{s} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         CAST(sum(n_touched) AS BIGINT) AS sum_touched,
+         CAST(sum(n_ov) AS BIGINT) AS sum_overlap,
+         CAST(sum(n_ovm) AS BIGINT) AS sum_overlap_arrival
+  FROM (
+    SELECT nt.pid, nt.n_touched,
+           COALESCE(o.n, 0) AS n_ov, COALESCE(m.n, 0) AS n_ovm
+    FROM (SELECT pid, CAST(count(*) AS BIGINT) AS n_touched
+          FROM tc{hops}{s} GROUP BY pid) nt
+    LEFT JOIN ov{s} o ON nt.pid = o.pid
+    LEFT JOIN ovm{s} m ON nt.pid = m.pid
+  )
+)"""
+    )
+    return ctes
+
+
+def _maint_final(variant: str, sm: str, be: str) -> str:
+    """One maintenance-arm final row: corpus/arrival counts, build
+    edges, walk budget, and the recall + arrival-target-recall split."""
+    k = _KNNJ_K
+    return f"""SELECT '{variant}' AS variant,
+       ns.n_standing, na.n_arrivals, be.build_edges,
+       s.n_probes, s.sum_touched,
+       CAST(s.sum_touched * 1000 // s.n_probes AS BIGINT) AS mean_touched_milli,
+       s.sum_overlap,
+       CAST(s.sum_overlap * 1000000 // ({k} * s.n_probes) AS BIGINT) AS recall_ppm,
+       ne.n_exact_arrival, s.sum_overlap_arrival,
+       CAST(CASE WHEN ne.n_exact_arrival > 0
+                 THEN s.sum_overlap_arrival * 1000000 // ne.n_exact_arrival
+                 ELSE 0 END AS BIGINT) AS arrival_recall_ppm
+FROM {sm} s CROSS JOIN nsi ns CROSS JOIN nai na
+CROSS JOIN {be} be CROSS JOIN nea ne"""
+
+
+#: Shared count CTEs every maintenance final cross-joins; the caller
+#: inserts its second arm's build-edge CTE between ``bei`` and ``nea``.
+_MAINT_COUNT_CTES = [
+    "nsi AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM xis)",
+    "nai AS (SELECT CAST(count(*) AS BIGINT) AS n_arrivals FROM xia)",
+    "bei AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM guinc2)",
+]
+
+_MAINT_NEA_CTE = """nea AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_arrival
+  FROM exf e JOIN xia a ON e.nid = a.vec_id
+)"""
+
+
+def _incr_oracle() -> str:
+    """The incremental-insert oracle: standing slice fit + degree-8
+    build (the ``_filtered_oracle(rebuilt=True)`` slice-build pattern
+    on the drift monitor's standing split), one insertion walk per
+    arriving vector (the ``_walk_oracle_sql`` tc/cd/bm shape with
+    arrivals as the query set), out-edge election + degree-capped
+    back-edge re-election, then TWO graded serving walks — over the
+    incrementally-maintained graph and over the full rebuild — each
+    summarized into one row with the arrival-target recall split."""
+    probes, entry = _KNNJ_PROBES, _GREEDY_ENTRY
+    ctes = _incr_build_ctes()
+    ctes += [
         f"""mdrb AS (
   SELECT c, vec_id AS mid FROM (
     SELECT a.c, a.vec_id,
@@ -5180,106 +5324,15 @@ def _incr_oracle() -> str:
     ]
     # two graded serving walks: iw (incremental graph) / rw (rebuilt)
     for s, pe, edge in (("iw", "peinc", "edinc"), ("rw", "perb", "edrb")):
-        ctes.append(
-            f"""tc0{s} AS (
-  SELECT pe.pid, pe.v0 AS v,
-         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
-  FROM {pe} pe JOIN pbf pb ON pe.pid = pb.pid JOIN xi xv ON pe.v0 = xv.vec_id
-)"""
-        )
-        ctes.append(f"bm0{s} AS (SELECT pid, v, d FROM tc0{s})")
-        for r in range(1, hops + 1):
-            ctes.append(
-                f"""cd{r}{s} AS (
-  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
-  FROM bm{r - 1}{s} b JOIN pbf p ON b.pid = p.pid JOIN {edge} e ON e.u = b.v
-  WHERE e.v <> b.pid
-)"""
-            )
-            ctes.append(
-                f"""tc{r}{s} AS (
-  SELECT DISTINCT pid, v, d FROM (
-    SELECT pid, v, d FROM tc{r - 1}{s}
-    UNION ALL
-    SELECT pid, v, d FROM cd{r}{s}
-  )
-)"""
-            )
-            ctes.append(
-                f"""bm{r}{s} AS (
-  SELECT pid, v, d FROM (
-    SELECT pid, v, d,
-           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
-    FROM tc{r}{s}
-  ) WHERE rn <= {beam}
-)"""
-            )
-        ctes.append(
-            f"""tk{s} AS (
-  SELECT pid, v FROM (
-    SELECT pid, v,
-           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
-    FROM tc{hops}{s}
-  ) WHERE rn <= {k}
-)"""
-        )
-        ctes.append(
-            f"""ov{s} AS (
-  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
-  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
-  GROUP BY t.pid
-)"""
-        )
-        ctes.append(
-            f"""ovm{s} AS (
-  SELECT t.pid, CAST(count(*) AS BIGINT) AS n
-  FROM tk{s} t JOIN exf e ON t.pid = e.pid AND t.v = e.nid
-  JOIN xia a ON t.v = a.vec_id
-  GROUP BY t.pid
-)"""
-        )
-        ctes.append(
-            f"""sm{s} AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_probes,
-         CAST(sum(n_touched) AS BIGINT) AS sum_touched,
-         CAST(sum(n_ov) AS BIGINT) AS sum_overlap,
-         CAST(sum(n_ovm) AS BIGINT) AS sum_overlap_arrival
-  FROM (
-    SELECT nt.pid, nt.n_touched,
-           COALESCE(o.n, 0) AS n_ov, COALESCE(m.n, 0) AS n_ovm
-    FROM (SELECT pid, CAST(count(*) AS BIGINT) AS n_touched
-          FROM tc{hops}{s} GROUP BY pid) nt
-    LEFT JOIN ov{s} o ON nt.pid = o.pid
-    LEFT JOIN ovm{s} m ON nt.pid = m.pid
-  )
-)"""
-        )
-    ctes += [
-        "nsi AS (SELECT CAST(count(*) AS BIGINT) AS n_standing FROM xis)",
-        "nai AS (SELECT CAST(count(*) AS BIGINT) AS n_arrivals FROM xia)",
-        "bei AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM guinc2)",
+        ctes += _serve_sum_ctes(s, pe, edge)
+    ctes += _MAINT_COUNT_CTES + [
         "berb AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM gu1d8)",
-        """nea AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_exact_arrival
-  FROM exf e JOIN xia a ON e.nid = a.vec_id
-)""",
+        _MAINT_NEA_CTE,
     ]
-    finals = []
-    for variant, sm, be in (("incremental", "smiw", "bei"), ("rebuilt", "smrw", "berb")):
-        finals.append(
-            f"""SELECT '{variant}' AS variant,
-       ns.n_standing, na.n_arrivals, be.build_edges,
-       s.n_probes, s.sum_touched,
-       CAST(s.sum_touched * 1000 // s.n_probes AS BIGINT) AS mean_touched_milli,
-       s.sum_overlap,
-       CAST(s.sum_overlap * 1000000 // ({k} * s.n_probes) AS BIGINT) AS recall_ppm,
-       ne.n_exact_arrival, s.sum_overlap_arrival,
-       CAST(CASE WHEN ne.n_exact_arrival > 0
-                 THEN s.sum_overlap_arrival * 1000000 // ne.n_exact_arrival
-                 ELSE 0 END AS BIGINT) AS arrival_recall_ppm
-FROM {sm} s CROSS JOIN nsi ns CROSS JOIN nai na
-CROSS JOIN {be} be CROSS JOIN nea ne"""
-        )
+    finals = [
+        _maint_final("incremental", "smiw", "bei"),
+        _maint_final("rebuilt", "smrw", "berb"),
+    ]
     sql = (
         f"WITH {_FIT_CTES},\n{_KNNJ_D8_CTES},\n"
         + ",\n".join(ctes)
@@ -5289,59 +5342,117 @@ CROSS JOIN {be} be CROSS JOIN nea ne"""
     return _mat(sql)
 
 
-@query(
-    "knn_graph_incremental_insert",
-    oracle=_incr_oracle(),
-    tags=("similarity", "clustering", "ann", "iterative", "diagnostics"),
-)
-def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental graph-index MAINTENANCE — the question every
-    deployed graph index faces between rebuilds (the FreshDiskANN
-    insert path, Singh et al. 2021): vectors keep arriving; can they
-    join the index by WALKING it, or must the whole graph be rebuilt?
-    The corpus splits on the drift monitor's md5 standing/arrival line
-    ({_DRIFT_OLD_BUCKETS}/16 ≈ 69% standing); the degree-{_KNNJ_D8}
-    graph is built on the standing slice only (slice fit + multiprobe
-    + one descent round — the ``filtered_rebuilt`` build operators),
-    then every arrival is inserted BATCH-style: one width-{_BEAM_W16}
-    {_BEAM_HOPS}-hop insertion walk on the standing graph (literally
-    ``_frontier_walk``, the serving walk body), its exact top-{_KNNJ_D8}
-    touched vertices become the arrival's out-edges, and each chosen
-    standing vertex re-elects its own top-{_KNNJ_D8} out-edges among
-    old neighbors ∪ pointing arrivals (the degree-capped back-edge
-    prune). The graded serving walk then runs over BOTH the maintained
-    graph (entries under the standing fit — the codebook a live
-    process would actually hold) and the full rebuild (exactly the
-    ``knn_graph_serving_beam16`` posture, the control arm), against
-    the SAME full-corpus exact neighbors; ``arrival_recall_ppm``
-    isolates the targets that entered incrementally.
+def _cons_oracle() -> str:
+    """The insert-consolidation oracle: the full incremental-insert
+    prefix (standing build + insertion walks + back-edge re-election
+    = the maintained graph ``gdinc``), then the TWO candidate repair
+    passes — one NN-descent round over the maintained graph
+    (``_round_ctes`` on ``gdinc``), and the targeted RE-WALK (every
+    arrival re-runs its insertion walk on the maintained edge table,
+    then a global degree-capped re-election over old ∪ new ∪ back
+    candidates) — and THREE graded serving walks (pre-consolidation
+    and both repairs) under the SAME standing-fit entries, each
+    summarized with the arrival-target recall split."""
+    kd, hops = _KNNJ_D8, _BEAM_HOPS
+    ctes = _incr_build_ctes()
+    ctes += [
+        _round_ctes("gdinc", "cons"),
+        f"g2cons AS (SELECT vec_id, neighbor_id FROM rrcons WHERE rn <= {kd})",
+        """guc2 AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM g2cons
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g2cons
+  )
+)""",
+        """edcons AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM guc2 g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+    ]
+    # re-walk arm: arrivals re-walk the MAINTAINED edge table (suffix
+    # bw), their fresh top-kd touched join the candidate pool of both
+    # endpoints, every vertex re-elects its top-kd
+    ctes += _arrival_walk_ctes("bw", "edinc")
+    ctes += [
+        f"""aoutrw AS (
+  SELECT pid AS vec_id, v AS neighbor_id FROM (
+    SELECT pid, v,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM tc{hops}bw
+  ) WHERE rn <= {kd}
+)""",
+        """candrw AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM gdinc
+    UNION ALL
+    SELECT vec_id, neighbor_id FROM aoutrw
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM aoutrw
+  )
+)""",
+        f"""rrrw AS (
+  SELECT c.vec_id, c.neighbor_id,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {_dist_sql('xa.x', 'xb.x')}, c.neighbor_id) AS rn
+  FROM candrw c
+  JOIN xi xa ON c.vec_id = xa.vec_id
+  JOIN xi xb ON c.neighbor_id = xb.vec_id
+)""",
+        f"g2rw AS (SELECT vec_id, neighbor_id FROM rrrw WHERE rn <= {kd})",
+        """gurw AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM g2rw
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM g2rw
+  )
+)""",
+        """edrw AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM gurw g JOIN xi xv ON g.neighbor_id = xv.vec_id
+)""",
+    ]
+    # three graded serving walks: iw (pre) / cw (descent) / ww (re-walk)
+    for s, pe, edge in (
+        ("iw", "peinc", "edinc"),
+        ("cw", "peinc", "edcons"),
+        ("ww", "peinc", "edrw"),
+    ):
+        ctes += _serve_sum_ctes(s, pe, edge)
+    ctes += _MAINT_COUNT_CTES + [
+        "beco AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM guc2)",
+        "berw AS (SELECT CAST(count(*) AS BIGINT) AS build_edges FROM gurw)",
+        _MAINT_NEA_CTE,
+    ]
+    finals = [
+        _maint_final("incremental", "smiw", "bei"),
+        _maint_final("consolidate_descent", "smcw", "beco"),
+        _maint_final("consolidate_rewalk", "smww", "berw"),
+    ]
+    sql = (
+        f"WITH {_FIT_CTES},\n{_KNNJ_D8_CTES},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+    return _mat(sql)
 
-    Measured answer at sf0.01 (153 arrivals onto 347 standing):
-    incremental maintenance reads 79.2% recall@3 vs the rebuild's
-    86.5% at equal walk budget (the rebuilt row reproduces the graded
-    beam16 rung exactly — the built-in control) — batch insertion
-    keeps ~92% of rebuild quality — and the arrival-target split shows
-    WHERE the loss lives: exact neighbors that are themselves arrivals
-    read 65.4% incremental vs 76.9% rebuilt, because batch-inserted
-    vertices never edge to EACH OTHER (every insertion walk ran on the
-    pre-arrival graph), exactly the staleness a FreshDiskANN periodic
-    consolidation exists to repair. The honest flip at sf0.001: the
-    maintained graph BEATS the rebuild (77.1% vs 71.9%, arrivals 82.9%
-    vs 74.3%) — insertion walks on a small standing graph are
-    near-exhaustive, so insert-by-walk out-edges are near-exact while
-    the rebuild's single descent round is approximate; walk-based
-    insertion is not a degraded rebuild but a different (sometimes
-    better) edge-selection rule. Read-off: insert-by-walk carries a
-    serving index between rebuilds, and the consolidation cadence
-    should key on the arrival SHARE (the arrival-target gap grows with
-    it), not wall-clock.
 
-    Scale: the insertion walks are the serving shape — per hop ONE
-    standing-edge-table scan against a broadcast ≤|batch|×{_BEAM_W16}
-    frontier, so a million-arrival batch rides the same scans; the
-    back-edge re-election is one |edges|+|batch|×{_KNNJ_D8}-row keyed
-    window, and no step ever touches corpus² pairs.
-    """
+def _maintained_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[
+    DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame
+]:
+    """The insert-by-walk maintained graph the insert and consolidate
+    rungs share: md5 standing/arrival split, standing slice fit +
+    degree-{_KNNJ_D8} build, one width-{_BEAM_W16} insertion walk per
+    arrival electing its out-edges, degree-capped back-edge
+    re-election on the standing side. Returns ``(vectors, standing,
+    arrivals, standing codebook, maintained directed graph, arrival
+    query frame, arrival entries)`` — the graph checkpointed, ready
+    for an edge table or a descent round; the last two are the
+    insertion-walk inputs the re-walk consolidation arm re-uses."""
     tune(spark)
     vectors = _load_vectors(spark, sf_dir)
     bucket = (
@@ -5428,8 +5539,14 @@ def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neighbor_id")
     )
     gdi = g1u.unionAll(aout.select("vec_id", "neighbor_id")).localCheckpoint()
-    edI = _edge_table(vectors, gdi)
-    # serving entries for the incremental arm: the STANDING fit's view
+    return vectors, standing, arrivals, cbS, gdi, abq, entriesA
+
+
+def _standing_fit_entries(vectors: DataFrame, cbS: DataFrame) -> DataFrame:
+    """Serving entries under the STANDING fit — the codebook a live
+    process actually holds between rebuilds: per-cell medoid over the
+    full (standing ∪ arrival) corpus, probes excluded, fallback the
+    fixed entry vertex."""
     azAll = _assign(vectors, cbS)
     mdI = (
         azAll.filter(F.col("vec_id") >= _KNNJ_PROBES)
@@ -5439,7 +5556,7 @@ def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("dc", "vec_id")).alias("m"))
         .select("c", F.col("m.vec_id").alias("mid"))
     )
-    entriesI = (
+    return (
         azAll.filter(F.col("vec_id") < _KNNJ_PROBES)
         .select(F.col("vec_id").alias("pid"), "c")
         .join(F.broadcast(mdI), "c", "left")
@@ -5448,6 +5565,128 @@ def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("mid"), F.lit(_GREEDY_ENTRY)).cast("long").alias("v0"),
         )
     )
+
+
+def _maint_counts(
+    standing: DataFrame, arrivals: DataFrame, exact: DataFrame, markA: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three 1-row count frames every maintenance summary row
+    cross-joins: standing size, arrival size, arrival-target exact
+    neighbor count."""
+    nS = standing.agg(F.count(F.lit(1)).cast("long").alias("n_standing"))
+    nA = arrivals.agg(F.count(F.lit(1)).cast("long").alias("n_arrivals"))
+    nEA = (
+        exact.join(markA.withColumnRenamed("v", "nid"), "nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_arrival"))
+    )
+    return nS, nA, nEA
+
+
+def _maint_row(
+    variant: str,
+    wr: DataFrame,
+    ed: DataFrame,
+    nS: DataFrame,
+    nA: DataFrame,
+    nEA: DataFrame,
+) -> DataFrame:
+    """One maintenance-arm summary row from a ``_walk_report`` frame
+    and its edge table — the Spark twin of ``_maint_final``."""
+    agg = wr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("n_touched").cast("long").alias("sum_touched"),
+        F.sum("n_overlap").cast("long").alias("sum_overlap"),
+        F.sum("n_overlap_marked").cast("long").alias("sum_overlap_arrival"),
+    )
+    be = ed.agg(F.count(F.lit(1)).cast("long").alias("build_edges"))
+    return (
+        agg.crossJoin(F.broadcast(nS))
+        .crossJoin(F.broadcast(nA))
+        .crossJoin(F.broadcast(be))
+        .crossJoin(F.broadcast(nEA))
+        .select(
+            F.lit(variant).alias("variant"),
+            "n_standing",
+            "n_arrivals",
+            "build_edges",
+            "n_probes",
+            "sum_touched",
+            F.expr("sum_touched * 1000L div n_probes").alias(
+                "mean_touched_milli"
+            ),
+            "sum_overlap",
+            F.expr(f"sum_overlap * 1000000L div ({_KNNJ_K} * n_probes)").alias(
+                "recall_ppm"
+            ),
+            "n_exact_arrival",
+            "sum_overlap_arrival",
+            F.expr(
+                "CAST(CASE WHEN n_exact_arrival > 0"
+                " THEN sum_overlap_arrival * 1000000L div n_exact_arrival"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("arrival_recall_ppm"),
+        )
+    )
+
+
+@query(
+    "knn_graph_incremental_insert",
+    oracle=_incr_oracle(),
+    tags=("similarity", "clustering", "ann", "iterative", "diagnostics"),
+)
+def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-index MAINTENANCE — the question every
+    deployed graph index faces between rebuilds (the FreshDiskANN
+    insert path, Singh et al. 2021): vectors keep arriving; can they
+    join the index by WALKING it, or must the whole graph be rebuilt?
+    The corpus splits on the drift monitor's md5 standing/arrival line
+    ({_DRIFT_OLD_BUCKETS}/16 ≈ 69% standing); the degree-{_KNNJ_D8}
+    graph is built on the standing slice only (slice fit + multiprobe
+    + one descent round — the ``filtered_rebuilt`` build operators),
+    then every arrival is inserted BATCH-style: one width-{_BEAM_W16}
+    {_BEAM_HOPS}-hop insertion walk on the standing graph (literally
+    ``_frontier_walk``, the serving walk body), its exact top-{_KNNJ_D8}
+    touched vertices become the arrival's out-edges, and each chosen
+    standing vertex re-elects its own top-{_KNNJ_D8} out-edges among
+    old neighbors ∪ pointing arrivals (the degree-capped back-edge
+    prune). The graded serving walk then runs over BOTH the maintained
+    graph (entries under the standing fit — the codebook a live
+    process would actually hold) and the full rebuild (exactly the
+    ``knn_graph_serving_beam16`` posture, the control arm), against
+    the SAME full-corpus exact neighbors; ``arrival_recall_ppm``
+    isolates the targets that entered incrementally.
+
+    Measured answer at sf0.01 (153 arrivals onto 347 standing):
+    incremental maintenance reads 79.2% recall@3 vs the rebuild's
+    86.5% at equal walk budget (the rebuilt row reproduces the graded
+    beam16 rung exactly — the built-in control) — batch insertion
+    keeps ~92% of rebuild quality — and the arrival-target split shows
+    WHERE the loss lives: exact neighbors that are themselves arrivals
+    read 65.4% incremental vs 76.9% rebuilt, because batch-inserted
+    vertices never edge to EACH OTHER (every insertion walk ran on the
+    pre-arrival graph), exactly the staleness a FreshDiskANN periodic
+    consolidation exists to repair. The honest flip at sf0.001: the
+    maintained graph BEATS the rebuild (77.1% vs 71.9%, arrivals 82.9%
+    vs 74.3%) — insertion walks on a small standing graph are
+    near-exhaustive, so insert-by-walk out-edges are near-exact while
+    the rebuild's single descent round is approximate; walk-based
+    insertion is not a degraded rebuild but a different (sometimes
+    better) edge-selection rule. Read-off: insert-by-walk carries a
+    serving index between rebuilds, and the consolidation cadence
+    should key on the arrival SHARE (the arrival-target gap grows with
+    it), not wall-clock — though ``knn_graph_insert_consolidate``
+    (r11) then tested the repair passes themselves and found neither
+    pays at these corpus shapes; see its honest negative.
+
+    Scale: the insertion walks are the serving shape — per hop ONE
+    standing-edge-table scan against a broadcast ≤|batch|×{_BEAM_W16}
+    frontier, so a million-arrival batch rides the same scans; the
+    back-edge re-election is one |edges|+|batch|×{_KNNJ_D8}-row keyed
+    window, and no step ever touches corpus² pairs.
+    """
+    vectors, standing, arrivals, cbS, gdi, _, _ = _maintained_graph(spark, sf_dir)
+    edI = _edge_table(vectors, gdi)
+    entriesI = _standing_fit_entries(vectors, cbS)
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
@@ -5468,49 +5707,136 @@ def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact=exact,
         mark=markA,
     )
-    nS = standing.agg(F.count(F.lit(1)).cast("long").alias("n_standing"))
-    nA = arrivals.agg(F.count(F.lit(1)).cast("long").alias("n_arrivals"))
-    nEA = (
-        exact.join(markA.withColumnRenamed("v", "nid"), "nid")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_arrival"))
-    )
+    nS, nA, nEA = _maint_counts(standing, arrivals, exact, markA)
     out: DataFrame | None = None
     for variant, wr, ed in (("incremental", wrI, edI), ("rebuilt", wrR, edR)):
-        agg = wr.agg(
-            F.count(F.lit(1)).cast("long").alias("n_probes"),
-            F.sum("n_touched").cast("long").alias("sum_touched"),
-            F.sum("n_overlap").cast("long").alias("sum_overlap"),
-            F.sum("n_overlap_marked").cast("long").alias("sum_overlap_arrival"),
-        )
-        be = ed.agg(F.count(F.lit(1)).cast("long").alias("build_edges"))
-        row = (
-            agg.crossJoin(F.broadcast(nS))
-            .crossJoin(F.broadcast(nA))
-            .crossJoin(F.broadcast(be))
-            .crossJoin(F.broadcast(nEA))
-            .select(
-                F.lit(variant).alias("variant"),
-                "n_standing",
-                "n_arrivals",
-                "build_edges",
-                "n_probes",
-                "sum_touched",
-                F.expr("sum_touched * 1000L div n_probes").alias(
-                    "mean_touched_milli"
-                ),
-                "sum_overlap",
-                F.expr(f"sum_overlap * 1000000L div ({_KNNJ_K} * n_probes)").alias(
-                    "recall_ppm"
-                ),
-                "n_exact_arrival",
-                "sum_overlap_arrival",
-                F.expr(
-                    "CAST(CASE WHEN n_exact_arrival > 0"
-                    " THEN sum_overlap_arrival * 1000000L div n_exact_arrival"
-                    " ELSE 0 END AS BIGINT)"
-                ).alias("arrival_recall_ppm"),
+        row = _maint_row(variant, wr, ed, nS, nA, nEA)
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "knn_graph_insert_consolidate",
+    oracle=_cons_oracle(),
+    tags=("similarity", "clustering", "ann", "iterative", "diagnostics"),
+)
+def knn_graph_insert_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSOLIDATION pass the insert rung's measurement demands —
+    ``knn_graph_incremental_insert`` located its staleness precisely
+    (batch-inserted vertices never edge EACH OTHER, because every
+    insertion walk ran on the pre-arrival graph; arrival-target recall
+    65.4% vs the rebuild's 76.9% at sf0.01), and FreshDiskANN's answer
+    is a periodic graph-only repair pass, NOT a refit. BOTH candidate
+    repairs are built from graded operators and measured side by side:
+    (a) ``consolidate_descent`` — one ``_descent_round`` at degree
+    {_KNNJ_D8} over the maintained graph, whose neighbor-of-neighbor
+    expansion is the mechanism that lets two arrivals sharing a
+    standing neighbor discover each other; (b) ``consolidate_rewalk``
+    — the targeted repair: every arrival re-runs its insertion walk on
+    the MAINTAINED edge table (so other arrivals are now reachable),
+    its fresh top-{_KNNJ_D8} join the candidate pool of both
+    endpoints, and every vertex re-elects its top-{_KNNJ_D8}. Entries
+    stay under the STANDING fit — consolidation touches edges, never
+    the codebook. All three arms serve the graded width-{_BEAM_W16}
+    walk against the same full-corpus exact neighbors; the
+    ``incremental`` arm is bit-identical to the insert rung's
+    (test-pinned reconciliation).
+
+    Measured honest NEGATIVE — the prune finding's maintenance twin:
+    at sf0.01 (153 arrivals onto 347 standing) descent consolidation
+    DROPS overall recall@3 79.2% → 76.0% and re-walk 79.2% → 77.1%
+    (arrival-target moves are within ±1 hit of its 26-target sample:
+    65.4% → 69.2% / 65.4%); at sf0.001 both repairs lose outright
+    (77.1% → 72.9% / 76.0% overall, arrivals 82.9% → 68.6% / 80.0%).
+    Mechanism: both passes re-elect edges purely by PROXIMITY, and
+    what they discard (re-walk: ~70 of the maintained graph's 4,940
+    undirected edges) is exactly the capped back-edges whose longer
+    range gave the walk its navigability — the same
+    proximity-vs-navigability trade RobustPrune lost
+    (``knn_graph_serving_pruned``). Read-off: the insert rung's
+    arrival-staleness is real structurally, but at these corpus
+    shapes NO graph-only repair pays — the maintained graph is
+    already at the balance the walk wants, and the consolidation that
+    matters is the full rebuild when codebook drift accrues
+    (``knn_ivf_drift_report`` is the trigger), not an edge pass.
+
+    Scale: the descent arm is the graded NN-descent shape — one keyed
+    shuffle on the middle vertex, candidates bounded by
+    (2·{_KNNJ_D8})² per vertex; the re-walk arm is |arrivals| serving
+    walks (per hop ONE edge-table scan against a broadcast frontier)
+    plus one degree-capped keyed window — so either repair costs one
+    bounded pass regardless of how many batches were inserted, and no
+    step touches corpus² pairs.
+    """
+    vectors, standing, arrivals, cbS, gdi, abq, entriesA = _maintained_graph(
+        spark, sf_dir
+    )
+    edI = _edge_table(vectors, gdi)
+    # descent arm: one NN-descent round over the maintained graph
+    g2d = (
+        _descent_round(vectors, gdi, k=_KNNJ_D8)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    edD = _edge_table(vectors, g2d)
+    # re-walk arm: arrivals re-run the insertion walk on the MAINTAINED
+    # edge table; fresh top-8 join the candidate pool of both endpoints
+    touched2 = _frontier_walk(
+        vectors, edI, abq, entriesA, beam_width=_BEAM_W16, hops=_BEAM_HOPS
+    )
+    wA = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("v"))
+    aout2 = (
+        touched2.withColumn("__rn", F.row_number().over(wA))
+        .filter(F.col("__rn") <= _KNNJ_D8)
+        .select(F.col("pid").alias("vec_id"), F.col("v").alias("neighbor_id"))
+        .localCheckpoint()
+    )
+    cand2 = (
+        gdi.unionAll(aout2)
+        .unionAll(
+            aout2.select(
+                F.col("neighbor_id").alias("vec_id"),
+                F.col("vec_id").alias("neighbor_id"),
             )
         )
+        .distinct()
+    )
+    xa = vectors.select("vec_id", F.col("x").alias("__xa"))
+    xb = vectors.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("__xb"))
+    wU = W.partitionBy("vec_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    g2r = (
+        cand2.join(xa, "vec_id")
+        .join(xb, "neighbor_id")
+        .select("vec_id", "neighbor_id", _sq_dist("__xa", "__xb").alias("__d"))
+        .withColumn("__rn", F.row_number().over(wU))
+        .filter(F.col("__rn") <= _KNNJ_D8)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    edR2 = _edge_table(vectors, g2r)
+    entriesI = _standing_fit_entries(vectors, cbS)
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    exact = _exact_probe_topk(vectors).localCheckpoint()
+    markA = arrivals.select(F.col("vec_id").alias("v"))
+    wrI = _walk_report(
+        vectors, edI, pb, entriesI, beam_width=_BEAM_W16, exact=exact, mark=markA
+    )
+    wrD = _walk_report(
+        vectors, edD, pb, entriesI, beam_width=_BEAM_W16, exact=exact, mark=markA
+    )
+    wrR = _walk_report(
+        vectors, edR2, pb, entriesI, beam_width=_BEAM_W16, exact=exact, mark=markA
+    )
+    nS, nA, nEA = _maint_counts(standing, arrivals, exact, markA)
+    out: DataFrame | None = None
+    for variant, wr, ed in (
+        ("incremental", wrI, edI),
+        ("consolidate_descent", wrD, edD),
+        ("consolidate_rewalk", wrR, edR2),
+    ):
+        row = _maint_row(variant, wr, ed, nS, nA, nEA)
         out = row if out is None else out.unionAll(row)
     return out
 

@@ -197,6 +197,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # report's class-appropriate bars; full value oracle, planted
     # flags test-pinned through the shared expressions.
     "stream_contract_gate",
+    # NEW (r11): the consolidation pass the insert rung's measurement
+    # demands — one _descent_round over the insert-by-walk maintained
+    # graph (the FreshDiskANN periodic repair, edges-only, codebook
+    # untouched), pre-/post- arms served at the graded width under the
+    # standing fit; incremental arm ≡ insert rung's arm test-pinned.
+    "knn_graph_insert_consolidate",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

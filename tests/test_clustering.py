@@ -1427,3 +1427,52 @@ def test_delete_consolidate_erasure_guarantee_and_parity(spark):
     assert con.n_new_edges < reb.n_new_edges
     # parity: the two maintenance answers serve within a 10pt band
     assert abs(con.recall_ppm - reb.recall_ppm) < 100_000
+
+
+def test_insert_consolidate_reconciles_and_pins_the_negative(spark):
+    """The consolidation rung's ``incremental`` arm must aggregate to
+    EXACTLY the insert rung's incremental arm (same maintained graph,
+    same entries, same walk — the ladder reconciliation); derived
+    columns must recompute from their parts; and the honest negative
+    must hold at the smoke SF: NEITHER graph-only repair (descent /
+    re-walk) beats the un-consolidated maintained graph on overall
+    recall — the proximity-vs-navigability trade the prune rung
+    found, re-found in maintenance."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _KNNJ_K,
+        knn_graph_incremental_insert,
+        knn_graph_insert_consolidate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.variant: r for r in knn_graph_insert_consolidate(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {"incremental", "consolidate_descent", "consolidate_rewalk"}
+    inc = rows["incremental"]
+    # ladder reconciliation: the shared arm equals the insert rung's
+    ins = {
+        r.variant: r for r in knn_graph_incremental_insert(spark, SF_SMOKE).collect()
+    }["incremental"]
+    assert inc.asDict() == ins.asDict()
+    for r in rows.values():
+        # shared corpus facts + derived-column recomputation
+        assert r.n_standing == inc.n_standing and r.n_arrivals == inc.n_arrivals
+        assert r.n_exact_arrival == inc.n_exact_arrival
+        assert r.mean_touched_milli == r.sum_touched * 1000 // r.n_probes
+        assert r.recall_ppm == r.sum_overlap * 1_000_000 // (_KNNJ_K * r.n_probes)
+        assert (
+            r.arrival_recall_ppm
+            == r.sum_overlap_arrival * 1_000_000 // r.n_exact_arrival
+        )
+        assert r.sum_overlap_arrival <= min(r.sum_overlap, r.n_exact_arrival)
+        # degree-8 re-elections keep the edge count in the same band
+        assert 0 < r.build_edges <= 16 * (r.n_standing + r.n_arrivals)
+    # the pinned negative: no repair pass beats the maintained graph
+    assert rows["consolidate_descent"].recall_ppm <= inc.recall_ppm
+    assert rows["consolidate_rewalk"].recall_ppm <= inc.recall_ppm
+    # and the re-walk repair stays the gentler of the two losses here
+    assert (
+        rows["consolidate_rewalk"].recall_ppm
+        >= rows["consolidate_descent"].recall_ppm
+    )
