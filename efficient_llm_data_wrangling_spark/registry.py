@@ -203,6 +203,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # untouched), pre-/post- arms served at the graded width under the
     # standing fit; incremental arm ≡ insert rung's arm test-pinned.
     "knn_graph_insert_consolidate",
+    # NEW (r11): the Selinger left-deep DP run on the repo's own CBO
+    # inputs — sampled pair cardinalities + independence model vs the
+    # true-cardinality control, C_out cost, total tie-breaks; all 10
+    # subsets agree at every SF while the nation edge surfaces the
+    # small-domain zero-sample degeneracy inside the DP; full
+    # pure-Python replay test-pinned.
+    "join_order_plan",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

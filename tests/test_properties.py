@@ -455,3 +455,122 @@ def test_equidepth_selectivity_replays_and_population_finding_holds(spark):
         rows["narrow_slab"].abs_err_permille
         > width["narrow_slab"].abs_err_permille
     )
+
+
+def test_join_order_plan_replays_dp_in_pure_python(spark):
+    """Full pure-Python replay of the Selinger rung at the smoke SF:
+    base counts, sampled/true pair products, chain-walk true subset
+    cardinalities, fixed-point selectivities, the left-to-right
+    independence-model extension, and BOTH DP arms with their
+    tie-breaks — every one of the 10 output rows must match
+    bit-for-bit (the shared-formula guard). The measured findings must
+    hold: all plans agree, and the nation edge exhibits the
+    deterministic small-domain zero-sample degeneracy."""
+    import hashlib
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _JOP_SCALE,
+        join_order_plan,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.subset: r for r in join_order_plan(spark, SF_SMOKE).collect()}
+    assert len(rows) == 10
+
+    def col(t, c):
+        return [x[0] for x in load_table(spark, SF_SMOKE, t).select(c).collect()]
+
+    def bucket(v) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[0], 16)
+
+    nk = Counter(col("nation", "n_nationkey"))
+    c_nat = col("customer", "c_nationkey")
+    c_cust = col("customer", "c_custkey")
+    o_cust = col("orders", "o_custkey")
+    o_ord = col("orders", "o_orderkey")
+    l_ord = col("lineitem", "l_orderkey")
+    n_n, n_c, n_o, n_l = len(nk), len(c_nat), len(o_cust), len(l_ord)
+    ck, ok, lk = Counter(c_cust), Counter(o_ord), Counter(l_ord)
+    cnat_by_cust = Counter()
+    for natk, custk in zip(c_nat, c_cust):
+        cnat_by_cust[custk] += nk.get(natk, 0)
+
+    def sampled_product(ca: Counter, cb: Counter) -> int:
+        return 16 * sum(
+            ca[k] * cb.get(k, 0) for k in ca if bucket(k) == 0
+        )
+
+    p_nc = sampled_product(nk, Counter(c_nat))
+    p_co = sampled_product(ck, Counter(o_cust))
+    p_ol = sampled_product(ok, lk)
+    t_nc = sum(nk.get(k, 0) for k in c_nat)
+    t_co = sum(ck.get(k, 0) for k in o_cust)
+    t_ol = sum(ok.get(k, 0) * c for k, c in lk.items())
+    t_nco = sum(cnat_by_cust.get(k, 0) for k in o_cust)
+    t_col = sum(ck.get(cu, 0) * lk.get(od, 0) for cu, od in zip(o_cust, o_ord))
+    t_ncol = sum(
+        cnat_by_cust.get(cu, 0) * lk.get(od, 0) for cu, od in zip(o_cust, o_ord)
+    )
+    S = _JOP_SCALE
+    f_nc, f_co, f_ol = (
+        p_nc * S // (n_n * n_c),
+        p_co * S // (n_c * n_o),
+        p_ol * S // (n_o * n_l),
+    )
+    e_nc = n_n * n_c * f_nc // S
+    e_co = n_c * n_o * f_co // S
+    e_ol = n_o * n_l * f_ol // S
+    e_nco = e_nc * n_o * f_co // S
+    e_col = e_co * n_l * f_ol // S
+    e_ncol = e_nco * n_l * f_ol // S
+    o_nc = "N,C" if n_n < n_c else "C,N"
+    o_co = "C,O" if n_c <= n_o else "O,C"
+    o_ol = "O,L" if n_o < n_l else "L,O"
+
+    def step3(c_a, o_a, c_b, o_b, card):
+        cost = min(c_a, c_b) + card
+        if c_a < c_b:
+            order = o_a
+        elif c_b < c_a:
+            order = o_b
+        else:
+            order = min(o_a, o_b)
+        return cost, order
+
+    c_nco, o_nco = step3(e_nc, o_nc + ",O", e_co, o_co + ",N", e_nco)
+    c_col, o_col = step3(e_co, o_co + ",L", e_ol, o_ol + ",C", e_col)
+    ct_nco, ot_nco = step3(t_nc, o_nc + ",O", t_co, o_co + ",N", t_nco)
+    ct_col, ot_col = step3(t_co, o_co + ",L", t_ol, o_ol + ",C", t_col)
+    c_ncol, o_ncol = step3(c_nco, o_nco + ",L", c_col, o_col + ",N", e_ncol)
+    ct_ncol, ot_ncol = step3(ct_nco, ot_nco + ",L", ct_col, ot_col + ",N", t_ncol)
+
+    expected = {
+        "N": (1, n_n, n_n, 0, 0, "N", "N"),
+        "C": (1, n_c, n_c, 0, 0, "C", "C"),
+        "O": (1, n_o, n_o, 0, 0, "O", "O"),
+        "L": (1, n_l, n_l, 0, 0, "L", "L"),
+        "NC": (2, e_nc, t_nc, e_nc, t_nc, o_nc, o_nc),
+        "CO": (2, e_co, t_co, e_co, t_co, o_co, o_co),
+        "OL": (2, e_ol, t_ol, e_ol, t_ol, o_ol, o_ol),
+        "NCO": (3, e_nco, t_nco, c_nco, ct_nco, o_nco, ot_nco),
+        "COL": (3, e_col, t_col, c_col, ct_col, o_col, ot_col),
+        "NCOL": (4, e_ncol, t_ncol, c_ncol, ct_ncol, o_ncol, ot_ncol),
+    }
+    for subset, (nt, ec, tc, ecost, tcost, eo, to) in expected.items():
+        r = rows[subset]
+        assert r.n_tables == nt, subset
+        assert r.est_card == ec, subset
+        assert r.true_card == tc, subset
+        assert r.est_cost == ecost, subset
+        assert r.true_cost == tcost, subset
+        assert r.est_order == eo, subset
+        assert r.true_order == to, subset
+        assert r.card_err_permille == abs(ec - tc) * 1000 // max(tc, 1), subset
+        assert r.plans_agree == int(eo == to), subset
+    # the measured findings: full agreement, and the nation edge's
+    # deterministic zero-sample degeneracy (25-key domain, 1/16 slice)
+    assert all(r.plans_agree == 1 for r in rows.values())
+    assert p_nc == 0 and rows["NC"].est_card == 0
+    assert rows["NCOL"].true_order == "N,C,O,L"
