@@ -210,6 +210,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # small-domain zero-sample degeneracy inside the DP; full
     # pure-Python replay test-pinned.
     "join_order_plan",
+    # NEW (r11): the privacy ladder's endpoint — ε-DP Laplace release
+    # of per-(lang, source) count + clipped char-sum, deterministic
+    # versioned-seed noise through the portable ln (the oracle hash
+    # equality IS the mechanism replay), composition ledger in every
+    # row; calibration + utility-vs-group-mass measured; full
+    # pure-Python mechanism replay test-pinned.
+    "dp_noisy_release",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -527,3 +527,79 @@ def test_data_scaling_curve_matches_pure_python_replay(spark):
     # worse; train sizes are strictly nested
     sizes = [rows[t].n_train_tokens for t in sorted(rows)]
     assert sizes == sorted(sizes)
+
+
+def test_dp_noisy_release_replays_mechanism_in_pure_python(spark):
+    """Full pure-Python replay of the Laplace mechanism at the smoke
+    SF: group aggregates, md5 seed → uniform, two-sided tail fold,
+    portable-ln magnitude, floor(x+½) rounding, and the budget ledger
+    — every released integer must match bit-for-bit (the mechanism
+    IS deterministic arithmetic, so the replay is the DP audit)."""
+    import hashlib
+    from math import floor
+
+    from efficient_llm_data_wrangling_spark.functions.portable_math import LN2_SQL
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        _DPR_CLIP,
+        _DPR_EPS_MICRO,
+        _DPR_SCALE_COUNT,
+        _DPR_SCALE_SUM,
+        _DPR_TWO32,
+        dp_noisy_release,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        (r.lang, r.source): r for r in dp_noisy_release(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "lang", "source", "n_chars"
+    ).collect()
+    agg: dict = {}
+    for d in docs:
+        key = (d.lang, d.source)
+        c, s = agg.get(key, (0, 0))
+        agg[key] = (c + 1, s + min(d.n_chars, _DPR_CLIP))
+    assert set(rows) == set(agg)
+
+    ln2 = float(LN2_SQL.split("'")[1])
+
+    def lnint(v: int) -> float:
+        b = v.bit_length()
+        m = v / float(1 << (b - 1))
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        acc = 1.0 / 31.0
+        for k in range(29, 0, -2):
+            acc = 1.0 / k + z2 * acc
+        return float(b - 1) * ln2 + 2.0 * (z * acc)
+
+    def noise_int(seed: str, scale: int) -> int:
+        v = int(hashlib.md5(seed.encode()).hexdigest()[:8], 16) + 1
+        r = max(_DPR_TWO32 - abs(2 * v - _DPR_TWO32), 1)
+        sgn = 1.0 if 2 * v > _DPR_TWO32 else -1.0
+        mag = float(scale) * (32.0 * ln2 - lnint(r))
+        return floor(sgn * mag + 0.5)
+
+    nonneg_small = 0
+    for (lang, source), (c, s) in agg.items():
+        r = rows[(lang, source)]
+        cni = noise_int(f"{lang}|{source}:count:v1", _DPR_SCALE_COUNT)
+        sni = noise_int(f"{lang}|{source}:sum:v1", _DPR_SCALE_SUM)
+        assert r.true_count == c and r.true_sum_clipped == s
+        assert r.noisy_count == c + cni
+        assert r.count_abs_err == abs(cni)
+        assert r.noisy_sum_clipped == s + sni
+        assert r.sum_abs_err == abs(sni)
+        assert (
+            r.eps_count_micro == _DPR_EPS_MICRO
+            and r.eps_sum_micro == _DPR_EPS_MICRO
+            and r.eps_total_micro == 2 * _DPR_EPS_MICRO
+        )
+        if c <= 2 and r.count_abs_err == 0:
+            nonneg_small += 1
+    # calibration sanity: mean |count noise| within a loose band of
+    # E|Lap(2)| = 2 (deterministic given the fixed seed strings)
+    errs = [r.count_abs_err for r in rows.values()]
+    assert 0.5 <= sum(errs) / len(errs) <= 4.0
