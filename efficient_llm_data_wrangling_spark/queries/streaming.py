@@ -1122,19 +1122,21 @@ _SEMG_NPROBE = 2
 _SEMG_BROADCAST_MAX_ROWS = 50_000_000
 
 
-def _semantic_gate_oracle() -> str:
-    from efficient_llm_data_wrangling_spark.queries.curation import (
-        _SEM_DECON_COS,
-        _SEM_PERTURB_SQL,
-    )
-    from efficient_llm_data_wrangling_spark.queries.scale import _cos_sql
+#: shared oracle template vars for the standing-codebook fit
+_SEMG_B1 = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
+_SEMG_B2 = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1"
+_SEMG_MICRO = "[CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) for i in range(1, len(v) + 1)]"
+_SEMG_DIST = "list_sum([ (a.x[i] - m.mu[i]) * (a.x[i] - m.mu[i]) for i in range(1, len(a.x) + 1) ])"
 
-    b1 = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1"
-    b2 = "instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1"
-    micro = "[CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) for i in range(1, len(v) + 1)]"
-    dist = "list_sum([ (a.x[i] - m.mu[i]) * (a.x[i] - m.mu[i]) for i in range(1, len(a.x) + 1) ])"
-    return f"""
-WITH t AS (
+
+def _semg_fit_ctes() -> str:
+    """Shared oracle prefix (no leading WITH): the standing slice,
+    micro-units, the 8-seed one-Lloyd-round standing codebook fit, and
+    the standing (cell → member) assignment ``sa`` — the semantic gate
+    and the cell-index maintenance rung replay the IDENTICAL fit."""
+    b1, b2 = _SEMG_B1, _SEMG_B2
+    micro, dist = _SEMG_MICRO, _SEMG_DIST
+    return f"""t AS (
   SELECT vec_id, embedding, {b1} AS b1, {b2} AS b2 FROM embeddings
 ),
 standing AS (
@@ -1168,7 +1170,20 @@ sa AS (
              PARTITION BY a.vec_id ORDER BY {dist}, m.c) AS rn
     FROM xs a CROSS JOIN mu1 m
   ) WHERE rn = 1
-),
+)"""
+
+
+def _semantic_gate_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _SEM_DECON_COS,
+        _SEM_PERTURB_SQL,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import _cos_sql
+
+    micro = _SEMG_MICRO
+    dist = _SEMG_DIST
+    return f"""
+WITH {_semg_fit_ctes()},
 arr AS (
   SELECT vec_id AS arr_id,
          [CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding) + 1)] AS v
@@ -1618,4 +1633,276 @@ def stream_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"n_user_unseen * 1000L div n_rows > {_CONTRACT_UNSEEN_BAR_PM}"
         ).alias("user_alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming cell-index maintenance (the semantic artifact ages with the stream)
+# ---------------------------------------------------------------------------
+
+
+def _cell_maint_oracle() -> str:
+    from efficient_llm_data_wrangling_spark.queries.curation import (
+        _SEM_DECON_COS,
+        _SEM_PERTURB_SQL,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import _cos_sql
+
+    micro, dist = _SEMG_MICRO, _SEMG_DIST
+    return f"""
+WITH {_semg_fit_ctes()},
+arr AS (
+  SELECT vec_id AS arr_id,
+         [CAST(embedding[i] AS DOUBLE) for i in range(1, len(embedding) + 1)] AS v
+  FROM t WHERE b1 >= 13
+  UNION ALL
+  SELECT -(2 * vec_id + 1) AS arr_id, {_SEM_PERTURB_SQL} AS v
+  FROM t WHERE b1 < 13 AND b2 = 0
+  UNION ALL
+  SELECT -(2 * vec_id + 2) AS arr_id, {_SEM_PERTURB_SQL} AS v
+  FROM t WHERE b1 < 13 AND b2 = 0
+),
+ax AS (SELECT arr_id, v, {micro} AS x FROM arr),
+pcr AS (
+  SELECT arr_id, c, rn FROM (
+    SELECT a.arr_id, m.c,
+           row_number() OVER (
+             PARTITION BY a.arr_id ORDER BY {dist}, m.c) AS rn
+    FROM ax a CROSS JOIN mu1 m
+  ) WHERE rn <= {_SEMG_NPROBE}
+),
+home AS (SELECT arr_id, c AS home_cell FROM pcr WHERE rn = 1),
+cand AS (
+  SELECT DISTINCT p.arr_id, s.vec_id AS corpus_id
+  FROM pcr p JOIN sa s ON p.c = s.c
+),
+ver AS (
+  SELECT c.arr_id, {_cos_sql("a.v", "s.v")} AS cosine
+  FROM cand c
+  JOIN arr a ON a.arr_id = c.arr_id
+  JOIN standing s ON s.vec_id = c.corpus_id
+),
+agg AS (
+  SELECT arr_id, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN cosine >= {_SEM_DECON_COS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_flagged
+  FROM ver GROUP BY arr_id
+),
+bcand AS (
+  SELECT DISTINCT p.arr_id, h.arr_id AS other_id
+  FROM pcr p JOIN (SELECT arr_id, c FROM pcr WHERE rn = 1) h
+    ON p.c = h.c AND h.arr_id < p.arr_id
+),
+bver AS (
+  SELECT b.arr_id, {_cos_sql("a.v", "o.v")} AS cosine
+  FROM bcand b
+  JOIN arr a ON a.arr_id = b.arr_id
+  JOIN arr o ON o.arr_id = b.other_id
+),
+bagg AS (
+  SELECT arr_id,
+         CAST(sum(CASE WHEN cosine >= {_SEM_DECON_COS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_batch_conflicts
+  FROM bver GROUP BY arr_id
+)
+SELECT h.arr_id, CAST(h.home_cell AS BIGINT) AS home_cell,
+       CAST(coalesce(g.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(g.n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(coalesce(b.n_batch_conflicts, 0) AS BIGINT) AS n_batch_conflicts,
+       (coalesce(g.n_flagged, 0) = 0 AND coalesce(b.n_batch_conflicts, 0) = 0)
+         AS admitted
+FROM home h
+LEFT JOIN agg g ON h.arr_id = g.arr_id
+LEFT JOIN bagg b ON h.arr_id = b.arr_id
+"""
+
+
+def _cell_probe_ranked(df: DataFrame, cents, nprobe: int) -> DataFrame:
+    """(arr_id, rn, c): each arrival's ``nprobe`` nearest cells RANKED
+    by (distance, cell-id) — the semantic gate's literal-codebook
+    scan-side election with the rank kept, so rank 1 is the HOME cell
+    the maintenance leg appends to the index (no window: one
+    array_sort over an 8-struct array, stream-safe)."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _micro_units,
+        _sq_dist_cols,
+    )
+
+    x = _micro_units(F.col("v"))
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_dist_cols(x, F.array(*[F.lit(int(m)) for m in mu])).alias("d"),
+                F.lit(int(c)).cast("long").alias("c"),
+            )
+            for c, mu in cents
+        ]
+    )
+    return (
+        df.withColumn("__scored", scored)
+        .select(
+            "arr_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(slice(array_sort(__scored), 1, {nprobe}), t -> t.c)"
+                )
+            ).alias("__i", "c"),
+        )
+        .select("arr_id", (F.col("__i") + 1).cast("int").alias("rn"), "c")
+    )
+
+
+@query(
+    "stream_cell_index_maintenance",
+    oracle=_cell_maint_oracle(),
+    tags=("streaming", "curation", "similarity", "sink"),
+)
+def stream_cell_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAINTENANCE of the standing IVF cell index — the semantic
+    gate's (cell → member) artifact ages with the stream the way
+    ``stream_band_index_maintenance`` ages the lexical band index, so
+    BOTH streaming admission gates now have their maintenance path.
+    Arriving vectors elect their {_SEMG_NPROBE} probe cells SCAN-side
+    from the FROZEN standing codebook (8 centroid literals in the
+    stream expressions — assignment maintenance is cheap under a
+    frozen codebook; refreshing the codebook is the batch rebuild
+    ``knn_ivf_drift_report`` exists to trigger), and a
+    ``foreachBatch`` leg grades each micro-batch against the CURRENT
+    index version then appends the batch's home-cell rows as a new
+    immutable version — the atomic-swap topology shared by every
+    versioned sink in this repo.
+
+    The semantic difference from the band rung, kept honest in the
+    manifest: a cell collision means NOTHING by itself (every vector
+    lives in some cell), so candidates are verified by exact double
+    cosine against the {_SEM_DECON_COS} bar before they count —
+    ``n_candidates`` (members of the probed cells as of the batch),
+    ``n_flagged`` (verified near-dups in the index), ``n_batch_
+    conflicts`` (verified against smaller-id same-batch arrivals),
+    ``admitted`` = both zero. Every verification path provably FIRES:
+    each b2=0 standing vector re-arrives TWICE under the gate's
+    rotation mix with collision-proof negative ids, so at sf0.001 all
+    40 planted copies flag against the index (their probe cells
+    contain the origin's cell), all 20 larger-id twins additionally
+    conflict in-batch with their sibling, and all 96 real arrivals
+    admit (natural cross-split cosine tops out at 0.474 vs the
+    {_SEM_DECON_COS} bar). Seen-set growth is order-free, so the
+    final index after ANY batch partitioning equals the batch
+    assignment of standing ∪ arrivals under the standing codebook
+    (multi-batch convergence test) and ``admitted`` is
+    batch-split-invariant — which is what lets the single-file run
+    carry a full value oracle.
+
+    Scale: one probe row per (arrival, probe) flows through the
+    stream — the embedding never leaves the scan except into the
+    static lookup the verification joins; the index probe is a keyed
+    equi-join against the current version; cosine verification
+    touches probed-cell members only (the IVF-bounded budget); the
+    version write appends 1 row/arrival. ZERO stream state.
+    """
+    tune(spark)
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _assign,
+        _micro_units,
+        _update,
+    )
+    from efficient_llm_data_wrangling_spark.queries.curation import _SEM_DECON_COS
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+
+    hexd1 = lambda c: (  # noqa: E731 — first md5 hex digit of the id
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(c.cast("string")), 1, 1)
+        )
+        - 1
+    )
+    dbl = F.expr("transform(embedding, e -> cast(e as double))")
+    emb = load_table(spark, sf_dir, "embeddings")
+    standing = emb.filter(hexd1(F.col("vec_id")) < 13).select(
+        "vec_id", dbl.alias("v")
+    )
+    xs = standing.select(
+        "vec_id", _micro_units(F.col("v")).alias("x")
+    ).localCheckpoint()
+    seeds = (
+        xs.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
+    )
+    cb = _update(_assign(xs, seeds)).localCheckpoint()
+    sa = _assign(xs, cb).select(F.col("vec_id").alias("id"), "c")
+    cents = sorted((r["c"], list(r["mu"])) for r in cb.collect())
+
+    hexd2 = lambda c: (  # noqa: E731 — second md5 hex digit of the id
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.md5(c.cast("string")), 2, 1)
+        )
+        - 1
+    )
+    ndim = 64
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.lit(0.25)
+        * F.element_at(F.col("embedding"), (i + 1) % ndim + 1).cast("double"),
+    )
+    leg_t = "array<struct<arr_id:bigint,v:array<double>>>"
+
+    def arrivals(df: DataFrame) -> DataFrame:
+        """Real arrivals (b1 ≥ 13) plus every b2=0 standing vector
+        re-arriving TWICE under the fixed rotation mix with
+        collision-proof negative ids — two copies so the index flag
+        AND the in-batch conflict both provably fire."""
+        b1, b2 = hexd1(F.col("vec_id")), hexd2(F.col("vec_id"))
+        legs = (
+            F.when(
+                b1 >= 13,
+                F.array(
+                    F.struct(
+                        F.col("vec_id").cast("long").alias("arr_id"),
+                        dbl.alias("v"),
+                    )
+                ),
+            )
+            .when(
+                b2 == 0,
+                F.array(
+                    F.struct(
+                        (-(2 * F.col("vec_id") + 1)).cast("long").alias("arr_id"),
+                        perturbed.alias("v"),
+                    ),
+                    F.struct(
+                        (-(2 * F.col("vec_id") + 2)).cast("long").alias("arr_id"),
+                        perturbed.alias("v"),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(None).cast(leg_t))
+        )
+        return df.select(F.explode(legs).alias("__a")).select(
+            F.col("__a.arr_id").alias("arr_id"), F.col("__a.v").alias("v")
+        )
+
+    vecs = (
+        emb.select(F.col("vec_id").cast("long").alias("id"), dbl.alias("v"))
+        .unionByName(
+            arrivals(emb)
+            .filter(F.col("arr_id") < 0)
+            .select(F.col("arr_id").alias("id"), "v")
+        )
+        .localCheckpoint()
+    )
+    probes = _cell_probe_ranked(
+        arrivals(S.stream_embeddings(spark, sf_dir)), cents, _SEMG_NPROBE
+    )
+    base = _ephemeral_sink_dir("elldw_cell_maint_")
+    manifest_glob, _ = S.cell_index_upsert_to_parquet(
+        probes, sa, vecs, base, float(_SEM_DECON_COS)
+    )
+    return spark.read.parquet(manifest_glob).select(
+        "arr_id",
+        "home_cell",
+        "n_candidates",
+        "n_flagged",
+        "n_batch_conflicts",
+        "admitted",
     )

@@ -217,6 +217,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # row; calibration + utility-vs-group-mass measured; full
     # pure-Python mechanism replay test-pinned.
     "dp_noisy_release",
+    # NEW (r11): the semantic gate's maintenance path — the standing
+    # IVF cell index ages with the stream via the versioned foreachBatch
+    # upsert (codebook frozen; refresh is the drift monitor's batch
+    # job), cosine-verified manifest with every path provably firing
+    # (double-planted paraphrases), multi-batch convergence
+    # test-pinned; full value oracle.
+    "stream_cell_index_maintenance",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -824,3 +824,165 @@ def band_index_upsert_to_parquet(
 
         shutil.rmtree(ckpt, ignore_errors=True)
     return f"{manifest_dir}/b*", _latest()
+
+
+def cell_index_upsert_to_parquet(
+    probe_stream: DataFrame,
+    standing_cells: DataFrame,
+    vec_frame: DataFrame,
+    base_dir: str,
+    cos_bar: float,
+    checkpoint_dir: str | None = None,
+) -> tuple[str, str]:
+    """Versioned maintenance of the IVF CELL INDEX — the semantic
+    gate's standing (cell → member) artifact — so the paraphrase
+    gate's index ages with the stream the way
+    :func:`band_index_upsert_to_parquet` ages the lexical one; the
+    codebook itself stays FIXED (assignment maintenance is cheap under
+    a frozen codebook; refreshing the codebook is the batch rebuild
+    ``knn_ivf_drift_report`` exists to trigger). ``probe_stream``
+    carries (arr_id, rn, c): each arrival's probe cells ranked by
+    distance, rank 1 the HOME cell computed SCAN-side from the
+    codebook literals. ``standing_cells`` (id, c) is written as v0
+    before the stream starts; ``vec_frame`` (id, v) is the static
+    double-vector lookup BOTH cosine verifications read.
+
+    Per micro-batch: candidates = batch probes equi-joined to the
+    CURRENT index version on the cell key, verified by exact double
+    cosine against ``cos_bar`` (a cell collision means nothing by
+    itself — unlike a band-key hit — so the manifest counts VERIFIED
+    flags); intra-batch conflicts = probes against smaller-id batch
+    arrivals' home cells, same verification. The index absorbs every
+    arrival's home-cell row — seen-set semantics, so the final index
+    after ANY batch partitioning equals the batch assignment of
+    standing ∪ arrivals under the standing codebook (the convergence
+    test), and ``admitted`` is batch-split-invariant. Both per-batch
+    writes are IDEMPOTENT (manifest overwrites ``b{batch_id}``, index
+    its ``v{batch_id+1}``), so at-least-once replay cannot
+    double-count; pass ``checkpoint_dir`` for exactly-once restart.
+
+    Scale: ONE probe row per (arrival, probe) flows through the
+    stream — the embedding never leaves the scan except into the
+    static lookup the verification joins; the index probe is a keyed
+    equi-join against the current version; verification touches the
+    members of the probed cells only (the IVF-bounded candidate
+    budget); the version write appends 1 row/arrival.
+    """
+    from efficient_llm_data_wrangling_spark.operators.dedup import cosine_sim
+
+    spark = probe_stream.sparkSession
+    root = Path(base_dir)
+    manifest_dir = root / "manifest"
+    manifest_dir.mkdir(parents=True, exist_ok=True)
+    standing_cells.select(
+        F.col("id").cast("long").alias("id"), F.col("c").cast("long").alias("c")
+    ).write.mode("overwrite").parquet(str(root / "v0"))
+
+    def _latest() -> str:
+        versions = sorted(
+            (d for d in root.glob("v*") if (d / "_SUCCESS").exists()),
+            key=lambda d: int(d.name[1:]),
+        )
+        return str(versions[-1])
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ba = batch_df.select(
+            F.col("arr_id").cast("long").alias("arr_id"),
+            F.col("rn").cast("int").alias("rn"),
+            F.col("c").cast("long").alias("c"),
+        ).localCheckpoint()
+        idx = spark.read.parquet(_latest())
+        va = vec_frame.select(
+            F.col("id").alias("arr_id"), F.col("v").alias("__va")
+        )
+        vb = vec_frame.select(F.col("id"), F.col("v").alias("__vb"))
+        cand = ba.join(idx, "c").select("arr_id", "id").distinct()
+        ver = (
+            cand.join(va, "arr_id")
+            .join(vb, "id")
+            .select(
+                "arr_id", cosine_sim(F.col("__va"), F.col("__vb")).alias("cosine")
+            )
+        )
+        agg = ver.groupBy("arr_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("cosine") >= cos_bar, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+        )
+        homes = ba.filter(F.col("rn") == 1).select(
+            F.col("arr_id").alias("__oid"), "c"
+        )
+        bcand = (
+            ba.join(homes, "c")
+            .filter(F.col("__oid") < F.col("arr_id"))
+            .select("arr_id", "__oid")
+            .distinct()
+        )
+        bver = (
+            bcand.join(va, "arr_id")
+            .join(
+                vec_frame.select(
+                    F.col("id").alias("__oid"), F.col("v").alias("__vb")
+                ),
+                "__oid",
+            )
+            .select(
+                "arr_id", cosine_sim(F.col("__va"), F.col("__vb")).alias("cosine")
+            )
+        )
+        bagg = bver.groupBy("arr_id").agg(
+            F.sum(F.when(F.col("cosine") >= cos_bar, 1).otherwise(0))
+            .cast("long")
+            .alias("n_batch_conflicts"),
+        )
+        manifest = (
+            ba.filter(F.col("rn") == 1)
+            .select("arr_id", F.col("c").alias("home_cell"))
+            .join(agg, "arr_id", "left")
+            .join(bagg, "arr_id", "left")
+            .select(
+                "arr_id",
+                "home_cell",
+                F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+                F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+                F.coalesce("n_batch_conflicts", F.lit(0))
+                .cast("long")
+                .alias("n_batch_conflicts"),
+                (
+                    F.coalesce("n_flagged", F.lit(0)).eqNullSafe(0)
+                    & F.coalesce("n_batch_conflicts", F.lit(0)).eqNullSafe(0)
+                ).alias("admitted"),
+            )
+        )
+        manifest.write.mode("overwrite").parquet(str(manifest_dir / f"b{batch_id}"))
+        idx.unionByName(
+            ba.filter(F.col("rn") == 1).select(
+                F.col("arr_id").alias("id"), "c"
+            )
+        ).write.mode("overwrite").parquet(str(root / f"v{batch_id + 1}"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    nparts = _stream_partitions()
+    if nparts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", nparts)
+    try:
+        writer = (
+            probe_stream.writeStream.outputMode("append")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+        )
+        ckpt = checkpoint_dir if checkpoint_dir is not None else _fast_checkpoint_dir()
+        if ckpt is not None:
+            writer = writer.option("checkpointLocation", ckpt)
+        writer.start().awaitTermination()
+    finally:
+        if nparts is not None and prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if ckpt is not None and checkpoint_dir is None:
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return f"{manifest_dir}/b*", _latest()

@@ -835,3 +835,171 @@ def test_contract_gate_quiet_on_stationary_and_planted_flags_fire(spark):
     n = planted.count()
     assert got.f_null == n and got.f_oor == n
     assert got.f_type == n and got.f_user == n
+
+
+def test_cell_index_maintenance_multibatch_converges(spark, tmp_path):
+    """The maintained cell index must be BATCH-PARTITIONING-FREE: feed
+    the embeddings source as two id-ordered files (maxFilesPerTrigger=1
+    → two real micro-batches, two version swaps) and demand (a) the
+    final index equals the batch home-cell assignment of standing ∪
+    ALL arrivals under the standing codebook, (b) per-arrival admitted
+    flags equal the single-file graded query's, (c) >1 version
+    written, and (d) the planted design fired: every planted copy
+    rejected, every real arrival admitted."""
+    import duckdb
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _assign,
+        _micro_units,
+        _update,
+    )
+    from efficient_llm_data_wrangling_spark.queries.curation import _SEM_DECON_COS
+    from efficient_llm_data_wrangling_spark.queries.streaming import (
+        _SEMG_NPROBE,
+        _cell_probe_ranked,
+        stream_cell_index_maintenance,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from efficient_llm_data_wrangling_spark.streaming import ops as S
+
+    src = f"{SF_SMOKE}/embeddings.parquet"
+    d = tmp_path / "emb_split"
+    d.mkdir()
+    con = duckdb.connect()
+    mid = con.sql(f"SELECT median(vec_id) FROM '{src}'").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT vec_id, embedding FROM '{src}' WHERE vec_id <= {mid} "
+        f"ORDER BY vec_id) TO '{d}/part1.parquet' (FORMAT PARQUET)"
+    )
+    con.sql(
+        f"COPY (SELECT vec_id, embedding FROM '{src}' WHERE vec_id > {mid} "
+        f"ORDER BY vec_id) TO '{d}/part2.parquet' (FORMAT PARQUET)"
+    )
+    now = 1_700_000_000
+    os.utime(d / "part1.parquet", (now, now))
+    os.utime(d / "part2.parquet", (now + 100, now + 100))
+
+    # rebuild the query's static frames (fit, assignment, vec lookup)
+    q = stream_cell_index_maintenance
+    hexd1 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    dbl = F.expr("transform(embedding, e -> cast(e as double))")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    standing = emb.filter(hexd1 < 13).select("vec_id", dbl.alias("v"))
+    xs = standing.select(
+        "vec_id", _micro_units(F.col("v")).alias("x")
+    ).localCheckpoint()
+    seeds = (
+        xs.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
+    )
+    cb = _update(_assign(xs, seeds)).localCheckpoint()
+    sa = _assign(xs, cb).select(F.col("vec_id").alias("id"), "c")
+    cents = sorted((r["c"], list(r["mu"])) for r in cb.collect())
+
+    ndim = 64
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        + F.lit(0.25)
+        * F.element_at(F.col("embedding"), (i + 1) % ndim + 1).cast("double"),
+    )
+    hexd2 = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("vec_id").cast("string")), 2, 1),
+        )
+        - 1
+    )
+    leg_t = "array<struct<arr_id:bigint,v:array<double>>>"
+
+    def arrivals(df):
+        legs = (
+            F.when(
+                hexd1 >= 13,
+                F.array(
+                    F.struct(
+                        F.col("vec_id").cast("long").alias("arr_id"),
+                        dbl.alias("v"),
+                    )
+                ),
+            )
+            .when(
+                hexd2 == 0,
+                F.array(
+                    F.struct(
+                        (-(2 * F.col("vec_id") + 1)).cast("long").alias("arr_id"),
+                        perturbed.alias("v"),
+                    ),
+                    F.struct(
+                        (-(2 * F.col("vec_id") + 2)).cast("long").alias("arr_id"),
+                        perturbed.alias("v"),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(None).cast(leg_t))
+        )
+        return df.select(F.explode(legs).alias("__a")).select(
+            F.col("__a.arr_id").alias("arr_id"), F.col("__a.v").alias("v")
+        )
+
+    vecs = (
+        emb.select(F.col("vec_id").cast("long").alias("id"), dbl.alias("v"))
+        .unionByName(
+            arrivals(emb).filter(F.col("arr_id") < 0).select(
+                F.col("arr_id").alias("id"), "v"
+            )
+        )
+        .localCheckpoint()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    probes = _cell_probe_ranked(arrivals(stream), cents, _SEMG_NPROBE)
+    base = tmp_path / "cell_idx"
+    manifest_glob, latest = S.cell_index_upsert_to_parquet(
+        probes, sa, vecs, str(base), float(_SEM_DECON_COS)
+    )
+
+    # (c) two batches → at least v0, v1, v2
+    versions = sorted(p.name for p in base.glob("v*"))
+    assert len(versions) >= 3, versions
+
+    # (a) final index ≡ batch home-cell assignment of standing ∪ arrivals
+    want_idx = sa.unionByName(
+        _cell_probe_ranked(arrivals(emb), cents, _SEMG_NPROBE)
+        .filter(F.col("rn") == 1)
+        .select(F.col("arr_id").alias("id"), "c")
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(latest).collect())
+    want = sorted(tuple(r) for r in want_idx.collect())
+    assert got == want
+
+    # (b) admitted flags are batch-split-invariant
+    multi = {
+        r.arr_id: r.admitted for r in spark.read.parquet(manifest_glob).collect()
+    }
+    single = {r.arr_id: r.admitted for r in q(spark, SF_SMOKE).collect()}
+    assert multi == single
+
+    # (d) the planted design fired
+    assert all(not adm for a, adm in multi.items() if a < 0)
+    assert all(adm for a, adm in multi.items() if a >= 0)
