@@ -224,6 +224,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # (double-planted paraphrases), multi-batch convergence
     # test-pinned; full value oracle.
     "stream_cell_index_maintenance",
+    # NEW (r11): runtime-filter pruning measured — deterministic k=3
+    # bloom at two sizes over the filtered dim keys, scan-side fact
+    # probe graded vs the exact semi-join, with the realized-occupancy
+    # FP model (bits_set/m)^k priced against measurement (3‰ accurate
+    # at saturation); the execution-time half of join optimization
+    # next to join_order_plan; pure-Python replay test-pinned.
+    "bloom_semijoin_prune_report",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -574,3 +574,60 @@ def test_join_order_plan_replays_dp_in_pure_python(spark):
     assert all(r.plans_agree == 1 for r in rows.values())
     assert p_nc == 0 and rows["NC"].est_card == 0
     assert rows["NCOL"].true_order == "N,C,O,L"
+
+
+def test_bloom_semijoin_prune_replays_in_pure_python(spark):
+    """Pure-Python replay of the runtime filter at the smoke SF: md5
+    positions, bit sets, per-key pass verdicts, row-count joins, and
+    both derived permille columns for BOTH filter sizes; the bloom
+    guarantee (no false negatives: pass ⊇ true matches) must hold."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _BLOOM_K,
+        _BLOOM_SIZES,
+        bloom_semijoin_prune_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.m_bits: r for r in bloom_semijoin_prune_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(_BLOOM_SIZES)
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).collect()
+    line = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey").collect()
+    dim = {r.o_orderkey for r in orders if r.o_orderpriority == "1-URGENT"}
+    fact_counts: dict = {}
+    for r in line:
+        fact_counts[r.l_orderkey] = fact_counts.get(r.l_orderkey, 0) + 1
+    n_fact = sum(fact_counts.values())
+    n_match = sum(n for k, n in fact_counts.items() if k in dim)
+
+    def pos(key, i, m):
+        return int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:8], 16) % m
+
+    for m in _BLOOM_SIZES:
+        bits = {pos(k, i, m) for k in dim for i in range(_BLOOM_K)}
+        passing = {
+            k
+            for k in fact_counts
+            if all(pos(k, i, m) in bits for i in range(_BLOOM_K))
+        }
+        # the bloom guarantee: no false negatives
+        assert dim & set(fact_counts) <= passing
+        n_pass = sum(fact_counts[k] for k in passing)
+        r = rows[m]
+        assert r.k_hashes == _BLOOM_K
+        assert r.n_dim_keys == len(dim)
+        assert r.bits_set == len(bits)
+        assert r.n_fact_rows == n_fact
+        assert r.n_pass_rows == n_pass
+        assert r.n_match_rows == n_match
+        assert r.n_false_positive_rows == n_pass - n_match
+        assert r.fp_measured_permille == (n_pass - n_match) * 1000 // max(
+            n_fact - n_match, 1
+        )
+        bpm = len(bits) * 1000 // m
+        assert r.fp_expected_permille == bpm * bpm * bpm // 1_000_000
