@@ -231,6 +231,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # at saturation); the execution-time half of join optimization
     # next to join_order_plan; pure-Python replay test-pinned.
     "bloom_semijoin_prune_report",
+    # NEW (r11): the quantization ladder's floor — 1-bit mean-threshold
+    # codes (16 bytes/vector) ranked by xor+popcount Hamming, graded
+    # standalone AND as shortlist-32 filter + exact re-rank vs exact
+    # cosine top-3; honest floor measured (20% standalone at 64 dims,
+    # 62-69% filtered — binary needs the 1024-dim regime); pure-Python
+    # replay incl. the packed-word popcount identity test-pinned.
+    "knn_binary_hamming",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -81,3 +81,85 @@ def test_ivf_probed_space_optimal(spark):
     assert got == [(r["vec_id"], r["cosine"]) for r in exact]
     # vec_id=1 is its own nearest neighbor inside its probed cell
     assert got[0][0] == 1
+
+
+def test_knn_binary_hamming_replays_in_pure_python(spark):
+    """Pure-Python replay of the 1-bit rung at the smoke SF:
+    mean-threshold bits, packed words, xor/popcount Hamming, both
+    arms' rankings and overlaps — and the structural guarantees (the
+    re-rank arm's shortlist is the binary arm's superset, so re-rank
+    recall >= standalone recall per probe is NOT implied, but the
+    measured aggregate improvement must hold)."""
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        _BINQ_C,
+        _BINQ_K,
+        _BINQ_PROBES,
+        knn_binary_hamming,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        (r.pid, r.variant): r for r in knn_binary_hamming(spark, SF_SMOKE).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    import math
+
+    x = {
+        r.vec_id: [math.floor(float(e) * 1_000_000 + 0.5) for e in r.embedding]
+        for r in emb
+    }
+    vecs = {r.vec_id: [float(e) for e in r.embedding] for r in emb}
+    n = len(x)
+    dims = 64
+    sums = [sum(v[j] for v in x.values()) for j in range(dims)]
+    bits = {k: [1 if v[j] * n > sums[j] else 0 for j in range(dims)] for k, v in x.items()}
+
+    def cos(a, b):
+        # NOTE: replay uses math.fsum-free left-to-right like the engines
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for xa, xb in zip(a, b):
+            dot += xa * xb
+            na += xa * xa
+            nb += xb * xb
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    agg_bin, agg_rr = 0, 0
+    for pid in range(_BINQ_PROBES):
+        ham = {
+            k: sum(b1 != b2 for b1, b2 in zip(bits[pid], bits[k]))
+            for k in bits
+            if k != pid
+        }
+        order = sorted(ham, key=lambda k: (ham[k], k))
+        sl = order[:_BINQ_C]
+        bt = order[:_BINQ_K]
+        rr = sorted(sl, key=lambda k: (-cos(vecs[pid], vecs[k]), k))[:_BINQ_K]
+        ex = sorted(
+            (k for k in vecs if k != pid),
+            key=lambda k: (-cos(vecs[pid], vecs[k]), k),
+        )[:_BINQ_K]
+        rb = rows[(pid, f"binary_top{_BINQ_K}")]
+        rrw = rows[(pid, f"shortlist{_BINQ_C}_rerank")]
+        assert rb.best_neighbor_id == bt[0]
+        assert rb.best_hamming == ham[bt[0]]
+        assert rb.n_overlap == len(set(bt) & set(ex))
+        assert rb.recall_ppm == rb.n_overlap * 1_000_000 // _BINQ_K
+        assert rrw.best_neighbor_id == rr[0]
+        assert rrw.n_overlap == len(set(rr) & set(ex))
+        assert rrw.n_reranked == _BINQ_C and rb.n_reranked == 0
+        assert rb.bytes_per_vector == 16
+        # the packed-word claim: word-level popcount equals bit compare
+        w1p = sum(1 << (j) for j in range(32) if bits[pid][j])
+        w1k = sum(1 << (j) for j in range(32) if bits[bt[0]][j])
+        w2p = sum(1 << (j) for j in range(32) if bits[pid][j + 32])
+        w2k = sum(1 << (j) for j in range(32) if bits[bt[0]][j + 32])
+        assert bin(w1p ^ w1k).count("1") + bin(w2p ^ w2k).count("1") == ham[bt[0]]
+        agg_bin += rb.n_overlap
+        agg_rr += rrw.n_overlap
+    # the measured finding: the filter+rerank posture beats standalone
+    assert agg_rr > agg_bin
