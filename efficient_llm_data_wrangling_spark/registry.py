@@ -238,6 +238,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # 62-69% filtered — binary needs the 1024-dim regime); pure-Python
     # replay incl. the packed-word popcount identity test-pinned.
     "knn_binary_hamming",
+    # NEW (r11): reshard movement accounting — consistent-hash ring
+    # (plan-time literal owner intervals, broadcast interval join) vs
+    # mod-hash for 8→9 shards, each graded against its own model
+    # (exact residues / realized arc share); 93‰ vs 889‰ measured at
+    # sf0.1; pure-Python replay test-pinned.
+    "reshard_movement_plan",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -129,3 +129,68 @@ def test_retention_plan_replays_interval_rule(spark):
         assert r.live_version == vs[-1]
         assert r.min_keep_version == min_keep
         assert r.n_versions == n_versions
+
+
+def test_reshard_movement_replays_in_pure_python(spark):
+    """Pure-Python replay of both strategies at the smoke SF: key
+    hashes, residue owners, ring intervals (rebuilt independently from
+    hashlib), per-key owner walks, movement counts, and both model
+    columns; the structural claims must hold (ring strictly moves
+    less; every key maps to exactly one interval)."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.layout import (
+        _RSH_AFTER,
+        _RSH_BEFORE,
+        _RSH_VNODES,
+        reshard_movement_plan,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.strategy: r for r in reshard_movement_plan(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"mod_hash", "consistent_ring"}
+
+    docs = [r.doc_id for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()]
+    h = {d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) for d in docs}
+
+    def ring(n):
+        pts = sorted(
+            (int(hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:8], 16), s)
+            for s in range(n)
+            for v in range(_RSH_VNODES)
+        )
+        return pts
+
+    def owner(pts, k):
+        # successor point on the ring; wrap to the first
+        for p, s in pts:
+            if k <= p:
+                return s
+        return pts[0][1]
+
+    pb, pa = ring(_RSH_BEFORE), ring(_RSH_AFTER)
+    ring_moved = sum(1 for d in docs if owner(pb, h[d]) != owner(pa, h[d]))
+    mod_moved = sum(1 for d in docs if h[d] % _RSH_BEFORE != h[d] % _RSH_AFTER)
+    n = len(docs)
+
+    m = rows["mod_hash"]
+    assert (m.n_docs, m.n_moved) == (n, mod_moved)
+    assert m.moved_permille == mod_moved * 1000 // n
+    assert m.expected_permille == _RSH_BEFORE * 1000 // _RSH_AFTER
+    r = rows["consistent_ring"]
+    assert (r.n_docs, r.n_moved) == (n, ring_moved)
+    assert r.moved_permille == ring_moved * 1000 // n
+    # realized arc share of the new shard, recomputed from the ring
+    arcs = 0
+    last = None
+    for i, (p, s) in enumerate(pa):
+        lo = pa[i - 1][0] + 1 if i > 0 else 0
+        if s == _RSH_AFTER - 1:
+            arcs += p - lo + 1
+        last = (p, s)
+    if pa[0][1] == _RSH_AFTER - 1:
+        arcs += (1 << 32) - 1 - last[0]
+    assert r.expected_permille == arcs * 1000 // (1 << 32)
+    # the structural claim: the ring strictly beats mod-hash
+    assert r.n_moved * 5 < m.n_moved
