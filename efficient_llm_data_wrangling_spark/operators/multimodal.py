@@ -360,3 +360,74 @@ def phash_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ensure_parallelism(assets).mapInPandas(featurize, PHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: scene-cut detection over per-frame nibble histograms
+# ---------------------------------------------------------------------------
+
+SCENE_FRAME = 16  # bytes per frame (test-scale stand-in for a real frame)
+SCENE_CUT_BAR = 24  # L1 nibble-histogram delta declaring a cut (of max 64)
+
+SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_boundaries", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("max_delta", T.LongType()),
+        T.StructField("sum_delta", T.LongType()),
+        T.StructField("longest_scene_frames", T.LongType()),
+    ]
+)
+
+
+def scene_cut_summary(
+    assets: DataFrame, frame: int = SCENE_FRAME, bar: int = SCENE_CUT_BAR
+) -> DataFrame:
+    """Per-asset scene segmentation: the payload body as a frame
+    sequence ({frame} bytes/frame, trailing partial dropped), each
+    frame featurized to its 16-bin nibble histogram, a CUT declared at
+    every boundary whose L1 histogram delta reaches ``bar`` (of the
+    2·{frame} max), summarized per asset (cut count, delta extremes,
+    longest scene). numpy over Arrow batches in ``mapInPandas`` — the
+    same worker pass a real codec's frame decode would ride; a real
+    deployment swaps the byte-histogram featurizer for decoded-frame
+    features and keeps every boundary/threshold/summary step."""
+    import numpy as np
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                body = bytes(payload)[HEADER_LEN:]
+                nf = len(body) // frame
+                if nf < 1:
+                    continue
+                a = np.frombuffer(body[: nf * frame], dtype=np.uint8).reshape(
+                    nf, frame
+                )
+                nib = np.concatenate([a >> 4, a & 15], axis=1)
+                hist = np.stack(
+                    [np.bincount(r, minlength=16) for r in nib]
+                ).astype(np.int64)
+                d = np.abs(np.diff(hist, axis=0)).sum(axis=1)
+                cuts = np.nonzero(d >= bar)[0] + 1  # cut BEFORE frame f
+                edges = np.concatenate([[0], cuts, [nf]])
+                out.append(
+                    (
+                        int(doc_id),
+                        nf,
+                        max(nf - 1, 0),
+                        int(len(cuts)),
+                        int(d.max()) if len(d) else 0,
+                        int(d.sum()) if len(d) else 0,
+                        int(np.diff(edges).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in SCENE_SCHEMA.fields],
+            )
+
+    return ensure_parallelism(assets).mapInPandas(summarize, SCENE_SCHEMA)

@@ -1768,3 +1768,102 @@ def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_MM_SCENE_ORACLE = f"""
+WITH hx AS (
+  SELECT doc_id, to_hex(encode(text)) AS h,
+         (octet_length(encode(text)) // {MM.SCENE_FRAME}) AS nf
+  FROM documents
+  WHERE octet_length(encode(text)) >= {MM.SCENE_FRAME}
+),
+nib AS (
+  SELECT doc_id, nf,
+         CAST(t.i AS BIGINT) // {2 * MM.SCENE_FRAME} AS f,
+         strpos('0123456789ABCDEF', substr(h, CAST(t.i + 1 AS BIGINT), 1)) - 1 AS bin
+  FROM hx, unnest(range(0, nf * {2 * MM.SCENE_FRAME})) AS t(i)
+),
+hist AS (
+  SELECT doc_id, nf, f, bin, CAST(count(*) AS BIGINT) AS c
+  FROM nib GROUP BY 1, 2, 3, 4
+),
+dense AS (
+  SELECT hx.doc_id, hx.nf, fr.f, b.bin, COALESCE(h.c, 0) AS c
+  FROM hx
+  CROSS JOIN unnest(range(0, 16)) AS b(bin)
+  JOIN LATERAL (SELECT unnest(range(0, hx.nf)) AS f) fr ON true
+  LEFT JOIN hist h
+    ON h.doc_id = hx.doc_id AND h.f = fr.f AND h.bin = b.bin
+),
+delta AS (
+  SELECT a.doc_id, a.nf, a.f,
+         CAST(sum(abs(a.c - p.c)) AS BIGINT) AS d
+  FROM dense a JOIN dense p
+    ON a.doc_id = p.doc_id AND a.bin = p.bin AND p.f = a.f - 1
+  WHERE a.f >= 1
+  GROUP BY 1, 2, 3
+),
+cuts AS (
+  SELECT doc_id, f FROM delta WHERE d >= {MM.SCENE_CUT_BAR}
+),
+edges AS (
+  SELECT doc_id, f FROM cuts
+  UNION ALL
+  SELECT doc_id, 0 FROM hx
+  UNION ALL
+  SELECT doc_id, nf FROM hx
+),
+scenes AS (
+  SELECT doc_id, f - lag(f) OVER (PARTITION BY doc_id ORDER BY f) AS slen
+  FROM edges
+),
+longest AS (
+  SELECT doc_id, CAST(max(slen) AS BIGINT) AS longest_scene_frames
+  FROM scenes WHERE slen IS NOT NULL GROUP BY doc_id
+),
+agg AS (
+  SELECT doc_id,
+         CAST(max(d) AS BIGINT) AS max_delta,
+         CAST(sum(d) AS BIGINT) AS sum_delta,
+         CAST(sum(CASE WHEN d >= {MM.SCENE_CUT_BAR} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts
+  FROM delta GROUP BY doc_id
+)
+SELECT hx.doc_id,
+       CAST(hx.nf AS BIGINT) AS n_frames,
+       CAST(greatest(hx.nf - 1, 0) AS BIGINT) AS n_boundaries,
+       CAST(COALESCE(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(a.max_delta, 0) AS BIGINT) AS max_delta,
+       CAST(COALESCE(a.sum_delta, 0) AS BIGINT) AS sum_delta,
+       l.longest_scene_frames
+FROM hx
+LEFT JOIN agg a ON hx.doc_id = a.doc_id
+JOIN longest l ON hx.doc_id = l.doc_id
+"""
+
+
+@query("multimodal_scene_cuts", oracle=_MM_SCENE_ORACLE, tags=("multimodal", "scale"))
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-CUT detection over the frame stream — the video-curation
+    step the frame-sample rung points at (a training pipeline samples
+    frames PER SCENE, not per fixed stride, so segmentation comes
+    first): payload body as {MM.SCENE_FRAME}-byte frames, per-frame
+    16-bin nibble histogram, a cut at every boundary whose L1 delta
+    reaches {MM.SCENE_CUT_BAR}/64 (the bar sits at the ~p95 of real
+    boundary deltas, so cuts mark genuine byte-content shifts), and
+    the per-asset summary a curation pass consumes (cut count, delta
+    extremes, longest scene). The featurize-diff-threshold-summarize
+    chain runs as ONE numpy-over-Arrow ``mapInPandas`` pass — exactly
+    where a real codec's decoded-frame features would ride; swapping
+    the featurizer is the only deployment change, the stubbed-decode
+    discipline of the whole multimodal family.
+
+    Scale: one worker pass over the payload column, no shuffle at all
+    (the summary is computed inside the pass, per asset); the oracle's
+    relational replay (dense per-frame histograms + self-join deltas)
+    is the grading path only. Frame features are 16 ints/frame — the
+    100 TB payload column never leaves the scan in decoded form.
+    """
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.scene_cut_summary(MM.with_payload(docs))

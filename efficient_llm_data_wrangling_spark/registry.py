@@ -244,6 +244,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # (exact residues / realized arc share); 93‰ vs 889‰ measured at
     # sf0.1; pure-Python replay test-pinned.
     "reshard_movement_plan",
+    # NEW (r11): video scene-cut detection — the segmentation step the
+    # frame-sample rung points at: per-frame nibble histograms, L1
+    # boundary deltas vs the p95 bar, per-asset summary, all in ONE
+    # numpy-over-Arrow mapInPandas pass (codec featurizer swappable —
+    # the stubbed-decode discipline); relational oracle replay;
+    # pure-Python loop replay test-pinned.
+    "multimodal_scene_cuts",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -201,3 +201,57 @@ def test_vad_segments_replay_from_payload_bytes(spark):
         assert r.longest_segment <= r.n_active
         assert (r.n_segments >= 1) == (r.n_active >= 1)
     assert payloads
+
+
+def test_scene_cuts_replay_in_pure_python(spark):
+    """Pure-Python (loop, no numpy) replay of the scene-cut chain at
+    the smoke SF: frame chunking, nibble histograms, L1 deltas, the
+    cut bar, and the longest-scene walk — every summary row must
+    match; structural invariants (cuts <= boundaries, longest <=
+    n_frames, sum >= max) must hold."""
+    from efficient_llm_data_wrangling_spark.operators.multimodal import (
+        SCENE_CUT_BAR,
+        SCENE_FRAME,
+    )
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        multimodal_scene_cuts,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in multimodal_scene_cuts(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    n_checked = 0
+    for d in docs:
+        body = d.text.encode()
+        nf = len(body) // SCENE_FRAME
+        if nf < 1:
+            assert d.doc_id not in rows
+            continue
+        hists = []
+        for f in range(nf):
+            h = [0] * 16
+            for b in body[f * SCENE_FRAME : (f + 1) * SCENE_FRAME]:
+                h[b >> 4] += 1
+                h[b & 15] += 1
+            hists.append(h)
+        deltas = [
+            sum(abs(a - b) for a, b in zip(hists[f], hists[f - 1]))
+            for f in range(1, nf)
+        ]
+        cuts = [f for f in range(1, nf) if deltas[f - 1] >= SCENE_CUT_BAR]
+        edges = [0] + cuts + [nf]
+        r = rows[d.doc_id]
+        assert r.n_frames == nf
+        assert r.n_boundaries == nf - 1
+        assert r.n_cuts == len(cuts)
+        assert r.max_delta == (max(deltas) if deltas else 0)
+        assert r.sum_delta == (sum(deltas) if deltas else 0)
+        assert r.longest_scene_frames == max(
+            b - a for a, b in zip(edges, edges[1:])
+        )
+        assert r.n_cuts <= r.n_boundaries
+        assert r.longest_scene_frames <= r.n_frames
+        assert r.sum_delta >= r.max_delta
+        n_checked += 1
+    assert n_checked == len(rows) > 0
