@@ -251,6 +251,15 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # the stubbed-decode discipline); relational oracle replay;
     # pure-Python loop replay test-pinned.
     "multimodal_scene_cuts",
+    # NEW (r11): the ensemble trainer — discrete AdaBoost over
+    # axis-aligned stumps: rational half-mass reweighting in BIGINTs,
+    # portable-ln alphas, 64×8×2 candidate-grid election with the
+    # polarity-flip identity, staged checkpointed rounds; honest
+    # negative measured (the prior is the best stump; boosting
+    # degrades to exactly the prior where the perceptron fell below
+    # it); full pure-Python replay incl. the half-mass invariant
+    # test-pinned.
+    "adaboost_stump_rounds",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -1476,3 +1476,97 @@ def test_insert_consolidate_reconciles_and_pins_the_negative(spark):
         rows["consolidate_rewalk"].recall_ppm
         >= rows["consolidate_descent"].recall_ppm
     )
+
+
+def test_adaboost_replays_in_pure_python(spark):
+    """Full pure-Python replay of the boosting loop at the smoke SF:
+    feature grid, weighted candidate errors with the polarity-flip
+    identity, (e, j, g, pol) election, portable-ln alpha (bit-exact
+    double replay), rational half-mass reweighting, and the ensemble
+    score walk — all three round rows must match; the half-mass
+    invariant must hold after every reweight."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.functions.portable_math import LN2_SQL
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _ADA_GRID,
+        _ADA_ROUNDS,
+        _ADA_W0,
+        _DIMS,
+        adaboost_stump_rounds,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {r.round: r for r in adaboost_stump_rounds(spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(1, _ADA_ROUNDS + 1))
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    rows = [
+        (
+            r.vec_id,
+            [math.floor(float(e) * 1_000_000 + 0.5) for e in r.embedding],
+            1 if r.label == 0 else -1,
+        )
+        for r in emb
+    ]
+    ln2 = float(LN2_SQL.split("'")[1])
+
+    def lnint(v: int) -> float:
+        b = v.bit_length()
+        m = v / float(1 << (b - 1))
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        acc = 1.0 / 31.0
+        for k in range(29, 0, -2):
+            acc = 1.0 / k + z2 * acc
+        return float(b - 1) * ln2 + 2.0 * (z * acc)
+
+    mn = [min(x[j] for _, x, _ in rows) for j in range(_DIMS)]
+    mx = [max(x[j] for _, x, _ in rows) for j in range(_DIMS)]
+    grid = [
+        (j + 1, g, mn[j] + (mx[j] - mn[j]) * (g + 1) // (_ADA_GRID + 1))
+        for j in range(_DIMS)
+        for g in range(_ADA_GRID)
+    ]
+    w = {vid: _ADA_W0 for vid, _, _ in rows}
+    score = {vid: 0.0 for vid, _, _ in rows}
+    for rnd in range(1, _ADA_ROUNDS + 1):
+        S = sum(w.values())
+        cands = []
+        for j, g, t in grid:
+            ep = sum(
+                w[vid]
+                for vid, x, y in rows
+                if (1 if x[j - 1] > t else -1) != y
+            )
+            cands.append((ep, j, g, 1, t))
+            cands.append((S - ep, j, g, -1, t))
+        e, j, g, pol, t = min(cands, key=lambda c: (c[0], c[1], c[2], c[3]))
+        alpha = 0.5 * (lnint(S - e) - lnint(max(e, 1)))
+        nse = 0
+        for vid, x, y in rows:
+            pred = pol if x[j - 1] > t else -pol
+            if pred != y:
+                nse += 1
+                w[vid] = w[vid] * S // (2 * max(e, 1))
+            else:
+                w[vid] = w[vid] * S // (2 * max(S - e, 1))
+            score[vid] += alpha * pred
+        nee = sum(1 for vid, _, y in rows if y * score[vid] <= 0)
+        r = got[rnd]
+        assert r.feat_j == j and r.threshold == t and r.polarity == pol
+        assert r.total_weight == S and r.weighted_err == e
+        assert r.weighted_err_permille == e * 1000 // S
+        assert r.alpha_micro == math.floor(alpha * 1_000_000 + 0.5)
+        assert r.n_stump_errors == nse
+        assert r.n_ensemble_errors == nee
+        # the half-mass invariant (exact up to per-row truncation)
+        wrong_mass = sum(
+            w[vid]
+            for vid, x, y in rows
+            if (pol if x[j - 1] > t else -pol) != y
+        )
+        assert abs(wrong_mass * 2 - sum(w.values())) <= 2 * len(rows)
