@@ -260,6 +260,13 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # it); full pure-Python replay incl. the half-mass invariant
     # test-pinned.
     "adaboost_stump_rounds",
+    # NEW (r11): exact Shapley data valuation over 4 source groups —
+    # all 16 coalition LMs as conditional aggregates of ONE vocabulary
+    # pass, portable-ln micro-nat values, exact-factorial weights;
+    # efficiency identity lands to the last micro-nat; the textbook
+    # substitutes finding (LOO≈0, solo≈full, Shapley prices the
+    # redundancy); full pure-Python replay test-pinned.
+    "source_shapley_attribution",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -603,3 +603,98 @@ def test_dp_noisy_release_replays_mechanism_in_pure_python(spark):
     # E|Lap(2)| = 2 (deterministic given the fixed seed strings)
     errs = [r.count_abs_err for r in rows.values()]
     assert 0.5 <= sum(errs) / len(errs) <= 4.0
+
+
+def test_source_shapley_replays_and_efficiency_exact(spark):
+    """Pure-Python replay of all 16 coalition values (portable-ln
+    replay, micro-nat rounding, truncating per-coalition division)
+    and the exact-factorial Shapley formula at the smoke SF; the
+    efficiency identity must hold EXACTLY on the emitted integers,
+    and the redundancy finding must hold (every solo gain exceeds
+    every |LOO| gain)."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.functions.portable_math import LN2_SQL
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        _SHAP_EVAL_BAND,
+        _SHAP_N,
+        _SHAP_TRAIN_BANDS,
+        _SHAP_WNUM,
+        source_shapley_attribution,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        r.group_id: r for r in source_shapley_attribution(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(range(_SHAP_N))
+
+    import hashlib
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    ).collect()
+    ln2 = float(LN2_SQL.split("'")[1])
+
+    def lnint(v: int) -> float:
+        b = v.bit_length()
+        m = v / float(1 << (b - 1))
+        z = (m - 1.0) / (m + 1.0)
+        z2 = z * z
+        acc = 1.0 / 31.0
+        for k in range(29, 0, -2):
+            acc = 1.0 / k + z2 * acc
+        return float(b - 1) * ln2 + 2.0 * (z * acc)
+
+    vocab = set()
+    cnt = [dict() for _ in range(_SHAP_N)]
+    tot = [0] * _SHAP_N
+    ev_toks = []
+    for d in docs:
+        band = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[0], 16)
+        g = int(d.source[3:]) % _SHAP_N
+        toks = [t for t in d.text.split(" ") if t]
+        vocab.update(toks)
+        if band < _SHAP_TRAIN_BANDS:
+            tot[g] += len(toks)
+            for t in toks:
+                cnt[g][t] = cnt[g].get(t, 0) + 1
+        elif band == _SHAP_EVAL_BAND:
+            ev_toks.extend(toks)
+    V = len(vocab)
+    vm = {}
+    for m in range(1 << _SHAP_N):
+        gs = [g for g in range(_SHAP_N) if m >> g & 1]
+        tm = sum(tot[g] for g in gs)
+        sm = 0
+        for t in ev_toks:
+            c = sum(cnt[g].get(t, 0) for g in gs)
+            sm += math.floor((lnint(tm + V) - lnint(c + 1)) * 1_000_000 + 0.5)
+        vm[m] = sm // len(ev_toks)
+    full = (1 << _SHAP_N) - 1
+    phis = []
+    for i in range(_SHAP_N):
+        numer = sum(
+            _SHAP_WNUM[bin(m).count("1")] * (vm[m] - vm[m | (1 << i)])
+            for m in range(1 << _SHAP_N)
+            if not m >> i & 1
+        )
+        phi = math.floor(numer / 24.0 + 0.5)
+        phis.append(phi)
+        r = rows[i]
+        assert r.vocab_size == V
+        assert r.n_eval_tokens == len(ev_toks)
+        assert r.n_train_tokens == tot[i]
+        assert r.xent_empty_micro == vm[0]
+        assert r.xent_full_micro == vm[full]
+        assert r.xent_solo_micro == vm[1 << i]
+        assert r.xent_loo_micro == vm[full ^ (1 << i)]
+        assert r.solo_gain_micro == vm[0] - vm[1 << i]
+        assert r.loo_gain_micro == vm[full ^ (1 << i)] - vm[full]
+        assert r.shapley_micro == phi
+    # efficiency: exact on the emitted integers (weights sum telescopes)
+    assert sum(r.shapley_micro for r in rows.values()) == vm[0] - vm[full]
+    # the redundancy finding: substitutes — solo >> |LOO| for every group
+    for r in rows.values():
+        assert r.solo_gain_micro > 10 * abs(r.loo_gain_micro)
