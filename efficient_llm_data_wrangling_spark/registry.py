@@ -267,6 +267,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # substitutes finding (LOO≈0, solo≈full, Shapley prices the
     # redundancy); full pure-Python replay test-pinned.
     "source_shapley_attribution",
+    # NEW (r11): the RLHF/DPO training-data op — deterministic
+    # max-margin (chosen, rejected) pair assembly per language from
+    # the graded linear scorer, with the margin floor and same-text
+    # guard deciding kept; margin distribution measured; pure-Python
+    # replay + at-most-one-pair-per-doc structure test-pinned.
+    "preference_pairs_assembly",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

@@ -682,3 +682,61 @@ def test_rm3_expansion_matches_pure_python_replay(spark):
     moved = set(top2) - set(top1)
     assert moved, "expansion must move the list"
     assert len(set(top1) & set(top2)) >= _RM3_TOPK // 2, "but keep continuity"
+
+
+def test_preference_pairs_replay_and_structure(spark):
+    """Pure-Python replay of the pairing at the smoke SF (scorer
+    re-derived via hashlib, max-margin pairing, margin floor,
+    same-text guard) plus the structural guarantees: every doc in at
+    most one pair, margins non-negative, chosen outranks rejected."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _PP_MARGIN,
+        preference_pairs_assembly,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = preference_pairs_assembly(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+
+    def w(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 17 - 8
+
+    def score(text: str) -> int:
+        toks = [t for t in text.split(" ") if t]
+        s = sum(w(t) for t in toks)
+        if len(toks) >= 2:
+            s += sum(w(a + "_" + b) for a, b in zip(toks, toks[1:]))
+        return s
+
+    by_lang: dict = {}
+    th = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append((score(d.text), d.doc_id))
+        th[d.doc_id] = hashlib.md5(d.text.encode()).hexdigest()
+    expected = {}
+    for lang, ds in by_lang.items():
+        ranked = sorted(ds, key=lambda t: (-t[0], t[1]))
+        n = len(ranked)
+        for r in range(1, n // 2 + 1):
+            (cs, cid), (rs, rid) = ranked[r - 1], ranked[n - r]
+            expected[(lang, r)] = (
+                cid, rid, cs, rs, cs - rs,
+                th[cid] == th[rid],
+                cs - rs >= _PP_MARGIN and th[cid] != th[rid],
+            )
+    assert len(rows) == len(expected)
+    used = set()
+    for r in rows:
+        e = expected[(r.lang, r.pair_rank)]
+        assert (
+            r.chosen_id, r.rejected_id, r.chosen_score, r.rejected_score,
+            r.margin, r.same_text, r.kept,
+        ) == e, (r.lang, r.pair_rank)
+        assert r.margin >= 0
+        assert r.chosen_id not in used and r.rejected_id not in used
+        used.update((r.chosen_id, r.rejected_id))
