@@ -273,6 +273,12 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # guard deciding kept; margin distribution measured; pure-Python
     # replay + at-most-one-pair-per-doc structure test-pinned.
     "preference_pairs_assembly",
+    # NEW (r11): word2vec data prep — windowed skip-gram pairs with
+    # deterministic IEEE-sqrt subsampling verdicts and md5 inverse-CDF
+    # unigram negative draws via broadcast interval joins; deviations
+    # (windows on the original sequence, collisions kept + counted)
+    # documented, not hidden; pure-Python replay test-pinned.
+    "skipgram_negative_sampling",
 )
 
 _STALE_R5_REMAINDER: tuple[str, ...] = (

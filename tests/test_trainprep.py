@@ -240,3 +240,71 @@ def test_source_ablation_report_replays_in_pure_python(spark):
         assert r.drop_improves == (r.delta_milli < 0)
     shares = sum(r.token_share_permille for r in rows)
     assert 1000 - len(rows) <= shares <= 1000
+
+
+def test_skipgram_negative_sampling_replays_in_pure_python(spark):
+    """Pure-Python replay at the smoke SF: positions, unigram counts,
+    token-ordered cumulative intervals, the IEEE-sqrt subsampling
+    verdicts, windowed pairs, and both md5 inverse-CDF negative draws
+    — every output row must match; pair count must be exactly the
+    in-bounds window size."""
+    import hashlib
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        _SG_NEGS,
+        _SG_T,
+        _SG_TWO32,
+        _SG_WINDOW,
+        skipgram_negative_sampling,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        (r.doc_id, r.pos, r.off): r
+        for r in skipgram_negative_sampling(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+
+    def u32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    seqs = {d.doc_id: [t for t in d.text.split(" ") if t] for d in docs}
+    cnt: dict = {}
+    for toks in seqs.values():
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+    T = sum(cnt.values())
+    cum = []
+    lo = 0
+    for tok in sorted(cnt):
+        cum.append((lo, lo + cnt[tok] - 1, tok))
+        lo += cnt[tok]
+
+    def pick(u: int) -> str:
+        for a, b, tok in cum:
+            if a <= u <= b:
+                return tok
+        raise AssertionError(u)
+
+    tt = float(_SG_T)
+    n_pairs = 0
+    for doc_id, toks in seqs.items():
+        keep = {}
+        for i, tok in enumerate(toks):
+            p = math.sqrt(tt * T / cnt[tok]) + tt * T / cnt[tok]
+            keep[i] = (u32(f"{doc_id}:{i}:sub") / float(_SG_TWO32)) < p
+        for i, tok in enumerate(toks):
+            for off in _SG_WINDOW:
+                j = i + off
+                if not (0 <= j < len(toks)):
+                    continue
+                n_pairs += 1
+                r = rows[(doc_id, i, off)]
+                assert r.center == tok and r.context == toks[j]
+                assert r.kept == (keep[i] and keep[j])
+                for d in range(1, _SG_NEGS + 1):
+                    u = u32(f"{doc_id}:{i}:{off}:neg{d}") % T
+                    assert getattr(r, f"neg{d}") == pick(u), (doc_id, i, off, d)
+    assert n_pairs == len(rows) > 0
