@@ -273,6 +273,14 @@ _NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
     # guard deciding kept; margin distribution measured; pure-Python
     # replay + at-most-one-pair-per-doc structure test-pinned.
     "preference_pairs_assembly",
+)
+
+#: r11 registrations past the 50-slot window once the 15-row r5 re-pin
+#: is protected (the re-pin outranks a brand-new query's FIRST grade:
+#: new queries carry full pytest replay evidence either way, while the
+#: r5 rows' driver evidence is what this round exists to refresh).
+#: These are the EXPLICIT r12 carry — pin them first next round.
+_NEW_R11_SPILLOVER: tuple[str, ...] = (
     # NEW (r11): word2vec data prep — windowed skip-gram pairs with
     # deterministic IEEE-sqrt subsampling verdicts and md5 inverse-CDF
     # unigram negative draws via broadcast interval joins; deviations
@@ -351,7 +359,12 @@ _STALE_R6_FILL: tuple[str, ...] = (
 )
 
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = tuple(
-    dict.fromkeys(_NEW_OR_CHANGED_IN_R11 + _STALE_R5_REMAINDER + _STALE_R6_FILL)
+    dict.fromkeys(
+        _NEW_OR_CHANGED_IN_R11
+        + _STALE_R5_REMAINDER
+        + _NEW_R11_SPILLOVER
+        + _STALE_R6_FILL
+    )
 )[:50]
 
 
