@@ -118,6 +118,16 @@ HEADLINE = [
     # → the serving family, CBO estimators/drift reports → cheap
     # scan-aggregates, RM3 → the BM25 family)
     "unigram_lm_tokenizer_round",
+    # round-11 fourth batch (BENCH_r11 seeds its baseline): skip-gram
+    # pair generation — token-position self-joins plus two broadcast
+    # interval joins over ~0.5M pair rows is a genuinely new heavy
+    # shape (the op whose first cut measured 580 s from correlated
+    # scalar subqueries — priced here so the join rewrite stays
+    # honest); the other fourth-batch operators ride priced families
+    # (binary/Shapley/scene-cuts/AdaBoost → scan-aggregate shapes the
+    # corpus headliners already carry, reshard/preference → sub-second
+    # window/join shapes)
+    "skipgram_negative_sampling",
 ]
 
 
