@@ -722,30 +722,38 @@ def _sg_u32(s: str, vc: str) -> str:
     ) + ")"
 
 
-def _sg_sql(dv: str, tbl: str, vc: str, pos_src: str) -> str:
-    """Engine-portable body over a positions view ``{pos_src}``
-    (doc_id, pos, tok — 0-based positions): unigram counts, the
-    cumulative negative-sampling intervals (token-ordered), per-token
-    keep probabilities (word2vec subsampling, IEEE sqrt — correctly
-    rounded, so the double is shared), per-instance keep verdicts,
-    windowed pairs, and {negs} deterministic negative draws per pair
-    via interval lookup."""
-    keep_hash = _sg_u32("concat(CAST(doc_id AS {vc}), ':', CAST(pos AS {vc}), ':sub')".format(vc=vc), vc)
-    neg_hash = lambda d: _sg_u32(  # noqa: E731
+def _sg_u32_conv(s: str) -> str:
+    """Spark spelling of the same 32-bit value: ONE md5 call through
+    ``conv`` (DuckDB has no conv, so its side keeps the instr chain —
+    the ``weighted_sample_orders`` precedent; identical integers)."""
+    return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def _sg_parts(dv: str, vc: str, pos_src: str, engine: str = "duck") -> tuple[str, str]:
+    """(with_body, final_fmt): the WITH chain through ``pn`` (counts,
+    cumulative intervals, keep verdicts, windowed pairs, per-pair
+    negative uniforms) and the final interval-join SELECT with ``{pn}``
+    / ``{cum}`` table slots — one source of truth; the oracle splices
+    them into one statement, the Spark side MATERIALIZES ``pn`` and
+    ``cum`` first so the md5-chain uniforms are computed once per row
+    and never re-evaluated inside the join conditions (the first cut
+    did exactly that: ~550M md5 calls, 71 s at sf0.1; split, the
+    query runs in seconds)."""
+    u32 = _sg_u32_conv if engine == "spark" else (lambda t: _sg_u32(t, vc))
+    keep_hash = u32("concat(CAST(doc_id AS {vc}), ':', CAST(pos AS {vc}), ':sub')".format(vc=vc))
+    neg_hash = lambda d: u32(  # noqa: E731
         "concat(CAST(p.doc_id AS {vc}), ':', CAST(p.pos AS {vc}), ':',"
         " CAST(p.off AS {vc}), ':neg{d}')".format(vc=vc, d=d),
-        vc,
     )
     u_cols = ", ".join(
         f"({neg_hash(d)}) % tot.t AS u{d}" for d in range(1, _SG_NEGS + 1)
     )
     neg_joins = "\n".join(
-        f"JOIN cum c{d} ON pn.u{d} BETWEEN c{d}.lo AND c{d}.hi"
+        f"JOIN {{cum}} c{d} ON pn.u{d} BETWEEN c{d}.lo AND c{d}.hi"
         for d in range(1, _SG_NEGS + 1)
     )
     neg_cols = ", ".join(f"c{d}.tok AS neg{d}" for d in range(1, _SG_NEGS + 1))
-    return f"""
-WITH cnt AS (
+    with_body = f"""cnt AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS c FROM {pos_src} GROUP BY tok
 ),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
@@ -780,13 +788,18 @@ pairs AS (
 pn AS (
   SELECT p.doc_id, p.pos, p.off, p.center, p.context, p.kept, {u_cols}
   FROM pairs p CROSS JOIN tot
-)
-SELECT pn.doc_id, CAST(pn.pos AS BIGINT) AS pos, CAST(pn.off AS BIGINT) AS off,
+)"""
+    final = f"""SELECT pn.doc_id, CAST(pn.pos AS BIGINT) AS pos, CAST(pn.off AS BIGINT) AS off,
        pn.center, pn.context, pn.kept,
        {neg_cols}
-FROM pn
-{neg_joins}
-"""
+FROM {{pn}} pn
+{neg_joins}"""
+    return with_body, final
+
+
+def _sg_sql(dv: str, tbl: str, vc: str, pos_src: str) -> str:
+    with_body, final = _sg_parts(dv, vc, pos_src)
+    return f"\nWITH {with_body}\n" + final.format(pn="pn", cum="cum") + "\n"
 
 
 _SG_POS_DUCK = f"""__sgpos AS (
@@ -855,4 +868,12 @@ def skipgram_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(_toks_col()).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
     pos.localCheckpoint().createOrReplaceTempView("__sgpos")
-    return spark.sql(_sg_sql("div", "documents", "STRING", "__sgpos"))
+    with_body, final = _sg_parts("div", "STRING", "__sgpos", engine="spark")
+    # materialize pn (so every md5-chain uniform is computed exactly
+    # once per pair row, never re-evaluated inside the interval-join
+    # conditions) and the 1-vocab-row cum table before the joins
+    spark.sql(f"WITH {with_body} SELECT * FROM pn").localCheckpoint(
+    ).createOrReplaceTempView("__sgpn")
+    spark.sql(f"WITH {with_body} SELECT * FROM cum").localCheckpoint(
+    ).createOrReplaceTempView("__sgcum")
+    return spark.sql(final.format(pn="__sgpn", cum="__sgcum"))
