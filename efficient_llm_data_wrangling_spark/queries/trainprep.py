@@ -729,7 +729,7 @@ def _sg_u32_conv(s: str) -> str:
     return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
 
 
-def _sg_parts(dv: str, vc: str, pos_src: str, engine: str = "duck") -> tuple[str, str]:
+def _sg_parts(vc: str, pos_src: str, engine: str = "duck") -> tuple[str, str]:
     """(with_body, final_fmt): the WITH chain through ``pn`` (counts,
     cumulative intervals, keep verdicts, windowed pairs, per-pair
     negative uniforms) and the final interval-join SELECT with ``{pn}``
@@ -797,8 +797,8 @@ FROM {{pn}} pn
     return with_body, final
 
 
-def _sg_sql(dv: str, tbl: str, vc: str, pos_src: str) -> str:
-    with_body, final = _sg_parts(dv, vc, pos_src)
+def _sg_sql(vc: str, pos_src: str) -> str:
+    with_body, final = _sg_parts(vc, pos_src)
     return f"\nWITH {with_body}\n" + final.format(pn="pn", cum="cum") + "\n"
 
 
@@ -812,7 +812,7 @@ _SG_POS_DUCK = f"""__sgpos AS (
 def _sg_oracle() -> str:
     from efficient_llm_data_wrangling_spark.queries.corpusops import _TOKS_SQL
 
-    body = _sg_sql("//", "documents", "VARCHAR", "__sgpos")
+    body = _sg_sql("VARCHAR", "__sgpos")
     pos = _SG_POS_DUCK.format(toks=_TOKS_SQL)
     return body.replace("WITH cnt AS", f"WITH {pos},\ncnt AS", 1)
 
@@ -868,7 +868,7 @@ def skipgram_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(_toks_col()).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
     pos.localCheckpoint().createOrReplaceTempView("__sgpos")
-    with_body, final = _sg_parts("div", "STRING", "__sgpos", engine="spark")
+    with_body, final = _sg_parts("STRING", "__sgpos", engine="spark")
     # materialize pn (so every md5-chain uniform is computed exactly
     # once per pair row, never re-evaluated inside the interval-join
     # conditions) and the 1-vocab-row cum table before the joins
