@@ -47,270 +47,58 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 #: The driver grades the FIRST 50 queries in ``queries()`` order per
-#: round. Round-11 window, maintained as FOUR segments so that every
+#: round. Round-12 window, maintained as THREE segments so that every
 #: new query is pinned into the window IN THE SAME COMMIT that
 #: registers it, while the round's re-pin goal stays protected:
 #:
-#: 1. ``_NEW_OR_CHANGED_IN_R11`` — queries registered OR semantically
-#:    rebuilt this round (the r11 build filled this to exactly
-#:    50 − 15 = 35 entries, the most the window admits without
-#:    displacing segment 2);
-#: 2. ``_STALE_R5_REMAINDER`` — the 15 rows whose most recent driver
-#:    grade is still round 5: exactly
-#:    ``[n for n in r10._STALE_R5_FILL if n not in r10 window]`` — the
-#:    re-pin expression the r10 registry documented, now evaluated
-#:    (CORRECTNESS_r10 graded the other 32 green). Once CORRECTNESS_r11
-#:    lands these, the r5 cohort is fully retired and the staleness
-#:    floor becomes round 6;
-#: 3. ``_NEW_R11_SPILLOVER`` — r11 registrations past the full window
-#:    (brand-new queries with full pytest replay evidence; their
-#:    FIRST driver grade waits for r12 — the re-pin outranks it);
-#:    ordered at slot 51+ so r12 pins them first;
-#: 4. ``_STALE_R6_FILL`` — the 47 rows whose most recent driver grade
+#: 1. ``_R11_SPILLOVER_CARRY`` — the single r11 registration past that
+#:    round's full window (the r11 registry's explicit promise: "pin
+#:    them first next round"). Its oracle was ALSO checked out-of-band
+#:    at the r12 session start (105,660 rows hash-match at sf0.01) per
+#:    the r11 advisor note, so its evidence is not a round behind its
+#:    bench numbers even before CORRECTNESS_r12 lands;
+#: 2. ``_NEW_OR_CHANGED_IN_R12`` — queries registered OR semantically
+#:    rebuilt this round;
+#: 3. ``_STALE_R6_FILL`` — the 47 rows whose most recent driver grade
 #:    is round 6 (every one hash-matched the judge's independent
-#:    256/256 sweep in r10). With segments 1+2 at 50 exactly, the
-#:    whole r6 cohort is the r12 fill pool, re-pinned next round via
-#:    ``[n for n in _STALE_R6_FILL if n not in DRIVER_GRADE_PRIORITY]``.
+#:    256/256 sweep in r10). The window takes the first
+#:    50 − len(segments 1+2); the remainder is the r13 fill pool via
+#:    the documented re-pin expression
+#:    ``[n for n in _STALE_R6_FILL if n not in DRIVER_GRADE_PRIORITY]``,
+#:    ordered at slot 51+ so r13 pins them first.
 #:
-#: Round-10 window (kept for the audit trail and the re-pin
-#: expressions above): 7 ``_NEW_OR_CHANGED_IN_R10`` (beam16, frontier,
-#: neardup gate, pruned rung, erasure re-pin, drift report, scaling
-#: curve) + the 11 r4-remainder rows + first 32 of the 47-row r5
-#: cohort — all 50 graded green in CORRECTNESS_r10, retiring the r4
-#: cohort.
-_NEW_OR_CHANGED_IN_R11: tuple[str, ...] = (
-    # plan-changed AND hardened (values changed): the standing
-    # band-index broadcast is now row-count-guarded (VERDICT r10 note
-    # #1) and planted arrival ids moved to the negative integers
-    # (-(doc_id+1)) so planted_leak can never misflag or collide at
-    # any scale (r10 ADVICE hardening).
-    "stream_neardup_gate",
-    # hardened (values changed): planted train ids -(doc_id+1) — same
-    # ADVICE hardening, batch fuzzy rung.
-    "decontaminate_minhash_fuzzy",
-    # hardened (values changed): planted train ids -(vec_id+1) — same
-    # ADVICE hardening, semantic rung.
-    "decontaminate_semantic_cosine",
-    # semantics changed (VERDICT r10 item 5): the occupancy alert is
-    # now magnitude-floor AND 4σ binomial-significance (integer
-    # cross-multiplied, 1/√population-scaled), with the per-cell noise
-    # term reported; stationary corpus reads quiet, planted skew
-    # test-pinned to still alert.
-    "knn_ivf_drift_report",
-    # NEW (VERDICT r10 item 3): the beam16 walk at the DiskANN
-    # production memory posture — hop-time asymmetric distances over
-    # 8×8 PQ codes (priced against reconstructions), every touched
-    # vertex re-ranked exactly (the per-visit full-precision read).
-    "knn_graph_serving_adc",
-    # values changed: the frontier gains row v12 (the ADC posture) and
-    # v13 (ADC × 10 hops — the hop-recovery probe the ADC rung's
-    # read-off names) so the compression trade sits in the acceptance
-    # table; row-vs-rung equality extended to the new rung.
-    "ann_frontier_report",
-    # NEW (VERDICT r10 item 4): filtered vector search — the graded
-    # walk constrained to a metadata predicate at five selectivities,
-    # graded vs exact filtered neighbors; the cliff (walk dies between
-    # 50% and 25% selectivity) measured and pinned.
-    "knn_graph_serving_filtered",
-    # NEW (r11 follow-through): the filtered ladder's other arm — the
-    # degree-8 graph REBUILT within each allowed slice, measuring what
-    # the per-filter build buys below the shared-graph cliff.
-    "knn_graph_serving_filtered_rebuilt",
-    # NEW (r11): the PARAPHRASE rung that completes the streaming
-    # dedup ladder rung-for-rung with the batch decontamination
-    # ladder — arriving vectors probe 2 standing IVF cells scan-side
-    # (codebook as literals), stateless stream-static cell join,
-    # exact-cosine verify batch-side; planted rotation-mix arrivals
-    # all caught at their origin, zero false flags.
-    "stream_semantic_gate",
-    # NEW (VERDICT r10 item 6): the band-index maintenance stream —
-    # foreachBatch versions each batch's band rows into the standing
-    # dedup artifact (seen-set semantics ⇒ order-free convergence,
-    # multi-batch ≡ batch-built test-pinned); full value oracle on the
-    # admission manifest.
-    "stream_band_index_maintenance",
-    # NEW (r11): UniMax epoch-capped water-fill over languages — the
-    # mixture-planning rule that makes small-language over-repetition
-    # impossible by construction; closed-form capped-prefix election
-    # in exact BIGINTs, pure-Python replay test-pinned.
-    "unimax_mixture_plan",
-    # NEW (r11): ranking-aware retrieval eval — nDCG@10 / MRR / recall
-    # per (policy, query) over the fixed probe set with integer
-    # micro-discount constants shared by both engines; exact policy is
-    # the nDCG≡1000 control, superset monotonicity test-pinned.
-    "retrieval_ndcg_report",
-    # NEW (r11): FreshDiskANN-style incremental graph maintenance —
-    # arrivals insert by walking the standing graph (out-edges = walk
-    # top-8, degree-capped back-edge re-election), graded vs the full
-    # rebuild with the arrival-target recall split; rebuilt arm ≡
-    # beam16 rung test-pinned.
-    "knn_graph_incremental_insert",
-    # NEW (r11): the DELETE half of index maintenance — FreshDiskANN
-    # consolidation (survivor edges kept, deleted vertices' in-edges
-    # bridged through their out-neighbors, degree-capped re-election)
-    # vs survivors-rebuild, graded vs exact survivor neighbors; the
-    # n_edges_to_erased audit column reads 0 by construction.
-    "knn_graph_delete_consolidate",
-    # NEW (r11): near-dup family size histogram — the crawler-loop
-    # detector; reconciles exactly with dedup_cluster_canonical
-    # (test-pinned Σ n_redundant = its non-canonical count).
-    "dup_cluster_size_report",
-    # NEW (r11): snapshot retention plan — the VACUUM/expire_snapshots
-    # decision on the compaction-report inventory discipline; interval
-    # reference rule, pure-Python replay test-pinned.
-    "snapshot_retention_plan",
-    # NEW (r11): the OTHER tokenizer algorithm — one SentencePiece
-    # unigram-LM hard-EM round (integer Viterbi DP over the word-type
-    # histogram, shared step expressions, staged checkpoints vs CTE
-    # re-expansion); full pure-Python replay test-pinned, which caught
-    # a real shared-formula ln-precedence bug the oracle could not.
-    "unigram_lm_tokenizer_round",
-    # NEW (r11): join-size estimation by md5 key-domain sampling (the
-    # CBO input), graded vs exact per-mille; the F2 self-join and the
-    # small-domain failure mode (n_keys_sampled=0 ⇒ est 0) included;
-    # pure-Python replay test-pinned.
-    "join_cardinality_estimate",
-    # NEW (r11): incremental view maintenance under erasure — count and
-    # sum maintained by retraction (oracle recomputes directly, so the
-    # hash equality IS the IVM theorem), max honestly flagged as
-    # non-maintainable via max_invalidated.
-    "ivm_erasure_rollup",
-    # NEW (r11): histogram-based predicate selectivity (the other CBO
-    # input) — uniform-within-bucket interpolation in exact BIGINTs,
-    # graded per-mille across three predicate regimes.
-    "predicate_selectivity_estimate",
-    # NEW (r11): column-level data-contract drift — null-rate bar plus
-    # class-appropriate domain checks (unseen-share for categorical,
-    # out-of-range for continuous; NDV density measured and rejected
-    # as saturation-blind); planted-drift test through the shared
-    # template.
-    "schema_drift_report",
-    # NEW (r11): RM3 pseudo-relevance feedback — BM25 query expansion
-    # over a generic inverted index (data-elected terms), contributions
-    # micro-rounded before summation so every election is order-free
-    # BIGINT; full pure-Python replay test-pinned.
-    "bm25_rm3_expansion",
-    # NEW (r11): the selectivity escalation, measured — equi-depth via
-    # the scalable global-rank bucketing; the population-conditional
-    # finding (thin buckets lose to the fixed grid) test-pinned.
-    "predicate_selectivity_equidepth",
-    # NEW (r11): the data-contract check at the ingest edge — the
-    # streaming twin of schema_drift_report: scan-side contract flags
-    # against the standing profile (broadcast stream-static lookups,
-    # zero extra state), per finalized 1-day window with the batch
-    # report's class-appropriate bars; full value oracle, planted
-    # flags test-pinned through the shared expressions.
-    "stream_contract_gate",
-    # NEW (r11): the consolidation pass the insert rung's measurement
-    # demands — one _descent_round over the insert-by-walk maintained
-    # graph (the FreshDiskANN periodic repair, edges-only, codebook
-    # untouched), pre-/post- arms served at the graded width under the
-    # standing fit; incremental arm ≡ insert rung's arm test-pinned.
-    "knn_graph_insert_consolidate",
-    # NEW (r11): the Selinger left-deep DP run on the repo's own CBO
-    # inputs — sampled pair cardinalities + independence model vs the
-    # true-cardinality control, C_out cost, total tie-breaks; all 10
-    # subsets agree at every SF while the nation edge surfaces the
-    # small-domain zero-sample degeneracy inside the DP; full
-    # pure-Python replay test-pinned.
-    "join_order_plan",
-    # NEW (r11): the privacy ladder's endpoint — ε-DP Laplace release
-    # of per-(lang, source) count + clipped char-sum, deterministic
-    # versioned-seed noise through the portable ln (the oracle hash
-    # equality IS the mechanism replay), composition ledger in every
-    # row; calibration + utility-vs-group-mass measured; full
-    # pure-Python mechanism replay test-pinned.
-    "dp_noisy_release",
-    # NEW (r11): the semantic gate's maintenance path — the standing
-    # IVF cell index ages with the stream via the versioned foreachBatch
-    # upsert (codebook frozen; refresh is the drift monitor's batch
-    # job), cosine-verified manifest with every path provably firing
-    # (double-planted paraphrases), multi-batch convergence
-    # test-pinned; full value oracle.
-    "stream_cell_index_maintenance",
-    # NEW (r11): runtime-filter pruning measured — deterministic k=3
-    # bloom at two sizes over the filtered dim keys, scan-side fact
-    # probe graded vs the exact semi-join, with the realized-occupancy
-    # FP model (bits_set/m)^k priced against measurement (3‰ accurate
-    # at saturation); the execution-time half of join optimization
-    # next to join_order_plan; pure-Python replay test-pinned.
-    "bloom_semijoin_prune_report",
-    # NEW (r11): the quantization ladder's floor — 1-bit mean-threshold
-    # codes (16 bytes/vector) ranked by xor+popcount Hamming, graded
-    # standalone AND as shortlist-32 filter + exact re-rank vs exact
-    # cosine top-3; honest floor measured (20% standalone at 64 dims,
-    # 62-69% filtered — binary needs the 1024-dim regime); pure-Python
-    # replay incl. the packed-word popcount identity test-pinned.
-    "knn_binary_hamming",
-    # NEW (r11): reshard movement accounting — consistent-hash ring
-    # (plan-time literal owner intervals, broadcast interval join) vs
-    # mod-hash for 8→9 shards, each graded against its own model
-    # (exact residues / realized arc share); 93‰ vs 889‰ measured at
-    # sf0.1; pure-Python replay test-pinned.
-    "reshard_movement_plan",
-    # NEW (r11): video scene-cut detection — the segmentation step the
-    # frame-sample rung points at: per-frame nibble histograms, L1
-    # boundary deltas vs the p95 bar, per-asset summary, all in ONE
-    # numpy-over-Arrow mapInPandas pass (codec featurizer swappable —
-    # the stubbed-decode discipline); relational oracle replay;
-    # pure-Python loop replay test-pinned.
-    "multimodal_scene_cuts",
-    # NEW (r11): the ensemble trainer — discrete AdaBoost over
-    # axis-aligned stumps: rational half-mass reweighting in BIGINTs,
-    # portable-ln alphas, 64×8×2 candidate-grid election with the
-    # polarity-flip identity, staged checkpointed rounds; honest
-    # negative measured (the prior is the best stump; boosting
-    # degrades to exactly the prior where the perceptron fell below
-    # it); full pure-Python replay incl. the half-mass invariant
-    # test-pinned.
-    "adaboost_stump_rounds",
-    # NEW (r11): exact Shapley data valuation over 4 source groups —
-    # all 16 coalition LMs as conditional aggregates of ONE vocabulary
-    # pass, portable-ln micro-nat values, exact-factorial weights;
-    # efficiency identity lands to the last micro-nat; the textbook
-    # substitutes finding (LOO≈0, solo≈full, Shapley prices the
-    # redundancy); full pure-Python replay test-pinned.
-    "source_shapley_attribution",
-    # NEW (r11): the RLHF/DPO training-data op — deterministic
-    # max-margin (chosen, rejected) pair assembly per language from
-    # the graded linear scorer, with the margin floor and same-text
-    # guard deciding kept; margin distribution measured; pure-Python
-    # replay + at-most-one-pair-per-doc structure test-pinned.
-    "preference_pairs_assembly",
-)
-
-#: r11 registrations past the 50-slot window once the 15-row r5 re-pin
-#: is protected (the re-pin outranks a brand-new query's FIRST grade:
-#: new queries carry full pytest replay evidence either way, while the
-#: r5 rows' driver evidence is what this round exists to refresh).
-#: These are the EXPLICIT r12 carry — pin them first next round.
-_NEW_R11_SPILLOVER: tuple[str, ...] = (
-    # NEW (r11): word2vec data prep — windowed skip-gram pairs with
-    # deterministic IEEE-sqrt subsampling verdicts and md5 inverse-CDF
-    # unigram negative draws via broadcast interval joins; deviations
-    # (windows on the original sequence, collisions kept + counted)
-    # documented, not hidden; pure-Python replay test-pinned.
+#: Round-11 window (kept for the audit trail): 35
+#: ``_NEW_OR_CHANGED_IN_R11`` (stream_neardup_gate,
+#: decontaminate_minhash_fuzzy, decontaminate_semantic_cosine,
+#: knn_ivf_drift_report, knn_graph_serving_adc, ann_frontier_report,
+#: knn_graph_serving_filtered, knn_graph_serving_filtered_rebuilt,
+#: stream_semantic_gate, stream_band_index_maintenance,
+#: unimax_mixture_plan, retrieval_ndcg_report,
+#: knn_graph_incremental_insert, knn_graph_delete_consolidate,
+#: dup_cluster_size_report, snapshot_retention_plan,
+#: unigram_lm_tokenizer_round, join_cardinality_estimate,
+#: ivm_erasure_rollup, predicate_selectivity_estimate,
+#: schema_drift_report, bm25_rm3_expansion,
+#: predicate_selectivity_equidepth, stream_contract_gate,
+#: knn_graph_insert_consolidate, join_order_plan, dp_noisy_release,
+#: stream_cell_index_maintenance, bloom_semijoin_prune_report,
+#: knn_binary_hamming, reshard_movement_plan, multimodal_scene_cuts,
+#: adaboost_stump_rounds, source_shapley_attribution,
+#: preference_pairs_assembly) + the 15-row r5 remainder — all 50
+#: graded green in CORRECTNESS_r11, retiring the r5 cohort; the
+#: staleness floor became round 6. Round-10 window: 7 new/changed +
+#: the 11 r4-remainder rows + first 32 of the r5 cohort, all green in
+#: CORRECTNESS_r10.
+_R11_SPILLOVER_CARRY: tuple[str, ...] = (
+    # word2vec data prep — windowed skip-gram pairs with deterministic
+    # IEEE-sqrt subsampling verdicts and md5 inverse-CDF unigram
+    # negative draws via broadcast interval joins; pure-Python replay
+    # test-pinned; FIRST driver grade lands this round.
     "skipgram_negative_sampling",
 )
 
-_STALE_R5_REMAINDER: tuple[str, ...] = (
-    "packing_efficiency_report",
-    "returned_item_customers",
-    "rfm_customer_segments",
-    "semdedup_clustered",
-    "span_removal_manifest",
-    "stream_ingest_dedup",
-    "stream_quality_gate",
-    "temperature_mixture_weights",
-    "token_offsets_documents",
-    "top_supplier_revenue",
-    "triangle_count_trade",
-    "unigram_logprob_documents",
-    "vocab_coverage_by_lang",
-    "winnowing_fingerprint_documents",
-    "wrangler_e2e_transformation",
+_NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
 )
-
 
 _STALE_R6_FILL: tuple[str, ...] = (
     "apply_transformation_dates",
@@ -364,9 +152,8 @@ _STALE_R6_FILL: tuple[str, ...] = (
 
 DRIVER_GRADE_PRIORITY: tuple[str, ...] = tuple(
     dict.fromkeys(
-        _NEW_OR_CHANGED_IN_R11
-        + _STALE_R5_REMAINDER
-        + _NEW_R11_SPILLOVER
+        _R11_SPILLOVER_CARRY
+        + _NEW_OR_CHANGED_IN_R12
         + _STALE_R6_FILL
     )
 )[:50]
@@ -379,8 +166,8 @@ def _ordered_names() -> list[str]:
         # queries fall inside the driver's 50-slot grading window
         raise AssertionError(f"DRIVER_GRADE_PRIORITY names not in REGISTRY: {sorted(missing)}")
     prioritized = list(DRIVER_GRADE_PRIORITY)
-    # the explicit r12 carry leads the out-of-window tail (slot 51+)
-    spill = [n for n in _NEW_R11_SPILLOVER if n not in DRIVER_GRADE_PRIORITY]
+    # the r13 fill pool leads the out-of-window tail (slot 51+)
+    spill = [n for n in _STALE_R6_FILL if n not in DRIVER_GRADE_PRIORITY]
     seen = set(prioritized) | set(spill)
     rest = [n for n in REGISTRY if n not in seen]
     return prioritized + spill + rest
