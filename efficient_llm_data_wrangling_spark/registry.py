@@ -98,6 +98,14 @@ _R11_SPILLOVER_CARRY: tuple[str, ...] = (
 )
 
 _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
+    # NEW (r12): HyperLogLog distinct-count calibration — the sketch
+    # family's third rung (KMV = order statistics, Count-Min =
+    # frequency, HLL = the industry-default cardinality register
+    # sketch), replayed bit-for-bit by both engines (dyadic indicator
+    # sum is exact, ln portable, estimate floor'd); linear/raw regime
+    # crossover measured honestly at both SFs; pure-Python replay
+    # test-pinned.
+    "hll_distinct_calibration",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -631,3 +631,51 @@ def test_bloom_semijoin_prune_replays_in_pure_python(spark):
         )
         bpm = len(bits) * 1000 // m
         assert r.fp_expected_permille == bpm * bpm * bpm // 1_000_000
+
+
+def test_hll_distinct_calibration_replays_in_pure_python(spark):
+    """The HLL estimator must recompute exactly from the collected
+    events: 64 registers from the md5-prefix hash (top 6 bits index,
+    26-bit rho field), dyadic indicator sum, alpha_64 * m^2 / Z with
+    the linear-counting fallback, floor'd — including which regime
+    fired."""
+    import hashlib
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _HLL_LIN_BAR,
+        _HLL_M,
+        _HLL_WBITS,
+        _HLL_WMOD,
+        hll_distinct_calibration,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = hll_distinct_calibration(spark, SF_SMOKE).collect()
+    assert rows
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id").collect()
+    users: dict[str, set[int]] = {}
+    for r in ev:
+        users.setdefault(r.event_type, set()).add(r.user_id)
+    for r in rows:
+        us = users[r.event_type]
+        assert r.exact_users == len(us)
+        regs: dict[int, int] = {}
+        for h in {int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) for u in us}:
+            j, w = h // _HLL_WMOD, h % _HLL_WMOD
+            rho = _HLL_WBITS + 1 - (w.bit_length() if w else 0)
+            regs[j] = max(regs.get(j, 0), rho)
+        v = _HLL_M - len(regs)
+        zz = sum(1.0 / (1 << mj) for mj in sorted(regs.values())) + float(v)
+        e_raw = 0.709 * (_HLL_M * _HLL_M) / zz
+        if e_raw <= float(_HLL_LIN_BAR) and v > 0:
+            # math.log is not the portable ln, but the two agree far
+            # below the floor's resolution at these magnitudes
+            e_fin, regime = _HLL_M * math.log(_HLL_M / v), "linear"
+        else:
+            e_fin, regime = e_raw, "raw"
+        assert r.regime == regime
+        assert r.hll_users == math.floor(e_fin)
+        assert r.err_permille == abs(math.floor(e_fin) - len(us)) * 1000 // len(us)
+    assert len(rows) == len(users)
