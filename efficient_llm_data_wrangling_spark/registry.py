@@ -106,6 +106,13 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # crossover measured honestly at both SFs; pure-Python replay
     # test-pinned.
     "hll_distinct_calibration",
+    # NEW (r12): the tokenizer family's THIRD algorithm — WordPiece's
+    # likelihood-gain election (pair/(cnt_a*cnt_b), one IEEE division
+    # of exact BIGINTs) over the SAME delimited-representation merge
+    # machinery as BPE; the textbook split measured ((q,u) association
+    # beats (e,r) frequency); MATERIALIZED oracle CTEs (the chain
+    # inlines exponentially otherwise); pure-Python replay test-pinned.
+    "wordpiece_train_rounds",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -679,3 +679,52 @@ def test_hll_distinct_calibration_replays_in_pure_python(spark):
         assert r.hll_users == math.floor(e_fin)
         assert r.err_permille == abs(math.floor(e_fin) - len(us)) * 1000 // len(us)
     assert len(rows) == len(users)
+
+
+def test_wordpiece_train_rounds_replays_in_pure_python(spark):
+    """The WordPiece winners must recompute exactly from the corpus:
+    word-type histogram, delimited-string greedy-leftmost merges, and
+    per round the (score DESC, a, b) election with score = pair /
+    (cnt_a * cnt_b) as one IEEE division of exact ints."""
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _WP_ROUNDS,
+        wordpiece_train_rounds,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = wordpiece_train_rounds(spark, SF_SMOKE).orderBy("merge_round").collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    types: Counter = Counter()
+    for r in docs:
+        for t in r.text.split(" "):
+            if t:
+                types[t] += 1
+    d = "\x1f"
+    syms = {w: "".join(d + ch + d for ch in w) for w in types}
+    got = {r.merge_round: r for r in rows}
+    for rnd in range(1, _WP_ROUNDS + 1):
+        pc: Counter = Counter()
+        sc: Counter = Counter()
+        for w, s in syms.items():
+            ss = [x for x in s.split(d) if x]
+            cnt = types[w]
+            for x in ss:
+                sc[x] += cnt
+            for i in range(len(ss) - 1):
+                pc[(ss[i], ss[i + 1])] += cnt
+        if not pc:
+            assert rnd not in got
+            break
+        (wa, wb), wp = min(
+            pc.items(), key=lambda kv: (-(kv[1] / (sc[kv[0][0]] * sc[kv[0][1]])), kv[0])
+        )
+        r = got[rnd]
+        assert (r.a, r.b, r.pair_count) == (wa, wb, wp)
+        assert (r.cnt_a, r.cnt_b) == (sc[wa], sc[wb])
+        assert r.score == wp / (sc[wa] * sc[wb])
+        pat, rep = d + wa + d + d + wb + d, d + wa + wb + d
+        syms = {w: s.replace(pat, rep) for w, s in syms.items()}
+    assert len(rows) == min(_WP_ROUNDS, len(got))
