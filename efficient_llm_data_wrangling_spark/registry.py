@@ -113,6 +113,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # beats (e,r) frequency); MATERIALIZED oracle CTEs (the chain
     # inlines exponentially otherwise); pure-Python replay test-pinned.
     "wordpiece_train_rounds",
+    # NEW (r12): MaxScore dynamic pruning measured — per-term BM25
+    # score upper bounds, the essential/non-essential split vs the
+    # exact top-k threshold, and the pruning rate, with safety both
+    # order-disciplined (monotone IEEE additions in a shared fixed
+    # order) and measured (n_topk_skipped = 0); the execution-time
+    # optimizer rung for inverted-index serving next to
+    # bloom_semijoin_prune_report's; pure-Python replay test-pinned.
+    "maxscore_pruning_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -728,3 +728,69 @@ def test_wordpiece_train_rounds_replays_in_pure_python(spark):
         pat, rep = d + wa + d + d + wb + d, d + wa + wb + d
         syms = {w: s.replace(pat, rep) for w, s in syms.items()}
     assert len(rows) == min(_WP_ROUNDS, len(got))
+
+
+def test_maxscore_pruning_report_replays_in_pure_python(spark):
+    """df / n_matching / skippable bookkeeping replay exactly; the
+    score bounds and theta replay through math.log to 1e-9 (the
+    portable ln agrees with libm far below that); the safety claim
+    n_topk_skipped == 0 must hold."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        maxscore_pruning_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = maxscore_pruning_report(spark, SF_SMOKE).collect()
+    assert len(rows) == len(_BM25_TERMS)
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    toks = [[t for t in r.text.split(" ") if t] for r in docs]
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks) / n
+    tf = [{t: ts.count(t) for t in _BM25_TERMS} for ts in toks]
+    df = {t: sum(1 for x in tf if x[t] > 0) for t in _BM25_TERMS}
+    idf = {t: math.log(2 * n + 2) - math.log(2 * df[t] + 1) for t in _BM25_TERMS}
+
+    def contrib(t, x, dl):
+        return idf[t] * (x[t] * (_BM25_K1 + 1.0)) / (
+            x[t] + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        )
+
+    match = [
+        (i, x, len(ts))
+        for i, (x, ts) in enumerate(zip(tf, toks))
+        if sum(x.values()) > 0
+    ]
+    scores = sorted(
+        (sum(contrib(t, x, dl) for t in _BM25_TERMS) for _, x, dl in match),
+        reverse=True,
+    )
+    theta = min(scores[: _BM25_TOPK])
+    ub = {
+        t: max(contrib(t, x, dl) for _, x, dl in match) for t in _BM25_TERMS
+    }
+    n_skip = sum(
+        1
+        for _, x, dl in match
+        if sum(ub[t] for t in _BM25_TERMS if x[t] > 0) < theta
+    )
+    for r in rows:
+        assert r.df == df[r.term]
+        assert abs(r.ub_6 - ub[r.term]) < 1e-6
+        assert abs(r.theta_6 - theta) < 1e-6
+        assert r.n_matching == len(match)
+        assert r.n_skippable == n_skip
+        assert r.skippable_permille == r.n_skippable * 1000 // r.n_matching
+        assert r.n_topk_skipped == 0
+    # essential split: cumulative UB in ascending order crosses theta
+    byub = sorted(rows, key=lambda r: (r.ub_6, r.term))
+    cum = 0.0
+    for r in byub:
+        cum += ub[r.term]
+        assert r.essential == (cum >= theta - 1e-9)
