@@ -121,6 +121,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # optimizer rung for inverted-index serving next to
     # bloom_semijoin_prune_report's; pure-Python replay test-pinned.
     "maxscore_pruning_report",
+    # NEW (r12): the generative classifier joins the learning family —
+    # Gaussian NB run as a TWO-ARM experiment: the geometric 'cell'
+    # control proves the machinery (462/637 permille vs ~100 chance)
+    # while the metadata 'label' arm is the honest negative at chance,
+    # agreeing with AdaBoost by a second model family; exact BIGINT
+    # sufficient statistics, micro-nat order-free scoring, portable
+    # ln; pure-Python replay test-pinned.
+    "gaussian_nb_holdout_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

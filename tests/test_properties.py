@@ -794,3 +794,90 @@ def test_maxscore_pruning_report_replays_in_pure_python(spark):
     for r in byub:
         cum += ub[r.term]
         assert r.essential == (cum >= theta - 1e-9)
+
+
+def test_gaussian_nb_holdout_replays_in_pure_python(spark):
+    """Both arms of the NB report must recompute exactly from the
+    collected embeddings: micro-unit ints, seed-centroid cell
+    assignment, md5 3:1 split, exact sufficient statistics, micro-nat
+    term rounding, y-asc argmax, and the confusion bookkeeping. The
+    variance guard a <= 0 must never fire on this data."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _GNB_CELLS,
+        gaussian_nb_holdout_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = gaussian_nb_holdout_report(spark, SF_SMOKE).collect()
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = {
+        r.vec_id: [math.floor(float(e) * 1000000 + 0.5) for e in r.embedding]
+        for r in emb
+    }
+    lab = {r.vec_id: int(r.label) for r in emb}
+    dims = len(next(iter(X.values())))
+    mu = {c: X[c] for c in sorted(X) if c < _GNB_CELLS}
+    cell = {
+        v: min(
+            mu,
+            key=lambda c: (sum((x - m) ** 2 for x, m in zip(X[v], mu[c])), c),
+        )
+        for v in X
+    }
+    is_train = {
+        v: int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 4 < 3 for v in X
+    }
+    got = {(r.target, r.y_true, r.y_pred): r for r in rows}
+    for target, y in (("label", lab), ("cell", cell)):
+        tr = [v for v in X if is_train[v]]
+        te = [v for v in X if not is_train[v]]
+        stats = {}
+        for c in set(y.values()):
+            vs = [X[v] for v in tr if y[v] == c]
+            if not vs:
+                continue
+            n = len(vs)
+            stats[c] = [
+                (n, sum(col), sum(x * x for x in col))
+                for col in zip(*vs)
+            ]
+        pri = Counter(y[v] for v in tr)
+        nt = len(tr)
+        pm = {
+            c: math.floor((math.log(pri[c]) - math.log(nt)) * 1e6 + 0.5) for c in pri
+        }
+        conf: Counter = Counter()
+        n_correct = 0
+        mlabel = min(pri, key=lambda c: (-pri[c], c))
+        n_major = sum(1 for v in te if y[v] == mlabel)
+        for v in te:
+            best = None
+            for c, st in stats.items():
+                tot = 0
+                for (n, sx, sxx), xv in zip(st, X[v]):
+                    a = n * sxx - sx * sx
+                    assert a > 0  # guard must not fire
+                    q = float(n * xv - sx)
+                    t = -0.5 * math.log(a) + math.log(n) - 0.5 * (q * q) / float(a)
+                    tot += math.floor(t * 1e6 + 0.5)
+                tot += pm[c]
+                if best is None or (tot, -c) > (best[0], -best[1]):
+                    best = (tot, c)
+            conf[(y[v], best[1])] += 1
+            n_correct += y[v] == best[1]
+        for (yt, yp), n in conf.items():
+            r = got[(target, yt, yp)]
+            assert r.n_vecs == n
+            assert r.n_test == len(te)
+            assert r.n_correct == n_correct
+            assert r.accuracy_permille == n_correct * 1000 // len(te)
+            assert r.baseline_permille == n_major * 1000 // len(te)
+        assert sum(conf.values()) == len(te)
+    assert len(rows) == sum(
+        1 for k in got
+    )
