@@ -129,6 +129,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # sufficient statistics, micro-nat order-free scoring, portable
     # ln; pure-Python replay test-pinned.
     "gaussian_nb_holdout_report",
+    # NEW (r12): the liquid-clustering decision measured — Hilbert vs
+    # Z-order vs single-column sort at an ALIGNED (64) and a
+    # MISALIGNED (48) file budget: identical at 64 (files = quadrants;
+    # zone maps cannot see curve order), Hilbert strictly better at 48
+    # (20 vs 24 files, 62.6k vs 75.0k rows on the x slab) — the
+    # ranking is a property of the cut geometry; bounded xy2d
+    # recurrence pinned against the textbook algorithm over an
+    # exhaustive grid; pure-Python replay test-pinned.
+    "hilbert_layout_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

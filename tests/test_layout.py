@@ -194,3 +194,116 @@ def test_reshard_movement_replays_in_pure_python(spark):
     assert r.expected_permille == arcs * 1000 // (1 << 32)
     # the structural claim: the ring strictly beats mod-hash
     assert r.n_moved * 5 < m.n_moved
+
+
+def _xy2d_classic(n: int, x: int, y: int) -> int:
+    """Textbook Wikipedia xy2d (C bit-twiddling transcribed)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rot
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _xy2d_bounded(bits: int, x: int, y: int) -> int:
+    """The query's bounded recurrence (strip processed bits before
+    the reflect/swap), transcribed from the SQL stages."""
+    d = 0
+    for i in range(bits):
+        s = 2 ** (bits - 1 - i)
+        rx, ry = (x // s) % 2, (y // s) % 2
+        xm, ym = x % s, y % s
+        d += s * s * (0 if (rx == 0 and ry == 0) else 1 if rx == 0 else 2 if ry == 1 else 3)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - ym, s - 1 - xm
+            else:
+                x, y = ym, xm
+        else:
+            x, y = xm, ym
+    return d
+
+
+def test_hilbert_bounded_recurrence_matches_textbook():
+    """Exhaustive 64x64 grid at 6 bits, plus a corner sweep at the
+    full 16 bits: the SQL's bounded variant must equal the classic
+    algorithm everywhere (the negative-reflection hazard the bounded
+    form exists to remove)."""
+    for x in range(64):
+        for y in range(64):
+            assert _xy2d_bounded(6, x, y) == _xy2d_classic(64, x, y)
+    m = (1 << 16) - 1
+    for x in (0, 1, 12345, 40000, m - 1, m):
+        for y in (0, 7, 999, 54321, m):
+            assert _xy2d_bounded(16, x, y) == _xy2d_classic(1 << 16, x, y)
+
+
+def test_hilbert_layout_report_replays_in_pure_python(spark):
+    """The five report rows must recompute exactly from the collected
+    orders: 16-bit ranks, both curves, both file budgets, zone-map
+    verdicts, row bookkeeping."""
+    from efficient_llm_data_wrangling_spark.queries.layout import (
+        _HFILES_MISALIGNED,
+        _ZBITS,
+        _ZFILES,
+        hilbert_layout_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    rows = hilbert_layout_report(spark, SF_SMOKE).collect()
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            F.col("o_custkey").alias("x"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("y"),
+        )
+        .collect()
+    )
+    xs, ys = [r.x for r in o], [r.y for r in o]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    m = 2**_ZBITS - 1
+    c1, c2 = mnx + (mxx - mnx) * 31 // 64, mnx + (mxx - mnx) * 33 // 64
+    d1, d2 = mny + (mxy - mny) * 31 // 64, mny + (mxy - mny) * 33 // 64
+    layouts = {}
+    for x, y in zip(xs, ys):
+        sx = (x - mnx) * m // max(mxx - mnx, 1)
+        sy = (y - mny) * m // max(mxy - mny, 1)
+        hd = _xy2d_bounded(_ZBITS, sx, sy)
+        zd = sum(
+            (((sx >> i) & 1) << (2 * i)) + (((sy >> i) & 1) << (2 * i + 1))
+            for i in range(_ZBITS)
+        )
+        fd = (y - mny) * _ZFILES // (mxy - mny + 1)
+        for key, fid in (
+            (("hilbert", _ZFILES), hd // (4**_ZBITS // _ZFILES)),
+            (("hilbert", _HFILES_MISALIGNED), hd // (4**_ZBITS // _HFILES_MISALIGNED)),
+            (("zorder", _ZFILES), zd // (4**_ZBITS // _ZFILES)),
+            (("zorder", _HFILES_MISALIGNED), zd // (4**_ZBITS // _HFILES_MISALIGNED)),
+            (("date_sorted", _ZFILES), fd),
+        ):
+            st = layouts.setdefault(key, {}).setdefault(fid, [x, x, y, y, 0])
+            st[0], st[1] = min(st[0], x), max(st[1], x)
+            st[2], st[3] = min(st[2], y), max(st[3], y)
+            st[4] += 1
+    got = {(r.layout, r.files_target): r for r in rows}
+    assert len(rows) == len(layouts)
+    for key, files in layouts.items():
+        r = got[key]
+        assert r.n_files == len(files)
+        assert r.files_scanned_x == sum(1 for v in files.values() if v[0] <= c2 and v[1] >= c1)
+        assert r.rows_scanned_x == sum(v[4] for v in files.values() if v[0] <= c2 and v[1] >= c1)
+        assert r.files_scanned_y == sum(1 for v in files.values() if v[2] <= d2 and v[3] >= d1)
+        assert r.rows_scanned_y == sum(v[4] for v in files.values() if v[2] <= d2 and v[3] >= d1)
