@@ -138,6 +138,13 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # recurrence pinned against the textbook algorithm over an
     # exhaustive grid; pure-Python replay test-pinned.
     "hilbert_layout_report",
+    # NEW (r12): interpolated Kneser-Ney vs Laplace decided on held
+    # data — exact BIGINT rational probabilities, Ney discount, the
+    # continuation-count insight; the corpus flips the textbook
+    # (Laplace wins by a hair; D reads 0 at sf0.1 — NO singleton
+    # bigrams): the lexical-saturation finding by a third route;
+    # pure-Python replay test-pinned.
+    "kneser_ney_bigram_lm",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

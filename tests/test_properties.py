@@ -881,3 +881,68 @@ def test_gaussian_nb_holdout_replays_in_pure_python(spark):
     assert len(rows) == sum(
         1 for k in got
     )
+
+
+def test_kneser_ney_bigram_lm_replays_in_pure_python(spark):
+    """Both model rows must recompute exactly from the collected
+    documents: md5 split, train counts, Ney discount, exact-rational
+    KN and Laplace numerators/denominators, micro-nat rounding, and
+    the heldout-weighted averages."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        kneser_ney_bigram_lm,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.model: r for r in kneser_ney_bigram_lm(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    tr_bg: Counter = Counter()
+    he_bg: Counter = Counter()
+    vocab = set()
+    for r in docs:
+        ts = [t for t in r.text.split(" ") if t]
+        train = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 4 < 3
+        if train:
+            vocab.update(ts)
+        if len(ts) < 2:
+            continue
+        for a, b in zip(ts, ts[1:]):
+            (tr_bg if train else he_bg)[(a, b)] += 1
+    ca = Counter()
+    n1a = Counter()
+    ncb = Counter()
+    for (a, b), c in tr_bg.items():
+        ca[a] += c
+        n1a[a] += 1
+        ncb[b] += 1
+    nct = len(tr_bg)
+    dn = sum(1 for c in tr_bg.values() if c == 1)
+    dd = dn + 2 * sum(1 for c in tr_bg.values() if c == 2)
+    dd = dd if dd > 0 else 1
+    v = len(vocab)
+    kn_sum = lap_sum = n_tot = 0
+    for (a, b), n in he_bg.items():
+        cb = tr_bg.get((a, b), 0)
+        if a not in ca:
+            knn, knd = ncb.get(b, 0) + 1, nct + v
+        else:
+            knn = max(cb * dd - dn, 0) * (nct + v) + dn * n1a[a] * (ncb.get(b, 0) + 1)
+            knn = knn if knn > 0 else 1
+            knd = ca[a] * dd * (nct + v)
+        kn_sum += n * math.floor((math.log(knn) - math.log(knd)) * 1e6 + 0.5)
+        lap_sum += n * math.floor(
+            (math.log(cb + 1) - math.log(ca.get(a, 0) + v)) * 1e6 + 0.5
+        )
+        n_tot += n
+    for model, s in (("kneser_ney", kn_sum), ("laplace", lap_sum)):
+        r = rows[model]
+        assert r.discount_micro == dn * 1000000 // dd
+        assert r.n_heldout_bigrams == n_tot
+        assert r.n_heldout_types == len(he_bg)
+        # SQL div truncates toward zero; Python // floors
+        want = s // n_tot if s >= 0 else -((-s) // n_tot)
+        assert r.avg_logprob_micro == want
