@@ -2582,3 +2582,183 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     load_table(spark, sf_dir, "events").createOrReplaceTempView("__hll_events")
     return spark.sql(_hll_sql("spark", "__hll_events"))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation vs connected components (the transitive-chaining
+# problem of dedup graphs, measured)
+# ---------------------------------------------------------------------------
+
+_LPA_G = 8  # clique size (ground-truth community)
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql(engine: str, documents: str) -> str:
+    """Shared LPA-vs-min-label text; engine differences are integer
+    division and DuckDB-side MATERIALIZED (multi-referenced rounds).
+    The graph is deterministic with closed-form ground truth (the
+    ``connected_components_halving`` precedent): doc_ids tile into
+    {_LPA_G}-cliques (gk = id div {_LPA_G}) and every third adjacent
+    clique pair gets ONE planted bridge between representatives — the
+    false-positive edge an LSH band join contributes. Both algorithms
+    run {_LPA_ROUNDS} synchronous unrolled rounds: LPA adopts the
+    most frequent neighbor label (count DESC, label ASC ties),
+    min-label CC takes min(own, neighbors). Convergence is REPORTED
+    (n_changed_last_round), not assumed."""
+    dv = "div" if engine == "spark" else "//"
+    mat = "" if engine == "spark" else "MATERIALIZED "
+    ctes = [
+        f"v AS {mat}(SELECT doc_id AS node, doc_id {dv} {_LPA_G} AS gk FROM {documents})",
+        (
+            "ce AS (SELECT a.node AS src, b.node AS dst"
+            " FROM v a JOIN v b ON a.gk = b.gk AND a.node <> b.node)"
+        ),
+        (
+            f"gs AS {mat}(SELECT gk, min(node) AS rep FROM v GROUP BY gk)"
+        ),
+        (
+            f"br0 AS (SELECT a.rep AS src, b.rep AS dst FROM gs a JOIN gs b"
+            f" ON b.gk = a.gk + 1 AND a.gk % 3 = 0)"
+        ),
+        (
+            f"edges AS {mat}(SELECT src, dst FROM ce"
+            " UNION ALL SELECT src, dst FROM br0"
+            " UNION ALL SELECT dst, src FROM br0)"
+        ),
+        "l0 AS (SELECT node, node AS lab FROM v)",
+        "m0 AS (SELECT node, node AS lab FROM v)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        ctes.append(
+            f"""lc{r} AS {mat}(
+  SELECT e.dst AS node, l.lab, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{r - 1} l ON l.node = e.src
+  GROUP BY e.dst, l.lab
+)"""
+        )
+        ctes.append(
+            f"""l{r} AS {mat}(
+  SELECT node, lab FROM (
+    SELECT node, lab, row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lab) AS rn
+    FROM lc{r}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS {mat}(
+  SELECT n.node, least(n.lab, coalesce(mn.ml, n.lab)) AS lab
+  FROM m{r - 1} n LEFT JOIN (
+    SELECT e.dst AS node, min(l.lab) AS ml
+    FROM edges e JOIN m{r - 1} l ON l.node = e.src
+    GROUP BY e.dst
+  ) mn ON mn.node = n.node
+)"""
+        )
+    r, p = _LPA_ROUNDS, _LPA_ROUNDS - 1
+    ctes.append(
+        f"""fin AS {mat}(
+  SELECT 'lpa' AS method, l.node, l.lab, v.gk,
+         CASE WHEN l.lab <> q.lab THEN 1 ELSE 0 END AS chg
+  FROM l{r} l JOIN l{p} q ON q.node = l.node JOIN v ON v.node = l.node
+  UNION ALL
+  SELECT 'minlabel_cc', m.node, m.lab, v.gk,
+         CASE WHEN m.lab <> q.lab THEN 1 ELSE 0 END
+  FROM m{r} m JOIN m{p} q ON q.node = m.node JOIN v ON v.node = m.node
+)"""
+    )
+    ctes.append(
+        """gstat AS (
+  SELECT method, gk, CAST(count(DISTINCT lab) AS BIGINT) AS nlabs
+  FROM fin GROUP BY method, gk
+)"""
+    )
+    ctes.append(
+        """cstat AS (
+  SELECT method, lab, CAST(count(DISTINCT gk) AS BIGINT) AS ngks
+  FROM fin GROUP BY method, lab
+)"""
+    )
+    ctes.append(
+        """gagg AS (
+  SELECT method, CAST(sum(CASE WHEN nlabs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_split_groups
+  FROM gstat GROUP BY method
+)"""
+    )
+    ctes.append(
+        """cagg AS (
+  SELECT method, CAST(sum(CASE WHEN ngks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_merged_communities
+  FROM cstat GROUP BY method
+)"""
+    )
+    ctes.append("eagg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_directed FROM edges)")
+    ctes.append("bagg AS (SELECT CAST(count(*) AS BIGINT) AS n_bridges FROM br0)")
+    ctes.append(
+        """fagg AS (
+  SELECT method, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(count(DISTINCT lab) AS BIGINT) AS n_communities,
+         CAST(sum(chg) AS BIGINT) AS n_changed_last_round
+  FROM fin GROUP BY method
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT f.method, f.n_nodes, e.n_edges_directed, b.n_bridges,
+       f.n_communities, g.n_split_groups, c.n_merged_communities,
+       f.n_changed_last_round
+FROM fagg f
+JOIN gagg g ON g.method = f.method
+JOIN cagg c ON c.method = f.method
+CROSS JOIN eagg e CROSS JOIN bagg b
+"""
+    )
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_sql("duck", "documents"),
+    tags=("analytics", "graph", "iterative"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) vs min-label
+    connected components on the SAME bridged-clique graph — the
+    measured answer to dedup's transitive-chaining problem: an LSH
+    band join emits occasional false-positive pairs, CC (what
+    ``dedup_cluster_canonical`` runs) merges everything a bridge
+    touches, and community detection is the standard counter. The
+    graph is deterministic with closed-form truth (the
+    ``connected_components_halving`` discipline): doc_ids tile into
+    {8}-cliques, every third adjacent clique pair gets one planted
+    bridge between representatives. Both algorithms run 4 unrolled
+    synchronous rounds with fully deterministic elections (LPA:
+    neighbor-label frequency, count DESC / label ASC ties; CC:
+    min(own, neighbor labels)); convergence is REPORTED
+    (n_changed_last_round), not assumed.
+
+    Measured (sf0.01: 63 cliques, 21 bridges; sf0.1: 625 / 208):
+    both converge inside the budget (n_changed_last_round = 0), and
+    they split exactly on the bridges — LPA recovers ALL ground-truth
+    communities (n_communities = n_cliques, zero splits, zero
+    merges: a 1-vs-7 frequency vote ignores a single bridge) while
+    CC returns n_cliques - n_bridges components (42 / 417;
+    n_merged_communities = n_bridges exactly). The dedup read-off:
+    run CC for recall on verified pairs, run LPA when the pair
+    stream still carries unverified LSH candidates.
+
+    Scale: per round, LPA is one edges-ranks join + one (node,
+    label) count + one per-node argmax window (bounded by degree,
+    here {7}+1); CC is one join + min-aggregate — the
+    ``pagerank_trade_network`` topology. Edges are clique-bounded
+    (|V| x {7} + bridges); nothing quadratic in the corpus. In the
+    real pipeline the same rounds consume the LSH candidate-pair
+    table in place of the synthetic cliques.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "documents").select("doc_id").createOrReplaceTempView(
+        "__lpa_documents"
+    )
+    return spark.sql(_lpa_sql("spark", "__lpa_documents"))

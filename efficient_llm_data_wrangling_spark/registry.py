@@ -145,6 +145,13 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # bigrams): the lexical-saturation finding by a third route;
     # pure-Python replay test-pinned.
     "kneser_ney_bigram_lm",
+    # NEW (r12): the transitive-chaining problem measured — synchronous
+    # LPA vs min-label CC on the same bridged-clique graph (closed-form
+    # truth, planted LSH-style false-positive bridges): LPA recovers
+    # every community (a 1-vs-7 frequency vote ignores a bridge), CC
+    # merges exactly one per bridge; convergence reported, not
+    # assumed; pure-Python replay test-pinned.
+    "label_propagation_communities",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

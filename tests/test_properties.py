@@ -946,3 +946,75 @@ def test_kneser_ney_bigram_lm_replays_in_pure_python(spark):
         # SQL div truncates toward zero; Python // floors
         want = s // n_tot if s >= 0 else -((-s) // n_tot)
         assert r.avg_logprob_micro == want
+
+
+def test_label_propagation_replays_in_pure_python(spark):
+    """Both method rows must recompute exactly from the doc_id set:
+    bridged-clique graph, 4 synchronous LPA rounds (count DESC, label
+    ASC ties), 4 min-label rounds, convergence flags, and the
+    split/merge audit vs the closed-form ground truth."""
+    from collections import Counter, defaultdict
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _LPA_G,
+        _LPA_ROUNDS,
+        label_propagation_communities,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.method: r for r in label_propagation_communities(spark, SF_SMOKE).collect()}
+    ids = [r.doc_id for r in load_table(spark, SF_SMOKE, "documents").select("doc_id").collect()]
+    gk = {v: v // _LPA_G for v in ids}
+    groups = defaultdict(list)
+    for v in ids:
+        groups[gk[v]].append(v)
+    edges = []
+    for mem in groups.values():
+        edges += [(a, b) for a in mem for b in mem if a != b]
+    reps = {g: min(m) for g, m in groups.items()}
+    bridges = [
+        (reps[g], reps[g + 1]) for g in sorted(groups) if g % 3 == 0 and g + 1 in groups
+    ]
+    for a, b in bridges:
+        edges += [(a, b), (b, a)]
+
+    def audit(lab):
+        bygroup = defaultdict(set)
+        bycomm = defaultdict(set)
+        for v, L in lab.items():
+            bygroup[gk[v]].add(L)
+            bycomm[L].add(gk[v])
+        return (
+            len(set(lab.values())),
+            sum(1 for s in bygroup.values() if len(s) > 1),
+            sum(1 for s in bycomm.values() if len(s) > 1),
+        )
+
+    lab = {v: v for v in ids}
+    for _ in range(_LPA_ROUNDS):
+        prev = lab
+        nbr = defaultdict(Counter)
+        for s, d in edges:
+            nbr[d][prev[s]] += 1
+        lab = {v: min(nbr[v], key=lambda L: (-nbr[v][L], L)) for v in ids}
+    changed = sum(1 for v in ids if lab[v] != prev[v])
+    r = rows["lpa"]
+    nc, ns, nm = audit(lab)
+    assert (r.n_nodes, r.n_edges_directed, r.n_bridges) == (len(ids), len(edges), len(bridges))
+    assert (r.n_communities, r.n_split_groups, r.n_merged_communities) == (nc, ns, nm)
+    assert r.n_changed_last_round == changed == 0
+
+    lab = {v: v for v in ids}
+    for _ in range(_LPA_ROUNDS):
+        prev = lab
+        nbr = {}
+        for s, d in edges:
+            nbr[d] = min(nbr.get(d, prev[d]), prev[s])
+        lab = {v: min(prev[v], nbr.get(v, prev[v])) for v in ids}
+    changed = sum(1 for v in ids if lab[v] != prev[v])
+    r = rows["minlabel_cc"]
+    nc, ns, nm = audit(lab)
+    assert (r.n_communities, r.n_split_groups, r.n_merged_communities) == (nc, ns, nm)
+    assert r.n_changed_last_round == changed == 0
+    assert r.n_merged_communities == r.n_bridges  # every bridge chains
