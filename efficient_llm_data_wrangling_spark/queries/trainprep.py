@@ -877,3 +877,107 @@ def skipgram_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"WITH {with_body} SELECT * FROM cum").localCheckpoint(
     ).createOrReplaceTempView("__sgcum")
     return spark.sql(final.format(pn="__sgpn", cum="__sgcum"))
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle transform (the code-LM training-data reordering)
+# ---------------------------------------------------------------------------
+
+_FIM_RATE_PCT = 50  # share of documents transformed (md5-deterministic)
+
+
+def _fim_sql(engine: str, documents: str) -> str:
+    """Shared FIM text, engine-parameterized only in spelling (token
+    split, list slice/join, md5 u32, integer division). Three
+    independent md5 draws per document: the apply coin (rate
+    {_FIM_RATE_PCT}%), and two uniform positions over [0, n] whose
+    min/max bound the middle span — fully deterministic, so both
+    engines transform the identical documents identically."""
+    if engine == "spark":
+        from efficient_llm_data_wrangling_spark.queries.corpusops import _toks_col  # noqa: F401
+
+        toks = "filter(split(text, ' '), x -> x <> '')"
+        ll = "size(toks)"
+        u32 = lambda tag: (  # noqa: E731
+            f"cast(conv(substring(md5(concat(CAST(doc_id AS STRING), ':{tag}')),"
+            f" 1, 8), 16, 10) as bigint)"
+        )
+        # slice(arr, start, length), 1-based start
+        pre = "array_join(slice(toks, 1, s), ' ')"
+        mid = "array_join(slice(toks, s + 1, e - s), ' ')"
+        suf = "array_join(slice(toks, e + 1, n - e), ' ')"
+    else:
+        from efficient_llm_data_wrangling_spark.queries.corpusops import _TOKS_SQL
+        from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+
+        toks = _TOKS_SQL
+        ll = "len(toks)"
+        u32 = lambda tag: _hexint_sql(  # noqa: E731
+            f"md5(CAST(doc_id AS VARCHAR) || ':{tag}')", 1, 8
+        )
+        # list_slice(arr, begin, end), 1-based inclusive
+        # DuckDB 1.0's array_to_string returns NULL for an empty
+        # list (Spark's array_join returns '') — coalesce to ''
+        pre = "coalesce(array_to_string(list_slice(toks, 1, s), ' '), '')"
+        mid = "coalesce(array_to_string(list_slice(toks, s + 1, e), ' '), '')"
+        suf = "coalesce(array_to_string(list_slice(toks, e + 1, n), ' '), '')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks, CAST({ll} AS BIGINT) AS n
+  FROM {documents}
+),
+d AS (
+  SELECT doc_id, text, toks, n,
+         ({u32("fimp")}) % 100 < {_FIM_RATE_PCT} AS fim_applied,
+         ({u32("fim1")}) % (n + 1) AS u1,
+         ({u32("fim2")}) % (n + 1) AS u2
+  FROM t
+),
+sp AS (
+  SELECT doc_id, text, toks, n, fim_applied,
+         least(u1, u2) AS s, greatest(u1, u2) AS e
+  FROM d
+)
+SELECT doc_id, fim_applied, n AS n_tokens,
+       CASE WHEN fim_applied THEN s ELSE CAST(0 AS BIGINT) END AS span_start,
+       CASE WHEN fim_applied THEN e ELSE CAST(0 AS BIGINT) END AS span_end,
+       CASE WHEN fim_applied THEN e - s ELSE CAST(0 AS BIGINT) END AS n_middle,
+       CASE WHEN fim_applied
+            THEN '<PRE>' || {pre} || '<SUF>' || {suf} || '<MID>' || {mid}
+            ELSE text END AS out_text
+FROM sp
+"""
+
+
+@query(
+    "fim_span_transform",
+    oracle=_fim_sql("duck", "documents"),
+    tags=("trainprep", "curation"),
+)
+def fim_span_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (Bavarian et al. 2022) — the training-data
+    reordering behind every infilling-capable code LM: for a
+    deterministic {_FIM_RATE_PCT}% of documents, elect a middle span
+    by two md5-uniform draws over token boundaries (min/max of the
+    pair — the paper's uniform-span election) and emit the document
+    in PSM order, <PRE> prefix <SUF> suffix <MID> middle, leaving the
+    rest untransformed — the mixed corpus the paper shows preserves
+    left-to-right quality while teaching infilling. Spans here are
+    TOKEN-boundary (the paper splits characters; documented
+    deviation — boundary semantics, not mechanism) and the sentinel
+    strings stand in for tokenizer sentinel ids. Every draw is a
+    versioned md5 (the corpus-wide split discipline), so re-runs and
+    both engines transform the identical documents identically —
+    the oracle hash equality covers the reassembled strings
+    themselves, not just the bookkeeping.
+
+    Scale: pure scan-side column arithmetic — three md5 draws, two
+    slices, one concat per document; no shuffle, no state, no
+    Python. At 100 TB this pushes below any exchange exactly like
+    ``chunk_documents_overlap``; the span bookkeeping columns
+    (span_start/end, n_middle) are what the packing stage consumes
+    to budget sequences.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__fim_documents")
+    return spark.sql(_fim_sql("spark", "__fim_documents"))

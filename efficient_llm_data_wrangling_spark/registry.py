@@ -152,6 +152,13 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # merges exactly one per bridge; convergence reported, not
     # assumed; pure-Python replay test-pinned.
     "label_propagation_communities",
+    # NEW (r12): fill-in-the-middle — the code-LM training reordering
+    # (PSM sentinels, md5-deterministic 50% apply coin + uniform span
+    # draws, token-boundary spans documented vs the paper's character
+    # split); pure scan-side arithmetic, zero shuffles; the oracle
+    # hashes the reassembled strings themselves; pure-Python replay
+    # test-pinned incl. the empty-slice edges.
+    "fim_span_transform",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1018,3 +1018,46 @@ def test_label_propagation_replays_in_pure_python(spark):
     assert (r.n_communities, r.n_split_groups, r.n_merged_communities) == (nc, ns, nm)
     assert r.n_changed_last_round == changed == 0
     assert r.n_merged_communities == r.n_bridges  # every bridge chains
+
+
+def test_fim_span_transform_replays_in_pure_python(spark):
+    """Every row must recompute exactly from the collected documents:
+    the three md5 draws, the min/max span election, and the PSM
+    reassembly (including empty prefix/middle/suffix edges)."""
+    import hashlib
+
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        _FIM_RATE_PCT,
+        fim_span_transform,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.doc_id: r for r in fim_span_transform(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    saw_apply = saw_skip = saw_empty_edge = False
+    for d in docs:
+        ts = [t for t in d.text.split(" ") if t]
+        n = len(ts)
+        u = lambda tag: int(  # noqa: E731
+            hashlib.md5(f"{d.doc_id}:{tag}".encode()).hexdigest()[:8], 16
+        )
+        applied = u("fimp") % 100 < _FIM_RATE_PCT
+        s, e = sorted((u("fim1") % (n + 1), u("fim2") % (n + 1)))
+        r = rows[d.doc_id]
+        assert r.fim_applied == applied and r.n_tokens == n
+        if applied:
+            assert (r.span_start, r.span_end, r.n_middle) == (s, e, e - s)
+            want = (
+                "<PRE>" + " ".join(ts[:s]) + "<SUF>" + " ".join(ts[e:])
+                + "<MID>" + " ".join(ts[s:e])
+            )
+            assert r.out_text == want
+            saw_apply = True
+            saw_empty_edge = saw_empty_edge or s == 0 or e == n or s == e
+        else:
+            assert (r.span_start, r.span_end, r.n_middle) == (0, 0, 0)
+            assert r.out_text == d.text
+            saw_skip = True
+    assert saw_apply and saw_skip and saw_empty_edge
