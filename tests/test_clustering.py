@@ -1570,3 +1570,56 @@ def test_adaboost_replays_in_pure_python(spark):
             if (pol if x[j - 1] > t else -pol) != y
         )
         assert abs(wrong_mass * 2 - sum(w.values())) <= 2 * len(rows)
+
+
+def test_pca_power_iteration_replays_in_pure_python(spark):
+    """All 8 iteration rows must recompute exactly from the collected
+    embeddings: milli-unit covariance, the power-of-two rescale with
+    sign-aware truncating shifts, integer matvecs, IEEE-sqrt
+    normalization, and every ppm bookkeeping column."""
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _PCA_GIGA,
+        _PCA_ITERS,
+        _PCA_SHIFT,
+        _PCA_SHIFT3,
+        _PCA_V0,
+        pca_power_iteration_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.iter: r for r in pca_power_iteration_report(spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("embedding").collect()
+    X = [[math.floor(float(e) * 1000 + 0.5) for e in r.embedding] for r in emb]
+    n, dims = len(X), len(X[0])
+    mu = [sum(x[j] for x in X) for j in range(dims)]
+    S = [[sum(x[i] * x[j] for x in X) for j in range(dims)] for i in range(dims)]
+    C = [[n * S[i][j] - mu[i] * mu[j] for j in range(dims)] for i in range(dims)]
+    mx = max(abs(c) for r_ in C for c in r_)
+    k2 = 1 if mx < 1 << 20 else 1 << (mx // (1 << 20)).bit_length()
+    tz = lambda v, s: -((-v) // s) if v < 0 else v // s  # noqa: E731
+    cp = [[tz(C[i][j], k2) for j in range(dims)] for i in range(dims)]
+    tr = sum(cp[i][i] for i in range(dims))
+    v = [_PCA_V0] * dims
+    for it in range(1, _PCA_ITERS + 1):
+        w = [sum(cp[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        nrm = math.sqrt(float(sum(tz(x, _PCA_SHIFT) ** 2 for x in w))) * _PCA_SHIFT
+        vn = [math.floor(x / nrm * _PCA_GIGA + 0.5) for x in w]
+        r = rows[it]
+        assert r.pc1_share_ppm == math.floor(nrm / _PCA_GIGA / tr * 1e6 + 0.5)
+        top = min(range(dims), key=lambda j: (-abs(vn[j]), j))
+        assert r.top_axis == top + 1
+        n2 = sum(tz(x, _PCA_SHIFT3) ** 2 for x in vn)
+        assert r.top_axis_share_ppm == math.floor(
+            float(tz(vn[top], _PCA_SHIFT3) * tz(vn[top], _PCA_SHIFT3)) / n2 * 1e6 + 0.5
+        )
+        dt = sum(tz(a, _PCA_SHIFT3) * tz(b, _PCA_SHIFT3) for a, b in zip(vn, v))
+        na = n2
+        nb = sum(tz(b, _PCA_SHIFT3) ** 2 for b in v)
+        assert r.cos2_prev_ppm == math.floor(
+            float(dt) * float(dt) / (float(na) * float(nb)) * 1e6 + 0.5
+        )
+        v = vn
+    assert len(rows) == _PCA_ITERS
