@@ -128,6 +128,20 @@ HEADLINE = [
     # corpus headliners already carry, reshard/preference → sub-second
     # window/join shapes)
     "skipgram_negative_sampling",
+    # round-12 families (BENCH_r12 seeds their baselines): the
+    # bit-portable power iteration (a genuinely new execution shape —
+    # one n x 64^2 covariance pass + 8 checkpointed integer-matvec
+    # stages), the WordPiece trainer (the tokenizer family's second
+    # iterative merge loop: BPE's shape plus a per-round symbol-count
+    # shuffle), and the Hilbert/Z-order layout comparison (the layout
+    # family's new representative: 16 unrolled bit stages + the
+    # composite file-grid aggregate). The other r12 operators ride
+    # priced families (HLL/MaxScore/KN/FIM/range-plan/NB/LPA →
+    # scan-aggregate, BM25, bigram, interval-join, and CC shapes the
+    # headliners already carry).
+    "pca_power_iteration_report",
+    "wordpiece_train_rounds",
+    "hilbert_layout_report",
 ]
 
 
@@ -511,6 +525,62 @@ R10_DRIVER_RATIOS = {
     "stream_neardup_gate": 28.814,
 }
 
+#: Round-11 per-query ratios to the fixed calibration workload, from
+#: the DRIVER's BENCH_r11.json (medians / calibration 0.293 s,
+#: interleaved calibration on both ends of the chain link). That run
+#: flagged seven sub-second queries the same-code idle-host seal run
+#: did not — uniform host drift by the repo's noise discipline — so
+#: ratios here are the honest (loaded-host) baseline and the r12
+#: comparison inherits the same calibration normalization.
+R11_DRIVER_RATIOS = {
+    "pair_join_text": 2.662,
+    "pricing_summary": 3.901,
+    "comparator_tolerance": 7.911,
+    "window_top_order_per_customer": 1.382,
+    "filter_project_lineitem": 0.904,
+    "dedup_exact_documents": 1.57,
+    "dedup_minhash_lsh": 11.372,
+    "text_quality_documents": 3.997,
+    "knn_brute_force": 2.386,
+    "asof_join_events": 1.7,
+    "rollup_pricing": 5.601,
+    "multimodal_decode": 7.102,
+    "stream_tumbling_counts": 14.3,
+    "sessionize_events": 3.355,
+    "upsert_snapshot_orders": 1.713,
+    "connected_components_halving": 17.481,
+    "correlated_avg_qty_filter": 8.659,
+    "repetition_ratio_documents": 5.485,
+    "stream_stream_attribution": 11.321,
+    "chunk_documents_overlap": 1.13,
+    "pack_documents_token_budget": 0.816,
+    "decontaminate_ngram_overlap": 3.549,
+    "corpus_curation_pipeline": 3.137,
+    "bm25_top_docs": 2.727,
+    "substring_dedup_windows": 7.454,
+    "knn_ivf_pq": 4.625,
+    "ccnet_perplexity_buckets": 4.747,
+    "dsir_importance_weights": 4.618,
+    "local_supplier_volume": 3.181,
+    "bpe_train_rounds": 8.174,
+    "stream_admission_pipeline": 4.713,
+    "tpch_q11_important_stock": 2.444,
+    "zorder_layout_report": 2.201,
+    "corpus_release_manifest": 4.324,
+    "knn_graph_nn_descent_round": 46.396,
+    "compaction_plan_report": 1.648,
+    "knn_graph_greedy_search": 126.836,
+    "knn_graph_serving_capstone": 146.846,
+    "decontaminate_minhash_fuzzy": 15.526,
+    "quality_rank_fusion": 10.044,
+    "training_order_mixing_report": 5.986,
+    "stream_neardup_gate": 23.782,
+    "stream_band_index_maintenance": 20.829,
+    "unigram_lm_tokenizer_round": 80.771,
+    "skipgram_negative_sampling": 25.044,
+}
+
+
 
 #: Regression-flag rule (VERDICT r10 item 7). BENCH_OVERHEAD.md pins
 #: that the graph-ANN family's bench seconds are ~80% fixed
@@ -525,6 +595,11 @@ GRAPH_FAMILY = {
     "knn_graph_nn_descent_round",
     "knn_graph_greedy_search",
     "knn_graph_serving_capstone",
+    # r12: the power iteration shares the family's cost profile —
+    # per-stage plan-compile + localCheckpoint job launches dominate
+    # at sf0.1 (BENCH_OVERHEAD.md's fixed-overhead signature), so its
+    # seconds get the same wider noise band
+    "pca_power_iteration_report",
 }
 FLAG_THRESHOLD_GRAPH = 1.5
 FLAG_THRESHOLD_DEFAULT = 1.25
@@ -647,12 +722,17 @@ def main() -> None:
         for n, r in ratios.items()
         if n in R10_DRIVER_RATIOS
     }
+    ratio_vs_r11_driver = {
+        n: round(r / R11_DRIVER_RATIOS[n], 3)
+        for n, r in ratios.items()
+        if n in R11_DRIVER_RATIOS
+    }
     # the chain baselines are sf0.1 ratios — at any other SF the
     # comparison is meaningless, so the flag list only computes there
     flagged = (
         sorted(
             n
-            for n, r in ratio_vs_r10_driver.items()
+            for n, r in ratio_vs_r11_driver.items()
             if r
             >= (FLAG_THRESHOLD_GRAPH if n in GRAPH_FAMILY else FLAG_THRESHOLD_DEFAULT)
         )
@@ -696,8 +776,9 @@ def main() -> None:
         "ratio_vs_r8_driver": ratio_vs_r8_driver,
         "ratio_vs_r9_driver": ratio_vs_r9_driver,
         "ratio_vs_r10_driver": ratio_vs_r10_driver,
+        "ratio_vs_r11_driver": ratio_vs_r11_driver,
         "flagged_regressions": flagged,
-        "flag_rule": "ratio_vs_r10_driver >= 1.5 graph-family / 1.25 other",
+        "flag_rule": "ratio_vs_r11_driver >= 1.5 graph-family / 1.25 other",
         "sf": sf,
         "queries": timings,
     }
@@ -716,10 +797,10 @@ def main() -> None:
         "sf": sf,
         "calibration_sec": cal,
         "calibration_n": len(cal_samples),
-        "vs_r9_driver": _summ(ratio_vs_r9_driver),
         "vs_r10_driver": _summ(ratio_vs_r10_driver),
+        "vs_r11_driver": _summ(ratio_vs_r11_driver),
         "flagged": flagged,
-        "flag_rule": "vs_r10_driver>=1.5 graph / >=1.25 other",
+        "flag_rule": "vs_r11_driver>=1.5 graph / >=1.25 other",
     }
     print(fit_line(payload))
 
@@ -734,7 +815,7 @@ def fit_line(payload: dict, budget: int = 1900) -> str:
     fields (metric, value, unit, sf) are never dropped."""
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= budget:
-        for drop in ("vs_r9_driver", "flag_rule", "flagged", "vs_r10_driver", "queries"):
+        for drop in ("vs_r10_driver", "flag_rule", "flagged", "vs_r11_driver", "queries"):
             payload.pop(drop, None)
             payload["truncated"] = True
             line = json.dumps(payload, separators=(",", ":"))
