@@ -178,6 +178,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # 8-iteration multi-reference chain OOMs Spark at plan time);
     # pure-Python replay test-pinned.
     "pca_power_iteration_report",
+    # NEW (r12): split-conformal prediction — distribution-free
+    # intervals measured end-to-end: exact-rational least squares,
+    # BIGINT residual-numerator rank election with the finite-sample
+    # k = ceil(0.9(n+1)) correction, realized coverage vs the 900
+    # target with the wobble priced honestly (8-draw sweep mean 891)
+    # and the k > n_cal case reported as interval_unbounded rather
+    # than clamped; pure-Python replay test-pinned.
+    "conformal_prediction_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

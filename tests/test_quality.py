@@ -168,3 +168,60 @@ def test_dq_quarantine_split_reconciles_with_expectation_counts(spark):
     # the suite plants price_cap violations, so the path is exercised
     assert bit_tallies["price_cap"] > 0
     assert len(rows) <= sum(bit_tallies.values())
+
+
+def test_conformal_prediction_replays_in_pure_python(spark):
+    """The report row must recompute exactly from the collected
+    documents: exact-rational least squares, integer residual
+    numerators, the finite-sample k election (including the
+    unbounded-interval branch when k > n_cal), and coverage."""
+    import hashlib
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.quality import (
+        _CFM_CAL_MOD,
+        conformal_prediction_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    [r] = conformal_prediction_report(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    data = [
+        (
+            d.doc_id,
+            len([t for t in d.text.split(" ") if t]),
+            int(d.n_chars),
+            int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16) % _CFM_CAL_MOD,
+        )
+        for d in docs
+    ]
+    tr = [(x, y) for _, x, y, b in data if b not in (3, 4)]
+    ca = [(x, y) for _, x, y, b in data if b == 3]
+    te = [(x, y) for _, x, y, b in data if b == 4]
+    n = len(tr)
+    sx, sy = sum(x for x, _ in tr), sum(y for _, y in tr)
+    sxx, sxy = sum(x * x for x, _ in tr), sum(x * y for x, y in tr)
+    d_ = n * sxx - sx * sx
+    d_ = d_ if d_ > 0 else 1
+    bn, an = n * sxy - sx * sy, sy * sxx - sx * sxy
+    res = sorted(abs(y * d_ - an - bn * x) for x, y in ca)
+    k = (90 * (len(ca) + 1) + 99) // 100
+    unbounded = k > len(ca)
+    q = res[min(k, len(ca)) - 1]
+    cov = sum(
+        1 for x, y in te if unbounded or abs(y * d_ - an - bn * x) <= q
+    )
+    assert (r.n_train, r.n_cal, r.n_test) == (n, len(ca), len(te))
+    assert r.slope_micro == math.floor(bn / d_ * 1e6 + 0.5)
+    assert r.intercept_micro == math.floor(an / d_ * 1e6 + 0.5)
+    assert r.interval_unbounded == int(unbounded)
+    if unbounded:
+        assert r.half_width_milli_chars == -1
+    else:
+        assert r.half_width_milli_chars == math.floor(q / d_ * 1000 + 0.5)
+    assert r.n_covered == cov
+    assert r.coverage_permille == cov * 1000 // len(te)
+    assert r.target_permille == 900
