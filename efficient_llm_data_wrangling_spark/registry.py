@@ -186,6 +186,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # and the k > n_cal case reported as interval_unbounded rather
     # than clamped; pure-Python replay test-pinned.
     "conformal_prediction_report",
+    # NEW (r12): the tokenizer-selection decision at equal merge
+    # budget — both unrolled training chains coexist in ONE oracle
+    # statement (prefixed CTE namespaces) and the corpus word stream
+    # prices them in pretraining units: BPE saves 171 permille of
+    # character units at fertility 3737 where WordPiece's
+    # likelihood-elected merges save 73 at 4171 — per-merge LM gain
+    # vs the byte bill, measured; reconciliation test pins the rows
+    # to the two fits' final symbol tables.
+    "tokenizer_fertility_compare",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

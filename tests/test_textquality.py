@@ -740,3 +740,34 @@ def test_preference_pairs_replay_and_structure(spark):
         assert r.margin >= 0
         assert r.chosen_id not in used and r.rejected_id not in used
         used.update((r.chosen_id, r.rejected_id))
+
+
+def test_tokenizer_fertility_compare_reconciles_with_fits(spark):
+    """The compare rows must reconcile exactly with the two fits'
+    final symbol tables applied to the corpus word stream — and with
+    each other on the shared word/char totals."""
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        _BPE_D,
+        _bpe_fit,
+        _wp_fit,
+        tokenizer_fertility_compare,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.tokenizer: r for r in tokenizer_fertility_compare(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"bpe", "wordpiece"}
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    words = [t for r in docs for t in r.text.split(" ") if t]
+    for name, fit in (("bpe", _bpe_fit), ("wordpiece", _wp_fit)):
+        _, syms = fit(spark, SF_SMOKE)
+        nsym = {
+            r.tok: len([x for x in r.sym.split(_BPE_D) if x]) for r in syms.collect()
+        }
+        r = rows[name]
+        assert r.n_words == len(words)
+        assert r.n_char_units == sum(len(w) for w in words)
+        assert r.n_tokens == sum(nsym[w] for w in words)
+        assert r.fertility_milli == r.n_tokens * 1000 // r.n_words
+        assert r.saved_permille == (r.n_char_units - r.n_tokens) * 1000 // r.n_char_units
+    assert rows["bpe"].n_tokens <= rows["wordpiece"].n_tokens  # the measured ranking
