@@ -195,6 +195,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # vs the byte bill, measured; reconciliation test pins the rows
     # to the two fits' final symbol tables.
     "tokenizer_fertility_compare",
+    # NEW (r12): CUSUM changepoint detection in CLOSED FORM — the
+    # sequential recursion replaced by cum minus clamped prefix-min
+    # (two windows, distributable), exact centi-count integers, two
+    # arms through shared expressions: the stationary raw arm stays
+    # quiet on all five event types while the planted 1.5x step fires
+    # on all five with the 4-5 day delay the allowance/bar arithmetic
+    # predicts; closed-form == recursion identity test-pinned at every
+    # step; pure-Python replay test-pinned.
+    "cusum_changepoint_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1111,3 +1111,67 @@ def test_range_partition_plan_replays_in_pure_python(spark):
             assert (r.max_rows, r.min_rows, r.total_rows) == (max(c.values()), min(c.values()), total)
             ideal = total // _RPP_P
             assert r.skew_permille == (max(c.values()) - ideal) * 1000 // ideal
+
+
+def test_cusum_changepoint_replays_in_pure_python(spark):
+    """All arm x event_type rows must recompute exactly from the
+    collected events: daily counts, the planted step, the closed-form
+    CUSUM (cum minus clamped prefix-min), bar, alarms, and delays —
+    and the closed form must equal the textbook recursion."""
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.temporal import (
+        _CUSUM_BASE_DAYS,
+        _CUSUM_STEP_DAY,
+        cusum_changepoint_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    import datetime
+
+    rows = {(r.arm, r.event_type): r for r in cusum_changepoint_report(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "ts").collect()
+    daily: Counter = Counter()
+    for r in ev:
+        d = (r.ts.date() - datetime.date(2024, 1, 1)).days + 1
+        daily[(r.event_type, d)] += 1
+    types = sorted({t for t, _ in daily})
+    days = sorted({d for _, d in daily})
+    for arm in ("raw", "planted"):
+        for t in types:
+            x = {
+                d: (
+                    daily[(t, d)] + daily[(t, d)] // 2
+                    if arm == "planted" and d >= _CUSUM_STEP_DAY
+                    else daily[(t, d)]
+                )
+                for d in days
+            }
+            s0 = sum(v for d, v in x.items() if d <= _CUSUM_BASE_DAYS)
+            mon = [d for d in days if d > _CUSUM_BASE_DAYS]
+            # textbook recursion
+            s_rec, mx, first = 0, 0, None
+            cum, mn = 0, 0
+            for d in mon:
+                dd = 100 * x[d] - 11 * s0
+                s_rec = max(0, s_rec + dd)
+                cum += dd
+                mn = min(mn, cum)
+                assert s_rec == cum - min(0, mn)  # closed form == recursion
+                mx = max(mx, s_rec)
+                if first is None and s_rec > 20 * s0:
+                    first = d
+            r = rows[(arm, t)]
+            assert r.n_days_monitored == len(mon)
+            assert r.baseline_mean_centi == s0 * 100 // _CUSUM_BASE_DAYS
+            assert r.max_cusum_centi == mx
+            assert r.alarm_bar_centi == 20 * s0
+            assert r.alarm_fired == (first is not None)
+            assert r.first_alarm_day == (first if first is not None else -1)
+            want_delay = (
+                first - _CUSUM_STEP_DAY
+                if arm == "planted" and first is not None
+                else -1
+            )
+            assert r.detection_delay_days == want_delay
+    assert len(rows) == 2 * len(types)
