@@ -6963,12 +6963,19 @@ def _pca_sql(engine: str, embeddings: str) -> str:
     tags=("clustering", "learning", "iterative"),
 )
 def pca_power_iteration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Power iteration on the embedding covariance — iterative
-    numerical linear algebra made bit-portable, the fit step behind
-    every PCA/whitening/low-rank decision an embedding pipeline
-    takes (and the direct check on the truncation study's premise
-    that coordinate prefixes carry the energy): {8} iterations of
-    v <- C v with the covariance held as EXACT BIGINTs (milli-unit
+    """The SPECTRUM half of the power-iteration story —
+    ``pca_power_iteration`` (r7) runs the distributed trace (scaled
+    integer Gram, 4 matvec rounds, checksum convergence trace, the
+    overflow-guard engineering); THIS rung turns the same iteration
+    into the numbers a pipeline decides with: the eigenvalue SHARE
+    against the trace (is there a dominant direction at all?), the
+    cos^2 convergence meter (how settled is the answer?), and the
+    eigenvector's axis alignment (does any coordinate carry it?) —
+    none of which the checksum trace exposes. Mechanically it is
+    also the more exact instrument, the direct check on the
+    truncation study's premise that coordinate prefixes carry the
+    energy: {8} iterations (vs 4) of v <- C v with the CENTERED
+    covariance held as EXACT BIGINTs (milli-unit
     coordinates, C = n*S - m m^T), scaled once by a power of two
     with a sign-aware truncating shift (DuckDB floors negative //
     where Spark div truncates — the one integer-division semantic

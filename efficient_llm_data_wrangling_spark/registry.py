@@ -167,15 +167,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # partitions, 5393 permille) — cardinality is the constraint;
     # pure-Python replay test-pinned.
     "range_partition_plan",
-    # NEW (r12): iterative numerical linear algebra, bit-portable —
-    # power iteration on the exact-BIGINT embedding covariance (sign-
-    # aware truncating rescale, order-free integer matvecs, IEEE-sqrt
-    # normalization, giga-unit integer state); the flat spectrum shows
-    # BOTH textbook consequences (share barely above the 1/64
-    # isotropic floor AND worst-case convergence, visible in the cos^2
-    # meter); shared stage templates — DuckDB splices one MATERIALIZED
-    # chain, Spark loops per-stage localCheckpoints (an inlined
-    # 8-iteration multi-reference chain OOMs Spark at plan time);
+    # NEW (r12): the SPECTRUM rung on r7's pca_power_iteration trace
+    # rung — eigenvalue share vs trace, cos^2 convergence meter, axis
+    # alignment (none of which the checksum trace exposes), on the
+    # exact-BIGINT CENTERED covariance (sign-aware truncating rescale,
+    # order-free integer matvecs, IEEE-sqrt normalization, giga-unit
+    # integer state); the flat spectrum shows BOTH textbook
+    # consequences (share barely above the 1/64 isotropic floor AND
+    # worst-case convergence, visible in the meter); DuckDB splices
+    # one MATERIALIZED chain, Spark loops per-stage localCheckpoints;
     # pure-Python replay test-pinned.
     "pca_power_iteration_report",
     # NEW (r12): split-conformal prediction — distribution-free
