@@ -2608,7 +2608,16 @@ def _lpa_sql(engine: str, documents: str) -> str:
     dv = "div" if engine == "spark" else "//"
     mat = "" if engine == "spark" else "MATERIALIZED "
     ctes = [
-        f"v AS {mat}(SELECT doc_id AS node, doc_id {dv} {_LPA_G} AS gk FROM {documents})",
+        # groups of size 1 (isolated node: inner joins drop it from
+        # the LPA arm) or 2 (synchronous LPA label-swaps forever on a
+        # bare pair) can arise as the TAIL clique when the doc count
+        # is not a multiple of {_LPA_G}; both are degenerate GRAPHS,
+        # not algorithm cases, so the vertex set keeps only groups
+        # with >= 3 members (no-op at every test SF — tails are 4 or
+        # 0 — and the replay test mirrors the rule)
+        f"v0g AS {mat}(SELECT doc_id AS node, doc_id {dv} {_LPA_G} AS gk FROM {documents})",
+        "vsz AS (SELECT gk, count(*) AS sz FROM v0g GROUP BY gk)",
+        f"v AS {mat}(SELECT n.node, n.gk FROM v0g n JOIN vsz z ON z.gk = n.gk AND z.sz >= 3)",
         (
             "ce AS (SELECT a.node AS src, b.node AS dst"
             " FROM v a JOIN v b ON a.gk = b.gk AND a.node <> b.node)"

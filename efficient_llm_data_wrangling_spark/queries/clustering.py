@@ -6783,12 +6783,19 @@ def gaussian_nb_holdout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     test vector the 64-dim diagonal-Gaussian log-likelihood plus
     log-prior, argmax with class-asc ties. Portability: with a =
     n*sxx - sx^2 each dim's term is -0.5 ln a + ln n - 0.5 (n*x -
-    sx)^2/a — the residual stays exact BIGINT, square and division
-    run in DOUBLE (no overflow at any corpus size), ln through the
-    portable series, every term micro-rounded to BIGINT BEFORE
-    summation so the fold is order-free (the ``bm25_rm3_expansion``
-    discipline). Output: both confusion matrices with accuracy vs
-    the majority-prior baseline.
+    sx)^2/a — the residual stays exact BIGINT, its square and the
+    division run in DOUBLE, ln through the portable series, every
+    term micro-rounded to BIGINT BEFORE summation so the fold is
+    order-free (the ``bm25_rm3_expansion`` discipline). Bound
+    honesty: ``a`` itself is BIGINT, exact only while n^2 * max|x|^2
+    < 9.2e18 — per-class train n <= ~2.4e4 at micro-unit components;
+    beyond that, drop to milli-units (the
+    ``pca_power_iteration_report`` scale) or shard the sums. The
+    builder guards this FAIL-LOUD (the ``pca_power_iteration``
+    precedent) instead of wrapping silently: Spark wraps int64 where
+    DuckDB raises, which would otherwise diverge the engines exactly
+    at scale. Output: both confusion matrices with accuracy vs the
+    majority-prior baseline.
 
     Measured (sf0.01 / sf0.1): the control arm proves the machinery —
     'cell' reads 462 / 637 permille against majority baselines of
@@ -6810,7 +6817,22 @@ def gaussian_nb_holdout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast 10-row codebook, unrolled integer distances).
     """
     tune(spark)
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("__gnb_embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # fail-loud int64 bound for a = n*sxx - sx^2, from MEASURED
+    # magnitudes (two bounded scalar actions): n^2 * max|x_micro|^2
+    # must stay under 2^63 (n bounds any per-(target, class) count)
+    stats = emb.selectExpr(
+        "count(*) AS n",
+        "max(aggregate(transform(embedding, e -> abs(CAST(floor(CAST(e AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT))), CAST(0 AS BIGINT),"
+        " (acc, x) -> greatest(acc, x))) AS mx",
+    ).collect()[0]
+    if float(stats.n) ** 2 * float(stats.mx) ** 2 >= float(1 << 63):
+        raise ValueError(
+            f"gaussian_nb_holdout_report: n={stats.n}, max|x|={stats.mx} would"
+            " overflow the int64 sufficient statistics - drop to milli-units"
+        )
+    emb.createOrReplaceTempView("__gnb_embeddings")
     return spark.sql(_gnb_sql("spark", "__gnb_embeddings"))
 
 
@@ -6831,9 +6853,11 @@ def _pca_tmpl(engine: str) -> dict[str, str]:
     pattern), engine-parameterized only in spelling. Portability
     discipline: the covariance is EXACT BIGINT (milli-unit
     coordinates, C = n*S - m_i*m_j), scaled once by a power of two
-    via SIGN-AWARE truncating shift (DuckDB's // floors negatives
-    where Spark's div truncates — abs/sign keeps the engines
-    identical); each matvec is an exact order-free BIGINT sum; only
+    via SIGN-AWARE truncating shift — the pinned DuckDB 1.0's //
+    and Spark's div BOTH truncate signed division toward zero
+    (verified empirically), but signed integer division is exactly
+    the semantic engines have historically disagreed on, so the
+    abs/sign form locks the behavior instead of trusting the pin; each matvec is an exact order-free BIGINT sum; only
     the normalization touches doubles (IEEE sqrt and division), and
     the vector re-rounds to giga-unit integers every iteration."""
     if engine == "spark":
@@ -6858,7 +6882,7 @@ def _pca_tmpl(engine: str) -> dict[str, str]:
     )
     w28 = shft("w", _PCA_SHIFT)
     a3, b3, v3 = shft("a.v", _PCA_SHIFT3), shft("b.v", _PCA_SHIFT3), shft("v", _PCA_SHIFT3)
-    av3 = shft("a.v", _PCA_SHIFT3)
+    av3 = a3
     return {
         "xm": f"SELECT vec_id, {xm} AS x FROM {{emb}}",
         "el": f"SELECT g.j, {ix} AS xv, v.vec_id FROM {{xm}} v CROSS JOIN {gen} g",
@@ -6880,7 +6904,7 @@ def _pca_tmpl(engine: str) -> dict[str, str]:
         ),
         "cp": f"SELECT i, j, {shft('c', 'k.k2')} AS c FROM {{cov}} CROSS JOIN {{ksc}} k",
         "trc": "SELECT CAST(sum(c) AS BIGINT) AS tr FROM {cp} WHERE i = j",
-        "v0": f"SELECT j, CAST({_PCA_V0} AS BIGINT) AS v FROM {gen.replace('AS j', 'AS j')}",
+        "v0": f"SELECT j, CAST({_PCA_V0} AS BIGINT) AS v FROM {gen}",
         "w": (
             "SELECT c.i AS j, CAST(sum(c.c * v.v) AS BIGINT) AS w"
             " FROM {cp} c JOIN {v} v ON v.j = c.j GROUP BY c.i"
@@ -6977,9 +7001,10 @@ def pca_power_iteration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy: {8} iterations (vs 4) of v <- C v with the CENTERED
     covariance held as EXACT BIGINTs (milli-unit
     coordinates, C = n*S - m m^T), scaled once by a power of two
-    with a sign-aware truncating shift (DuckDB floors negative //
-    where Spark div truncates — the one integer-division semantic
-    the engines disagree on), matvecs as exact order-free BIGINT
+    with a sign-aware truncating shift (both pinned engines truncate
+    signed division toward zero — verified — but it is the semantic
+    engines have historically disagreed on, so the abs/sign form
+    locks the behavior), matvecs as exact order-free BIGINT
     sums, and only the per-iteration normalization in doubles (IEEE
     sqrt/divide, correctly rounded, identical) before re-rounding to
     giga-unit integers. Per iteration: the eigenvalue share

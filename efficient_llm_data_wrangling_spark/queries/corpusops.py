@@ -2554,6 +2554,7 @@ WITH t AS {mat}(
   SELECT doc_id, {toks} AS toks, ({u32}) % 4 < 3 AS is_train
   FROM {documents}
 ),
+tra AS (SELECT toks FROM t WHERE is_train),
 trd AS (SELECT doc_id, toks FROM t WHERE is_train AND {ll} >= 2),
 hed AS (SELECT doc_id, toks FROM t WHERE NOT is_train AND {ll} >= 2),
 bgt AS {mat}({bg.format(src='trd')}),
@@ -2573,7 +2574,7 @@ gl AS {mat}(
 ),
 vv AS {mat}(
   SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-  FROM (SELECT {"explode(toks)" if engine == "spark" else "unnest(toks)"} AS tok FROM trd)
+  FROM (SELECT {"explode(toks)" if engine == "spark" else "unnest(toks)"} AS tok FROM tra)
 ),
 hbt AS {mat}(
   SELECT a, b, CAST(count(*) AS BIGINT) AS n
@@ -2640,9 +2641,16 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     word completes, not how often it occurs — the insight that made
     KN the default), and price both models on the held-out split's
     bigrams. Every probability is an exact BIGINT rational (numerator
-    and denominator carried separately; magnitudes bounded by
-    vocab-scale products, far under int64); ln(P) = ln(num) - ln(den)
-    through the portable series; per-type terms micro-round before
+    and denominator carried separately; V counts ALL train tokens,
+    including <2-token docs the bigram stream skips). Bound honesty:
+    the KN denominator ca*dd*(nct+v) is DATA-sized — ca is the
+    context's training-token count — so int64 holds while
+    ca*dd*(nct+v) < 9.2e18 (true by orders of magnitude here; a
+    trillion-token open-vocabulary corpus overflows it, and the
+    documented scale path is to decompose ln(den) = ln(ca) + ln(dd)
+    + ln(nct+v) — three portable lns of bounded ints — rather than
+    to materialize the product). ln(P) = ln(num) - ln(den) through
+    the portable series; per-type terms micro-round before
     the heldout-weighted sum so the fold is order-free. The
     continuation distribution is add-one smoothed (documented
     deviation) so unseen heldout words stay finite; an unseen context

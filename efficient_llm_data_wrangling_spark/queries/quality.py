@@ -742,11 +742,11 @@ kk AS (
   FROM cn
 ),
 qv AS (
-  SELECT r.ar AS q, kk.ncal, kk.k,
+  SELECT coalesce(r.ar, CAST(0 AS BIGINT)) AS q, kk.ncal, kk.k,
          CASE WHEN kk.k > kk.ncal THEN 1 ELSE 0 END AS unbounded
-  FROM (
+  FROM kk LEFT JOIN (
     SELECT ar, row_number() OVER (ORDER BY ar, doc_id) AS rn FROM cr
-  ) r JOIN kk ON r.rn = least(kk.k, kk.ncal)
+  ) r ON r.rn = least(kk.k, kk.ncal)
 ),
 tv AS {mat}(
   SELECT e.doc_id,
@@ -805,8 +805,11 @@ def conformal_prediction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration bucket holds only 5 docs, k = 6 > n_cal, and the
     report says so rather than clamping: interval_unbounded = 1,
     half-width -1, coverage 1000 — the honest statement that 5
-    calibration points cannot certify a 90% interval. Slope ~5.5
-    chars/token, half-width ~14.3 chars at sf0.1.
+    calibration points cannot certify a 90% interval (an EMPTY
+    calibration bucket degrades the same way: the quantile join is a
+    LEFT JOIN from the index election, so the unbounded row survives
+    with q = 0 instead of vanishing). Slope ~5.5 chars/token,
+    half-width ~14.3 chars at sf0.1.
 
     Scale: the fit is one map-side-combinable aggregate; residuals
     are scan-side integer arithmetic against the broadcast 1-row

@@ -568,9 +568,16 @@ def _cusum_sql(engine: str, events: str) -> str:
         day = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS BIGINT)"
         dv = "//"
     return f"""
-WITH dc AS (
+WITH dc0 AS (
   SELECT event_type, {day} AS d, CAST(count(*) AS BIGINT) AS x
   FROM {events} GROUP BY event_type, {day}
+),
+tt AS (SELECT DISTINCT event_type FROM dc0),
+sp AS (SELECT DISTINCT d FROM dc0),
+dc AS (
+  SELECT t.event_type, s.d, coalesce(c.x, CAST(0 AS BIGINT)) AS x
+  FROM tt t CROSS JOIN sp s
+  LEFT JOIN dc0 c ON c.event_type = t.event_type AND c.d = s.d
 ),
 arms AS (
   SELECT 'raw' AS arm, event_type, d, x FROM dc
@@ -652,8 +659,14 @@ def cusum_changepoint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires on all five with detection delay 4-5 days — the classic
     CUSUM trade: the mu0/10 allowance absorbs daily noise, and a 50%
     step accumulates ~0.4 baseline-means of excess per day, so
-    crossing the 2-mean bar takes ~4-5 days by construction. Day-boundary effects, not corpus size,
-    set the delay — the same report at 100 TB reads the same days.
+    crossing the 2-mean bar takes ~4-5 days by construction.
+    Day-boundary effects, not corpus size, set the delay — the same
+    report at 100 TB reads the same days. Zero-event days are
+    SPINE-FILLED (the calendar grid crosses every observed event_type
+    with every observed day; missing cells read x = 0): a
+    total-outage day drains the CUSUM like any other below-mean day
+    instead of silently vanishing from the monitor — the failure
+    mode a count-based alarm exists to catch.
 
     Scale: one map-side-combinable daily aggregate (|types| x days
     rows), then windows PARTITIONED BY (arm, event_type) over at

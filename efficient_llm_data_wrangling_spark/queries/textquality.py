@@ -2541,6 +2541,7 @@ def _ms_sql(engine: str, documents: str) -> str:
     monotone under IEEE rounding and score <= ub_sum holds for every
     doc — which the report then also proves ON DATA via
     n_topk_skipped."""
+    assert len(_BM25_TERMS) == 3, "the CASE-indexed columns assume 3 terms"
     if engine == "spark":
         ln = PM.lnint_inline_sql
         toks = "filter(split(text, ' '), x -> x <> '')"
@@ -2629,7 +2630,8 @@ SELECT o.term, o.df, round(o.ub, 6) AS ub_6, round(o.cum_ub, 6) AS cum_ub_6,
        o.cum_ub >= h.theta AS essential,
        round(h.theta, 6) AS theta_6,
        s.n_matching, s.n_skippable,
-       s.n_skippable * 1000 {dv} s.n_matching AS skippable_permille,
+       CASE WHEN s.n_matching = 0 THEN CAST(0 AS BIGINT)
+            ELSE s.n_skippable * 1000 {dv} s.n_matching END AS skippable_permille,
        s.n_topk_skipped
 FROM tord o CROSS JOIN th h CROSS JOIN summ s
 """
@@ -2654,7 +2656,10 @@ def maxscore_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     score and the bound sum their terms in the SAME fixed order, so
     every IEEE addition step is monotone and score <= ub_sum per doc)
     and MEASURED: n_topk_skipped counts exact top-{k} docs the verdict
-    would skip, and reads 0.
+    would skip, and reads 0. (The CASE-indexed per-term columns
+    hardcode the 3-term query; the assert below keeps a future
+    _BM25_TERMS extension from silently mis-mapping term 4 through
+    the ELSE branch.)
 
     Measured at sf0.1 (4,817 matching docs): the three UBs sit at
     0.47-0.52 against theta = 1.27, so only the LAST term in MaxScore

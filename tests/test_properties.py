@@ -969,6 +969,9 @@ def test_label_propagation_replays_in_pure_python(spark):
     groups = defaultdict(list)
     for v in ids:
         groups[gk[v]].append(v)
+    # degenerate tails (size 1-2) are excluded from the vertex set
+    groups = {g: m for g, m in groups.items() if len(m) >= 3}
+    ids = [v for v in ids if gk[v] in groups]
     edges = []
     for mem in groups.values():
         edges += [(a, b) for a in mem for b in mem if a != b]
