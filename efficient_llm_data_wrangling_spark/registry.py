@@ -204,6 +204,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # predicts; closed-form == recursion identity test-pinned at every
     # step; pure-Python replay test-pinned.
     "cusum_changepoint_report",
+    # NEW (r12, second batch): Pareto skyline — the dominance
+    # operator, run as TWO preference arms (premium: max size / min
+    # price; compact: min both) through shared expressions; the 2-D
+    # closed form (per-size pmin + one running-min window over the
+    # 50-value size DOMAIN) replaces the O(n^2) NOT EXISTS self-join;
+    # exact DECIMAL cents; equal-(size,price) twins co-survive under
+    # weak dominance (test-pinned); brute-force replay test-pinned.
+    "pareto_skyline_parts",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1178,3 +1178,36 @@ def test_cusum_changepoint_replays_in_pure_python(spark):
             )
             assert r.detection_delay_days == want_delay
     assert len(rows) == 2 * len(types)
+
+
+def test_pareto_skyline_replays_by_brute_force(spark):
+    """Both arms must equal the O(n^2) dominance definition computed
+    in pure Python (weak dominance, one strict coordinate), including
+    equal-(size, price) twins co-surviving; ranks and counts too."""
+    from efficient_llm_data_wrangling_spark.queries.analytics import pareto_skyline_parts
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    from decimal import Decimal
+
+    got = {}
+    for r in pareto_skyline_parts(spark, SF_SMOKE).collect():
+        got.setdefault(r.arm, []).append(r)
+    parts = [
+        (r.p_partkey, int(r.p_size), int(Decimal(str(round(r.p_retailprice, 2))) * 100))
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    ]
+    for arm, sgn in (("premium", -1), ("compact", 1)):
+        # dominance: q beats p iff q is <= on both normalized axes and < on one
+        want = []
+        for k, s, c in parts:
+            dominated = any(
+                (sgn * s2 <= sgn * s and c2 <= c) and (sgn * s2 < sgn * s or c2 < c)
+                for _, s2, c2 in parts
+            )
+            if not dominated:
+                want.append((s, k, c))
+        want.sort()
+        rows = sorted(got[arm], key=lambda r: (r.p_size, r.p_partkey))
+        assert [(r.p_size, r.p_partkey, r.price_centi) for r in rows] == want
+        assert [r.skyline_rank for r in rows] == list(range(1, len(want) + 1))
+        assert all(r.n_skyline_parts == len(want) for r in rows)
