@@ -212,6 +212,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # exact DECIMAL cents; equal-(size,price) twins co-survive under
     # weak dominance (test-pinned); brute-force replay test-pinned.
     "pareto_skyline_parts",
+    # NEW (r12, second batch): sketch mergeability VERIFIED — per-source
+    # HLL registers / KMV k-sets combined (max-of-max; k-smallest of
+    # union) proven bit-identical to a global rebuild (0 mismatches,
+    # equal floor'd estimates) — the lattice-homomorphism identity that
+    # makes sketches the shard-combine primitive at 100 TB; same
+    # portable spellings as the two calibration rungs; pure-Python
+    # replay test-pinned.
+    "sketch_merge_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

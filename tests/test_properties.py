@@ -1211,3 +1211,72 @@ def test_pareto_skyline_replays_by_brute_force(spark):
         assert [(r.p_size, r.p_partkey, r.price_centi) for r in rows] == want
         assert [r.skyline_rank for r in rows] == list(range(1, len(want) + 1))
         assert all(r.n_skyline_parts == len(want) for r in rows)
+
+
+def test_sketch_merge_replays_in_pure_python(spark):
+    """Both sketch rows must recompute exactly from the collected
+    documents: per-source HLL registers / KMV k-sets, the merge
+    (register max-of-max; k smallest of the union of k-sets), the
+    rebuild from the global distinct stream, the zero-mismatch
+    identity, and both floor'd estimates."""
+    import hashlib
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.analytics import (
+        _HLL_LIN_BAR,
+        _HLL_M,
+        _HLL_WBITS,
+        _HLL_WMOD,
+        _KMV_K,
+        _KMV_SPACE,
+        sketch_merge_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.sketch: r for r in sketch_merge_report(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    per_src: dict[str, set[int]] = {}
+    for r in docs:
+        h = int(hashlib.md5(r.text.encode()).hexdigest()[:8], 16)
+        per_src.setdefault(r.source, set()).add(h)
+    glob = set().union(*per_src.values())
+
+    def hll_regs(hs):
+        regs: dict[int, int] = {}
+        for h in hs:
+            j, w = h // _HLL_WMOD, h % _HLL_WMOD
+            rho = _HLL_WBITS + 1 - (w.bit_length() if w else 0)
+            regs[j] = max(regs.get(j, 0), rho)
+        return regs
+
+    def hll_est(regs):
+        v = _HLL_M - len(regs)
+        zz = sum(1.0 / (1 << mj) for mj in sorted(regs.values())) + float(v)
+        e_raw = 0.709 * (_HLL_M * _HLL_M) / zz
+        if e_raw <= float(_HLL_LIN_BAR) and v > 0:
+            return math.floor(_HLL_M * math.log(_HLL_M / v))
+        return math.floor(e_raw)
+
+    merged: dict[int, int] = {}
+    for hs in per_src.values():
+        for j, mj in hll_regs(hs).items():
+            merged[j] = max(merged.get(j, 0), mj)
+    rebuilt = hll_regs(glob)
+    r = rows["hll"]
+    assert merged == rebuilt and r.n_structure_mismatch == 0
+    assert r.merged_estimate == hll_est(merged)
+    assert r.rebuilt_estimate == hll_est(rebuilt)
+
+    kmv_merged = sorted(set().union(*[set(sorted(hs)[:_KMV_K]) for hs in per_src.values()]))[:_KMV_K]
+    kmv_rebuilt = sorted(glob)[:_KMV_K]
+    r = rows["kmv"]
+    assert kmv_merged == kmv_rebuilt and r.n_structure_mismatch == 0
+    assert r.merged_estimate == (_KMV_K - 1) * _KMV_SPACE // max(kmv_merged)
+    assert r.rebuilt_estimate == (_KMV_K - 1) * _KMV_SPACE // max(kmv_rebuilt)
+
+    for r in rows.values():
+        assert r.n_sources == len(per_src)
+        assert r.exact_distinct == len(glob)
+        assert r.estimates_equal is True
+        assert r.err_permille_merged == abs(r.merged_estimate - len(glob)) * 1000 // len(glob)
