@@ -220,6 +220,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # portable spellings as the two calibration rungs; pure-Python
     # replay test-pinned.
     "sketch_merge_report",
+    # NEW (r12, second batch): Fellegi-Sunter probabilistic record
+    # linkage — planted perturbed twins (md5 coins), nation-block
+    # candidate pairs, add-one-smoothed m/u, integer micro-nat
+    # log-likelihood weights (portable ln over BIGINT cross-products),
+    # TWO decision arms: LR > 1 vs the prior-odds MAP bar — the
+    # base-rate fallacy measured (precision 78 vs 1000 permille at
+    # sf0.1); pure-Python replay test-pinned.
+    "fellegi_sunter_linkage",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1280,3 +1280,81 @@ def test_sketch_merge_replays_in_pure_python(spark):
         assert r.exact_distinct == len(glob)
         assert r.estimates_equal is True
         assert r.err_permille_merged == abs(r.merged_estimate - len(glob)) * 1000 // len(glob)
+
+
+def test_fellegi_sunter_replays_in_pure_python(spark):
+    """The linkage report must recompute exactly from the collected
+    customers: planted twins (md5 coins), nation-block pairs,
+    smoothed m/u counts, micro-nat weights (+-1 micro vs math.log —
+    the portable-ln tolerance), and both arms' confusion counts
+    rebuilt from the engine's own integer weights."""
+    import hashlib
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.curation import fellegi_sunter_linkage
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+    from decimal import Decimal
+
+    out = fellegi_sunter_linkage(spark, SF_SMOKE).collect()
+    rows = {(r.arm, r.field): r for r in out}
+    assert len(rows) == 6
+
+    def coin(k, tag):
+        return int(hashlib.md5(f"fs:{k}:{tag}".encode()).hexdigest()[:8], 16)
+
+    rot = {"AUTOMOBILE": "BUILDING", "BUILDING": "FURNITURE", "FURNITURE": "HOUSEHOLD",
+           "HOUSEHOLD": "MACHINERY", "MACHINERY": "AUTOMOBILE"}
+    cust = load_table(spark, SF_SMOKE, "customer").collect()
+    base = [
+        (r.c_custkey, r.c_name, r.c_nationkey, r.c_mktsegment,
+         math.floor(Decimal(str(round(r.c_acctbal, 2))) / 1000))
+        for r in cust
+    ]
+    # twin tuple: (orig key, nation, name, seg, bkt)
+    twins = [
+        (k, nat,
+         name if coin(k, "nm") % 10 < 7 else name.upper(),
+         seg if coin(k, "sg") % 10 < 9 else rot[seg],
+         bkt if coin(k, "ab") % 10 < 8 else bkt + 1)
+        for (k, name, nat, seg, bkt) in base
+        if coin(k, "pk") % 5 == 0
+    ]
+    pairs = [
+        (int(tk == k), int(tname == name), int(tseg == seg), int(tbkt == bkt))
+        for (k, name, nat, seg, bkt) in base
+        for (tk, tnat, tname, tseg, tbkt) in twins
+        if nat == tnat
+    ]
+    n_pairs, n_m = len(pairs), sum(p[0] for p in pairs)
+    n_u = n_pairs - n_m
+    stats = {}
+    for i, f in ((1, "name"), (2, "segment"), (3, "acctbal_kbucket")):
+        a_m = sum(p[i] for p in pairs if p[0])
+        a_u = sum(p[i] for p in pairs if not p[0])
+        stats[f] = (a_m, a_u)
+        r = rows[("lr_positive", f)]
+        assert r.n_pairs == n_pairs and r.n_true_matches == n_m
+        assert r.m_permille == (a_m + 1) * 1000 // (n_m + 2)
+        assert r.u_permille == (a_u + 1) * 1000 // (n_u + 2)
+        wa = math.floor(math.log(((a_m + 1) * (n_u + 2)) / ((a_u + 1) * (n_m + 2))) * 1e6 + 0.5)
+        wd = math.floor(math.log(((n_m + 1 - a_m) * (n_u + 2)) / ((n_u + 1 - a_u) * (n_m + 2))) * 1e6 + 0.5)
+        assert abs(r.w_agree_micro - wa) <= 1 and abs(r.w_disagree_micro - wd) <= 1
+    # confusion from the ENGINE's integer weights (exact replay)
+    w = {f: (rows[("lr_positive", f)].w_agree_micro, rows[("lr_positive", f)].w_disagree_micro)
+         for f in ("name", "segment", "acctbal_kbucket")}
+    t_bayes = rows[("prior_odds", "name")].threshold_micro
+    assert abs(t_bayes - math.floor(math.log(n_u / n_m) * 1e6 + 0.5)) <= 1
+    for arm, thr in (("lr_positive", 0), ("prior_odds", t_bayes)):
+        pred = tp = 0
+        for ism, agn, ags, agb in pairs:
+            s = (w["name"][0] if agn else w["name"][1]) \
+                + (w["segment"][0] if ags else w["segment"][1]) \
+                + (w["acctbal_kbucket"][0] if agb else w["acctbal_kbucket"][1])
+            if s > thr:
+                pred += 1
+                tp += ism
+        r = rows[(arm, "name")]
+        assert r.n_predicted_matches == pred and r.n_true_positives == tp
+        assert r.precision_permille == (tp * 1000 // pred if pred else -1)
+        assert r.recall_permille == tp * 1000 // n_m
