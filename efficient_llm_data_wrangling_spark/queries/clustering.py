@@ -7099,3 +7099,241 @@ def pca_power_iteration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validation by sufficient-statistic SUBTRACTION (the
+# one-pass CV trick for exponential-family models)
+# ---------------------------------------------------------------------------
+
+_CV_K = 5
+
+
+def _gnbcv_sql(engine: str, embeddings: str) -> str:
+    """Shared 5-fold Gaussian-NB CV text over the 'cell' target —
+    same exact-BIGINT statistics, micro-nat scoring, and clamps as
+    ``_gnb_sql``; the per-fold training model is built by SUBTRACTING
+    the fold's statistics from the global ones (never K re-scans).
+    Engine-parameterized only in spelling."""
+    if engine == "spark":
+        xi = (
+            "transform(embedding, e ->"
+            " CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        )
+        ix = lambda arr, j: f"element_at({arr}, {j})"  # noqa: E731
+        gen = f"(SELECT explode(sequence(1, {_DIMS})) AS j)"
+        u32 = (
+            "cast(conv(substring(md5(concat('cv:', CAST(y0.vec_id AS STRING))), 1, 8),"
+            " 16, 10) as bigint)"
+        )
+        ln = PM.lnint_inline_sql
+        dv = "div"
+        mat = ""
+    else:
+        from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+
+        xi = (
+            "[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+            " for i in range(1, len(embedding) + 1)]"
+        )
+        ix = lambda arr, j: f"{arr}[{j}]"  # noqa: E731
+        gen = f"(SELECT unnest(range(1, {_DIMS} + 1)) AS j)"
+        u32 = _hexint_sql("md5(concat('cv:', CAST(y0.vec_id AS VARCHAR)))", 1, 8)
+        ln = PM.lnint_inline_sql_duck
+        dv = "//"
+        mat = "MATERIALIZED "
+    if engine == "spark":
+        fgen = f"(SELECT explode(sequence(0, {_CV_K - 1})) AS f)"
+    else:
+        fgen = f"(SELECT unnest(range(0, {_CV_K})) AS f)"
+    dist = " + ".join(
+        f"({ix('v.x', j)} - {ix('m.mu', j)}) * ({ix('v.x', j)} - {ix('m.mu', j)})"
+        for j in range(1, _DIMS + 1)
+    )
+    q = "CAST(s.n * t.xv - s.sx AS DOUBLE)"
+    term = (
+        f"(CAST('-0.5' AS DOUBLE) * ({ln('s.a')}) + ({ln('s.n')})"
+        f" + CAST('-0.5' AS DOUBLE) * (({q} * {q}) / CAST(s.a AS DOUBLE)))"
+    )
+    prior = f"(({ln('p.nl')}) - ({ln('p.nt')}))"
+    return f"""
+WITH xi AS {mat}(
+  SELECT vec_id, {xi} AS x FROM {embeddings}
+),
+mu0 AS (SELECT vec_id AS c, x AS mu FROM xi WHERE vec_id < {_GNB_CELLS}),
+asg AS {mat}(
+  SELECT vec_id, c FROM (
+    SELECT v.vec_id, m.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, m.c) AS rn
+    FROM xi v CROSS JOIN mu0 m
+  ) WHERE rn = 1
+),
+yf AS {mat}(
+  SELECT y0.vec_id, CAST(a.c AS BIGINT) AS y, v.x,
+         ({u32}) % {_CV_K} AS fold
+  FROM (SELECT vec_id FROM xi) y0
+  JOIN asg a ON a.vec_id = y0.vec_id
+  JOIN xi v ON v.vec_id = y0.vec_id
+),
+ld AS (
+  SELECT r.fold, r.y, g.j, {ix('r.x', 'g.j')} AS v
+  FROM yf r CROSS JOIN {gen} g
+),
+stf AS {mat}(
+  SELECT fold, y, j, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS sx,
+         CAST(sum(v * v) AS BIGINT) AS sxx
+  FROM ld GROUP BY fold, y, j
+),
+sta AS (
+  SELECT y, j, CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+         CAST(sum(sxx) AS BIGINT) AS sxx
+  FROM stf GROUP BY y, j
+),
+trst AS {mat}(
+  SELECT fg.f AS fold, a.y, a.j,
+         CASE WHEN a.n - coalesce(s.n, 0) <= 0 THEN CAST(1 AS BIGINT)
+              ELSE a.n - coalesce(s.n, 0) END AS n,
+         a.sx - coalesce(s.sx, CAST(0 AS BIGINT)) AS sx,
+         CASE WHEN (a.n - coalesce(s.n, 0)) * (a.sxx - coalesce(s.sxx, 0))
+                   - (a.sx - coalesce(s.sx, 0)) * (a.sx - coalesce(s.sx, 0)) <= 0
+              THEN CAST(1 AS BIGINT)
+              ELSE (a.n - coalesce(s.n, 0)) * (a.sxx - coalesce(s.sxx, 0))
+                   - (a.sx - coalesce(s.sx, 0)) * (a.sx - coalesce(s.sx, 0)) END AS a
+  FROM sta a CROSS JOIN {fgen} fg
+  LEFT JOIN stf s ON s.fold = fg.f AND s.y = a.y AND s.j = a.j
+),
+cntf AS (SELECT fold, y, CAST(count(*) AS BIGINT) AS n FROM yf GROUP BY fold, y),
+cnta AS (SELECT y, CAST(count(*) AS BIGINT) AS n FROM yf GROUP BY y),
+ctr AS {mat}(
+  SELECT fg.f AS fold, a.y,
+         CASE WHEN a.n - coalesce(c.n, 0) <= 0 THEN CAST(1 AS BIGINT)
+              ELSE a.n - coalesce(c.n, 0) END AS nl
+  FROM cnta a CROSS JOIN {fgen} fg
+  LEFT JOIN cntf c ON c.fold = fg.f AND c.y = a.y
+),
+pmn AS (
+  SELECT c.fold, c.y, c.nl,
+         CAST(sum(c.nl) OVER (PARTITION BY c.fold) AS BIGINT) AS nt
+  FROM ctr c
+),
+pm AS {mat}(
+  SELECT p.fold, p.y,
+         CAST(floor({prior} * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT)
+           AS prior_micro
+  FROM pmn p
+),
+tt AS (
+  SELECT e.fold, e.vec_id, e.y AS y_true, g.j, {ix('e.x', 'g.j')} AS xv
+  FROM yf e CROSS JOIN {gen} g
+),
+tm AS (
+  SELECT t.fold, t.vec_id, t.y_true, s.y,
+         CAST(floor({term} * 1000000 + CAST('0.5' AS DOUBLE)) AS BIGINT)
+           AS term_micro
+  FROM tt t JOIN trst s ON s.fold = t.fold AND s.j = t.j
+),
+sc AS {mat}(
+  SELECT fold, vec_id, y_true, y,
+         CAST(sum(term_micro) AS BIGINT) AS ll_micro
+  FROM tm GROUP BY fold, vec_id, y_true, y
+),
+scp AS (
+  SELECT sc.fold, sc.vec_id, sc.y_true, sc.y,
+         sc.ll_micro + p.prior_micro AS post_micro
+  FROM sc JOIN pm p ON p.fold = sc.fold AND p.y = sc.y
+),
+pred AS {mat}(
+  SELECT fold, vec_id, y_true, y AS y_pred FROM (
+    SELECT fold, vec_id, y_true, y, post_micro,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY post_micro DESC, y) AS rn
+    FROM scp
+  ) WHERE rn = 1
+),
+mj AS (
+  SELECT fold, y AS my FROM (
+    SELECT fold, y, nl,
+           row_number() OVER (PARTITION BY fold ORDER BY nl DESC, y) AS rn
+    FROM ctr
+  ) WHERE rn = 1
+),
+fsum AS {mat}(
+  SELECT p.fold, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN p.y_true = p.y_pred THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+         CAST(sum(CASE WHEN p.y_true = m.my THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_majority
+  FROM pred p JOIN mj m ON m.fold = p.fold
+  GROUP BY p.fold
+),
+facc AS (
+  SELECT fold, n_test, n_correct,
+         n_correct * 1000 {dv} n_test AS accuracy_permille,
+         n_majority * 1000 {dv} n_test AS baseline_permille
+  FROM fsum
+),
+agg AS (
+  SELECT CAST(sum(accuracy_permille) AS BIGINT) AS sa,
+         CAST(sum(accuracy_permille * accuracy_permille) AS BIGINT) AS sa2,
+         CAST(max(accuracy_permille) - min(accuracy_permille) AS BIGINT)
+           AS spread,
+         CAST(sum(n_test) AS BIGINT) AS n_total
+  FROM facc
+)
+SELECT f.fold, a.n_total - f.n_test AS n_train, f.n_test, f.n_correct,
+       f.accuracy_permille, f.baseline_permille,
+       a.sa {dv} {_CV_K} AS mean_accuracy_permille,
+       a.spread AS spread_permille,
+       {_CV_K} * a.sa2 - a.sa * a.sa AS var25_permille2
+FROM facc f CROSS JOIN agg a
+"""
+
+
+@query(
+    "cross_validation_report",
+    oracle=_gnbcv_sql("duck", "embeddings"),
+    tags=("clustering", "learning"),
+)
+def cross_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the Gaussian-NB 'cell' classifier —
+    the learning family's ANSWER to "how noisy is the holdout
+    estimate?" (``gaussian_nb_holdout_report`` reports one 25% split;
+    this reports five disjoint ones plus their mean, spread, and
+    exact variance). The distributed trick is SUBTRACTION: Gaussian
+    NB's sufficient statistics (n, sum x, sum x squared per (class,
+    dim)) are additive, so the fold-f training model is the GLOBAL
+    statistics minus fold f's — ONE scan builds all five models
+    (never K re-scans of the corpus; the same one-pass property every
+    exponential-family model enjoys, and the reason CV is cheap at
+    100 TB exactly when the model is an aggregate). Folds are md5
+    splits of vec_id; every vector is scored exactly once, by the one
+    model that never saw it. Same exactness discipline as the parent:
+    BIGINT statistics, clamps on empty/degenerate (fold, class,
+    dim) cells mirrored on both engines, micro-nat order-free
+    scoring, portable ln, y-asc argmax ties.
+
+    Measured (sf0.01 / sf0.1): fold accuracies 381-454 / 604-675
+    permille vs majority baselines 66-127 / 85-122 — every fold
+    clears its baseline by 3-7x, and the means (425 / 646) bracket
+    the parent's single-split numbers (462 / 637), now with an
+    honest error bar: spread 73 / 71 permille, 25*var 20,446 /
+    17,806 permille^2 (population std ~29 / 27 permille across
+    folds). The read-off: the parent's one 25% draw sits ~1.3 std
+    from the CV mean at sf0.01 — a fair draw, but a single-split
+    comparison of two models closer than ~30 permille would be
+    noise, which is exactly the decision CV gates.
+
+    Scale: statistics group by (fold, class, dim) — map-side
+    combinable, at most K x classes x dims = 3,200 rows survive;
+    model construction is a 3,200-row broadcast-sized frame; scoring
+    is the same bounded fan-out as the parent (vectors x classes x
+    dims term rows, micro-rounded BEFORE the order-free sum). The
+    subtraction spine (folds x classes x dims grid, LEFT JOIN) keeps
+    empty cells explicit instead of silently dropping a fold's
+    missing class.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("__gnbcv_embeddings")
+    return spark.sql(_gnbcv_sql("spark", "__gnbcv_embeddings"))

@@ -228,6 +228,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # base-rate fallacy measured (precision 78 vs 1000 permille at
     # sf0.1); pure-Python replay test-pinned.
     "fellegi_sunter_linkage",
+    # NEW (r12, second batch): 5-fold CV of the Gaussian-NB cell
+    # classifier by sufficient-statistic SUBTRACTION — one scan builds
+    # all five fold models (global minus fold stats; the
+    # exponential-family one-pass CV trick); exact-integer
+    # mean/spread/variance across folds puts the error bar on the
+    # parent's single holdout (std ~29 permille at sf0.01);
+    # pure-Python replay test-pinned.
+    "cross_validation_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1358,3 +1358,104 @@ def test_fellegi_sunter_replays_in_pure_python(spark):
         assert r.n_predicted_matches == pred and r.n_true_positives == tp
         assert r.precision_permille == (tp * 1000 // pred if pred else -1)
         assert r.recall_permille == tp * 1000 // n_m
+
+
+def test_cross_validation_replays_in_pure_python(spark):
+    """All five fold rows must recompute exactly from the collected
+    embeddings: cell assignment, md5 'cv:' folds, global-minus-fold
+    sufficient statistics (the subtraction trick), micro-nat scoring
+    with y-asc argmax, per-fold confusion, and the exact-integer
+    mean/spread/variance across folds."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _CV_K,
+        _GNB_CELLS,
+        cross_validation_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.fold: r for r in cross_validation_report(spark, SF_SMOKE).collect()}
+    assert len(rows) == _CV_K
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = {
+        r.vec_id: [math.floor(float(e) * 1000000 + 0.5) for e in r.embedding]
+        for r in emb
+    }
+    mu = {c: X[c] for c in sorted(X) if c < _GNB_CELLS}
+    y = {
+        v: min(
+            mu,
+            key=lambda c: (sum((x - m) ** 2 for x, m in zip(X[v], mu[c])), c),
+        )
+        for v in X
+    }
+    fold = {
+        v: int(hashlib.md5(f"cv:{v}".encode()).hexdigest()[:8], 16) % _CV_K
+        for v in X
+    }
+    classes = sorted(set(y.values()))
+    # global stats per (class, dim)
+    dims = len(next(iter(X.values())))
+    gstat = {
+        c: [
+            (len(vs), sum(col), sum(x * x for x in col))
+            for col in zip(*vs)
+        ]
+        for c, vs in ((c, [X[v] for v in X if y[v] == c]) for c in classes)
+    }
+    accs = []
+    for f in range(_CV_K):
+        # train stats by subtraction
+        stats = {}
+        nls = {}
+        for c in classes:
+            fvs = [X[v] for v in X if y[v] == c and fold[v] == f]
+            fst = [
+                (len(fvs), sum(col), sum(x * x for x in col))
+                for col in (zip(*fvs) if fvs else [[]] * dims)
+            ]
+            st = []
+            for (gn, gsx, gsxx), (fn, fsx, fsxx) in zip(gstat[c], fst):
+                n = gn - fn
+                sx = gsx - fsx
+                a = n * (gsxx - fsxx) - sx * sx
+                st.append((max(n, 1), sx, max(a, 1)))
+            stats[c] = st
+            nls[c] = max(len([v for v in X if y[v] == c and fold[v] != f]), 1)
+        nt = sum(nls.values())
+        pm = {
+            c: math.floor((math.log(nls[c]) - math.log(nt)) * 1e6 + 0.5)
+            for c in classes
+        }
+        te = [v for v in X if fold[v] == f]
+        mlabel = min(nls, key=lambda c: (-nls[c], c))
+        n_major = sum(1 for v in te if y[v] == mlabel)
+        n_correct = 0
+        for v in te:
+            best = None
+            for c in classes:
+                tot = 0
+                for (n, sx, a), xv in zip(stats[c], X[v]):
+                    q = float(n * xv - sx)
+                    t = -0.5 * math.log(a) + math.log(n) - 0.5 * (q * q) / float(a)
+                    tot += math.floor(t * 1e6 + 0.5)
+                tot += pm[c]
+                if best is None or (tot, -c) > (best[0], -best[1]):
+                    best = (tot, c)
+            n_correct += y[v] == best[1]
+        r = rows[f]
+        assert r.n_test == len(te)
+        assert r.n_train == len(X) - len(te)
+        assert r.n_correct == n_correct
+        assert r.accuracy_permille == n_correct * 1000 // len(te)
+        assert r.baseline_permille == n_major * 1000 // len(te)
+        accs.append(n_correct * 1000 // len(te))
+    sa, sa2 = sum(accs), sum(a * a for a in accs)
+    for r in rows.values():
+        assert r.mean_accuracy_permille == sa // _CV_K
+        assert r.spread_permille == max(accs) - min(accs)
+        assert r.var25_permille2 == _CV_K * sa2 - sa * sa
