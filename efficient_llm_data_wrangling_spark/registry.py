@@ -236,6 +236,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # parent's single holdout (std ~29 permille at sf0.01);
     # pure-Python replay test-pinned.
     "cross_validation_report",
+    # NEW (r12, second batch): isotonic calibration by the MINIMAX
+    # closed form (== PAVA, Fraction-replay-pinned) over a planted
+    # scorer with closed-form staircase truth; TWO direction arms
+    # elected by exact integer SSE (increasing wins 32x/234x; the
+    # antitonic fit pools to the grand mean — the textbook failure
+    # made visible); exact BIGINT interval rationals, double-projection
+    # elections with the 2^26 bound documented.
+    "isotonic_calibration_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

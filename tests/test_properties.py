@@ -1459,3 +1459,93 @@ def test_cross_validation_replays_in_pure_python(spark):
         assert r.mean_accuracy_permille == sa // _CV_K
         assert r.spread_permille == max(accs) - min(accs)
         assert r.var25_permille2 == _CV_K * sa2 - sa * sa
+
+
+def test_isotonic_calibration_replays_against_pava(spark):
+    """The minimax closed form must equal the textbook PAVA run with
+    exact Fractions, in BOTH directions — plus the planted scorer,
+    bucket stats, floors, violation counts, SSE, and the election."""
+    import hashlib
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from efficient_llm_data_wrangling_spark.queries.quality import (
+        _ISO_BW,
+        _ISO_NOISE,
+        _ISO_SHIFT,
+        isotonic_calibration_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = isotonic_calibration_report(spark, SF_SMOKE).collect()
+    rows = {(r.direction, r.bucket): r for r in out}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in docs:
+        y = int(r.lang == "en")
+        score = int(hashlib.md5(f"iso:{r.doc_id}".encode()).hexdigest()[:8], 16) % _ISO_NOISE + _ISO_SHIFT * y
+        a = agg[score // _ISO_BW]
+        a[0] += 1
+        a[1] += y
+    bks = sorted(agg)
+    ns = [agg[b][0] for b in bks]
+    ss = [agg[b][1] for b in bks]
+
+    def pava(ws, vs):
+        # blocks of (weight, sum) pooled while out of order
+        blocks = []
+        for w, v in zip(ws, vs):
+            blocks.append([w, v])
+            while len(blocks) > 1 and Fraction(blocks[-2][1], blocks[-2][0]) > Fraction(blocks[-1][1], blocks[-1][0]):
+                w2, v2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += v2
+        # expand each pooled block back to its input points
+        fit = []
+        i = 0
+        for w, v in blocks:
+            cnt = 0
+            acc = 0
+            while acc < w:
+                acc += ws[i + cnt]
+                cnt += 1
+            fit += [Fraction(v, w)] * cnt
+            i += cnt
+        return fit
+
+    fit_inc = pava(ns, ss)
+    fit_dec = list(reversed(pava(list(reversed(ns)), list(reversed(ss)))))
+    for direction, fit in (("increasing", fit_inc), ("decreasing", fit_dec)):
+        raw_v = iso_v = sse = 0
+        accs = []
+        for idx, b in enumerate(bks):
+            r = rows[(direction, b)]
+            n, s = agg[b]
+            raw_micro = s * 1000000 // n
+            iso_micro = (fit[idx].numerator * 1000000) // fit[idx].denominator
+            assert r.n_docs == n and r.n_pos == s
+            assert r.raw_rate_micro == raw_micro
+            assert r.iso_rate_micro == iso_micro
+            accs.append((n, s, raw_micro, iso_micro))
+            sse += n * (raw_micro - iso_micro) ** 2
+        for (n, s, _, im), (n2, s2, _, im2) in zip(accs, accs[1:]):
+            if direction == "increasing":
+                raw_v += s * n2 > s2 * n
+                iso_v += im > im2
+            else:
+                raw_v += s * n2 < s2 * n
+                iso_v += im < im2
+        r0 = rows[(direction, bks[0])]
+        assert r0.n_raw_violations == raw_v
+        assert r0.n_iso_violations == iso_v == 0
+        assert r0.fit_sse == sse
+    inc_sse = rows[("increasing", bks[0])].fit_sse
+    dec_sse = rows[("decreasing", bks[0])].fit_sse
+    for (d, _), r in rows.items():
+        want = (
+            r.fit_sse < (dec_sse if d == "increasing" else inc_sse)
+            or (inc_sse == dec_sse and d == "increasing")
+        )
+        assert r.is_winner == want
+    assert len(out) == 2 * len(bks)
