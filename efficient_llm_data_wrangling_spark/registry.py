@@ -244,6 +244,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # made visible); exact BIGINT interval rationals, double-projection
     # elections with the 2^26 bound documented.
     "isotonic_calibration_report",
+    # NEW (r12, second batch): multi-source Bellman-Ford over the
+    # nation trade graph — the distributed-graph family's missing
+    # shortest-path classic; 4 unrolled relaxation rounds as plain
+    # joins over domain-bounded 625-row frames, exact centi-cent
+    # costs, deterministic hop-of-final-cost election, and the
+    # arbitrage question measured (multi-hop beats direct on 214/600
+    # pairs at sf0.01, 0/600 at sf0.1 — drains as edges densify);
+    # pure-Python replay test-pinned.
+    "bellman_ford_trade_paths",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1549,3 +1549,64 @@ def test_isotonic_calibration_replays_against_pava(spark):
         )
         assert r.is_winner == want
     assert len(out) == 2 * len(bks)
+
+
+def test_bellman_ford_replays_in_pure_python(spark):
+    """Every route row must recompute exactly from the collected fact
+    tables: min-price edge distillation in centi-cents, 4 relaxation
+    rounds, hop-of-final-cost election, direct-edge comparison."""
+    from decimal import Decimal
+
+    from efficient_llm_data_wrangling_spark.queries.temporal import (
+        _BF_HOPS,
+        bellman_ford_trade_paths,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {
+        (r.src_nation, r.dst_nation): r
+        for r in bellman_ford_trade_paths(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    ).collect()
+    orders = {r.o_orderkey: r.o_custkey
+              for r in load_table(spark, SF_SMOKE, "orders").collect()}
+    cust = {r.c_custkey: r.c_nationkey
+            for r in load_table(spark, SF_SMOKE, "customer").collect()}
+    supp = {r.s_suppkey: r.s_nationkey
+            for r in load_table(spark, SF_SMOKE, "supplier").collect()}
+    name = {r.n_nationkey: r.n_name
+            for r in load_table(spark, SF_SMOKE, "nation").collect()}
+    edges: dict[tuple[int, int], int] = {}
+    for r in li:
+        src = cust[orders[r.l_orderkey]]
+        dst = supp[r.l_suppkey]
+        pc = int(Decimal(str(round(r.l_extendedprice, 2))) * 100)
+        k = (src, dst)
+        if k not in edges or pc < edges[k]:
+            edges[k] = pc
+    ks = sorted(name)
+    d = [{(s, s): 0 for s in ks}]
+    for _ in range(_BF_HOPS):
+        prev = d[-1]
+        cur = dict(prev)
+        for (u, v), w in edges.items():
+            for s in ks:
+                if (s, u) in prev:
+                    c = prev[(s, u)] + w
+                    if (s, v) not in cur or c < cur[(s, v)]:
+                        cur[(s, v)] = c
+        d.append(cur)
+    fin = d[_BF_HOPS]
+    assert len(rows) == len(fin)
+    for (s, v), c in fin.items():
+        r = rows[(name[s], name[v])]
+        assert r.cost_centi == c
+        hops = next(i for i in range(_BF_HOPS + 1) if d[i].get((s, v)) == c)
+        assert r.hops == hops
+        w = edges.get((s, v))
+        assert r.direct_centi == w
+        want_sav = w - c if (w is not None and w > c) else None
+        assert r.indirect_savings_centi == want_sav
