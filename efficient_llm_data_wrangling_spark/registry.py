@@ -253,6 +253,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # pairs at sf0.01, 0/600 at sf0.1 — drains as edges densify);
     # pure-Python replay test-pinned.
     "bellman_ford_trade_paths",
+    # NEW (r12, second batch): sorted-neighborhood dedup — the OTHER
+    # blocking discipline measured against the same exact-Jaccard(0.8)
+    # truth the LSH rung reproduces: global_rank sort (never a global
+    # window), w-neighborhood as W equi-joins on rank, two key passes
+    # + union; prefix key reads recall 1000 permille from 31k of 61M
+    # pairs at sf0.1, the suffix pass 557 (blind to tail truncation)
+    # and the union adds zero — the multi-pass key lesson measured;
+    # pure-Python replay test-pinned.
+    "sorted_neighborhood_dedup",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

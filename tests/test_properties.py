@@ -1610,3 +1610,66 @@ def test_bellman_ford_replays_in_pure_python(spark):
         assert r.direct_centi == w
         want_sav = w - c if (w is not None and w > c) else None
         assert r.indirect_savings_centi == want_sav
+
+
+def test_sorted_neighborhood_replays_in_pure_python(spark):
+    """All three pass rows must recompute exactly from the collected
+    documents: planted corpus, both sort keys, rank-window candidate
+    pairs, exact shingle Jaccard, truth set, recall."""
+    from efficient_llm_data_wrangling_spark.queries.scale import (
+        _SNM_KLEN,
+        _SNM_W,
+        sorted_neighborhood_dedup,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r["pass"]: r for r in sorted_neighborhood_dedup(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang").collect()
+    corpus = [(r.doc_id, r.text, r.lang) for r in docs]
+    corpus += [(d + 1000000, t, g) for d, t, g in corpus[: len(docs)] if d % 7 == 0]
+    for d, t, g in [(d, t, g) for d, t, g in corpus[: len(docs)] if d % 10 == 0]:
+        toks = t.split(" ")
+        keep = max(len(toks) - 5, 3)
+        corpus.append((d + 2000000, " ".join(toks[:keep]), g))
+
+    def sh(t):
+        toks = t.split(" ")
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    sets = {d: sh(t) for d, t, _ in corpus}
+    lang = {d: g for d, _, g in corpus}
+
+    def jac(a, b):
+        return len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+
+    truth = sum(
+        1
+        for i, (a, _, ga) in enumerate(corpus)
+        for b, _, gb in corpus[i + 1 :]
+        if ga == gb and jac(a, b) >= 0.8
+    )
+    pairs_by_pass = {}
+    for p, key in (
+        ("prefix", lambda t: t[:_SNM_KLEN]),
+        ("suffix", lambda t: t[::-1][:_SNM_KLEN]),
+    ):
+        order = sorted(((key(t), d) for d, t, _ in corpus))
+        prs = set()
+        for i in range(len(order)):
+            for off in range(1, _SNM_W + 1):
+                if i + off < len(order):
+                    a, b = order[i][1], order[i + off][1]
+                    prs.add((min(a, b), max(a, b)))
+        pairs_by_pass[p] = prs
+    pairs_by_pass["union"] = pairs_by_pass["prefix"] | pairs_by_pass["suffix"]
+    for p, prs in pairs_by_pass.items():
+        r = rows[p]
+        ver = [(a, b) for a, b in prs if jac(a, b) >= 0.8]
+        found = sum(1 for a, b in ver if lang[a] == lang[b])
+        assert r.n_candidate_pairs == len(prs)
+        assert r.n_verified_pairs == len(ver)
+        assert r.n_truth_found == found
+        assert r.n_truth_pairs == truth
+        assert r.recall_permille == found * 1000 // truth
