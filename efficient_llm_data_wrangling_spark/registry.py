@@ -262,6 +262,13 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # and the union adds zero — the multi-pass key lesson measured;
     # pure-Python replay test-pinned.
     "sorted_neighborhood_dedup",
+    # NEW (r12, second batch): the hashing trick priced — fastText's
+    # wordNgrams=3 feature surface (17k-28k types) hashed into a
+    # 1k..64k dimension ladder; type- vs MASS-collision shares from
+    # one histogram, the Zipf-head protection measured (mass aliasing
+    # below type aliasing at roomy dims — the cost lands on the rare
+    # tail); pure-Python replay test-pinned.
+    "feature_hashing_collision_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

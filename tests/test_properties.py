@@ -1673,3 +1673,46 @@ def test_sorted_neighborhood_replays_in_pure_python(spark):
         assert r.n_truth_found == found
         assert r.n_truth_pairs == truth
         assert r.recall_permille == found * 1000 // truth
+
+
+def test_feature_hashing_replays_in_pure_python(spark):
+    """All four dimension rungs must recompute exactly from the
+    collected documents: the wordNgrams=3 feature burst, the type
+    histogram, md5 buckets, and every occupancy/collision column."""
+    import hashlib
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.trainprep import (
+        _FH_DIMS,
+        feature_hashing_collision_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.dims: r for r in feature_hashing_collision_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(_FH_DIMS)
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    ty: Counter = Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        feats = list(toks)
+        feats += [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        feats += [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        ty.update(f for f in feats if f != "")
+    for d in _FH_DIMS:
+        bk: dict[int, list[int]] = {}
+        for w, c in ty.items():
+            b = int(hashlib.md5(f"fh:{w}".encode()).hexdigest()[:8], 16) % d
+            bk.setdefault(b, []).append(c)
+        n_types = len(ty)
+        mass = sum(ty.values())
+        shared_t = sum(len(v) for v in bk.values() if len(v) > 1)
+        shared_m = sum(sum(v) for v in bk.values() if len(v) > 1)
+        r = rows[d]
+        assert r.n_types == n_types
+        assert r.n_buckets_used == len(bk)
+        assert r.load_milli == n_types * 1000 // d
+        assert r.n_types_shared == shared_t
+        assert r.type_collision_permille == shared_t * 1000 // n_types
+        assert r.mass_collision_permille == shared_m * 1000 // mass
+        assert r.max_bucket_types == max(len(v) for v in bk.values())
