@@ -269,6 +269,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # below type aliasing at roomy dims — the cost lands on the rare
     # tail); pure-Python replay test-pinned.
     "feature_hashing_collision_report",
+    # NEW (r12, second batch): ROUGE-1/2 as a graded operator — the
+    # eval-metric family's entry, run as a TWO-ARM separation
+    # experiment (planted paraphrase pairs vs matched same-lang
+    # negatives): clipped-count overlap, exact rational F1 =
+    # 2o/(nc+nr) floored to micro; prefix-identity precision == 1.0
+    # test-pinned; the ROUGE-1-on-templated-corpora weakness measured
+    # (separation 2x harder at n=2); pure-Python replay test-pinned.
+    "rouge_pair_separation",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1716,3 +1716,69 @@ def test_feature_hashing_replays_in_pure_python(spark):
         assert r.type_collision_permille == shared_t * 1000 // n_types
         assert r.mass_collision_permille == shared_m * 1000 // mass
         assert r.max_bucket_types == max(len(v) for v in bk.values())
+
+
+def test_rouge_pair_separation_replays_in_pure_python(spark):
+    """All four (arm, n) rows must recompute exactly from the
+    collected documents: mutant construction, partner election,
+    clipped-count overlap, rational F1, micro floors, aggregates."""
+    from collections import Counter, defaultdict
+
+    from efficient_llm_data_wrangling_spark.queries.textquality import (
+        rouge_pair_separation,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {(r.arm, r.n): r for r in rouge_pair_separation(spark, SF_SMOKE).collect()}
+    docs = sorted(
+        load_table(spark, SF_SMOKE, "documents").select("doc_id", "text", "lang").collect(),
+        key=lambda r: r.doc_id,
+    )
+    by_lang = defaultdict(list)
+    for r in docs:
+        by_lang[r.lang].append((r.doc_id, r.text))
+    pairs = {"paraphrase": [], "random": []}
+    for g, ds in by_lang.items():
+        for i, (d, t) in enumerate(ds):
+            if d % 10 != 0:
+                continue
+            toks = t.split(" ")
+            cand = " ".join(toks[: max(len(toks) - 5, 3)])
+            partner = ds[i + 1][1] if i + 1 < len(ds) else ds[0][1]
+            pairs["paraphrase"].append((cand, t))
+            pairs["random"].append((cand, partner))
+
+    def grams(t, n):
+        toks = t.split(" ")
+        return Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    for arm, ps in pairs.items():
+        for n in (1, 2):
+            pm = rm = fm = 0
+            fs = []
+            for cand, ref in ps:
+                gc, gr = grams(cand, n), grams(ref, n)
+                o = sum(min(c, gr[g]) for g, c in gc.items())
+                nc, nr = sum(gc.values()), sum(gr.values())
+                p = o * 1000000 // nc
+                r_ = o * 1000000 // nr
+                f = 2 * o * 1000000 // (nc + nr)
+                pm += p
+                rm += r_
+                fm += f
+                fs.append(f)
+            r = rows[(arm, n)]
+            assert r.n_pairs == len(ps)
+            assert r.mean_p_micro == pm // len(ps)
+            assert r.mean_r_micro == rm // len(ps)
+            assert r.mean_f1_micro == fm // len(ps)
+            assert r.min_f1_micro == min(fs)
+            assert r.max_f1_micro == max(fs)
+    for n in (1, 2):
+        assert (
+            rows[("paraphrase", n)].separation_micro
+            == -rows[("random", n)].separation_micro
+            == rows[("paraphrase", n)].mean_f1_micro - rows[("random", n)].mean_f1_micro
+        )
+        assert rows[("paraphrase", n)].mean_p_micro == 1000000  # prefix identity
