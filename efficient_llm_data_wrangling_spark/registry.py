@@ -277,6 +277,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # test-pinned; the ROUGE-1-on-templated-corpora weakness measured
     # (separation 2x harder at n=2); pure-Python replay test-pinned.
     "rouge_pair_separation",
+    # NEW (r12, second batch): k-ary randomized response — the
+    # LOCAL-DP rung under dp_noisy_release's central one: p = a/(a+k-1)
+    # is eps=ln(a)-LDP for any k and the debiased estimator collapses
+    # to the exact integer (c*(a+k-1) - n)/(a-1); TWO epsilon arms
+    # measure the privacy-utility curve (TV 88->50 permille at eps
+    # ln3->ln9, sf0.01; the O(1/sqrt(n)) local floor vs central's
+    # O(1/n) documented); pure-Python replay test-pinned.
+    "ldp_randomized_response",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1782,3 +1782,53 @@ def test_rouge_pair_separation_replays_in_pure_python(spark):
             == rows[("paraphrase", n)].mean_f1_micro - rows[("random", n)].mean_f1_micro
         )
         assert rows[("paraphrase", n)].mean_p_micro == 1000000  # prefix identity
+
+
+def test_ldp_randomized_response_replays_in_pure_python(spark):
+    """Both epsilon arms must recompute exactly from the collected
+    documents: md5 keep/replace coins, the k-RR report, the debiased
+    clamped estimator, per-value errors, TV, and max error."""
+    import hashlib
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.corpusops import (
+        _LDP_ARMS,
+        ldp_randomized_response,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {(r.odds_ratio, r.lang): r for r in ldp_randomized_response(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    langs = sorted({r.lang for r in docs})
+    idx = {g: i for i, g in enumerate(langs)}
+    k = len(langs)
+    n = len(docs)
+    true = Counter(r.lang for r in docs)
+
+    def u32(tag, d, a):
+        return int(hashlib.md5(f"{tag}:{d}:{a}".encode()).hexdigest()[:8], 16)
+
+    for a in _LDP_ARMS:
+        obs = Counter()
+        for r in docs:
+            if u32("ldpk", r.doc_id, a) % (a + k - 1) < a:
+                obs[idx[r.lang]] += 1
+            else:
+                obs[(idx[r.lang] + 1 + u32("ldpr", r.doc_id, a) % (k - 1)) % k] += 1
+        hats = {}
+        for g in langs:
+            c = obs[idx[g]]
+            hats[g] = max(c * (a + k - 1) - n, 0) // (a - 1)
+        tv = sum(abs(hats[g] - true[g]) for g in langs) * 1000 // (2 * n)
+        mx = max(abs(hats[g] - true[g]) * 1000 // true[g] for g in langs)
+        for g in langs:
+            r = rows[(a, g)]
+            assert r.arm == f"eps_ln{a}"
+            assert r.n_true == true[g]
+            assert r.n_obs == obs[idx[g]]
+            assert r.n_hat == hats[g]
+            assert r.err_permille == abs(hats[g] - true[g]) * 1000 // true[g]
+            assert r.tv_permille == tv
+            assert r.max_err_permille == mx
+    assert len(rows) == len(_LDP_ARMS) * k
