@@ -285,6 +285,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # ln3->ln9, sf0.01; the O(1/sqrt(n)) local floor vs central's
     # O(1/n) documented); pure-Python replay test-pinned.
     "ldp_randomized_response",
+    # NEW (r12, second batch): rolling-origin forecast backtest scored
+    # with MASE — three closed-form one-step models (naive, seasonal
+    # lag-7, MA7) on spine-filled daily counts, errors as SCALED exact
+    # integers, MASE as BIGINT cross-products; the honest negative
+    # measured (no weekly cycle: seasonal-naive is a noisier
+    # yesterday; MA7 wins all five types); deterministic election;
+    # pure-Python replay test-pinned.
+    "forecast_backtest_mase",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

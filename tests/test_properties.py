@@ -1832,3 +1832,71 @@ def test_ldp_randomized_response_replays_in_pure_python(spark):
             assert r.tv_permille == tv
             assert r.max_err_permille == mx
     assert len(rows) == len(_LDP_ARMS) * k
+
+
+def test_forecast_backtest_mase_replays_in_pure_python(spark):
+    """Every (event_type, model) row must recompute exactly from the
+    collected events: spine-filled daily counts, the 2/3 cut, scaled
+    one-step errors for all three models, integer MAE/MASE floors,
+    and the deterministic election."""
+    import datetime
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.temporal import (
+        _MASE_SEASON,
+        forecast_backtest_mase,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    s = _MASE_SEASON
+    rows = {(r.event_type, r.model): r for r in forecast_backtest_mase(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "ts").collect()
+    daily: Counter = Counter()
+    for r in ev:
+        daily[(r.event_type, (r.ts.date() - datetime.date(2024, 1, 1)).days + 1)] += 1
+    types = sorted({t for t, _ in daily})
+    days = sorted({d for _, d in daily})
+    t0 = max(days) * 2 // 3
+    best = {}
+    for t in types:
+        x = {d: daily[(t, d)] for d in days}
+        seq = [x[d] for d in days]
+        idx = {d: i for i, d in enumerate(days)}
+        s_in = n_in = 0
+        for d in days:
+            i = idx[d]
+            if i >= 1 and d <= t0:
+                s_in += abs(seq[i] - seq[i - 1])
+                n_in += 1
+        models = {}
+        for name, scale in (("naive", 1), (f"seasonal_naive", 1), (f"ma{s}", s)):
+            sa = nt = 0
+            for d in days:
+                i = idx[d]
+                if d <= t0:
+                    continue
+                if name == "naive":
+                    if i < 1:
+                        continue
+                    sa += abs(seq[i] - seq[i - 1])
+                elif name == "seasonal_naive":
+                    if i < s:
+                        continue
+                    sa += abs(seq[i] - seq[i - s])
+                else:
+                    if i < s:
+                        continue
+                    sa += abs(s * seq[i] - sum(seq[i - s : i]))
+                nt += 1
+            models[name] = (nt, sa, scale)
+        for name, (nt, sa, scale) in models.items():
+            r = rows[(t, name)]
+            assert r.n_test == nt
+            assert r.mae_milli == sa * 1000 // (scale * nt)
+            assert r.mase_milli == sa * n_in * 1000 // (scale * nt * s_in)
+        best[t] = min(
+            (rows[(t, m)].mase_milli, m) for m in models
+        )[1]
+    for (t, m), r in rows.items():
+        assert r.is_best == (m == best[t])
