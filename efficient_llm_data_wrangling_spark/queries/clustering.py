@@ -2165,7 +2165,11 @@ def _ivf_entries(vectors: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _walk_oracle_sql(
-    build_ctes: str, edge_src: str, seeded: bool, beam: int | None = None
+    build_ctes: str,
+    edge_src: str,
+    seeded: bool,
+    beam: int | None = None,
+    entry_ctes: str | None = None,
 ) -> str:
     """Generic beam-walk oracle over an arbitrary prebuilt undirected
     edge CTE ``edge_src`` (produced by ``build_ctes``): the
@@ -2174,7 +2178,9 @@ def _walk_oracle_sql(
     neighbors — the walk body of ``_beam_oracle``/``_seeded_oracle``
     with the GRAPH and the ENTRY MODE (fixed vertex vs per-cell IVF
     medoid) lifted to parameters, so the r9 degree-8 rungs replay the
-    identical serving shape over the wider graph."""
+    identical serving shape over the wider graph. ``entry_ctes``
+    (r12, the layered rung) overrides both built-in entry modes with
+    a caller-supplied CTE chain that must end in ``pe(pid, v0)``."""
     k, probes, entry = _KNNJ_K, _KNNJ_PROBES, _GREEDY_ENTRY
     hops, beam = _BEAM_HOPS, (beam if beam is not None else _BEAM_WIDTH)
     ctes = [
@@ -2193,7 +2199,9 @@ def _walk_oracle_sql(
   FROM {edge_src} g JOIN xi xv ON g.neighbor_id = xv.vec_id
 )""",
     ]
-    if seeded:
+    if entry_ctes is not None:
+        ctes.append(entry_ctes)
+    elif seeded:
         ctes.append(
             f"""md AS (
   SELECT c, vec_id AS mid FROM (
@@ -7337,3 +7345,179 @@ def cross_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("__gnbcv_embeddings")
     return spark.sql(_gnbcv_sql("spark", "__gnbcv_embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Layered (HNSW-style) entry: hierarchical navigation replaces the
+# IVF codebook as the serving entry mechanism — measured head-to-head
+# ---------------------------------------------------------------------------
+
+_LAYER_STRIDE = 16  # upper layer = every 16th vector (one HNSW level)
+_LAYER_D = 4  # upper-layer exact-kNN degree
+
+
+def _layered_entry_ctes() -> str:
+    """Entry-CTE chain for :func:`_walk_oracle_sql`: an upper layer of
+    every {_LAYER_STRIDE}th non-probe vector carries its own exact
+    degree-{_LAYER_D} kNN graph; each probe GREEDY-walks it (beam 1,
+    {_BEAM_HOPS} hops) from the layer's minimum id, and the landing
+    vertex becomes the base-layer entry ``pe(pid, v0)`` — the HNSW
+    upper-level descent with one level."""
+    probes, hops = _KNNJ_PROBES, _BEAM_HOPS
+    ctes = [
+        f"""upx AS (
+  SELECT vec_id, x FROM xi
+  WHERE vec_id >= {probes} AND vec_id % {_LAYER_STRIDE} = 0
+)""",
+        f"""upg AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_dist_sql('a.x', 'b.x')}, b.vec_id) AS rn
+    FROM upx a JOIN upx b ON b.vec_id <> a.vec_id
+  ) t WHERE rn <= {_LAYER_D}
+)""",
+        """upu AS (
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM upg
+    UNION ALL
+    SELECT neighbor_id AS vec_id, vec_id AS neighbor_id FROM upg
+  ) t
+)""",
+        """upe AS (
+  SELECT g.vec_id AS u, g.neighbor_id AS v, xv.x AS vx
+  FROM upu g JOIN upx xv ON g.neighbor_id = xv.vec_id
+)""",
+        "uent AS (SELECT CAST(min(vec_id) AS BIGINT) AS e0 FROM upx)",
+        f"""utc0 AS (
+  SELECT pb.pid, uent.e0 AS v,
+         CAST({_dist_sql('xv.x', 'pb.px')} AS BIGINT) AS d
+  FROM pb CROSS JOIN uent JOIN xi xv ON xv.vec_id = uent.e0
+)""",
+        "ubm0 AS (SELECT pid, v, d FROM utc0)",
+    ]
+    for r in range(1, hops + 1):
+        ctes.append(
+            f"""ucd{r} AS (
+  SELECT b.pid, e.v, CAST({_dist_sql('e.vx', 'p.px')} AS BIGINT) AS d
+  FROM ubm{r - 1} b JOIN pb p ON b.pid = p.pid JOIN upe e ON e.u = b.v
+)"""
+        )
+        ctes.append(
+            f"""utc{r} AS (
+  SELECT DISTINCT pid, v, d FROM (
+    SELECT pid, v, d FROM utc{r - 1}
+    UNION ALL
+    SELECT pid, v, d FROM ucd{r}
+  ) t
+)"""
+        )
+        ctes.append(
+            f"""ubm{r} AS (
+  SELECT pid, v, d FROM (
+    SELECT pid, v, d,
+           row_number() OVER (PARTITION BY pid ORDER BY d, v) AS rn
+    FROM utc{r}
+  ) t WHERE rn = 1
+)"""
+        )
+    ctes.append(
+        f"pe AS (SELECT pid, CAST(v AS BIGINT) AS v0 FROM ubm{hops})"
+    )
+    return ",\n".join(ctes)
+
+
+def _layered_entries(vectors: DataFrame, pb: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_layered_entry_ctes`: exact kNN on the
+    sampled upper layer (broadcast nested-loop pairing — the layer is
+    n/{_LAYER_STRIDE} rows by construction), then the shared
+    ``_frontier_walk`` at beam width 1 over the upper edges; the
+    best-touched upper vertex per probe is the base-layer entry."""
+    up = vectors.filter(
+        (F.col("vec_id") >= _KNNJ_PROBES)
+        & (F.col("vec_id") % _LAYER_STRIDE == 0)
+    ).localCheckpoint()
+    nb = up.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("nx"))
+    upg = (
+        up.join(F.broadcast(nb), F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.row_number()
+            .over(
+                W.partitionBy("vec_id").orderBy(
+                    _sq_dist("x", "nx").asc(), F.col("neighbor_id").asc()
+                )
+            )
+            .alias("__rn"),
+        )
+        .filter(F.col("__rn") <= _LAYER_D)
+        .select("vec_id", "neighbor_id")
+    )
+    ue = _edge_table(up, upg)
+    e0 = up.agg(F.min("vec_id").cast("long").alias("v0"))
+    entries0 = pb.select("pid").crossJoin(F.broadcast(e0))
+    touched = _frontier_walk(up, ue, pb, entries0, beam_width=1, hops=_BEAM_HOPS)
+    wb = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("v"))
+    return (
+        touched.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .select("pid", F.col("v").cast("long").alias("v0"))
+    )
+
+
+@query(
+    "knn_graph_serving_layered",
+    oracle=_walk_oracle_sql(
+        _KNNJ_D8_CTES, "gu1d8", seeded=False, beam=_BEAM_W16,
+        entry_ctes=_layered_entry_ctes(),
+    ),
+    tags=("similarity", "clustering", "ann", "iterative"),
+)
+def knn_graph_serving_layered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style LAYERED entry (Malkov & Yashunin 2018) measured
+    head-to-head against the graded IVF-seeded entry — the serving
+    ladder's remaining ARCHITECTURE question: ``knn_graph_serving_
+    beam16`` enters the graph at the probe's IVF-cell medoid (needs a
+    fitted codebook at serve time — the DiskANN posture); THIS rung
+    enters via a one-level hierarchy instead (every {16}th non-probe
+    vector forms an upper layer with its own exact degree-{4} kNN
+    graph; each probe greedy-walks it — beam 1, {4} hops — from the
+    layer's minimum id, and the landing vertex seeds the identical
+    width-{16} base walk on the identical degree-8 graph). Everything
+    downstream of the entry is byte-identical to beam16, so the
+    recall/touched delta isolates pure ENTRY ARCHITECTURE.
+
+    Measured at sf0.01 (recall@3 on the fixed probes): layered
+    82.3% @ 205.7 mean touched vs beam16's IVF-seeded 86.5% @ 212.6
+    — the honest negative: ONE level of hierarchy gives up 4.2
+    points vs a fitted codebook at essentially equal budget (4,001
+    vs 4,067 recall-ppm per touched vertex). The reason is
+    resolution: the greedy upper descent starts every probe at the
+    SAME fixed vertex and navigates a 29-node layer, while the IVF
+    medoid is chosen from a codebook FITTED to the data — at this
+    corpus size the codebook is simply a better map. HNSW's real
+    advantage is the geometric STACK of levels (a log-n descent that
+    keeps refining); this rung prices exactly one level, and one
+    level is not enough — the architectural read-off: don't replace
+    a working IVF entry with a single-level hierarchy; stack levels
+    or keep the codebook (which PQ serving already pays for — the
+    ADC rung).
+
+    Scale: the upper layer is n/{16} vectors; its exact-kNN pairing
+    is the one quadratic — bounded by the LAYER, and production
+    stacks levels geometrically (n/256, ...) so the top stays
+    driver-sized while each level's build is the level below's
+    sparse problem; the per-probe upper walk is beam-1 — the
+    frontier is ONE vertex, the hop is one broadcast-frontier scan
+    of a KB-sized edge table. Base walk shapes identical to beam16.
+    """
+    tune(spark)
+    vectors = _load_vectors(spark, sf_dir)
+    _, _, (g1,) = _knn_descent_chain(spark, sf_dir, rounds=1, k=_KNNJ_D8)
+    ed = _edge_table(vectors, g1)
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    entries = _layered_entries(vectors, pb)
+    return _walk_report(vectors, ed, pb, entries, beam_width=_BEAM_W16)

@@ -293,6 +293,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # yesterday; MA7 wins all five types); deterministic election;
     # pure-Python replay test-pinned.
     "forecast_backtest_mase",
+    # NEW (r12, second batch): HNSW-style layered entry vs the graded
+    # IVF-seeded entry, head-to-head at byte-identical base walks
+    # (d8 graph, width 16, 4 hops): one upper level (every 16th
+    # vector, exact d4 kNN, beam-1 greedy descent) reads 82.3% @
+    # 205.7 touched vs IVF's 86.5% @ 212.6 — the honest negative:
+    # one level of hierarchy does not match a fitted codebook; stack
+    # levels or keep the codebook; entry-election replay test-pinned.
+    "knn_graph_serving_layered",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

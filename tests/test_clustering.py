@@ -1623,3 +1623,55 @@ def test_pca_power_iteration_replays_in_pure_python(spark):
         )
         v = vn
     assert len(rows) == _PCA_ITERS
+
+
+def test_layered_entries_replay_in_pure_python(spark):
+    """The HNSW-style entry election must replay exactly: upper-layer
+    membership, exact degree-4 kNN edges, the beam-1 greedy descent
+    from the layer's min id, and the per-probe landing vertex."""
+    from efficient_llm_data_wrangling_spark.queries.clustering import (
+        _BEAM_HOPS,
+        _KNNJ_PROBES,
+        _LAYER_D,
+        _LAYER_STRIDE,
+        _layered_entries,
+        _load_vectors,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    vectors = _load_vectors(spark, SF_SMOKE)
+    pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
+        F.col("vec_id").alias("pid"), F.col("x").alias("px")
+    )
+    got = {r.pid: r.v0 for r in _layered_entries(vectors, pb).collect()}
+    X = {r.vec_id: list(r.x) for r in vectors.collect()}
+    up = sorted(
+        v for v in X if v >= _KNNJ_PROBES and v % _LAYER_STRIDE == 0
+    )
+
+    def d2(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(X[a], X[b]))
+
+    adj = {}
+    for a in up:
+        nn = sorted((d2(a, b), b) for b in up if b != a)[:_LAYER_D]
+        adj[a] = [b for _, b in nn]
+    und = {a: set() for a in up}
+    for a, ns in adj.items():
+        for b in ns:
+            und[a].add(b)
+            und[b].add(a)
+    e0 = min(up)
+    for pid in range(_KNNJ_PROBES):
+        def dq(v):
+            return sum((p - q) * (p - q) for p, q in zip(X[v], X[pid]))
+
+        touched = {e0: dq(e0)}
+        best = e0
+        for _ in range(_BEAM_HOPS):
+            for v in und[best]:
+                touched.setdefault(v, dq(v))
+            best = min(touched, key=lambda v: (touched[v], v))
+        assert got[pid] == best, pid
+    assert len(got) == _KNNJ_PROBES
