@@ -541,3 +541,124 @@ def markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mode_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test: two-proportion chi-square with a planted null AND a
+# planted effect (the experimentation rung)
+# ---------------------------------------------------------------------------
+
+_AB_CRIT_MICRO = 3841459  # chi-square(df=1) 95% critical value, micro
+
+
+def _ab_sql(engine: str, events: str) -> str:
+    """Shared A/B text; engine switches are md5 u32 and integer
+    division. The chi-square statistic runs as ONE fixed-shape double
+    expression over exact BIGINT cell counts (products exceed 2^63 at
+    scale, so the ratio is evaluated in IEEE doubles with an
+    identical parenthesization on both engines — same discipline as
+    the portable-ln callers); the release floors it to micro."""
+    if engine == "spark":
+        dv = "div"
+        u32 = lambda tag: (  # noqa: E731
+            f"cast(conv(substring(md5(concat('{tag}:', CAST(user_id AS STRING))),"
+            f" 1, 8), 16, 10) as bigint)"
+        )
+    else:
+        from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
+
+        dv = "//"
+        u32 = lambda tag: _hexint_sql(  # noqa: E731
+            f"md5(concat('{tag}:', CAST(user_id AS VARCHAR)))", 1, 8
+        )
+    chi = (
+        "((CAST(a + b + c + d AS DOUBLE)"
+        " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+        " * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)"
+        "    - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))"
+        " / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)"
+        "    * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)))"
+    )
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         ({u32('abv')}) % 2 AS variant,
+         CAST(CASE WHEN 4 * sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) >= count(*)
+                   THEN 1 ELSE 0 END AS BIGINT) AS conv,
+         ({u32('abe')}) % 5 AS ecoin
+  FROM {events} GROUP BY user_id
+),
+arms AS (
+  SELECT 'null' AS arm, variant, conv FROM u
+  UNION ALL
+  SELECT 'planted', variant,
+         CASE WHEN variant = 1 AND ecoin = 0 THEN CAST(1 AS BIGINT)
+              ELSE conv END
+  FROM u
+),
+cells AS (
+  SELECT arm,
+         CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(sum(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM arms GROUP BY arm
+)
+SELECT arm, a AS n_control_conv, b AS n_control_nonconv,
+       c AS n_variant_conv, d AS n_variant_nonconv,
+       a * 1000 {dv} (a + b) AS control_rate_milli,
+       c * 1000 {dv} (c + d) AS variant_rate_milli,
+       c * 1000 {dv} (c + d) - a * 1000 {dv} (a + b) AS lift_milli,
+       CAST(floor({chi} * 1000000) AS BIGINT) AS chi2_micro,
+       CAST(floor({chi} * 1000000) AS BIGINT) > {_AB_CRIT_MICRO} AS significant
+FROM cells
+"""
+
+
+@query(
+    "ab_test_chi_square",
+    oracle=_ab_sql("duck", "events"),
+    tags=("behavior", "eval"),
+)
+def ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation rung: a two-proportion chi-square test
+    (Pearson, df=1) over a user-level A/B assignment, run as TWO
+    EXPERIMENT ARMS with known ground truth through shared
+    expressions — 'null' (variant assigned by an md5 coin
+    INDEPENDENT of behavior; any detected effect is a false
+    positive) and 'planted' (variant-1 users additionally convert on
+    a 1-in-5 md5 coin; a real ~+13-point true effect exists). Units
+    are USERS, not events (the classic unit-of-randomization error
+    is doing this at event grain — conversions within a user
+    correlate and the test overcounts evidence); conversion = the
+    user's purchase share reaching a quarter of their events. Cell
+    counts are exact BIGINTs; the chi-square ratio is one
+    fixed-parenthesization IEEE-double expression (identical bits on
+    both engines) floored to micro, compared against the exact 95%
+    critical value 3.841459.
+
+    Measured (sf0.01, 150 users / sf0.1, 1,500): the null arm is
+    QUIET at both SFs (chi2 0.20 / 0.97, lift -25 / -19 milli — a
+    correctly randomized null), and the planted arm delivers the
+    POWER lesson most A/B dashboards never show: the SAME true
+    effect reads chi2 = 2.17 (NOT significant — a +94-milli
+    observed lift at n=150 is statistically indistinguishable from
+    noise) at sf0.01 and chi2 = 36.2 (>5 sigma, lift +132 milli) at
+    sf0.1. A test that is quiet on a true effect is
+    underpowered, not negative — the run-it-longer decision this
+    operator prices exactly; the null arm is the false-positive
+    control, the same two-sided discipline as the CUSUM and
+    Fellegi-Sunter rungs.
+
+    Scale: one user-level aggregate (map-side combinable max/coins),
+    one 2x2x2 cell aggregate, arithmetic on an 8-cell frame. The
+    production caveat carried in code: at planetary n the double
+    products round (the counts stay exact; the statistic's ~1e-16
+    relative wobble is shared bit-for-bit by both engines and is
+    meaningless against a 3.84 threshold).
+    """
+    tune(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__ab_events")
+    return spark.sql(_ab_sql("spark", "__ab_events"))

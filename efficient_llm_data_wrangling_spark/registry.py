@@ -58,7 +58,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #:    the r11 advisor note, so its evidence is not a round behind its
 #:    bench numbers even before CORRECTNESS_r12 lands;
 #: 2. ``_NEW_OR_CHANGED_IN_R12`` — queries registered OR semantically
-#:    rebuilt this round;
+#:    rebuilt this round (the round ran as two builder sessions: the
+#:    13-operator first batch, then a 12-operator second batch —
+#:    every addition pinned into this segment in its registering
+#:    commit, displacing r6-fill rows to the r13 pool per the
+#:    documented expression);
 #: 3. ``_STALE_R6_FILL`` — the 47 rows whose most recent driver grade
 #:    is round 6 (every one hash-matched the judge's independent
 #:    256/256 sweep in r10). The window takes the first
@@ -301,6 +305,14 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # one level of hierarchy does not match a fitted codebook; stack
     # levels or keep the codebook; entry-election replay test-pinned.
     "knn_graph_serving_layered",
+    # NEW (r12, second batch): the experimentation rung — Pearson
+    # chi-square (df=1) at USER grain with a planted null AND a
+    # planted effect through shared expressions; exact BIGINT cells,
+    # one fixed-parenthesization IEEE double for the statistic,
+    # micro floor vs the exact 3.841459 bar; the POWER lesson
+    # measured (the same true effect: chi2 2.17 invisible at n=150,
+    # 36.2 at n=1500); pure-Python replay test-pinned.
+    "ab_test_chi_square",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

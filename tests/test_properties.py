@@ -1900,3 +1900,59 @@ def test_forecast_backtest_mase_replays_in_pure_python(spark):
         )[1]
     for (t, m), r in rows.items():
         assert r.is_best == (m == best[t])
+
+
+def test_ab_test_chi_square_replays_in_pure_python(spark):
+    """Both experiment arms must recompute exactly from the collected
+    events: user-grain variant/effect coins, the purchase-share
+    conversion, 2x2 cells, the fixed-shape double chi-square floored
+    to micro, and the significance decision."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from efficient_llm_data_wrangling_spark.queries.behavior import (
+        _AB_CRIT_MICRO,
+        ab_test_chi_square,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.arm: r for r in ab_test_chi_square(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type").collect()
+    tot: Counter = Counter()
+    pur: Counter = Counter()
+    for r in ev:
+        tot[r.user_id] += 1
+        pur[r.user_id] += r.event_type == "purchase"
+
+    def u32(tag, u):
+        return int(hashlib.md5(f"{tag}:{u}".encode()).hexdigest()[:8], 16)
+
+    users = [
+        (u32("abv", u) % 2, int(4 * pur[u] >= tot[u]), u32("abe", u) % 5)
+        for u in tot
+    ]
+    for arm in ("null", "planted"):
+        a = b = c = d = 0
+        for v, conv, ecoin in users:
+            cv = 1 if (arm == "planted" and v == 1 and ecoin == 0) else conv
+            if v == 0:
+                a += cv
+                b += 1 - cv
+            else:
+                c += cv
+                d += 1 - cv
+        chi = (
+            float(a + b + c + d)
+            * (float(a) * float(d) - float(b) * float(c))
+            * (float(a) * float(d) - float(b) * float(c))
+        ) / (float(a + b) * float(c + d) * float(a + c) * float(b + d))
+        r = rows[arm]
+        assert (r.n_control_conv, r.n_control_nonconv) == (a, b)
+        assert (r.n_variant_conv, r.n_variant_nonconv) == (c, d)
+        assert r.control_rate_milli == a * 1000 // (a + b)
+        assert r.variant_rate_milli == c * 1000 // (c + d)
+        assert r.lift_milli == c * 1000 // (c + d) - a * 1000 // (a + b)
+        assert r.chi2_micro == math.floor(chi * 1000000)
+        assert r.significant == (r.chi2_micro > _AB_CRIT_MICRO)
