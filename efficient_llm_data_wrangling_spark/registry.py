@@ -313,6 +313,15 @@ _NEW_OR_CHANGED_IN_R12: tuple[str, ...] = (
     # measured (the same true effect: chi2 2.17 invisible at n=150,
     # 36.2 at n=1500); pure-Python replay test-pinned.
     "ab_test_chi_square",
+    # NEW (r12, second batch): percentile bootstrap CIs with the CLT
+    # arm as built-in calibration — md5 index draws, exact integer
+    # per-resample mean/median elections, order-statistic CI; the
+    # mean arm's width-vs-CLT meter reads ~1000 milli (licensing the
+    # median arm where no formula exists; rank statistics pay ~75%
+    # wider bars); the draw index materialized before the gather join
+    # (the nested-loop lesson, 12min -> 1.3s in the oracle);
+    # pure-Python replay test-pinned.
+    "bootstrap_ci_report",
 )
 
 _STALE_R6_FILL: tuple[str, ...] = (

@@ -1956,3 +1956,61 @@ def test_ab_test_chi_square_replays_in_pure_python(spark):
         assert r.lift_milli == c * 1000 // (c + d) - a * 1000 // (a + b)
         assert r.chi2_micro == math.floor(chi * 1000000)
         assert r.significant == (r.chi2_micro > _AB_CRIT_MICRO)
+
+
+def test_bootstrap_ci_replays_in_pure_python(spark):
+    """Both metric rows must recompute exactly from the collected
+    documents: the md5 index draws, per-resample exact mean/median
+    elections, the order-statistic CI, the CLT half-width, and the
+    width meter."""
+    import hashlib
+    import math
+
+    from efficient_llm_data_wrangling_spark.queries.quality import (
+        _BS_B,
+        _BS_KLO,
+        bootstrap_ci_report,
+    )
+    from efficient_llm_data_wrangling_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = {r.metric: r for r in bootstrap_ci_report(spark, SF_SMOKE).collect()}
+    docs = sorted(
+        load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect(),
+        key=lambda r: r.doc_id,
+    )
+    vs = [r.n_chars for r in docs]
+    n = len(vs)
+    ests = {"mean": [], "median": []}
+    for b in range(_BS_B):
+        draw = [
+            vs[int(hashlib.md5(f"bs:{b}:{i}".encode()).hexdigest()[:8], 16) % n]
+            for i in range(n)
+        ]
+        ests["mean"].append(sum(draw) * 1000 // n)
+        ests["median"].append(sorted(draw)[(n + 1) // 2 - 1] * 1000)
+    point = {
+        "mean": sum(vs) * 1000 // n,
+        "median": sorted(vs)[(n + 1) // 2 - 1] * 1000,
+    }
+    sv, svv = sum(vs), sum(v * v for v in vs)
+    hw = math.floor(
+        1.959963984540054
+        * math.sqrt((n * svv - sv * sv) / (n * n * (n - 1)))
+        * 1000
+    )
+    for m in ("mean", "median"):
+        srt = sorted(ests[m])
+        lo, hi = srt[_BS_KLO - 1], srt[_BS_B - _BS_KLO]
+        r = rows[m]
+        assert r.point_milli == point[m]
+        assert (r.ci_lo_milli, r.ci_hi_milli) == (lo, hi)
+        assert r.ci_width_milli == hi - lo
+        assert r.point_inside == (lo <= point[m] <= hi)
+        assert r.n_docs == n and r.n_resamples == _BS_B
+        if m == "mean":
+            assert r.classical_hw_milli == hw
+            assert r.width_vs_clt_milli == (hi - lo) * 1000 // (2 * hw)
+        else:
+            assert r.classical_hw_milli is None
+            assert r.width_vs_clt_milli is None
