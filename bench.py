@@ -142,6 +142,19 @@ HEADLINE = [
     "pca_power_iteration_report",
     "wordpiece_train_rounds",
     "hilbert_layout_report",
+    # round-12 second batch (BENCH_r12 seeds their baselines): the
+    # Fellegi-Sunter linkage (a genuinely new heavy shape — the
+    # nation-blocked 1.8M-pair agreement join at sf0.1 feeding
+    # micro-nat weight estimation and two decision arms) and the
+    # bootstrap resampler (the n x 200 md5-index gather join + 200
+    # keyed median elections — the resampling shape nothing else
+    # prices). The other second-batch operators ride priced families
+    # (skyline/sketch-merge/LDP/chi-square/MASE/feature-hashing →
+    # scan-aggregate and bounded-window shapes; SNM's cost is its
+    # O(n^2) truth calibration, not the operator; the layered entry
+    # and CV ride the graph-serving and NB families).
+    "fellegi_sunter_linkage",
+    "bootstrap_ci_report",
 ]
 
 

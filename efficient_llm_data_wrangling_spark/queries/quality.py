@@ -953,7 +953,9 @@ win AS (
          v.fit_sse < o.fit_sse
            OR (v.fit_sse = o.fit_sse AND v.direction = 'increasing')
            AS is_winner
-  FROM viol v JOIN viol o ON o.direction != v.direction
+  FROM viol v JOIN viol o
+    ON o.direction = CASE WHEN v.direction = 'increasing'
+                          THEN 'decreasing' ELSE 'increasing' END
 )
 SELECT f.direction, f.k AS bucket, f.n AS n_docs, f.s AS n_pos,
        f.raw_rate_micro, f.iso_rate_micro,
