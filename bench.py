@@ -633,6 +633,22 @@ def run_one(spark, spec, sf_dir: str, repeats: int = 3) -> list[float]:
     return sorted(times)
 
 
+def _release_session_state(spark) -> None:
+    """Drop the per-query scratch temp views (``__``-prefixed) and
+    nudge the JVM cleaner between headliners. localCheckpoint blocks
+    stay pinned by a finished query's temp views, so they ACCUMULATE
+    across the 50-headliner session; with the r12 second batch adding
+    two more checkpointing headliners the pile overran the default
+    1 GiB driver heap at sf0.1 (skipgram's broadcast build was merely
+    the straw). Queries recreate their views on every build, so
+    dropping them between timings is semantically free."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("__"):
+            spark.catalog.dropTempView(t.name)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def calibration_sample(spark, sf_dir: str) -> float:
     """ONE wall-time sample of the FIXED reference workload (full
     lineitem scan + hash agg) — a machine-speed yardstick that never
@@ -683,11 +699,13 @@ def main() -> None:
     cal_samples: list[float] = []
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    _release_session_state(spark)
     for name in names:
         cal_samples.append(round(calibration_sample(spark, sf_dir), 3))
         samples = run_one(spark, REGISTRY[name], sf_dir, repeats=repeats)
         runs[name] = [round(t, 3) for t in samples]
         timings[name] = round(samples[len(samples) // 2], 3)  # median
+        _release_session_state(spark)
     cal_samples.append(round(calibration_sample(spark, sf_dir), 3))  # closing sample
     cal = round(sorted(cal_samples)[len(cal_samples) // 2], 3)
 

@@ -18,6 +18,14 @@ from pyspark.sql import SparkSession
 
 #: Confs that must be set before the session starts.
 STARTUP_CONFS: dict[str, str] = {
+    # Local mode runs driver and executors in ONE JVM whose default
+    # heap is 1 GiB — a 50-headliner bench session at sf0.1
+    # accumulates checkpoint blocks + broadcast builds well past that
+    # (three independent OOMs traced to it in the r12 second session:
+    # the full-suite cascade, the sweep's unigram plan, and
+    # skipgram's bench broadcast). 12 GiB is <10% of the 128 GiB test
+    # host; a real cluster deployment overrides this per-node.
+    "spark.driver.memory": "12g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

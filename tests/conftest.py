@@ -7,6 +7,15 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Hypothesis raises/restores the recursion limit around each example;
+# with py4j's callback threads alive it cannot restore it ("changed
+# from another thread") and a later assertion-rewrite compile() of a
+# large test module dies with "AST constructor recursion depth
+# mismatch" (SystemError), taking neighboring tests down as spurious
+# RecursionErrors — observed twice in full-suite runs. A generous
+# floor set before any test makes both modes unreachable.
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
 from efficient_llm_data_wrangling_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
