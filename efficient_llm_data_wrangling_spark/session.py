@@ -34,10 +34,39 @@ STARTUP_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.ui.enabled": "false",
+    # Spark 4 turned ANSI mode on by default; its per-operation
+    # overflow/bounds checks cost ~2x on this engine's hot integer
+    # kernels (measured: the 64-term unrolled squared-L2 over 1M
+    # cached pairs runs 2.2-3.0 s ANSI-on vs 1.1-1.4 s ANSI-off,
+    # interleaved A/B). Every kernel here carries an explicit int64
+    # bounds analysis in its docstring (micro-unit coordinates bound
+    # products at dims x (2e6)^2, ln arguments are rescaled before
+    # 2^53, counts are cross-multiplied under documented caps), so the
+    # checks can never fire on valid data; non-ANSI semantics are the
+    # Spark <= 3.5 default this engine's oracle parity was designed
+    # against. Scale-independent (less CPU per row at any data size);
+    # re-verified by the full 314-query oracle sweep after the flip.
+    "spark.sql.ansi.enabled": "false",
+    # PySpark 4's per-API-call origin capture walks the full Python
+    # stack on EVERY DataFrame/Column call to enrich error messages
+    # (pyspark.errors.utils._capture_call_site). Expression-heavy
+    # builders here issue tens of thousands of such calls per query —
+    # measured 3.7 s of a single graph-query build, pure driver-side
+    # bookkeeping. The flag only controls error-message enrichment,
+    # never results; scale-independent.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 #: Confs that can be flipped on a live session (spark.conf.set).
 RUNTIME_CONFS: dict[str, str] = {
+    # Also applied to sessions we did not create (see STARTUP_CONFS
+    # rationale): pyspark caches this flag at the FIRST decorated API
+    # call, so tune() must set it before any query builds a plan on a
+    # driver-owned session.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # see STARTUP_CONFS: ANSI checks cost ~2x on the bounds-proven
+    # integer kernels; runtime-settable, so foreign sessions get it too
+    "spark.sql.ansi.enabled": "false",
     # One shuffle partition per core locally; on a 1000-executor cluster
     # AQE coalescing makes a high initial value safe, so scale with
     # parallelism rather than hard-coding 200.
