@@ -94,7 +94,7 @@ def assign_ivf_cells(
     return df.select(F.col(id_col), F.col(vec_col), best["cid"].alias("cell_id"))
 
 
-def l2sq_int(a: Column, b: Column, dims: int | None = None) -> Column:
+def l2sq_int(a: Column | str, b: Column | str, dims: int | None = None) -> Column:
     """Exact integer squared-L2 between two micro-unit (BIGINT) vectors.
     Every term is exact, so fold order is irrelevant; bounded by
     dims × (2e6)² per pair — int64-safe independent of corpus size.
@@ -105,7 +105,21 @@ def l2sq_int(a: Column, b: Column, dims: int | None = None) -> Column:
     measured 3.5× faster than the ``aggregate``/``zip_with`` fold
     (which dispatches its lambda per element) with a bit-identical
     BIGINT result. ``dims=None`` keeps the generic fold for arrays of
-    unknown width."""
+    unknown width.
+
+    Column-NAME inputs (str) with known ``dims`` build the identical
+    unrolled tree as ONE parsed SQL string — a single py4j round-trip
+    instead of ~6 per dimension, which removes ~1.6 s of driver-side
+    expression construction per 64-dim call site (r12 measurement)."""
+    if dims is not None and isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(
+            f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])" for j in range(dims)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     if dims is not None:
         terms = [
             (a.getItem(j) - b.getItem(j)) * (a.getItem(j) - b.getItem(j))
@@ -164,7 +178,7 @@ def assign_cells_by_codebook(
         F.col(id_col),
         F.struct(
             F.coalesce(
-                l2sq_int(F.col(vec_col), F.col(cvec_col), dims=dims), err
+                l2sq_int(vec_col, cvec_col, dims=dims), err
             ).alias("d"),
             F.col(cell_col).alias("c"),
             F.col(vec_col).alias("x"),

@@ -37,17 +37,33 @@ def _micro_units(emb_col) -> F.Column:
     )
 
 
-def _sq_dist_cols(x_col: F.Column, mu_col: F.Column, dims: int = _DIMS) -> F.Column:
-    """Exact integer squared Euclidean distance between two micro-unit
-    vectors, UNROLLED over the known dimension count: 64 explicit
-    ``(x[j]-y[j])²`` terms summed in one codegen'd expression. The
-    ``aggregate``/``zip_with`` fold this replaces evaluates its lambda
-    through per-element interpreted dispatch — measured 8.4 s vs 2.4 s
-    for 1M 64-dim pairs at sf0.1 (identical BIGINT sum, bit-for-bit).
-    Every term is exact, order irrelevant; bounded by dims × (2e6)²
-    per pair — int64-safe independent of corpus size. ``dims`` < 64
-    sums only the leading dimensions (the truncation study's prefix
-    metric, equivalent to slicing first)."""
+def _sq_dist_txt(x: str, y: str, dims: int = _DIMS) -> str:
+    """SQL text of the exact integer squared Euclidean distance between
+    two micro-unit vectors, UNROLLED over the known dimension count: 64
+    explicit ``(x[j]-y[j])²`` terms summed left-to-right in one
+    codegen'd expression — the identical operator tree the per-term
+    Column arithmetic used to build (GetArrayItem → Subtract → Multiply
+    → left-assoc Add → CAST BIGINT), produced as ONE string so the
+    driver pays ONE py4j round-trip instead of ~6 per dimension
+    (measured: 1.6 s of driver-side expression construction per call
+    site at 64 dims — 18 s of the greedy-search build was this). The
+    ``aggregate``/``zip_with`` fold both forms replace evaluates its
+    lambda through per-element interpreted dispatch — measured 8.4 s vs
+    2.4 s for 1M 64-dim pairs at sf0.1 (identical BIGINT sum,
+    bit-for-bit). Every term is exact, order irrelevant; bounded by
+    dims × (2e6)² per pair — int64-safe independent of corpus size.
+    ``dims`` < 64 sums only the leading dimensions (the truncation
+    study's prefix metric, equivalent to slicing first)."""
+    terms = " + ".join(f"({x}[{j}] - {y}[{j}]) * ({x}[{j}] - {y}[{j}])" for j in range(dims))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _sq_dist_cols(x_col, mu_col, dims: int = _DIMS) -> F.Column:
+    """:func:`_sq_dist_txt` over column NAMES (preferred — one py4j
+    call); Column inputs keep the legacy per-term construction for the
+    few sites that pass computed arrays."""
+    if isinstance(x_col, str) and isinstance(mu_col, str):
+        return F.expr(_sq_dist_txt(x_col, mu_col, dims))
     terms = [
         (x_col.getItem(j) - mu_col.getItem(j)) * (x_col.getItem(j) - mu_col.getItem(j))
         for j in range(dims)
@@ -60,11 +76,20 @@ def _sq_dist_cols(x_col: F.Column, mu_col: F.Column, dims: int = _DIMS) -> F.Col
 
 def _sq_dist(x_col: str, mu_col: str) -> F.Column:
     """:func:`_sq_dist_cols` over column names (the common call)."""
-    return _sq_dist_cols(F.col(x_col), F.col(mu_col))
+    return F.expr(_sq_dist_txt(x_col, mu_col))
 
 
-def _dot_int_cols(a_col: F.Column, b_col: F.Column, dims: int = _DIMS) -> F.Column:
+def _dot_int_txt(a: str, b: str, dims: int = _DIMS) -> str:
+    """SQL text of the exact integer dot product, unrolled (see
+    :func:`_sq_dist_txt` for why text beats per-term Columns)."""
+    terms = " + ".join(f"{a}[{j}] * {b}[{j}]" for j in range(dims))
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _dot_int_cols(a_col, b_col, dims: int = _DIMS) -> F.Column:
     """Exact integer dot product, unrolled (see :func:`_sq_dist_cols`)."""
+    if isinstance(a_col, str) and isinstance(b_col, str):
+        return F.expr(_dot_int_txt(a_col, b_col, dims))
     terms = [a_col.getItem(j) * b_col.getItem(j) for j in range(dims)]
     out = terms[0]
     for t in terms[1:]:
@@ -87,7 +112,9 @@ def _update(assigned: DataFrame) -> DataFrame:
     ≤ k×dims partial sums."""
     sums = assigned.groupBy("c").agg(
         F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(F.col("x")[j]).alias(f"s{j}") for j in range(_DIMS)]).alias("s"),
+        F.expr(
+            "array(" + ", ".join(f"sum(x[{j}])" for j in range(_DIMS)) + ")"
+        ).alias("s"),
     )
     return sums.select("c", F.expr("transform(s, e -> e div n)").alias("mu"))
 
@@ -232,13 +259,13 @@ def knn_ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fitted mu1, a TABLE — materialized once: the K-row codebook
     # carries a full assignment pass in its lineage and both the
     # coarse assignment and the probe election consume it
-    codebook = _update(_assign(vectors, seeds)).localCheckpoint()
+    codebook = _update(_assign(vectors, seeds)).localCheckpoint(eager=False)
     assigned = SIM.assign_cells_by_codebook(vectors, codebook, dims=_DIMS)
 
     q = vectors.filter(F.col("vec_id") == 1).select(F.col("x").alias("qx"))
     probes = (
         codebook.crossJoin(F.broadcast(q))
-        .select("c", SIM.l2sq_int(F.col("mu"), F.col("qx")).alias("d"))
+        .select("c", SIM.l2sq_int("mu", "qx").alias("d"))
         .orderBy("d", "c")
         .limit(_N_PROBE)
         .select(F.col("c").alias("cell_id"))
@@ -249,7 +276,7 @@ def knn_ivf_codebook_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cell_id",
-            SIM.l2sq_int(F.col("x"), F.col("qx")).alias("l2sq_micro"),
+            SIM.l2sq_int("x", "qx").alias("l2sq_micro"),
         )
         .orderBy("l2sq_micro", "vec_id")
         .limit(_IVF_TBL_K)
@@ -292,7 +319,7 @@ FROM a2 LEFT JOIN d ON a2.vec_id = d.rid
 
 def _cos_int_col(a: str, b: str) -> F.Column:
     def ssum(x: str, y: str) -> F.Column:
-        return _dot_int_cols(F.col(x), F.col(y)).cast("double")
+        return _dot_int_cols(x, y).cast("double")
 
     return ssum(a, b) / (F.sqrt(ssum(a, a)) * F.sqrt(ssum(b, b)))
 
@@ -329,7 +356,7 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manifest consume the assignment; lazily each branch re-runs the
     # two Lloyd assigns (embeddings scanned 9x - fact_scan_audit, r6).
     # At corpus scale the assignment IS the persisted artifact.
-    assigned = _assign(vectors, _update(_assign(vectors, seeds))).localCheckpoint()
+    assigned = _assign(vectors, _update(_assign(vectors, seeds))).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("c").alias("__c"), F.col("vec_id").alias("left_id"), F.col("x").alias("__xa")
     )
@@ -373,7 +400,7 @@ def _dot_int_sql(a: str, b: str) -> str:
 def _dot_int_col(a: str, b: str) -> F.Column:
     """Spark twin of :func:`_dot_int_sql` (order-free exact BIGINT),
     unrolled like :func:`_sq_dist_cols` (same measured fold overhead)."""
-    return _dot_int_cols(F.col(a), F.col(b))
+    return _dot_int_cols(a, b)
 
 
 def _mmr_oracle() -> str:
@@ -458,7 +485,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "x", _dot_int_col("x", "qx").alias("rel_u"))
         .orderBy(F.desc("rel_u"), F.asc("vec_id"))
         .limit(_MMR_C)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sel1 = (
         cand.orderBy(F.desc("rel_u"), F.asc("vec_id"))
@@ -469,12 +496,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_u",
             (F.lit(_MMR_REL_W).cast("long") * F.col("rel_u")).alias("score_u"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     picked = [
         sel1.select(F.lit(1).cast("long").alias("rank"), "vec_id", "rel_u", "score_u")
     ]
-    selected = sel1.select("vec_id", "x").localCheckpoint()
+    selected = sel1.select("vec_id", "x").localCheckpoint(eager=False)
     for r in range(2, _MMR_K + 1):
         remaining = cand.join(
             selected.select(F.col("vec_id").alias("__sid")),
@@ -498,7 +525,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("score_u"), F.asc("vec_id"))
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         picked.append(
             win.select(
@@ -507,7 +534,7 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionAll(
             cand.join(win.select("vec_id"), "vec_id").select("vec_id", "x")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     out = picked[0]
     for p in picked[1:]:
         out = out.unionAll(p)
@@ -575,7 +602,7 @@ def _fit_codebook(vectors: DataFrame) -> DataFrame:
     seeds = vectors.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("c"), F.col("x").alias("mu")
     )
-    return _update(_assign(vectors, seeds)).localCheckpoint()
+    return _update(_assign(vectors, seeds)).localCheckpoint(eager=False)
 
 
 def _knn_cell_pairs(
@@ -592,7 +619,7 @@ def _knn_cell_pairs(
         vectors = _load_vectors(spark, sf_dir)
     if cb is None:
         cb = _fit_codebook(vectors)
-    assigned = _assign(vectors, cb).localCheckpoint()
+    assigned = _assign(vectors, cb).localCheckpoint(eager=False)
     a = assigned.select(
         F.col("c").alias("__c"), "vec_id", F.col("x").alias("__xa")
     )
@@ -811,7 +838,7 @@ def _knn_descent_pairs(
         g = (
             _knn_multiprobe_pairs(spark, sf_dir, vectors)
             .select("vec_id", "neighbor_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return _descent_round(vectors, g)
 
@@ -837,7 +864,7 @@ def _descent_round(vectors: DataFrame, g: DataFrame, k: int = _KNNJ_K) -> DataFr
     same operator at k=8 (the build-side recall lever the r8 search
     ladder isolated as its residual)."""
     # undirected closure: reverse neighbors join the candidate pool
-    gu = _undirected(g).localCheckpoint()
+    gu = _undirected(g).localCheckpoint(eager=False)
     # neighbor-of-neighbor expansion: bounded by (2k)^2 candidates per
     # vector, one keyed shuffle on the middle vertex
     a = gu.select(F.col("vec_id").alias("__v"), F.col("neighbor_id").alias("__u"))
@@ -954,7 +981,7 @@ def _knn_descent_chain(
     mp = (
         _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=k, nprobe=nprobe)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     graphs: list[DataFrame] = []
     g = mp
@@ -962,7 +989,7 @@ def _knn_descent_chain(
         g = (
             _descent_round(vectors, g, k=k)
             .select("vec_id", "neighbor_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         graphs.append(g)
     return cb, mp, graphs
@@ -1088,7 +1115,7 @@ def _exact_probe_topk(vectors: DataFrame, universe: DataFrame | None = None) -> 
             rem.groupBy("pid")
             .agg(F.min(F.struct("d", "vec_id")).alias("m"))
             .select("pid", F.col("m.vec_id").alias("nid"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         exact_ranks.append(top)
         rem = (
@@ -1300,14 +1327,14 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp_graph = (
         _knn_multiprobe_pairs(spark, sf_dir, vectors, cb)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # round 1's checkpointed edges feed BOTH the descent1 rung and the
     # round-2 build — each descent round is built exactly once
     g1 = (
         _descent_round(vectors, mp_graph)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # r9 rungs, both off the SAME shared fit: the nprobe=4 seed (the
     # knob the convergence query said to turn once rounds flat-lined)
@@ -1318,7 +1345,7 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp8 = (
         _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=_KNNJ_D8)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     d8 = _descent_round(vectors, mp8, k=_KNNJ_D8).filter(
         F.col("nn_rank") <= _KNNJ_K
@@ -1331,7 +1358,7 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp84 = (
         _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=_KNNJ_D8, nprobe=4)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     d84 = _descent_round(vectors, mp84, k=_KNNJ_D8).filter(
         F.col("nn_rank") <= _KNNJ_K
@@ -1455,7 +1482,7 @@ def _edge_table(vectors: DataFrame, g1: DataFrame) -> DataFrame:
     """Materialized undirected adjacency of a round graph with the
     neighbor's vector attached: (u, v, nx) — the structure every
     graph-search query scans once per hop."""
-    gu = _undirected(g1).localCheckpoint()
+    gu = _undirected(g1).localCheckpoint(eager=False)
     return (
         gu.join(
             vectors.select(
@@ -1464,7 +1491,7 @@ def _edge_table(vectors: DataFrame, g1: DataFrame) -> DataFrame:
             "neighbor_id",
         )
         .select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v"), "nx")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1630,7 +1657,7 @@ def _greedy_report(
         F.lit(_GREEDY_ENTRY).cast("long").alias("cur"),
         _sq_dist("ex", "px").cast("long").alias("dcur"),
         F.lit(0).cast("long").alias("n_moves"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     touched = [
         state.select("pid", F.col("cur").alias("nb"), F.col("dcur").alias("d"))
     ]
@@ -1641,7 +1668,7 @@ def _greedy_report(
             .select("pid", "px", F.col("v").alias("nb"), _sq_dist("nx", "px").cast("long").alias("d"))
         )
         if ckpt_cands:
-            cands = cands.localCheckpoint()
+            cands = cands.localCheckpoint(eager=False)
         touched.append(cands.select("pid", "nb", "d"))
         best = (
             cands.groupBy("pid")
@@ -1658,7 +1685,7 @@ def _greedy_report(
                 F.when(moved, F.col("bd")).otherwise(F.col("dcur")).alias("dcur"),
                 (F.col("n_moves") + F.when(moved, 1).otherwise(0)).cast("long").alias("n_moves"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     tch = touched[0]
     for t in touched[1:]:
@@ -1863,7 +1890,7 @@ def _frontier_walk(
             F.col("v0").cast("long").alias("v"),
             _sq_dist("x", "px").cast("long").alias("d"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wb = W.partitionBy("pid").orderBy(F.asc("d"), F.asc("v"))
     beam = touched  # hop 0: the entry vertex is the whole frontier
@@ -1874,7 +1901,7 @@ def _frontier_walk(
             .filter(F.col("v") != F.col("pid"))
             .select("pid", "v", _sq_dist("nx", "px").cast("long").alias("d"))
         )
-        touched = touched.unionAll(cands).distinct().localCheckpoint()
+        touched = touched.unionAll(cands).distinct().localCheckpoint(eager=False)
         beam = (
             touched.withColumn("__rn", F.row_number().over(wb))
             .filter(F.col("__rn") <= beam_width)
@@ -2672,9 +2699,9 @@ def _robust_prune_edges(
     mp = (
         _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    cand = _descent_round(vectors, mp, k=_PRUNE_K).localCheckpoint()
+    cand = _descent_round(vectors, mp, k=_PRUNE_K).localCheckpoint(eager=False)
     xv = vectors.select(F.col("vec_id").alias("cid"), F.col("x").alias("cx"))
     rem = (
         cand.select(
@@ -2684,7 +2711,7 @@ def _robust_prune_edges(
         )
         .join(xv, "cid")
         .select("p", "cid", "cx", "dpc")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wp = W.partitionBy("p").orderBy(F.asc("dpc"), F.asc("cid"))
     kept: list[DataFrame] = []
@@ -2702,7 +2729,7 @@ def _robust_prune_edges(
                 & (_sq_dist("sx", "cx") > F.col("dpc"))
             )
             .select("p", "cid", "cx", "dpc")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     pruned = kept[0]
     for kf in kept[1:]:
@@ -2745,7 +2772,7 @@ def _pq_reconstruct(vectors: DataFrame) -> DataFrame:
     )
     sub = vectors.select(
         "vec_id", F.posexplode(F.expr(sub_expr)).alias("j", "s")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cw0 = vectors.filter(F.col("vec_id") < _ADC_KS).select(
         F.col("vec_id").alias("code"),
         F.posexplode(F.expr(sub_expr)).alias("j", "cs"),
@@ -2755,7 +2782,7 @@ def _pq_reconstruct(vectors: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "j",
-            _sq_dist_cols(F.col("s"), F.col("cs"), dims=_ADC_DSUB)
+            _sq_dist_cols("s", "cs", dims=_ADC_DSUB)
             .cast("long")
             .alias("d"),
             "code",
@@ -2774,7 +2801,7 @@ def _pq_reconstruct(vectors: DataFrame) -> DataFrame:
             ).alias("ssum"),
         )
         .select("j", "code", F.expr("transform(ssum, e -> e div n)").alias("cs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     enc = (
         sub.join(F.broadcast(cw1), "j")
@@ -2782,7 +2809,7 @@ def _pq_reconstruct(vectors: DataFrame) -> DataFrame:
             "vec_id",
             "j",
             "cs",
-            _sq_dist_cols(F.col("s"), F.col("cs"), dims=_ADC_DSUB)
+            _sq_dist_cols("s", "cs", dims=_ADC_DSUB)
             .cast("long")
             .alias("d"),
             "code",
@@ -3029,7 +3056,7 @@ def knn_graph_serving_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     vectors = _load_vectors(spark, sf_dir)
     cb, _, (g1,) = _knn_descent_chain(spark, sf_dir, rounds=1, k=_KNNJ_D8)
-    vr = _pq_reconstruct(vectors).localCheckpoint()
+    vr = _pq_reconstruct(vectors).localCheckpoint(eager=False)
     ed = _edge_table(vr, g1)
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
@@ -3368,7 +3395,7 @@ def knn_graph_serving_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
-    asg = _assign(vectors, cb).localCheckpoint()
+    asg = _assign(vectors, cb).localCheckpoint(eager=False)
     bucket = (
         F.instr(
             F.lit("0123456789abcdef"),
@@ -3378,7 +3405,7 @@ def knn_graph_serving_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out: DataFrame | None = None
     for m in _FILT_BOUNDS:
-        allowed = vectors.filter(bucket < m).localCheckpoint()
+        allowed = vectors.filter(bucket < m).localCheckpoint(eager=False)
         # BOTH endpoints restricted: only allowed vertices are ever in
         # the beam, so dropping disallowed sources changes nothing the
         # walk can see — and makes allowed_edges the true subgraph
@@ -3394,7 +3421,7 @@ def knn_graph_serving_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "u",
                 "left_semi",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         alw_np = asg.join(allowed.select("vec_id"), "vec_id").filter(
             F.col("vec_id") >= _KNNJ_PROBES
@@ -3417,7 +3444,7 @@ def knn_graph_serving_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("mid"), F.col("fb")).cast("long").alias("v0"),
             )
         )
-        exact_f = _exact_probe_topk(vectors, universe=allowed).localCheckpoint()
+        exact_f = _exact_probe_topk(vectors, universe=allowed).localCheckpoint(eager=False)
         wr = _walk_report(
             vectors, edf, pb, entries, beam_width=_BEAM_W16, exact=exact_f
         )
@@ -3495,7 +3522,7 @@ def knn_graph_serving_filtered_rebuilt(spark: SparkSession, sf_dir: str) -> Data
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
-    probes_v = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).localCheckpoint()
+    probes_v = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).localCheckpoint(eager=False)
     bucket = (
         F.instr(
             F.lit("0123456789abcdef"),
@@ -3505,19 +3532,19 @@ def knn_graph_serving_filtered_rebuilt(spark: SparkSession, sf_dir: str) -> Data
     )
     out: DataFrame | None = None
     for m in _FILT_BOUNDS:
-        allowed = vectors.filter(bucket < m).localCheckpoint()
+        allowed = vectors.filter(bucket < m).localCheckpoint(eager=False)
         seeds = (
             allowed.orderBy("vec_id")
             .limit(_K)
             .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
         )
-        cbf = _update(_assign(allowed, seeds)).localCheckpoint()
+        cbf = _update(_assign(allowed, seeds)).localCheckpoint(eager=False)
         mp = (
             _knn_multiprobe_pairs(
                 spark, sf_dir, allowed, cbf, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE
             )
             .select("vec_id", "neighbor_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         g = _descent_round(allowed, mp, k=_KNNJ_D8).select("vec_id", "neighbor_id")
         edf = _edge_table(allowed, g)
@@ -3540,7 +3567,7 @@ def knn_graph_serving_filtered_rebuilt(spark: SparkSession, sf_dir: str) -> Data
                 F.coalesce(F.col("mid"), F.col("fb")).cast("long").alias("v0"),
             )
         )
-        exact_f = _exact_probe_topk(vectors, universe=allowed).localCheckpoint()
+        exact_f = _exact_probe_topk(vectors, universe=allowed).localCheckpoint(eager=False)
         wr = _walk_report(
             allowed, edf, pb, entries, beam_width=_BEAM_W16, exact=exact_f
         )
@@ -3746,7 +3773,7 @@ def _drift_frame(old: DataFrame, new: DataFrame) -> DataFrame:
         .limit(_K)
         .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
     )
-    cb = _update(_assign(old, seeds)).localCheckpoint()
+    cb = _update(_assign(old, seeds)).localCheckpoint(eager=False)
 
     def leg(df: DataFrame, n_col: str, s_col: str) -> DataFrame:
         return (
@@ -4077,15 +4104,15 @@ def ann_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
-    exact = _exact_probe_topk(vectors).localCheckpoint()
+    exact = _exact_probe_topk(vectors).localCheckpoint(eager=False)
     fixed = pb.select("pid", F.lit(_GREEDY_ENTRY).cast("long").alias("v0"))
-    seeded = _ivf_entries(vectors, cb).localCheckpoint()
+    seeded = _ivf_entries(vectors, cb).localCheckpoint(eager=False)
 
     def _build(k: int, nprobe: int) -> DataFrame:
         mp = (
             _knn_multiprobe_pairs(spark, sf_dir, vectors, cb, k=k, nprobe=nprobe)
             .select("vec_id", "neighbor_id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         return _descent_round(vectors, mp, k=k).select("vec_id", "neighbor_id")
 
@@ -4097,7 +4124,7 @@ def ann_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     eds = {bt: _edge_table(vectors, g) for bt, g in gs.items()}
     # the ADC row walks the SAME d8 graph with reconstructed payloads
-    vr = _pq_reconstruct(vectors).localCheckpoint()
+    vr = _pq_reconstruct(vectors).localCheckpoint(eager=False)
     eds_adc = {"d8": _edge_table(vr, gs["d8"])}
 
     def _row(bt: str, st: str, beam: int, hops: int) -> DataFrame:
@@ -4299,10 +4326,10 @@ def knn_graph_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = (
         _knn_multiprobe_pairs(spark, sf_dir, base, cb)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    g1 = _descent_round(base, mp).select("vec_id", "neighbor_id").localCheckpoint()
-    gu = _undirected(g1).localCheckpoint()
+    g1 = _descent_round(base, mp).select("vec_id", "neighbor_id").localCheckpoint(eager=False)
+    gu = _undirected(g1).localCheckpoint(eager=False)
     asgb = _assign(base, cb)
     asgn = _assign(newb, cb)
     cellc = asgn.select("vec_id", "c").join(
@@ -4418,7 +4445,7 @@ def embedding_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFra
         base = joined.select(
             "pid",
             "vec_id",
-            _sq_dist_cols(F.col("x"), F.col("px"), dims=d).alias("d"),
+            _sq_dist_cols("x", "px", dims=d).alias("d"),
         )
         ranks: list[DataFrame] = []
         rem = base
@@ -4427,7 +4454,7 @@ def embedding_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFra
                 rem.groupBy("pid")
                 .agg(F.min(F.struct("d", "vec_id")).alias("m"))
                 .select("pid", F.col("m.vec_id").alias("nid"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             ranks.append(top)
             rem = (
@@ -4440,7 +4467,7 @@ def embedding_dim_truncation_report(spark: SparkSession, sf_dir: str) -> DataFra
             out = out.unionAll(t)
         return out
 
-    full = _topk(_TRUNC_DIMS[-1]).localCheckpoint()
+    full = _topk(_TRUNC_DIMS[-1]).localCheckpoint(eager=False)
 
     def _row(d: int) -> DataFrame:
         return (
@@ -4559,23 +4586,26 @@ def perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") == 0, F.lit(1)).otherwise(F.lit(-1))
         .cast("long")
         .alias("y"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     w = spark.range(1).select(
-        F.array(*[F.lit(0).cast("long") for _ in range(_DIMS)]).alias("w"),
+        F.expr(
+            "array(" + ", ".join("CAST(0 AS BIGINT)" for _ in range(_DIMS)) + ") AS w"
+        ),
         F.lit(0).cast("long").alias("b"),
     )
     out_rows: list[DataFrame] = []
     for r in range(1, _PCT_ROUNDS + 1):
         scored = xi.crossJoin(F.broadcast(w))
         margin = F.col("y") * (
-            _dot_int_cols(F.col("w"), F.col("x")) + F.col("b")
+            _dot_int_cols("w", "x") + F.col("b")
         )
         mis = scored.filter(margin <= 0)
+        # per-dimension expressions as single parsed strings (the
+        # _sq_dist_txt lesson: per-element Column arithmetic costs ~6
+        # py4j round-trips per dimension per round, pure driver time)
         upd = mis.agg(
             *[
-                F.coalesce(F.sum(F.col("y") * F.col("x").getItem(j)), F.lit(0))
-                .cast("long")
-                .alias(f"dw{j}")
+                F.expr(f"CAST(coalesce(sum(y * x[{j}]), 0) AS BIGINT) AS dw{j}")
                 for j in range(_DIMS)
             ],
             F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
@@ -4584,22 +4614,18 @@ def perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = (
             w.crossJoin(F.broadcast(upd))
             .select(
-                F.array(
-                    *[
-                        (F.col("w").getItem(j) + F.col(f"dw{j}"))
-                        for j in range(_DIMS)
-                    ]
-                ).alias("w"),
+                F.expr(
+                    "array("
+                    + ", ".join(f"w[{j}] + dw{j}" for j in range(_DIMS))
+                    + ") AS w"
+                ),
                 (F.col("b") + F.col("db")).alias("b"),
                 F.col("nm"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        w_sum = F.col("w").getItem(0)
-        w_abs = F.abs(F.col("w").getItem(0))
-        for j in range(1, _DIMS):
-            w_sum = w_sum + F.col("w").getItem(j)
-            w_abs = w_abs + F.abs(F.col("w").getItem(j))
+        w_sum = F.expr(" + ".join(f"w[{j}]" for j in range(_DIMS)))
+        w_abs = F.expr(" + ".join(f"abs(w[{j}])" for j in range(_DIMS)))
         out_rows.append(
             w.select(
                 F.lit(r).cast("long").alias("round"),
@@ -4725,21 +4751,21 @@ def perceptron_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
         (bucket < 12).alias("is_train"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     xi = xa.filter("is_train")
     w = spark.range(1).select(
-        F.array(*[F.lit(0).cast("long") for _ in range(_DIMS)]).alias("w"),
+        F.expr(
+            "array(" + ", ".join("CAST(0 AS BIGINT)" for _ in range(_DIMS)) + ") AS w"
+        ),
         F.lit(0).cast("long").alias("b"),
     )
     for _ in range(_PCT_ROUNDS):
         scored = xi.crossJoin(F.broadcast(w))
-        margin = F.col("y") * (_dot_int_cols(F.col("w"), F.col("x")) + F.col("b"))
+        margin = F.col("y") * (_dot_int_cols("w", "x") + F.col("b"))
         mis = scored.filter(margin <= 0)
         upd = mis.agg(
             *[
-                F.coalesce(F.sum(F.col("y") * F.col("x").getItem(j)), F.lit(0))
-                .cast("long")
-                .alias(f"dw{j}")
+                F.expr(f"CAST(coalesce(sum(y * x[{j}]), 0) AS BIGINT) AS dw{j}")
                 for j in range(_DIMS)
             ],
             F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("db"),
@@ -4747,12 +4773,14 @@ def perceptron_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = (
             w.crossJoin(F.broadcast(upd))
             .select(
-                F.array(
-                    *[(F.col("w").getItem(j) + F.col(f"dw{j}")) for j in range(_DIMS)]
-                ).alias("w"),
+                F.expr(
+                    "array("
+                    + ", ".join(f"w[{j}] + dw{j}" for j in range(_DIMS))
+                    + ") AS w"
+                ),
                 (F.col("b") + F.col("db")).alias("b"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     mj = xi.agg(
         F.when(F.coalesce(F.sum("y"), F.lit(0)) > 0, F.lit(1))
@@ -4762,7 +4790,7 @@ def perceptron_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = xa.filter(~F.col("is_train"))
     pred = F.when(
-        _dot_int_cols(F.col("w"), F.col("x")) + F.col("b") > 0, F.lit(1)
+        _dot_int_cols("w", "x") + F.col("b") > 0, F.lit(1)
     ).otherwise(F.lit(-1)).cast("long")
     return (
         t.crossJoin(F.broadcast(w))
@@ -4924,7 +4952,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("g")
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # fail-loud matvec overflow guard on the (checkpointed, d²-row)
     # Gram: |u| ≤ d·max|g|·max|v| with max|v| ≤ 2e6 needs
@@ -4947,7 +4975,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             gram.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("u"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         m = u.agg(
             F.greatest(
@@ -4960,7 +4988,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("i").alias("j"),
                 F.floor(F.col("u").cast("double") / F.col("d")).cast("long").alias("v"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         trace = u.agg(F.max(F.abs(F.col("u"))).cast("long").alias("max_abs_u")).crossJoin(
             v.agg(
@@ -5471,26 +5499,26 @@ def _maintained_graph(
         )
         - 1
     )
-    standing = vectors.filter(bucket < _DRIFT_OLD_BUCKETS).localCheckpoint()
-    arrivals = vectors.filter(bucket >= _DRIFT_OLD_BUCKETS).localCheckpoint()
+    standing = vectors.filter(bucket < _DRIFT_OLD_BUCKETS).localCheckpoint(eager=False)
+    arrivals = vectors.filter(bucket >= _DRIFT_OLD_BUCKETS).localCheckpoint(eager=False)
     # standing slice fit + degree-8 build (the filtered_rebuilt operators)
     seeds = (
         standing.orderBy("vec_id")
         .limit(_K)
         .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
     )
-    cbS = _update(_assign(standing, seeds)).localCheckpoint()
+    cbS = _update(_assign(standing, seeds)).localCheckpoint(eager=False)
     mp = (
         _knn_multiprobe_pairs(
             spark, sf_dir, standing, cbS, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE
         )
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     g1s = (
         _descent_round(standing, mp, k=_KNNJ_D8)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edS = _edge_table(standing, g1s)
     # standing medoid entries for the insertion walks
@@ -5527,7 +5555,7 @@ def _maintained_graph(
         .select(
             F.col("pid").alias("vec_id"), F.col("v").alias("neighbor_id"), "d"
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # degree-capped back-edge re-election on the standing side
     xa = vectors.select("vec_id", F.col("x").alias("__xa"))
@@ -5547,7 +5575,7 @@ def _maintained_graph(
         .filter(F.col("__rn") <= _KNNJ_D8)
         .select("vec_id", "neighbor_id")
     )
-    gdi = g1u.unionAll(aout.select("vec_id", "neighbor_id")).localCheckpoint()
+    gdi = g1u.unionAll(aout.select("vec_id", "neighbor_id")).localCheckpoint(eager=False)
     return vectors, standing, arrivals, cbS, gdi, abq, entriesA
 
 
@@ -5699,7 +5727,7 @@ def knn_graph_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
-    exact = _exact_probe_topk(vectors).localCheckpoint()
+    exact = _exact_probe_topk(vectors).localCheckpoint(eager=False)
     markA = arrivals.select(F.col("vec_id").alias("v"))
     wrI = _walk_report(
         vectors, edI, pb, entriesI, beam_width=_BEAM_W16, exact=exact, mark=markA
@@ -5785,7 +5813,7 @@ def knn_graph_insert_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2d = (
         _descent_round(vectors, gdi, k=_KNNJ_D8)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edD = _edge_table(vectors, g2d)
     # re-walk arm: arrivals re-run the insertion walk on the MAINTAINED
@@ -5798,7 +5826,7 @@ def knn_graph_insert_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched2.withColumn("__rn", F.row_number().over(wA))
         .filter(F.col("__rn") <= _KNNJ_D8)
         .select(F.col("pid").alias("vec_id"), F.col("v").alias("neighbor_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cand2 = (
         gdi.unionAll(aout2)
@@ -5820,14 +5848,14 @@ def knn_graph_insert_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(wU))
         .filter(F.col("__rn") <= _KNNJ_D8)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edR2 = _edge_table(vectors, g2r)
     entriesI = _standing_fit_entries(vectors, cbS)
     pb = vectors.filter(F.col("vec_id") < _KNNJ_PROBES).select(
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
-    exact = _exact_probe_topk(vectors).localCheckpoint()
+    exact = _exact_probe_topk(vectors).localCheckpoint(eager=False)
     markA = arrivals.select(F.col("vec_id").alias("v"))
     wrI = _walk_report(
         vectors, edI, pb, entriesI, beam_width=_BEAM_W16, exact=exact, mark=markA
@@ -6191,11 +6219,11 @@ def knn_graph_delete_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - 1
     )
-    survivors = vectors.filter(bucket < _DEL_BUCKETS).localCheckpoint()
-    deleted = vectors.filter(bucket >= _DEL_BUCKETS).localCheckpoint()
+    survivors = vectors.filter(bucket < _DEL_BUCKETS).localCheckpoint(eager=False)
+    deleted = vectors.filter(bucket >= _DEL_BUCKETS).localCheckpoint(eager=False)
     # the graded pre-delete build (full corpus, degree 8)
     cbF, _, (g1f,) = _knn_descent_chain(spark, sf_dir, rounds=1, k=_KNNJ_D8)
-    g1f = g1f.select("vec_id", "neighbor_id").localCheckpoint()
+    g1f = g1f.select("vec_id", "neighbor_id").localCheckpoint(eager=False)
     sid = survivors.select("vec_id")
     did = deleted.select("vec_id")
     kept = (
@@ -6227,11 +6255,11 @@ def knn_graph_delete_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__rn", F.row_number().over(wU))
         .filter(F.col("__rn") <= _KNNJ_D8)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edC = _edge_table(vectors, g1c)
     # consolidated arm entries: pre-delete codebook, surviving medoids
-    asgF = _assign(vectors, cbF).localCheckpoint()
+    asgF = _assign(vectors, cbF).localCheckpoint(eager=False)
     mdC = (
         asgF.join(sid, "vec_id")
         .filter(F.col("vec_id") >= _KNNJ_PROBES)
@@ -6259,18 +6287,18 @@ def knn_graph_delete_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_K)
         .select(F.col("vec_id").alias("c"), F.col("x").alias("mu"))
     )
-    cbD = _update(_assign(survivors, seeds)).localCheckpoint()
+    cbD = _update(_assign(survivors, seeds)).localCheckpoint(eager=False)
     mp = (
         _knn_multiprobe_pairs(
             spark, sf_dir, survivors, cbD, k=_KNNJ_D8, nprobe=_KNNJ_NPROBE
         )
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     g1d = (
         _descent_round(survivors, mp, k=_KNNJ_D8)
         .select("vec_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edD = _edge_table(survivors, g1d)
     azD = _assign(survivors, cbD)
@@ -6293,7 +6321,7 @@ def knn_graph_delete_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pb = probes_v.select(F.col("vec_id").alias("pid"), F.col("x").alias("px"))
-    exact = _exact_probe_topk(vectors, universe=survivors).localCheckpoint()
+    exact = _exact_probe_topk(vectors, universe=survivors).localCheckpoint(eager=False)
     wrC = _walk_report(vectors, edC, pb, entriesC, beam_width=_BEAM_W16, exact=exact)
     wrD = _walk_report(
         survivors, edD, pb, entriesD, beam_width=_BEAM_W16, exact=exact
@@ -6564,34 +6592,30 @@ def adaboost_stump_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN label = 0 THEN CAST(1 AS BIGINT)"
             " ELSE CAST(-1 AS BIGINT) END AS y",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows.createOrReplaceTempView("__ada_rows")
-    fstat = spark.sql(t["fstat"].format(rows="__ada_rows")).localCheckpoint()
+    fstat = spark.sql(t["fstat"].format(rows="__ada_rows")).localCheckpoint(eager=False)
     fstat.createOrReplaceTempView("__ada_fstat")
-    grid = spark.sql(t["grid"].format(fstat="__ada_fstat")).localCheckpoint()
+    grid = spark.sql(t["grid"].format(fstat="__ada_fstat")).localCheckpoint(eager=False)
     grid.createOrReplaceTempView("__ada_grid")
-    spark.sql(t["w0"].format(rows="__ada_rows")).localCheckpoint(
-    ).createOrReplaceTempView("__ada_w1")
-    spark.sql(t["sc0"].format(rows="__ada_rows")).localCheckpoint(
-    ).createOrReplaceTempView("__ada_sc0")
+    spark.sql(t["w0"].format(rows="__ada_rows")).localCheckpoint(eager=False).createOrReplaceTempView("__ada_w1")
+    spark.sql(t["sc0"].format(rows="__ada_rows")).localCheckpoint(eager=False).createOrReplaceTempView("__ada_sc0")
     out: DataFrame | None = None
     for r in range(1, _ADA_ROUNDS + 1):
         spark.sql(
             t["ce"].format(rows="__ada_rows", w=f"__ada_w{r}", grid="__ada_grid")
         ).createOrReplaceTempView(f"__ada_ce{r}")
-        spark.sql(t["el"].format(ce=f"__ada_ce{r}")).localCheckpoint(
-        ).createOrReplaceTempView(f"__ada_el{r}")
-        spark.sql(t["al"].format(el=f"__ada_el{r}")).localCheckpoint(
-        ).createOrReplaceTempView(f"__ada_al{r}")
+        spark.sql(t["el"].format(ce=f"__ada_ce{r}")).localCheckpoint(eager=False).createOrReplaceTempView(f"__ada_el{r}")
+        spark.sql(t["al"].format(el=f"__ada_el{r}")).localCheckpoint(eager=False).createOrReplaceTempView(f"__ada_al{r}")
         spark.sql(
             t["sc"].format(
                 rows="__ada_rows", prev=f"__ada_sc{r - 1}", al=f"__ada_al{r}"
             )
-        ).localCheckpoint().createOrReplaceTempView(f"__ada_sc{r}")
+        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__ada_sc{r}")
         spark.sql(
             t["wup"].format(rows="__ada_rows", w=f"__ada_w{r}", al=f"__ada_al{r}")
-        ).localCheckpoint().createOrReplaceTempView(f"__ada_w{r + 1}")
+        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__ada_w{r + 1}")
         spark.sql(
             t["serr"].format(rows="__ada_rows", al=f"__ada_al{r}")
         ).createOrReplaceTempView(f"__ada_se{r}")
@@ -7050,42 +7074,42 @@ def pca_power_iteration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     t = _pca_tmpl("spark")
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("__pca_emb")
-    xm = spark.sql(t["xm"].format(emb="__pca_emb")).localCheckpoint()
+    xm = spark.sql(t["xm"].format(emb="__pca_emb")).localCheckpoint(eager=False)
     xm.createOrReplaceTempView("__pca_xm")
-    el = spark.sql(t["el"].format(xm="__pca_xm")).localCheckpoint()
+    el = spark.sql(t["el"].format(xm="__pca_xm")).localCheckpoint(eager=False)
     el.createOrReplaceTempView("__pca_el")
     spark.sql(t["nn"].format(xm="__pca_xm")).createOrReplaceTempView("__pca_nn")
-    spark.sql(t["mu"].format(el="__pca_el")).localCheckpoint().createOrReplaceTempView(
+    spark.sql(t["mu"].format(el="__pca_el")).localCheckpoint(eager=False).createOrReplaceTempView(
         "__pca_mu"
     )
-    spark.sql(t["sm"].format(el="__pca_el")).localCheckpoint().createOrReplaceTempView(
+    spark.sql(t["sm"].format(el="__pca_el")).localCheckpoint(eager=False).createOrReplaceTempView(
         "__pca_sm"
     )
     cov = spark.sql(
         t["cov"].format(sm="__pca_sm", mu="__pca_mu", nn="__pca_nn")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cov.createOrReplaceTempView("__pca_cov")
-    spark.sql(t["ksc"].format(cov="__pca_cov")).localCheckpoint().createOrReplaceTempView(
+    spark.sql(t["ksc"].format(cov="__pca_cov")).localCheckpoint(eager=False).createOrReplaceTempView(
         "__pca_ksc"
     )
-    cp = spark.sql(t["cp"].format(cov="__pca_cov", ksc="__pca_ksc")).localCheckpoint()
+    cp = spark.sql(t["cp"].format(cov="__pca_cov", ksc="__pca_ksc")).localCheckpoint(eager=False)
     cp.createOrReplaceTempView("__pca_cp")
-    spark.sql(t["trc"].format(cp="__pca_cp")).localCheckpoint().createOrReplaceTempView(
+    spark.sql(t["trc"].format(cp="__pca_cp")).localCheckpoint(eager=False).createOrReplaceTempView(
         "__pca_trc"
     )
-    spark.sql(t["v0"]).localCheckpoint().createOrReplaceTempView("__pca_v0")
+    spark.sql(t["v0"]).localCheckpoint(eager=False).createOrReplaceTempView("__pca_v0")
     out = None
     for i in range(1, _PCA_ITERS + 1):
         p = i - 1
         spark.sql(
             t["w"].format(cp="__pca_cp", v=f"__pca_v{p}")
-        ).localCheckpoint().createOrReplaceTempView(f"__pca_w{i}")
+        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__pca_w{i}")
         spark.sql(
             t["nr"].format(w=f"__pca_w{i}")
-        ).localCheckpoint().createOrReplaceTempView(f"__pca_nr{i}")
+        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__pca_nr{i}")
         spark.sql(
             t["v"].format(w=f"__pca_w{i}", nr=f"__pca_nr{i}")
-        ).localCheckpoint().createOrReplaceTempView(f"__pca_v{i}")
+        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__pca_v{i}")
         spark.sql(
             t["cs"].format(v=f"__pca_v{i}", vp=f"__pca_v{p}")
         ).createOrReplaceTempView(f"__pca_cs{i}")
@@ -7436,7 +7460,7 @@ def _layered_entries(vectors: DataFrame, pb: DataFrame) -> DataFrame:
     up = vectors.filter(
         (F.col("vec_id") >= _KNNJ_PROBES)
         & (F.col("vec_id") % _LAYER_STRIDE == 0)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nb = up.select(F.col("vec_id").alias("neighbor_id"), F.col("x").alias("nx"))
     upg = (
         up.join(F.broadcast(nb), F.col("vec_id") != F.col("neighbor_id"))

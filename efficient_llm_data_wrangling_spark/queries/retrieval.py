@@ -135,7 +135,7 @@ def rag_retrieve_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         pcell.join(index, ["__c"])
         .filter(F.col("pid") != F.col("doc_id"))
         .select(
-            "pid", "doc_id", _dot_int_cols(F.col("px"), F.col("__xb")).alias("score")
+            "pid", "doc_id", _dot_int_cols("px", "__xb").alias("score")
         )
     )
     wr = W.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -250,7 +250,7 @@ def contrastive_pairs_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_label",
         "vec_id",
         "label",
-        _sq_dist_cols(F.col("x"), F.col("px")).alias("d"),
+        _sq_dist_cols("x", "px").alias("d"),
     )
     same = F.col("label") == F.col("anchor_label")
     agg = base.groupBy("anchor_id", "anchor_label").agg(
@@ -431,7 +431,7 @@ def hybrid_retrieval_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            _dot_int_cols(F.col("x"), F.col("q")).alias("score"),
+            _dot_int_cols("x", "q").alias("score"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_HYB_TOPL)
@@ -619,7 +619,7 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pid",
             "vec_id",
-            _dot_int_cols(F.col("px"), F.col("x")).alias("score"),
+            _dot_int_cols("px", "x").alias("score"),
         )
     )
     w1 = W.partitionBy("pid", "__salt").orderBy(F.desc("score"), F.asc("vec_id"))
@@ -631,7 +631,7 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w2).cast("long"))
         .filter(F.col("rk") <= _NDCG_K)
         .select("pid", "vec_id", "rk")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rel = brute.select(
         "pid",
@@ -658,9 +658,9 @@ def retrieval_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pid",
             "vec_id",
             "cell_rn",
-            _dot_int_cols(F.col("px"), F.col("__xb")).alias("score"),
+            _dot_int_cols("px", "__xb").alias("score"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     wr = W.partitionBy("pid").orderBy(F.desc("score"), F.asc("vec_id"))
     ivf1 = (
