@@ -121,6 +121,30 @@ def stage_spark_lnint(df: DataFrame, v_sql: str, prefix: str) -> DataFrame:
     )
 
 
+def spark_lnint_ctes(src: str, out: str, v_sql: str, prefix: str, carry: str = "*") -> str:
+    """Spark-SQL CTE chain staging the same columns as
+    :func:`duck_lnint_ctes` — the same m/z/z2 template strings over
+    Spark's bit-length (``length(conv(v, 10, 2))``) and shift
+    (``shiftleft``) spellings, so the arithmetic (and therefore every
+    bit of the double from ``lnint_sql(prefix)``) is identical to both
+    the DuckDB chain and the inline form. Exists because
+    :func:`lnint_inline_sql` textually substitutes its argument ~130×
+    (the Horner fan-out), and a query with several inline lns pays
+    seconds of parse/analyze/codegen for what is arithmetic on a
+    handful of rows — ``fellegi_sunter_linkage`` measured ~8 s of plan
+    compile from six inline sites (r12). Staged columns keep the tree
+    linear: Catalyst's CollapseProject never inlines a non-trivial
+    alias referenced more than once, so the stages survive
+    optimization."""
+    p = prefix
+    return f"""{out}_v AS (SELECT {carry}, CAST({v_sql} AS BIGINT) AS {p}v FROM {src}),
+{out}_b AS (SELECT *, CAST(length(conv({p}v, 10, 2)) AS INT) AS {p}b FROM {out}_v),
+{out}_s AS (SELECT *, shiftleft(cast(1 as bigint), {p}b - 1) AS {p}shift FROM {out}_b),
+{out}_m AS (SELECT *, {m_sql(p)} AS {p}m FROM {out}_s),
+{out}_z AS (SELECT *, {z_sql(p)} AS {p}z FROM {out}_m),
+{out} AS (SELECT *, {z2_sql(p)} AS {p}z2 FROM {out}_z)"""
+
+
 def duck_lnint_ctes(src: str, out: str, v_sql: str, prefix: str, carry: str = "*") -> str:
     """DuckDB CTE chain staging the same columns from relation ``src``
     into relation ``out`` (carrying ``carry`` columns along); the final

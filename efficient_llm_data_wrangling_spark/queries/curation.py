@@ -283,8 +283,8 @@ def decontaminate_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-(F.col("doc_id") + 1)).alias("doc_id"), trimmed.alias("text")
     )
     test = t.filter(F.col("bucket") == 15).select("doc_id", "text")
-    sgt = _portable_minhash(train.unionByName(leaks), ["doc_id"]).localCheckpoint()
-    sge = _portable_minhash(test, ["doc_id"]).localCheckpoint()
+    sgt = _portable_minhash(train.unionByName(leaks), ["doc_id"]).localCheckpoint(eager=False)
+    sge = _portable_minhash(test, ["doc_id"]).localCheckpoint(eager=False)
 
     def bands(sg: DataFrame, id_alias: str) -> DataFrame:
         return sg.select(
@@ -1454,14 +1454,14 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             g["n_words"].alias("n_tokens"),
             g["passes"].alias("passes"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     firsts = base.groupBy("h").agg(F.min("doc_id").alias("first_id"))
     adm = (
         base.join(firsts, "h")
         .filter((F.col("doc_id") == F.col("first_id")) & F.col("passes"))
         .select("doc_id", "source", "n_tokens")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = adm.agg(F.count(F.lit(1)).cast("long").alias("n_admitted_total"))
     wr = W.partitionBy("source").orderBy("doc_id")
@@ -1473,7 +1473,7 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.expr(f"n_admitted_total * {_REL_CAP_PCT}L div 100L")
         )
         .select("doc_id", "source", "n_tokens")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     raw_stats = base.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
     adm_stats = adm.groupBy("source").agg(
@@ -1678,7 +1678,7 @@ def release_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             g["n_words"].alias("n_words"),
             g["passes"].alias("passes"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     v1 = gm.filter(~F.col("is_batch"))
     v1firsts = v1.groupBy("h").agg(F.min("doc_id").alias("fid"))
@@ -1940,7 +1940,7 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decile"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     md5h = lambda s: F.conv(  # noqa: E731 — the portable 32-bit shingle hash
         F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
@@ -2417,6 +2417,54 @@ SELECT CASE WHEN t.orig_key = o.c_custkey THEN 1 ELSE 0 END AS ism,
 FROM base o JOIN tw t ON o.c_nationkey = t.c_nationkey
 """
     pairs_tbl = "pairs" if part == "full" else "__fs_pairs"
+    if engine == "spark":
+        # Staged-column ln (portable_math.spark_lnint_ctes): the same
+        # m/z/Horner template — bit-identical doubles — but each ln
+        # argument is a staged column instead of ~130 textual copies,
+        # which removes ~8 s of measured plan/codegen compile from the
+        # six inline sites (r12; the unigram tokenizer's staging
+        # discipline applied here). The DuckDB branch keeps the single
+        # MATERIALIZED inline statement — the oracle text is pinned.
+        w_sql = f"""w0 AS (SELECT field, a_m, a_u, n_m, n_u FROM fs),
+{PM.spark_lnint_ctes('w0', 'w1', '(a_m + 1) * (n_u + 2)', 'wa1_')},
+{PM.spark_lnint_ctes('w1', 'w2', '(a_u + 1) * (n_m + 2)', 'wa2_')},
+{PM.spark_lnint_ctes('w2', 'w3', '(n_m + 1 - a_m) * (n_u + 2)', 'wd1_')},
+{PM.spark_lnint_ctes('w3', 'w4', '(n_u + 1 - a_u) * (n_m + 2)', 'wd2_')},
+w AS (
+  SELECT field, a_m + 1 AS m_num, n_m + 2 AS m_den,
+         a_u + 1 AS u_num, n_u + 2 AS u_den,
+         CAST(floor((({PM.lnint_sql('wa1_')})
+                   - ({PM.lnint_sql('wa2_')})) * 1000000 + 0.5)
+              AS BIGINT) AS w_agree_micro,
+         CAST(floor((({PM.lnint_sql('wd1_')})
+                   - ({PM.lnint_sql('wd2_')})) * 1000000 + 0.5)
+              AS BIGINT) AS w_disagree_micro
+  FROM w4
+)"""
+        thr_sql = f"""{PM.spark_lnint_ctes('tot', 'th1', 'n_pairs - n_m', 'tb1_')},
+{PM.spark_lnint_ctes('th1', 'th2', 'n_m', 'tb2_')},
+thr AS (
+  SELECT CAST(floor((({PM.lnint_sql('tb1_')}) - ({PM.lnint_sql('tb2_')}))
+              * 1000000 + 0.5) AS BIGINT) AS t_bayes
+  FROM th2
+)"""
+    else:
+        w_sql = f"""w AS (
+  SELECT field, a_m + 1 AS m_num, n_m + 2 AS m_den,
+         a_u + 1 AS u_num, n_u + 2 AS u_den,
+         CAST(floor((({lni('(a_m + 1) * (n_u + 2)')})
+                   - ({lni('(a_u + 1) * (n_m + 2)')})) * 1000000 + 0.5)
+              AS BIGINT) AS w_agree_micro,
+         CAST(floor((({lni('(n_m + 1 - a_m) * (n_u + 2)')})
+                   - ({lni('(n_u + 1 - a_u) * (n_m + 2)')})) * 1000000 + 0.5)
+              AS BIGINT) AS w_disagree_micro
+  FROM fs
+)"""
+        thr_sql = f"""thr AS (
+  SELECT CAST(floor((({lni('n_pairs - n_m')}) - ({lni('n_m')}))
+              * 1000000 + 0.5) AS BIGINT) AS t_bayes
+  FROM tot
+)"""
     rest_sql = f"""
 WITH tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n_pairs,
@@ -2437,17 +2485,7 @@ fs AS (
   UNION ALL
   SELECT 'acctbal_kbucket', am_bkt, au_bkt, n_m, n_pairs - n_m FROM tot
 ),
-w AS (
-  SELECT field, a_m + 1 AS m_num, n_m + 2 AS m_den,
-         a_u + 1 AS u_num, n_u + 2 AS u_den,
-         CAST(floor((({lni('(a_m + 1) * (n_u + 2)')})
-                   - ({lni('(a_u + 1) * (n_m + 2)')})) * 1000000 + 0.5)
-              AS BIGINT) AS w_agree_micro,
-         CAST(floor((({lni('(n_m + 1 - a_m) * (n_u + 2)')})
-                   - ({lni('(n_u + 1 - a_u) * (n_m + 2)')})) * 1000000 + 0.5)
-              AS BIGINT) AS w_disagree_micro
-  FROM fs
-),
+{w_sql},
 ww AS (
   SELECT max(CASE WHEN field = 'name' THEN w_agree_micro END) AS wa_name,
          max(CASE WHEN field = 'name' THEN w_disagree_micro END) AS wd_name,
@@ -2464,11 +2502,7 @@ sc AS (
         + CASE WHEN p.ag_bkt = 1 THEN ww.wa_bkt ELSE ww.wd_bkt END) AS score
   FROM {pairs_tbl} p CROSS JOIN ww
 ),
-thr AS (
-  SELECT CAST(floor((({lni('n_pairs - n_m')}) - ({lni('n_m')}))
-              * 1000000 + 0.5) AS BIGINT) AS t_bayes
-  FROM tot
-),
+{thr_sql},
 confw AS (
   SELECT t.t_bayes,
          CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p0,
@@ -2584,5 +2618,5 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats pass and the scoring pass consume them — see _fs_sql)
     spark.sql(
         _fs_sql("spark", "__fs_customer", part="pairs")
-    ).localCheckpoint().createOrReplaceTempView("__fs_pairs")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__fs_pairs")
     return spark.sql(_fs_sql("spark", "__fs_customer", part="rest"))
