@@ -221,13 +221,13 @@ def doc_quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", _toks_col().alias("toks"))
     uni = F.expr(
         "aggregate(toks, 0L, (a, x) -> "
-        "a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+        "a + (cast(conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) as bigint) % 17) - 8)"
     )
     bi = F.when(F.size("toks") < 2, F.lit(0).cast("long")).otherwise(
         F.expr(
             "aggregate(transform(sequence(1, size(toks) - 1), "
             "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))), 0L, "
-            "(a, x) -> a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+            "(a, x) -> a + (cast(conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) as bigint) % 17) - 8)"
         )
     )
     s = t.select("doc_id", uni.alias("uni_score"), bi.alias("bi_score"))
@@ -858,14 +858,14 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFra
         "tok",
         F.regexp_replace(F.col("tok"), "(.)", _BPE_D + "$1" + _BPE_D).alias("sym"),
         "cnt",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[DataFrame] = []
     for r in range(1, _BPE_ROUNDS + 1):
         pc = _bpe_pair_counts(syms)
         win = (
             pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if win.isEmpty():  # corpus fully merged — convergence guard
             break
@@ -874,7 +874,7 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFra
                 F.lit(r).cast("long").alias("merge_round"), "a", "b", "pair_count"
             )
         )
-        syms = _bpe_apply_merge(syms, win).localCheckpoint()
+        syms = _bpe_apply_merge(syms, win).localCheckpoint(eager=False)
     return merges, syms
 
 
@@ -1383,13 +1383,13 @@ def scorer_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", _toks_col().alias("toks"))
     uni = F.expr(
         "aggregate(toks, 0L, (a, x) -> "
-        "a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+        "a + (cast(conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) as bigint) % 17) - 8)"
     )
     bi = F.when(F.size("toks") < 2, F.lit(0).cast("long")).otherwise(
         F.expr(
             "aggregate(transform(sequence(1, size(toks) - 1), "
             "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))), 0L, "
-            "(a, x) -> a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+            "(a, x) -> a + (cast(conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) as bigint) % 17) - 8)"
         )
     )
     g = gopher_metric_cols()
@@ -1934,7 +1934,7 @@ def unigram_lm_tokenizer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             F.length("tok").cast("long").alias("wlen"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sp0 = (
         wt.select(
@@ -1951,7 +1951,7 @@ def unigram_lm_tokenizer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("j + l").cast("long").alias("i"),
             F.expr("substr(w, CAST(j + 1 AS INT), CAST(l AS INT))").alias("piece"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pieces0 = sp0.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("seed_count")
@@ -1967,7 +1967,7 @@ def unigram_lm_tokenizer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor((({PM.lnint_sql('pt_')}) - ({PM.lnint_sql('pc_')}))"
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("cost_micro"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     usp = sp0.join(
         F.broadcast(upieces.select("piece", "cost_micro")), "piece"
     ).select("w", "freq", "wlen", "j", "i", "cost_micro")
@@ -1976,51 +1976,64 @@ def unigram_lm_tokenizer_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = usp.groupBy("w", "freq", "wlen").agg(
         *[F.expr(c) for c in _uni_pivot_cols()]
     ).withColumn("dp_0", F.lit(0).cast("long"))
-    for i in range(1, _UNI_MAXLEN + 1):
-        dp, bp = _uni_dp_step(i)
-        frame = frame.withColumn(f"dp_{i}", F.expr(dp)).withColumn(
-            f"bp_{i}", F.expr(bp)
-        )
-        if i % _UNI_CKPT == 0:
-            frame = frame.localCheckpoint()
+    # Each {_UNI_CKPT}-step segment is ONE nested-SELECT statement:
+    # dp_i references dp_{i-1} one subquery level in, exactly the
+    # Project chain the per-step withColumns built, but the driver
+    # pays ONE parse+analysis per segment instead of one full
+    # re-analysis of the accumulated frame per withColumn — measured
+    # 12 s of the sf0.1 build was that re-analysis loop (r12; the
+    # values are bit-identical since the step EXPRESSIONS are the
+    # same shared strings).
+    steps_dp = [
+        (f"dp_{i}", f"bp_{i}", *_uni_dp_step(i)) for i in range(1, _UNI_MAXLEN + 1)
+    ]
+    steps_path = [
+        (f"pc_{k}", f"cur_{k}", *_uni_path_step(k)) for k in range(1, _UNI_MAXLEN + 1)
+    ]
+
+    def _staged_segments(frame, steps, view_stem: str):
+        for seg_no in range(0, len(steps), _UNI_CKPT):
+            view = f"__{view_stem}{seg_no}"
+            frame.createOrReplaceTempView(view)
+            inner = f"SELECT * FROM {view}"
+            for c1, c2, e1, e2 in steps[seg_no : seg_no + _UNI_CKPT]:
+                inner = f"SELECT *, {e1} AS {c1}, {e2} AS {c2} FROM ({inner})"
+            frame = spark.sql(inner).localCheckpoint(eager=False)
+        return frame
+
+    frame = _staged_segments(frame, steps_dp, "uni_dp_seg")
     frame = frame.withColumn("cur_0", F.col("wlen").cast("long"))
-    for k in range(1, _UNI_MAXLEN + 1):
-        pce, cur = _uni_path_step(k)
-        frame = frame.withColumn(f"pc_{k}", F.expr(pce)).withColumn(
-            f"cur_{k}", F.expr(cur)
-        )
-        if k % _UNI_CKPT == 0:
-            frame = frame.localCheckpoint()
-    frame.localCheckpoint().createOrReplaceTempView("__unidp")
+    frame = _staged_segments(frame, steps_path, "uni_path_seg")
+    frame.createOrReplaceTempView("__unidp")
     upieces.createOrReplaceTempView("__unipieces")
-    base = spark.sql(
+    # The whole M-step tail runs as ONE statement mirroring the
+    # oracle's post block (vt/uo2 + the staged-ln chains): the
+    # per-withColumn form re-analyzed the full 16-branch tail plan on
+    # every one of the 24 ln-stage columns — measured ~10 s of the
+    # sf0.1 build (r12). Same shared stage templates, identical bits.
+    spark.sql(
         f"WITH {_uni_tail_sql('div', '__unidp', '__unipieces')}\n"
         "SELECT * FROM uni_out"
-    )
-    vt = base.agg(F.sum("viterbi_count").cast("long").alias("vtot"))
-    uo = base.crossJoin(F.broadcast(vt)).withColumn(
-        "vsafe",
-        F.expr(
-            "CAST(CASE WHEN viterbi_count > 0 THEN viterbi_count ELSE 1 END"
-            " AS BIGINT)"
-        ),
-    )
-    uo = PM.stage_spark_lnint(uo, "vsafe", "vc_")
-    uo = PM.stage_spark_lnint(uo, "vtot", "vt_")
-    return uo.select(
-        "piece",
-        "seed_count",
-        "seed_cost_micro",
-        "viterbi_count",
-        "kept",
-        F.expr(
-            "CAST(CASE WHEN viterbi_count > 0"
-            f" THEN floor((({PM.lnint_sql('vt_')}) - ({PM.lnint_sql('vc_')}))"
-            " * 1000000 + 0.5)"
-            " ELSE -1 END AS BIGINT)"
-        ).alias("new_cost_micro"),
-        "corpus_nll_micro",
-        "fertility_milli",
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__uni_out")
+    return spark.sql(
+        f"""WITH vt AS (
+  SELECT CAST(sum(viterbi_count) AS BIGINT) AS vtot FROM __uni_out
+),
+uo2 AS (
+  SELECT o.*, vt.vtot,
+         CAST(CASE WHEN o.viterbi_count > 0 THEN o.viterbi_count
+                   ELSE 1 END AS BIGINT) AS vsafe
+  FROM __uni_out o CROSS JOIN vt
+),
+{PM.spark_lnint_ctes('uo2', 'uvl', 'vsafe', 'vc_')},
+{PM.spark_lnint_ctes('uvl', 'utl', 'vtot', 'vt_')}
+SELECT piece, seed_count, seed_cost_micro, viterbi_count, kept,
+       CAST(CASE WHEN viterbi_count > 0
+                 THEN floor((({PM.lnint_sql('vt_')}) - ({PM.lnint_sql('vc_')}))
+                            * 1000000 + 0.5)
+                 ELSE -1 END AS BIGINT) AS new_cost_micro,
+       corpus_nll_micro, fertility_milli
+FROM utl"""
     )
 
 
@@ -2189,7 +2202,7 @@ def bm25_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (1.0 - {_BM25_B} + {_BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
             " * 1000000 + 0.5) AS BIGINT)"
         ).alias("contrib_micro"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cb.createOrReplaceTempView("__rm3c")
     return spark.sql(
         f"WITH {_rm3_tail_sql('__rm3c')}\n"
@@ -2285,13 +2298,13 @@ def preference_pairs_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = F.expr(
         "aggregate(toks, 0L, (a, x) -> "
-        "a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+        "a + (cast(conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) as bigint) % 17) - 8)"
     )
     bi = F.when(F.size("toks") < 2, F.lit(0).cast("long")).otherwise(
         F.expr(
             "aggregate(transform(sequence(1, size(toks) - 1), "
             "i -> concat(element_at(toks, i), '_', element_at(toks, i + 1))), 0L, "
-            "(a, x) -> a + (conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) % 17) - 8)"
+            "(a, x) -> a + (cast(conv(substring(md5(cast(x as binary)), 1, 4), 16, 10) as bigint) % 17) - 8)"
         )
     )
     s = t.select("doc_id", "lang", "th", (uni + bi).alias("score"))
@@ -2441,7 +2454,7 @@ def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFram
         "tok",
         F.regexp_replace(F.col("tok"), "(.)", _BPE_D + "$1" + _BPE_D).alias("sym"),
         "cnt",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[DataFrame] = []
     for r in range(1, _WP_ROUNDS + 1):
         pc = _bpe_pair_counts(syms)
@@ -2461,7 +2474,7 @@ def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFram
             )
             .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if win.isEmpty():  # corpus fully merged — convergence guard
             break
@@ -2476,7 +2489,7 @@ def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFram
                 "score",
             )
         )
-        syms = _bpe_apply_merge(syms, win).localCheckpoint()
+        syms = _bpe_apply_merge(syms, win).localCheckpoint(eager=False)
     return merges, syms
 
 
