@@ -361,7 +361,7 @@ def batch_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
         .cast("long")
         .alias("n_tokens"),
-    ).localCheckpoint().createOrReplaceTempView("__bdocs")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("__bdocs")
     return spark.sql(_padding_sql("div"))
 
 
@@ -466,7 +466,7 @@ def domain_reweight_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CAST(w * (1000000 + {_MW_EPS} * (loss_milli - ml)) div 1000000 AS BIGINT)"
                 ).alias("w"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         traces.append(
             w.select(
@@ -729,7 +729,13 @@ def _sg_u32_conv(s: str) -> str:
     return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
 
 
-def _sg_parts(vc: str, pos_src: str, engine: str = "duck") -> tuple[str, str]:
+def _sg_parts(
+    vc: str,
+    pos_src: str,
+    engine: str = "duck",
+    cnt_src: str = "cnt",
+    kp_src: str = "kp",
+) -> tuple[str, str]:
     """(with_body, final_fmt): the WITH chain through ``pn`` (counts,
     cumulative intervals, keep verdicts, windowed pairs, per-pair
     negative uniforms) and the final interval-join SELECT with ``{pn}``
@@ -738,7 +744,12 @@ def _sg_parts(vc: str, pos_src: str, engine: str = "duck") -> tuple[str, str]:
     ``cum`` first so the md5-chain uniforms are computed once per row
     and never re-evaluated inside the join conditions (the first cut
     did exactly that: ~550M md5 calls, 71 s at sf0.1; split, the
-    query runs in seconds)."""
+    query runs in seconds). ``cnt_src``/``kp_src`` (r12) let the
+    Spark side substitute materialized temp views for the
+    multi-referenced ``cnt``/``kp`` CTEs — Spark inlines a CTE per
+    reference, so without the substitution the vocab histogram ran
+    ~4× and the keep-verdict scan (one md5/row) 2× per build; the
+    oracle keeps the defaults and its MATERIALIZED pins."""
     u32 = _sg_u32_conv if engine == "spark" else (lambda t: _sg_u32(t, vc))
     keep_hash = u32("concat(CAST(doc_id AS {vc}), ':', CAST(pos AS {vc}), ':sub')".format(vc=vc))
     neg_hash = lambda d: u32(  # noqa: E731
@@ -756,7 +767,7 @@ def _sg_parts(vc: str, pos_src: str, engine: str = "duck") -> tuple[str, str]:
     with_body = f"""cnt AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS c FROM {pos_src} GROUP BY tok
 ),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM {cnt_src}),
 cum AS (
   SELECT tok, c,
          CAST(COALESCE(sum(c) OVER (ORDER BY tok
@@ -765,7 +776,7 @@ cum AS (
          CAST(sum(c) OVER (ORDER BY tok
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
               AS BIGINT) AS hi
-  FROM cnt
+  FROM {cnt_src}
 ),
 kp AS (
   SELECT s.doc_id, s.pos, s.tok,
@@ -774,16 +785,16 @@ kp AS (
                    / CAST(cnt.c AS DOUBLE))
               + CAST({_SG_T} AS DOUBLE) * CAST(tot.t AS DOUBLE)
                 / CAST(cnt.c AS DOUBLE)) AS keep
-  FROM {pos_src} s JOIN cnt ON s.tok = cnt.tok CROSS JOIN tot
+  FROM {pos_src} s JOIN {cnt_src} cnt ON s.tok = cnt.tok CROSS JOIN tot
 ),
 pairs AS (
   SELECT a.doc_id, a.pos, o.off,
          a.tok AS center, b.tok AS context,
          a.keep AND b.keep AS kept
-  FROM kp a
+  FROM {kp_src} a
   JOIN (SELECT * FROM (VALUES {", ".join(f"({o})" for o in _SG_WINDOW)}) v(off)) o
     ON true
-  JOIN kp b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
+  JOIN {kp_src} b ON b.doc_id = a.doc_id AND b.pos = a.pos + o.off
 ),
 pn AS (
   SELECT p.doc_id, p.pos, p.off, p.center, p.context, p.kept, {u_cols}
@@ -867,14 +878,30 @@ def skipgram_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.select(
         "doc_id", F.posexplode(_toks_col()).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
-    pos.localCheckpoint().createOrReplaceTempView("__sgpos")
-    with_body, final = _sg_parts("STRING", "__sgpos", engine="spark")
-    # materialize pn (so every md5-chain uniform is computed exactly
-    # once per pair row, never re-evaluated inside the interval-join
-    # conditions) and the 1-vocab-row cum table before the joins
+    pos.localCheckpoint(eager=False).createOrReplaceTempView("__sgpos")
+    body_plain, _ = _sg_parts("STRING", "__sgpos", engine="spark")
+    body_cnt, _ = _sg_parts("STRING", "__sgpos", engine="spark", cnt_src="__sgcnt")
+    with_body, final = _sg_parts(
+        "STRING", "__sgpos", engine="spark", cnt_src="__sgcnt", kp_src="__sgkp"
+    )
+    # materialize the multi-referenced stages exactly once each: the
+    # vocab histogram cnt (feeds tot, cum, kp — Spark re-inlines a CTE
+    # per reference), the keep-verdict frame kp (both pair sides, one
+    # md5 coin per token instance), and pn (so every md5-chain uniform
+    # is computed exactly once per pair row, never re-evaluated inside
+    # the interval-join conditions) plus the 1-vocab-row cum table
+    # before the joins
+    spark.sql(f"WITH {body_plain} SELECT * FROM cnt").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("__sgcnt")
+    spark.sql(f"WITH {body_cnt} SELECT * FROM kp").localCheckpoint(
+        eager=False
+    ).createOrReplaceTempView("__sgkp")
     spark.sql(f"WITH {with_body} SELECT * FROM pn").localCheckpoint(
+        eager=False
     ).createOrReplaceTempView("__sgpn")
-    spark.sql(f"WITH {with_body} SELECT * FROM cum").localCheckpoint(
+    spark.sql(f"WITH {body_cnt} SELECT * FROM cum").localCheckpoint(
+        eager=False
     ).createOrReplaceTempView("__sgcum")
     return spark.sql(final.format(pn="__sgpn", cum="__sgcum"))
 
