@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from efficient_llm_data_wrangling_spark.registry import query
-from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.session import ensure_parallelism, tune
 from efficient_llm_data_wrangling_spark.sources.catalog import load_table
 
 #: bits per dimension in the Z-value (16 ⇒ 32-bit keys, BIGINT-safe).
@@ -264,7 +264,7 @@ def compaction_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # |files| rows; materialized so the report's two aggregates
         # don't each re-scan the fact (audit: 2 events scans)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     inv.createOrReplaceTempView("__cfiles")
     return spark.sql(_compaction_sql("div"))
@@ -374,7 +374,7 @@ def snapshot_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("rb").cast("long").alias("bytes"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     inv.createOrReplaceTempView("__vfiles")
     return spark.sql(_retention_sql("div"))
@@ -721,12 +721,17 @@ def hilbert_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    o.createOrReplaceTempView("__hlay")
+    # the 32-stage curve chain is expression-heavy per-row work; a
+    # small orders.parquet arrives as ONE split, pinning the whole
+    # chain to one core (r12 measurement: the grid ran 1-partition).
+    # ensure_parallelism is a no-op at scale (big tables already have
+    # more splits than cores) — guide §2.5 input-skew posture.
+    ensure_parallelism(o).createOrReplaceTempView("__hlay")
     grid, final = _hilbert_parts("div")
     # materialize the composite grid ONCE: all five layout rows then
     # derive from the checkpointed bounded frame instead of five
     # fact scans (measured in the pre-fix executed plan)
-    spark.sql(f"WITH {grid} SELECT * FROM g").localCheckpoint().createOrReplaceTempView(
+    spark.sql(f"WITH {grid} SELECT * FROM g").localCheckpoint(eager=False).createOrReplaceTempView(
         "__hlay_grid"
     )
     return spark.sql(final.format(g="__hlay_grid"))
