@@ -955,7 +955,11 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch-side verdict on the finalized sink: exact-Jaccard verify on
     # candidates only, then one roll-up + manifest left join
     arr_batch = arrivals(docs)
-    sga = _portable_minhash(arr_batch, ["arr_id"]).localCheckpoint()
+    # the batch-side verify needs only the exact shingle-hash set `h`
+    # — project the 64 minhash lanes away BEFORE the checkpoint so the
+    # materialization never computes them (guide §2.3: project before
+    # you materialize; the lanes were ~half this leg's scan cost)
+    sga = _portable_minhash(arr_batch, ["arr_id"]).select("arr_id", "h").localCheckpoint()
     pairs = sunk.distinct()
     ver = (
         pairs.join(sga.select("arr_id", F.col("h").alias("__ha")), "arr_id")
@@ -1091,7 +1095,11 @@ def stream_band_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     docs = load_table(spark, sf_dir, "documents")
     standing = docs.filter(hexd1(F.col("doc_id")) < 13).select("doc_id", "text")
-    sgs = _portable_minhash(standing, ["doc_id"]).localCheckpoint()
+    # only the 64-lane signature feeds the band index — project the
+    # exact shingle set `h` away BEFORE the checkpoint so the
+    # materialization never carries it (guide §2.3; the near-dup gate
+    # keeps `h` because its verify pass needs it — this rung does not)
+    sgs = _portable_minhash(standing, ["doc_id"]).select("doc_id", "sig").localCheckpoint()
     bst = _band_rows(sgs.select("doc_id", "sig"), "doc_id").select(
         F.col("doc_id").alias("id"), "band", "key"
     )
@@ -1350,26 +1358,22 @@ def stream_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         """(arr_id, c): each arrival's {_SEMG_NPROBE} nearest cells by
         (distance, cell-id) — the codebook as literal expressions, the
         election one array_sort over an 8-struct array (no window, so
-        it runs scan-side on the append-mode stream)."""
-        x = _micro_units(F.col("v"))
-        scored = F.array(
-            *[
-                F.struct(
-                    _sq_dist_cols(
-                        x, F.array(*[F.lit(int(m)) for m in mu])
-                    ).alias("d"),
-                    F.lit(int(c)).cast("long").alias("c"),
-                )
-                for c, mu in cents
-            ]
-        )
-        return df.withColumn("__scored", scored).select(
-            "arr_id",
-            F.explode(
-                F.expr(
-                    f"transform(slice(array_sort(__scored), 1, {_SEMG_NPROBE}), t -> t.c)"
-                )
-            ).alias("c"),
+        it runs scan-side on the append-mode stream). The micro-unit
+        vector stages as ONE column and the 8×64-literal scored array
+        builds as ONE parsed string (r12: the per-element Column form
+        cost ~4k py4j round-trips of pure driver time per build, and
+        duplicated the micro-unit transform into every getItem)."""
+        return (
+            df.withColumn("__x", _micro_units(F.col("v")))
+            .withColumn("__scored", _scored_literal_codebook(cents))
+            .select(
+                "arr_id",
+                F.explode(
+                    F.expr(
+                        f"transform(slice(array_sort(__scored), 1, {_SEMG_NPROBE}), t -> t.c)"
+                    )
+                ).alias("c"),
+            )
         )
 
     # scan-side cell election on the STREAM, count-guarded broadcast of
@@ -1717,29 +1721,36 @@ LEFT JOIN bagg b ON h.arr_id = b.arr_id
 """
 
 
+def _scored_literal_codebook(cents) -> F.Column:
+    """``array<struct<d,c>>`` of exact integer squared distances from
+    the staged micro-unit column ``__x`` to each literal centroid —
+    the SAME per-term arithmetic ``_sq_dist_cols`` builds, emitted as
+    ONE parsed SQL string (r12: the per-element Column form cost ~4k
+    py4j round-trips of pure driver time per build and re-inlined the
+    micro-unit transform into every element access)."""
+    structs = []
+    for c, mu in cents:
+        terms = " + ".join(
+            f"(__x[{j}] - {int(m)}) * (__x[{j}] - {int(m)})"
+            for j, m in enumerate(mu)
+        )
+        structs.append(
+            f"struct(CAST({terms} AS BIGINT) AS d, CAST({int(c)} AS BIGINT) AS c)"
+        )
+    return F.expr("array(" + ", ".join(structs) + ")")
+
+
 def _cell_probe_ranked(df: DataFrame, cents, nprobe: int) -> DataFrame:
     """(arr_id, rn, c): each arrival's ``nprobe`` nearest cells RANKED
     by (distance, cell-id) — the semantic gate's literal-codebook
     scan-side election with the rank kept, so rank 1 is the HOME cell
     the maintenance leg appends to the index (no window: one
     array_sort over an 8-struct array, stream-safe)."""
-    from efficient_llm_data_wrangling_spark.queries.clustering import (
-        _micro_units,
-        _sq_dist_cols,
-    )
+    from efficient_llm_data_wrangling_spark.queries.clustering import _micro_units
 
-    x = _micro_units(F.col("v"))
-    scored = F.array(
-        *[
-            F.struct(
-                _sq_dist_cols(x, F.array(*[F.lit(int(m)) for m in mu])).alias("d"),
-                F.lit(int(c)).cast("long").alias("c"),
-            )
-            for c, mu in cents
-        ]
-    )
     return (
-        df.withColumn("__scored", scored)
+        df.withColumn("__x", _micro_units(F.col("v")))
+        .withColumn("__scored", _scored_literal_codebook(cents))
         .select(
             "arr_id",
             F.posexplode(
