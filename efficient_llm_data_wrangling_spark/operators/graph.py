@@ -14,9 +14,12 @@ Scale mechanics (the parts that matter at 100 TB):
 
 * every round is two keyed shuffles (neighbor-min groupBy + the jump
   self-join) on uniformly-hashed node ids — no global structure;
-* ``localCheckpoint`` each round truncates the lineage — without it
-  the plan doubles per iteration and the job dies on plan-compile
-  time long before data size matters;
+* ``localCheckpoint(eager=False)`` each round truncates the lineage —
+  without it the plan doubles per iteration and the job dies on
+  plan-compile time long before data size matters. Lazy since r12:
+  the convergence aggregate right below is the round's materializing
+  action anyway, so the eager form paid one extra job per round for
+  nothing (the blocks still persist, compute-once, at first use);
 * convergence test is a monotone aggregate (labels only decrease), so
   one tiny ``agg(sum)`` action per round, no full materialize-compare.
 
@@ -56,7 +59,7 @@ def connected_components(
     measurement, default pinned by that measurement)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
 
     # initial labels fold the first propagation round into the label
     # build itself: label(v) = min(v, min neighbor) needs no join while
@@ -65,7 +68,7 @@ def connected_components(
     labels = (
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iter):
@@ -99,7 +102,7 @@ def connected_components(
         for _jump in range(jumps):
             ptr = new.select(F.col("node").alias("label"), F.col("label").alias("jlabel"))
             new = new.join(ptr, "label").select("node", F.col("jlabel").alias("label"))
-        new = new.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=False)
         cur_sum = new.agg(F.sum("label")).collect()[0][0]
         labels = new
         if prev_sum is not None and cur_sum == prev_sum:

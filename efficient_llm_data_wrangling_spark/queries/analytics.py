@@ -2058,7 +2058,7 @@ def predicate_selectivity_equidepth(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("c").cast("long").alias("hi_b"),
             F.count(F.lit(1)).cast("long").alias("cnt"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     depth.createOrReplaceTempView("__pseldepth")
     return spark.sql(_pseld_sql("div"))

@@ -76,7 +76,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -84,7 +84,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -385,7 +385,7 @@ def behavior_signature_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # distinct-fingerprint table, materialized once: the bit explode
     # (both candidate sides) and both count joins consume it
-    m = sig.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n_users")).localCheckpoint()
+    m = sig.groupBy("mask").agg(F.count(F.lit(1)).cast("long").alias("n_users")).localCheckpoint(eager=False)
     mb = m.select(
         "mask",
         F.explode(
@@ -498,7 +498,7 @@ def markov_holdout_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bucket < 12).alias("is_train"),
         )
         .filter(F.col("next_type").isNotNull())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     c = (
         p.filter("is_train")

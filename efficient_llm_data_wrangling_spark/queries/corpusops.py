@@ -88,7 +88,7 @@ def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and each would otherwise re-evaluate the 3-branch corpus union
     keyed = corpus.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     existing = keyed.filter(F.col("doc_id") < 1000000).select("h").distinct()
     batch = keyed.filter(F.col("doc_id") >= 1000000)
     firsts = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
@@ -183,7 +183,7 @@ def _doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         w.groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = vocab.agg(F.sum("cnt").cast("long").alias("total"))
     staged = w.join(vocab, "tok").crossJoin(F.broadcast(n))
@@ -264,7 +264,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round(lp / CAST(n_tokens AS DOUBLE) * CAST(1000 AS DOUBLE)) AS BIGINT)"
         ).alias("lp_milli"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # ml materialized once: hist AND the final bucket join consume it;
     # lazily each would re-run the whole LM scoring subtree (no runtime
     # exchange reuse - tools/fact_scan_audit.py, round 6)
@@ -492,7 +492,7 @@ def triangle_count_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e1 = und.alias("e1")
     e2 = und.alias("e2")
@@ -1092,7 +1092,7 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()  # bounded cube; five consumers below
+        .localCheckpoint(eager=False)  # bounded cube; five consumers below
     )
     grps = gb.groupBy("nationkey", "segment").agg(
         F.sum("cnt").cast("long").alias("group_size")
@@ -1229,7 +1229,7 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(split(tok, ''), CAST(7 AS BIGINT), "
             f"(a, c) -> (a * 31 + CAST(ascii(c) AS BIGINT)) % 1000003) % {_DSIR_K}"
         ).cast("long").alias("bucket"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     occ = w.join(F.broadcast(vb), "tok").select("doc_id", "lang", "pos", "bucket")
     # the K-row bucket-count model likewise: its lineage is a full
@@ -1237,7 +1237,7 @@ def _dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ct"),
         F.count(F.lit(1)).cast("long").alias("cr"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = bc.agg(
         F.sum("ct").cast("long").alias("t_total"),
         F.sum("cr").cast("long").alias("r_total"),
@@ -1347,7 +1347,7 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.expr("CAST(round(w * CAST(1000 AS DOUBLE)) AS BIGINT)").alias("w_milli"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # materialized once for the same reason as ccnet_perplexity_buckets
     hist = ml.groupBy(F.col("w_milli").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("freq")
@@ -1443,7 +1443,7 @@ def bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = (
         bg.groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # ctx(a) = Σ_b cb(a,b): roll up the materialized pair table
     # instead of re-aggregating the data-sized bigram stream — one
@@ -1635,7 +1635,7 @@ def trigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = (
         tg.groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("ct"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # ctx(a,b) = Σ_c ct(a,b,c): roll up the materialized trigram
     # table instead of re-aggregating the data-sized trigram stream
@@ -1757,7 +1757,7 @@ def user_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     eo = (
         orders.join(F.broadcast(erase), orders["o_custkey"] == erase["c_custkey"])
         .select("c_custkey", "o_orderkey")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # bounded driver scalar: the subjects' order-key count — the
     # number that decides whether the lineitem leg may broadcast
@@ -1939,7 +1939,7 @@ def data_scaling_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for ti in _SCALE_TIERS
             ]
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tots = w.filter(F.col("band") < tmax).agg(
         *[
@@ -2410,7 +2410,7 @@ def source_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for g in range(_SHAP_N)
             ]
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tots = w.filter(F.col("band") < _SHAP_TRAIN_BANDS).agg(
         *[
@@ -2468,7 +2468,7 @@ def source_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(s{m} div n_eval AS BIGINT)").alias(f"v{m}")
             for m in _shap_masks()
         ],
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     full = (1 << _SHAP_N) - 1
     out: DataFrame | None = None
     for i in range(_SHAP_N):

@@ -569,7 +569,7 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> substring(text, i, 1)))) * 1000 div length(text)"
             ).alias("chardiv_milli"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def rank_map(col: str, descending: bool) -> DataFrame:

@@ -283,7 +283,7 @@ def minhash_error_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune(spark)
     corpus = _corpus_with_dups(spark, sf_dir)
-    sg = _portable_minhash(corpus, ["doc_id", "lang"]).localCheckpoint()
+    sg = _portable_minhash(corpus, ["doc_id", "lang"]).localCheckpoint(eager=False)
     bnd = sg.select(
         "doc_id",
         "lang",
@@ -890,7 +890,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature table materialized once: the band explode (both join
     # sides) and the final manifest all consume it, and its lineage
     # carries the Python feature stage
-    ph = MM.phash_features(MM.with_payload(docs)).localCheckpoint()
+    ph = MM.phash_features(MM.with_payload(docs)).localCheckpoint(eager=False)
     bands = ph.select(
         "doc_id",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "v"),
@@ -1370,7 +1370,7 @@ def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = (
         j.groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # row totals roll up from the matrix itself — re-aggregating `j`
     # would run the corpus join a second time
@@ -1457,7 +1457,7 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    fr = MM.audio_frames(MM.with_payload(docs)).localCheckpoint()
+    fr = MM.audio_frames(MM.with_payload(docs)).localCheckpoint(eager=False)
     m = fr.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.expr("CAST(sum(e) div count(*) AS BIGINT)").alias("mean_e"),
@@ -1657,7 +1657,7 @@ def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding,"
             " e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
         ).alias("x"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nv = xs.agg(F.count(F.lit(1)).cast("long").alias("nv"))
     su = (
         xs.select(F.posexplode("x").alias("j0", "v"))
@@ -1683,7 +1683,7 @@ def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(word.format(off=0)).alias("w1"),
             F.expr(word.format(off=32)).alias("w2"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pb = w.filter(F.col("vec_id") < _BINQ_PROBES).select(
         F.col("vec_id").alias("pid"),
@@ -1707,7 +1707,7 @@ def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = (
         hm.withColumn("rn", F.row_number().over(wb))
         .filter(F.col("rn") <= _BINQ_C)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bt = sl.filter(F.col("rn") <= _BINQ_K)
     from efficient_llm_data_wrangling_spark.operators.dedup import cosine_sim
@@ -1723,7 +1723,7 @@ def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= _BINQ_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     we = W.partitionBy("pid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     ex = (
@@ -1733,7 +1733,7 @@ def knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(we))
         .filter(F.col("rn") <= _BINQ_K)
         .select("pid", "vec_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out: DataFrame | None = None
     for variant, arm, nrr in (

@@ -445,7 +445,7 @@ def pagerank_trade_network(
         .join(F.broadcast(supplier), lineitem["l_suppkey"] == supplier["s_suppkey"])
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = nation.select(F.col("n_nationkey").alias("k"), "n_name")

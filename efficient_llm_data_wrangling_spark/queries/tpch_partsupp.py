@@ -157,7 +157,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_u")
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     tot = val.agg(F.sum("value_u").cast("long").alias("total_u"))
     return (
         val.crossJoin(F.broadcast(tot))

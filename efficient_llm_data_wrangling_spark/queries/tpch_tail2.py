@@ -402,7 +402,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     srev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev_u()).cast("long").alias("total_revenue_u")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     m = srev.agg(F.max("total_revenue_u").alias("__mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
