@@ -149,7 +149,18 @@ def global_rank(df: DataFrame, keys: list[str], out_col: str = "rn") -> DataFram
         "__pid", F.spark_partition_id()
     )
     local_w = W.partitionBy("__pid").orderBy(*keys)
-    local = ranged.withColumn("__local_rn", F.row_number().over(local_w))
+    # MATERIALIZE the ranked frame before reading it twice: the counts
+    # collect below and the final join are SEPARATE jobs, and each
+    # re-executes the range exchange independently — AQE re-plans the
+    # shuffle per job, so the partition layout (and with it __pid and
+    # __local_rn) can differ between the offsets pass and the output
+    # pass, producing silently colliding/skipping global ranks (r12:
+    # sorted_neighborhood_dedup at sf0.1 lost its whole suffix pass to
+    # exactly this — offsets from one layout applied to another). The
+    # checkpoint pins one physical layout that both passes read.
+    local = ranged.withColumn(
+        "__local_rn", F.row_number().over(local_w)
+    ).localCheckpoint(eager=False)
     counts = sorted(
         (r["__pid"], r["__n"])
         for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
