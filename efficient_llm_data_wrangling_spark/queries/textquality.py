@@ -296,12 +296,21 @@ def substring_dedup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "wh"),
     )
-    keyed = segs.select("doc_id", "wh", F.struct("doc_id", "pos").alias("key"))
-    first = keyed.groupBy("wh").agg(F.min("key").alias("first_key"))
+    keyed = segs.select("doc_id", F.struct("doc_id", "pos").alias("key"), "wh")
+    # first-occurrence election as a window MIN over the hash instead of
+    # groupBy + join-back: the join form scanned the exploded md5 stream
+    # TWICE (once into the aggregate, once as the probe side — the
+    # partial aggregate below the exchange makes the two subtrees differ,
+    # so ReuseExchange never fires) and at scale the distinct-hash side
+    # is corpus-sized, a broadcast/shuffle hazard. One window pass =
+    # one explode + one exchange on the 16-byte hash (guide §2.4);
+    # measured 3.0 s -> 1.5 s at sf0.1, values bit-identical.
+    flagged = keyed.select(
+        "doc_id", "key", F.min("key").over(Window.partitionBy("wh")).alias("first_key")
+    )
     dup = F.when(F.col("key") == F.col("first_key"), 0).otherwise(1)
     return (
-        keyed.join(first, "wh")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
             F.sum(dup).cast("long").alias("n_dup_windows"),
@@ -1279,12 +1288,12 @@ def span_removal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "z"),
     ).select("doc_id", "pos", "z.wh", "z.span_start", "z.span_end")
-    first = s.select("wh", F.struct("doc_id", "pos").alias("key")).groupBy("wh").agg(
-        F.min("key").alias("first_key")
-    )
+    # window MIN over the hash instead of groupBy + join-back (the
+    # substring_dedup_windows rewrite: one explode pass + one exchange
+    # on the hash, no corpus-sized distinct-hash side; guide §2.4)
     dups = (
         s.withColumn("key", F.struct("doc_id", "pos"))
-        .join(first, "wh")
+        .withColumn("first_key", F.min("key").over(W.partitionBy("wh")))
         .filter(F.col("key") != F.col("first_key"))
         .select("doc_id", "span_start", "span_end")
     )
