@@ -1025,6 +1025,17 @@ _PQ_M = 8
 _PQ_DSUB = 8
 
 
+def _fold_l2(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of the engines' squared-L2 left fold —
+    identical IEEE ops in identical order (the probe-selection
+    precedent), so a value computed here is bit-equal to the SQL
+    ``aggregate(zip_with(...))`` over the same doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
 def _l2sq_sql(a: str, b: str, n: int = _PQ_DSUB) -> str:
     """DuckDB squared-L2 with the Spark fold shape: elementwise terms
     in index order, left-fold sum from 0.0."""
@@ -1217,7 +1228,9 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.filter(F.col("vec_id") < _PQ_M).collect()
     ]
     cents.sort(key=lambda t: t[0])
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 1).first()["v"]]
+    # the query vector (vec_id = 1 < m) already sits in the collected
+    # codebook — re-collecting it was a second full scan job (guide §1)
+    qv = next(list(v) for k, v in cents if k == 1)
 
     # probe selection on the driver over the 8 collected centroids —
     # same left-fold arithmetic as the SQL twin, tie to smaller k
@@ -1229,7 +1242,17 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes = sorted(range(_PQ_M), key=lambda k: (_l2(qv, cents[k][1]), k))[:2]
 
-    cb = F.array(*[F.array(*[F.lit(x) for x in vec]) for _, vec in cents])
+    # every literal below is emitted as ONE parsed SQL string (the
+    # per-element F.lit form cost ~6 py4j round-trips per value — the
+    # r12 _scored_literal_codebook lesson); CAST('<repr>' AS DOUBLE)
+    # string-parses to the bit-identical double the collect returned
+    def _d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def _darr(vals) -> str:
+        return "array(" + ", ".join(_d(x) for x in vals) + ")"
+
+    cb = F.expr("array(" + ", ".join(_darr(vec) for _, vec in cents) + ")")
     dcell = F.expr(
         f"transform(sequence(0, {_PQ_M - 1}), k -> "
         "aggregate(zip_with(v, element_at(cb, k + 1), (x, y) -> (x - y) * (x - y)), "
@@ -1248,78 +1271,69 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = assigned.filter(F.col("cell").isin(*[int(p) for p in probes]))
 
-    sub = cand.select(
-        "vec_id",
-        "cell",
-        "v",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {_PQ_M - 1}), "
-                f"j -> slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
+    # PQ-encode + ADC against the ALREADY-COLLECTED codebook, entirely
+    # scan-side (the stream gates' literal-codebook posture): the old
+    # form exploded candidates x8 subspaces, broadcast-joined the 64
+    # codewords TWICE and paid a (vec_id, j) shuffle + a collect_list
+    # shuffle for arithmetic whose operands are all codebook-sized
+    # constants. cst[j][code] is the codeword subvector (same
+    # slice(v, j*dsub+1, dsub) doubles); djt[j][code] is the
+    # query-to-codeword subdistance, precomputed on the driver with the
+    # IDENTICAL left fold the SQL twin runs (the probe-selection _l2
+    # precedent — Python and the JVM evaluate the same IEEE ops in the
+    # same order). Per row: 8 array_min elections over 8-codeword
+    # scored arrays, then the j-ordered dj fold — no joins, no
+    # exchanges; the whole query is one pass over the probed cells
+    # plus two TakeOrdered reductions (guide §2.4: remove shuffles
+    # outright).
+    cst = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _darr(vec[j * _PQ_DSUB : (j + 1) * _PQ_DSUB]) for _, vec in cents
             )
-        ).alias("j", "s"),
-    )
-    cs = (
-        e.filter(F.col("vec_id") < _PQ_M)
-        .select(
-            F.col("vec_id").alias("code"),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {_PQ_M - 1}), "
-                    f"j -> slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}))"
-                )
-            ).alias("j", "cs"),
+            + ")"
+            for j in range(_PQ_M)
         )
+        + ")"
     )
-    codes = (
-        sub.join(F.broadcast(cs), "j")
-        .select(
-            "vec_id",
-            "j",
-            F.struct(
-                F.expr(
-                    "aggregate(zip_with(s, cs, (x, y) -> (x - y) * (x - y)), "
-                    "cast(0 as double), (acc, x) -> acc + x)"
-                ).alias("dist"),
-                F.col("code"),
-            ).alias("dc"),
-        )
-        .groupBy("vec_id", "j")
-        .agg(F.min("dc").alias("mk"))
-        .select("vec_id", "j", F.col("mk.code").alias("code"))
+    djt = [
+        [
+            _fold_l2(qv[j * _PQ_DSUB : (j + 1) * _PQ_DSUB], vec[j * _PQ_DSUB : (j + 1) * _PQ_DSUB])
+            for _, vec in cents
+        ]
+        for j in range(_PQ_M)
+    ]
+    djt_txt = "array(" + ", ".join(_darr(row) for row in djt) + ")"
+    # per subspace j: the same (dist, code) struct-min election the
+    # grouped F.min ran, as array_min over the literal codewords; dj is
+    # the table lookup at the elected code; adc sums dj in j order with
+    # the same 0.0-seeded left fold as the collect_list form
+    adc = F.expr(
+        f"aggregate(transform(sequence(0, {_PQ_M - 1}), j -> "
+        f"element_at(element_at({djt_txt}, j + 1), CAST((array_min("
+        f"transform(sequence(0, {_PQ_M - 1}), c -> struct("
+        "aggregate(zip_with("
+        f"slice(v, j * {_PQ_DSUB} + 1, {_PQ_DSUB}), "
+        f"element_at(element_at({cst}, j + 1), c + 1), "
+        "(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x) AS dist, "
+        "CAST(c AS BIGINT) AS code)))).code AS INT) + 1)), "
+        "cast(0 as double), (acc, dj) -> acc + dj)"
     )
-    qarr = F.array(*[F.lit(x) for x in qv])
-    jdist = (
-        codes.join(F.broadcast(cs), ["j", "code"])
-        .withColumn("qv", qarr)
-        .select(
-            "vec_id",
-            "j",
-            F.expr(
-                f"aggregate(zip_with(slice(qv, j * {_PQ_DSUB} + 1, {_PQ_DSUB}), cs, "
-                "(x, y) -> (x - y) * (x - y)), cast(0 as double), (acc, x) -> acc + x)"
-            ).alias("dj"),
-        )
-    )
-    adc = (
-        jdist.groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "dj"))).alias("pairs"))
-        .select(
-            "vec_id",
-            F.expr(
-                "aggregate(pairs, cast(0 as double), (acc, p) -> acc + p.dj)"
-            ).alias("adc"),
-        )
-    )
-    shortlist = adc.orderBy("adc", "vec_id").limit(50)
+    qarr = F.expr(_darr(qv))
     cosine = F.expr(
         "aggregate(zip_with(v, qv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x) / "
         "(sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)) * "
         "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)))"
     )
+    shortlist = (
+        cand.select("vec_id", "cell", adc.alias("adc"), "v")
+        .orderBy("adc", "vec_id")
+        .limit(50)
+    )
     return (
-        shortlist.join(cand, "vec_id")
-        .withColumn("qv", qarr)
+        shortlist.withColumn("qv", qarr)
         .select(
             "vec_id",
             "cell",
