@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from efficient_llm_data_wrangling_spark.operators import quality as Q
 from efficient_llm_data_wrangling_spark.registry import query
-from efficient_llm_data_wrangling_spark.session import tune
+from efficient_llm_data_wrangling_spark.session import ensure_parallelism, tune
 from efficient_llm_data_wrangling_spark.sources.catalog import load_table
 
 
@@ -1026,21 +1026,39 @@ _BS_B = 200  # resamples
 _BS_KLO = 5  # floor(0.025 * (B + 1)): the 2.5% order statistic
 _BS_Z = "CAST('1.959963984540054' AS DOUBLE)"  # Phi^-1(0.975)
 
+#: Spark spellings of the draw-index hash and the resample generator —
+#: shared between the in-statement text and the builder's staged
+#: ``draws`` materialization so the two can never diverge.
+_BS_U32_SPARK = (
+    "cast(conv(substring(md5(concat('bs:', CAST(g.b AS STRING), ':',"
+    " CAST(i.rn AS STRING))), 1, 8), 16, 10) as bigint)"
+)
+_BS_GEN_SPARK = f"(SELECT explode(sequence(0, {_BS_B - 1})) AS b)"
 
-def _bs_sql(engine: str, documents: str) -> str:
+
+def _bs_sql(engine: str, documents: str, idx_src: str | None = None) -> str:
     """Shared bootstrap text; engine switches are md5 u32, the row
     generator, and integer division. Each resample draws n indices
     with replacement via md5(b:i) % n; medians and means are exact
     integer order-statistic/sum elections per resample; only the
     classical CLT half-width touches doubles (one fixed-shape
-    expression, identical bits both engines)."""
+    expression, identical bits both engines).
+
+    ``idx_src``/``med_src`` (Spark only): pre-materialized twins of the
+    ``idx`` CTE and of the median-arm rank subquery. Spark inlines a
+    CTE per reference, so the in-text ``idx`` — a GLOBAL row_number,
+    i.e. a single-partition window funnel (guide §2) — executed four
+    times per run (dk, the gather probe, both pt arms). The builder
+    materializes the same total order once through ``global_rank``'s
+    partitioned offsets and hands the view names in; the DuckDB oracle
+    keeps the original single statement (it MATERIALIZES nothing but
+    runs once, in-process)."""
+    med_src = f"{idx_src}_med" if idx_src else None
+    draws_src = f"{idx_src}_draws" if idx_src else None
     if engine == "spark":
         dv = "div"
-        u32 = (
-            "cast(conv(substring(md5(concat('bs:', CAST(g.b AS STRING), ':',"
-            " CAST(i.rn AS STRING))), 1, 8), 16, 10) as bigint)"
-        )
-        gen = f"(SELECT explode(sequence(0, {_BS_B - 1})) AS b)"
+        u32 = _BS_U32_SPARK
+        gen = _BS_GEN_SPARK
     else:
         from efficient_llm_data_wrangling_spark.queries.curation import _hexint_sql
 
@@ -1051,11 +1069,21 @@ def _bs_sql(engine: str, documents: str) -> str:
             8,
         )
         gen = f"(SELECT unnest(range(0, {_BS_B})) AS b)"
+    idx_cte = (
+        f"SELECT rn, v FROM {idx_src}"
+        if idx_src
+        else f"""SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn,
+         CAST(n_chars AS BIGINT) AS v
+  FROM {documents}"""
+    )
+    med_sub = (
+        f"SELECT v, mr FROM {med_src}"
+        if med_src
+        else "SELECT v, row_number() OVER (ORDER BY v) AS mr FROM idx"
+    )
     return f"""
 WITH idx AS (
-  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn,
-         CAST(n_chars AS BIGINT) AS v
-  FROM {documents}
+  {idx_cte}
 ),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
 dk AS (
@@ -1063,7 +1091,8 @@ dk AS (
   FROM idx i CROSS JOIN {gen} g CROSS JOIN nn
 ),
 draws AS (
-  SELECT dk.b, x.v FROM dk JOIN idx x ON x.rn = dk.ri
+  {f"SELECT b, v FROM {draws_src}" if draws_src
+   else "SELECT dk.b, x.v FROM dk JOIN idx x ON x.rn = dk.ri"}
 ),
 rs AS (
   SELECT 'mean' AS metric, b,
@@ -1104,7 +1133,7 @@ pt AS (
   FROM idx
   UNION ALL
   SELECT 'median', CAST(v * 1000 AS BIGINT), CAST(NULL AS BIGINT) FROM (
-    SELECT v, row_number() OVER (ORDER BY v) AS mr FROM idx
+    {med_sub}
   ) t CROSS JOIN nn WHERE mr = (nn.n + 1) {dv} 2
 )
 SELECT p.metric, p.point_milli, c.ci_lo_milli, c.ci_hi_milli,
@@ -1167,5 +1196,51 @@ def bootstrap_ci_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob), which is exactly what the md5-index draw expresses.
     """
     tune(spark)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__bs_documents")
-    return spark.sql(_bs_sql("spark", "__bs_documents"))
+    from efficient_llm_data_wrangling_spark.operators.sampling import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the (rn, v) index ONCE through global_rank's
+    # partitioned offsets: the in-statement CTE form ran a GLOBAL
+    # row_number (single-partition window, the 100 TB funnel — guide
+    # §2) and Spark re-inlined it into all four consumers, so the
+    # funnel executed four times per run (measured: 4.9-6.8 s -> ~2 s
+    # at sf0.1, values bit-identical)
+    idx = (
+        global_rank(docs.select("doc_id", "n_chars"), ["doc_id"], out_col="__gr")
+        .select(
+            (F.col("__gr") - 1).cast("bigint").alias("rn"),
+            F.col("n_chars").cast("bigint").alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    idx.createOrReplaceTempView("__bs_idx")
+    # the median arm's rank over v, same treatment (rn is a tie-free
+    # total order, so ranking by (v, rn) is a valid row_number
+    # assignment for ORDER BY v — the elected order statistic is the
+    # same v wherever ties span the median rank)
+    med = global_rank(idx, ["v", "rn"], out_col="mr").select("v", "mr")
+    med.createOrReplaceTempView("__bs_idx_med")
+    # the n x B gather frame feeds BOTH resample arms (mean aggregate,
+    # per-resample median window); in-statement it was re-inlined and
+    # the join ran twice — materialize it once. The xB generate stage
+    # inherits the checkpointed index's partitioning (ONE partition at
+    # test SF after AQE coalescing), which would pin the 1M md5 draws
+    # to a single core — widen it first (no-op at scale, guide §2.5).
+    # The gather side broadcasts only when the sample index is PROVABLY
+    # small (n known from the materialized RDD); otherwise the planner
+    # keeps its shuffle join — a forced broadcast of a corpus-sized
+    # index would OOM at 100 TB.
+    ensure_parallelism(idx).createOrReplaceTempView("__bs_idx_gen")
+    bhint = "/*+ BROADCAST(x) */ " if idx.count() * 48 < 64 * 1024 * 1024 else ""
+    draws = spark.sql(
+        f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM __bs_idx),
+dk AS (
+  SELECT g.b, ({_BS_U32_SPARK}) % nn.n AS ri
+  FROM __bs_idx_gen i CROSS JOIN {_BS_GEN_SPARK} g CROSS JOIN nn
+)
+SELECT {bhint}dk.b, x.v FROM dk JOIN __bs_idx x ON x.rn = dk.ri
+"""
+    ).localCheckpoint(eager=False)
+    draws.createOrReplaceTempView("__bs_idx_draws")
+    return spark.sql(_bs_sql("spark", "__bs_documents", idx_src="__bs_idx"))
