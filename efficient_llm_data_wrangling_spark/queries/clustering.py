@@ -7074,63 +7074,102 @@ def pca_power_iteration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     t = _pca_tmpl("spark")
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("__pca_emb")
+    # Checkpoint ONLY the stages whose recomputation is a real data
+    # pass (xm/el/mu/cov/cp and one fused frame per iteration — 13
+    # sites); everything scalar or 64-row-sized is inlined into its
+    # consumer statement instead. The previous shape ran 33 lazy
+    # checkpoints + ~60 parsed statements, ~0.12 s planning floor each
+    # (guide §1: the bill was plan count, not data). sm folds into
+    # cov's statement (referenced once), ksc into cp's (cov is
+    # checkpointed, so its two reads there are cached), trc/nr/cs/ax/vn
+    # into each report row's statement.
     xm = spark.sql(t["xm"].format(emb="__pca_emb")).localCheckpoint(eager=False)
     xm.createOrReplaceTempView("__pca_xm")
-    el = spark.sql(t["el"].format(xm="__pca_xm")).localCheckpoint(eager=False)
-    el.createOrReplaceTempView("__pca_el")
+    # el is a plain view: its two consumers (mu, sm) re-run the explode
+    # over the CHECKPOINTED xm — cheap generator CPU, and it avoids
+    # materializing an n x dims frame (64x the corpus) as RDD blocks
+    spark.sql(t["el"].format(xm="__pca_xm")).createOrReplaceTempView("__pca_el")
     spark.sql(t["nn"].format(xm="__pca_xm")).createOrReplaceTempView("__pca_nn")
     spark.sql(t["mu"].format(el="__pca_el")).localCheckpoint(eager=False).createOrReplaceTempView(
         "__pca_mu"
     )
-    spark.sql(t["sm"].format(el="__pca_el")).localCheckpoint(eager=False).createOrReplaceTempView(
-        "__pca_sm"
-    )
     cov = spark.sql(
-        t["cov"].format(sm="__pca_sm", mu="__pca_mu", nn="__pca_nn")
+        "WITH sm AS ("
+        + t["sm"].format(el="__pca_el")
+        + ") "
+        + t["cov"].format(sm="sm", mu="__pca_mu", nn="__pca_nn")
     ).localCheckpoint(eager=False)
     cov.createOrReplaceTempView("__pca_cov")
-    spark.sql(t["ksc"].format(cov="__pca_cov")).localCheckpoint(eager=False).createOrReplaceTempView(
-        "__pca_ksc"
+    # cp's only consumer is the collect below — no checkpoint needed
+    cp = spark.sql(
+        "WITH ksc AS ("
+        + t["ksc"].format(cov="__pca_cov")
+        + ") "
+        + t["cp"].format(cov="__pca_cov", ksc="ksc")
     )
-    cp = spark.sql(t["cp"].format(cov="__pca_cov", ksc="__pca_ksc")).localCheckpoint(eager=False)
-    cp.createOrReplaceTempView("__pca_cp")
-    spark.sql(t["trc"].format(cp="__pca_cp")).localCheckpoint(eager=False).createOrReplaceTempView(
-        "__pca_trc"
-    )
-    spark.sql(t["v0"]).localCheckpoint(eager=False).createOrReplaceTempView("__pca_v0")
-    out = None
-    for i in range(1, _PCA_ITERS + 1):
-        p = i - 1
-        spark.sql(
-            t["w"].format(cp="__pca_cp", v=f"__pca_v{p}")
-        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__pca_w{i}")
-        spark.sql(
-            t["nr"].format(w=f"__pca_w{i}")
-        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__pca_nr{i}")
-        spark.sql(
-            t["v"].format(w=f"__pca_w{i}", nr=f"__pca_nr{i}")
-        ).localCheckpoint(eager=False).createOrReplaceTempView(f"__pca_v{i}")
-        spark.sql(
-            t["cs"].format(v=f"__pca_v{i}", vp=f"__pca_v{p}")
-        ).createOrReplaceTempView(f"__pca_cs{i}")
-        spark.sql(t["ax"].format(v=f"__pca_v{i}")).createOrReplaceTempView(
-            f"__pca_ax{i}"
-        )
-        spark.sql(t["vn"].format(v=f"__pca_v{i}")).createOrReplaceTempView(
-            f"__pca_vn{i}"
-        )
-        row = spark.sql(
-            t["row"].format(
-                t=i,
-                nr=f"__pca_nr{i}",
-                trc="__pca_trc",
-                ax=f"__pca_ax{i}",
-                cs=f"__pca_cs{i}",
-                vn=f"__pca_vn{i}",
+    # The iteration itself runs on a dims^2-BOUNDED matrix (4,096
+    # BIGINTs — scale-independent of n, like the collected codebooks),
+    # so after the one distributed data pass that builds it, the 8
+    # power-iteration rounds are DECISION-SIZED work: collect cp once
+    # and replay the identical integer/IEEE arithmetic on the driver
+    # (the knn_ivf probe-selection precedent — Python ints are exact
+    # like BIGINT under the docstring's overflow bounds, and floor/
+    # sqrt/division are the same correctly-rounded IEEE ops in the
+    # same order, proven by the oracle hash-match at both SFs). The
+    # previous shape ran 24 per-iteration checkpointed statements on
+    # 64-row frames — ~0.15 s of parse/plan floor each, pure driver
+    # overhead for matvecs a laptop does in microseconds.
+    import math
+
+    cpm: dict[tuple[int, int], int] = {}
+    for r in cp.collect():
+        cpm[(int(r["i"]), int(r["j"]))] = int(r["c"])
+    tr = sum(c for (i, j), c in cpm.items() if i == j)
+
+    def shift(v: int, s: int) -> int:
+        # the engines' sign-aware truncating shift (div toward zero)
+        return -((-v) // s) if v < 0 else v // s
+
+    v_prev = [_PCA_V0] * _DIMS
+    out_rows = []
+    for it in range(1, _PCA_ITERS + 1):
+        w = [
+            sum(cpm.get((i, j), 0) * v_prev[j - 1] for j in range(1, _DIMS + 1))
+            for i in range(1, _DIMS + 1)
+        ]
+        w28 = [shift(x, _PCA_SHIFT) for x in w]
+        nrm = math.sqrt(float(sum(x * x for x in w28))) * float(_PCA_SHIFT)
+        v_cur = [
+            int(math.floor(float(x) / nrm * float(_PCA_GIGA) + 0.5)) for x in w
+        ]
+        a3 = [shift(x, _PCA_SHIFT3) for x in v_cur]
+        b3 = [shift(x, _PCA_SHIFT3) for x in v_prev]
+        dt = sum(a * b for a, b in zip(a3, b3))
+        na = sum(a * a for a in a3)
+        nb = sum(b * b for b in b3)
+        top = min(range(_DIMS), key=lambda j: (-abs(v_cur[j]), j))
+        n2 = sum(a * a for a in a3)
+        av3 = a3[top]
+        out_rows.append(
+            (
+                it,
+                int(math.floor(nrm / float(_PCA_GIGA) / float(tr) * 1000000 + 0.5)),
+                top + 1,
+                int(math.floor(float(av3 * av3) / float(n2) * 1000000 + 0.5)),
+                int(
+                    math.floor(
+                        float(dt) * float(dt) / (float(na) * float(nb)) * 1000000
+                        + 0.5
+                    )
+                ),
             )
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+        v_prev = v_cur
+    return spark.createDataFrame(
+        out_rows,
+        "iter bigint, pc1_share_ppm bigint, top_axis int, "
+        "top_axis_share_ppm bigint, cos2_prev_ppm bigint",
+    )
 
 
 # ---------------------------------------------------------------------------
