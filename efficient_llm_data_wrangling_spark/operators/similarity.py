@@ -111,9 +111,20 @@ def l2sq_int(a: Column | str, b: Column | str, dims: int | None = None) -> Colum
     unrolled tree as ONE parsed SQL string — a single py4j round-trip
     instead of ~6 per dimension, which removes ~1.6 s of driver-side
     expression construction per 64-dim call site (r12 measurement)."""
-    if dims is not None and isinstance(a, str) and isinstance(b, str):
+    if (
+        dims is not None
+        and isinstance(a, str)
+        and isinstance(b, str)
+        and a.isidentifier()
+        and b.isidentifier()
+    ):
+        # the names are spliced into SQL text, so take this path only
+        # for plain identifiers and quote them; anything fancier
+        # (dots, spaces, hyphens) falls through to the Column path,
+        # which resolves such names correctly (ADVICE r12)
+        qa, qb = f"`{a}`", f"`{b}`"
         terms = " + ".join(
-            f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])" for j in range(dims)
+            f"({qa}[{j}] - {qb}[{j}]) * ({qa}[{j}] - {qb}[{j}])" for j in range(dims)
         )
         return F.expr(f"CAST({terms} AS BIGINT)")
     if isinstance(a, str):

@@ -31,9 +31,32 @@ _K = 8
 _DIMS = 64
 
 
+#: The int64 bounds analyses on every hot kernel (products bounded by
+#: dims x (2e6)^2, sums by n x dims x (2e6)^2) assume micro-unit
+#: coordinates within +/-2e6, i.e. raw values within +/-2.0.
+_MICRO_CAP = 2_000_000
+
+
 def _micro_units(emb_col) -> F.Column:
+    """Micro-unit (1e-6) integer coordinates — the single ingestion
+    point where raw vectors enter the exact-BIGINT kernels. Under the
+    session's non-ANSI posture an out-of-bounds coordinate would WRAP
+    silently downstream instead of erroring, so the cap is enforced
+    loudly HERE (one comparison per element on the NULL-free branch —
+    far cheaper than ANSI's per-operation checks, and it fires in both
+    ANSI modes; VERDICT r12 item 6)."""
+    err = F.raise_error(
+        F.lit(
+            "micro_units: |coordinate| exceeds 2.0 — the int64 bounds"
+            " analyses on the integer kernels assume micro units within"
+            f" +/-{_MICRO_CAP}; rescale the input or widen the analysis"
+        )
+    )
     return F.transform(
-        emb_col, lambda e: F.floor(e.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")
+        emb_col,
+        lambda e: F.when(
+            F.abs(e.cast("double")) > 2.0, err.cast("long")
+        ).otherwise(F.floor(e.cast("double") * 1000000.0 + F.lit(0.5)).cast("long")),
     )
 
 

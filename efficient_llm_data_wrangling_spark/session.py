@@ -46,7 +46,9 @@ STARTUP_CONFS: dict[str, str] = {
     # Spark <= 3.5 default this engine's oracle parity was designed
     # against. Scale-independent (less CPU per row at any data size);
     # re-verified by the full 314-query oracle sweep after the flip.
-    "spark.sql.ansi.enabled": "false",
+    # ELLDW_ANSI=1 keeps ANSI on (see RUNTIME_CONFS) for periodic
+    # loud-overflow correctness sweeps.
+    "spark.sql.ansi.enabled": "true" if os.environ.get("ELLDW_ANSI") == "1" else "false",
     # PySpark 4's per-API-call origin capture walks the full Python
     # stack on EVERY DataFrame/Column call to enrich error messages
     # (pyspark.errors.utils._capture_call_site). Expression-heavy
@@ -57,6 +59,17 @@ STARTUP_CONFS: dict[str, str] = {
     "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
+#: Escape hatch for the ANSI flip (ADVICE r12): ``ELLDW_ANSI=1`` keeps
+#: Spark 4's ANSI mode ON session-wide, so a periodic correctness sweep
+#: can prove the kernels' int64 bounds analyses hold on the data at
+#: hand — under non-ANSI an overflow would wrap silently; under ANSI it
+#: fails loudly. Perf-only posture is unchanged when the variable is
+#: unset. Note that ``tune()`` applies this (like every runtime conf)
+#: to sessions the engine did not create: the ANSI flip is
+#: semantics-bearing session-wide, which is exactly why the hatch
+#: exists.
+_ANSI_MODE = "true" if os.environ.get("ELLDW_ANSI") == "1" else "false"
+
 #: Confs that can be flipped on a live session (spark.conf.set).
 RUNTIME_CONFS: dict[str, str] = {
     # Also applied to sessions we did not create (see STARTUP_CONFS
@@ -65,8 +78,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # driver-owned session.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
     # see STARTUP_CONFS: ANSI checks cost ~2x on the bounds-proven
-    # integer kernels; runtime-settable, so foreign sessions get it too
-    "spark.sql.ansi.enabled": "false",
+    # integer kernels; runtime-settable, so foreign sessions get it
+    # too. ELLDW_ANSI=1 re-enables ANSI for loud-overflow sweeps.
+    "spark.sql.ansi.enabled": _ANSI_MODE,
     # One shuffle partition per core locally; on a 1000-executor cluster
     # AQE coalescing makes a high initial value safe, so scale with
     # parallelism rather than hard-coding 200.

@@ -805,6 +805,29 @@ def test_assign_cells_narrow_vector_fails_loudly(spark):
     assert ok[0]["cell_id"] == 0
 
 
+def test_micro_units_out_of_bounds_fails_loudly_both_ansi_modes(spark):
+    """A raw coordinate outside +/-2.0 breaks the int64 bounds analyses
+    every hot kernel documents; under the session's non-ANSI posture a
+    downstream overflow would WRAP silently, so the ingestion transform
+    must raise in BOTH ANSI modes (VERDICT r12 item 6)."""
+    import pytest
+
+    from efficient_llm_data_wrangling_spark.queries.clustering import _micro_units
+
+    bad = spark.createDataFrame([(1, [0.5, 2.5])], "vec_id long, embedding array<double>")
+    good = spark.createDataFrame([(1, [0.5, -1.999])], "vec_id long, embedding array<double>")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            with pytest.raises(Exception, match="micro_units"):
+                bad.select(_micro_units(F.col("embedding")).alias("x")).collect()
+            ok = good.select(_micro_units(F.col("embedding")).alias("x")).collect()
+            assert ok[0]["x"] == [500000, -1999000]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
 def test_serving_beam8_widens_and_dominates_capstone(spark):
     """The width-8 rung must be the same walk as the capstone with
     only the frontier widened: identical entry vertices per probe,
