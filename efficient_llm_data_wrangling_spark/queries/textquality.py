@@ -854,11 +854,31 @@ def _bpe_apply_merge(syms: DataFrame, win: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_apply_merge_lit(syms: DataFrame, a: str, b: str) -> DataFrame:
+    """:func:`_bpe_apply_merge` with the already-COLLECTED winner pair
+    inlined as literals — same JVM ``replace`` (greedy leftmost
+    non-overlapping) on the identical pattern/replacement strings, no
+    broadcast join in the round plan."""
+    keep = [c for c in syms.columns if c != "sym"]
+    pat = _BPE_D + a + _BPE_D + _BPE_D + b + _BPE_D
+    rep = _BPE_D + a + b + _BPE_D
+    return syms.select(
+        F.replace(F.col("sym"), F.lit(pat), F.lit(rep)).alias("sym"), *keep
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
     """The shared training loop: run ``_BPE_ROUNDS`` merge rounds over
-    the word-type histogram. Returns (per-round 1-row winner frames,
-    final ``(tok, sym, cnt)`` state) — the trainer grades the winners,
-    the encoder consumes the final symbol table."""
+    the word-type histogram. Returns (per-round winner tuples
+    ``(merge_round, a, b, pair_count)``, final ``(tok, sym, cnt)``
+    state) — the trainer grades the winners, the encoder consumes the
+    final symbol table.
+
+    The winner was always materialized per round (the convergence
+    guard is an action); collecting its ONE row instead lets the next
+    round's merge inline the pair as literals — no per-round broadcast
+    exchange, no winner checkpoint, no 1-row union frames (guide §1:
+    the trainers' bill is per-round plan overhead, not data)."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(F.explode(_toks_col()).alias("tok"))
@@ -868,22 +888,19 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFra
         F.regexp_replace(F.col("tok"), "(.)", _BPE_D + "$1" + _BPE_D).alias("sym"),
         "cnt",
     ).localCheckpoint(eager=False)
-    merges: list[DataFrame] = []
+    merges: list[tuple] = []
     for r in range(1, _BPE_ROUNDS + 1):
-        pc = _bpe_pair_counts(syms)
         win = (
-            pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            _bpe_pair_counts(syms)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        if win.isEmpty():  # corpus fully merged — convergence guard
+        if not win:  # corpus fully merged — convergence guard
             break
-        merges.append(
-            win.select(
-                F.lit(r).cast("long").alias("merge_round"), "a", "b", "pair_count"
-            )
-        )
-        syms = _bpe_apply_merge(syms, win).localCheckpoint(eager=False)
+        a, b = win[0]["a"], win[0]["b"]
+        merges.append((r, a, b, int(win[0]["pair_count"])))
+        syms = _bpe_apply_merge_lit(syms, a, b).localCheckpoint(eager=False)
     return merges, syms
 
 
@@ -964,10 +981,9 @@ def bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pinned: no Python in the round plan).
     """
     merges, _ = _bpe_fit(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return spark.createDataFrame(
+        merges, "merge_round bigint, a string, b string, pair_count bigint"
+    )
 
 
 _BPE_ENCODE_ORACLE = (
@@ -2451,10 +2467,12 @@ _WP_TRAIN_ORACLE = (
 )
 
 
-def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFrame]:
+def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[tuple], DataFrame]:
     """The WordPiece training loop (the :func:`_bpe_fit` twin with the
-    likelihood election): returns (per-round 1-row winner frames with
-    full evidence columns, final ``(tok, sym, cnt)`` state)."""
+    likelihood election): returns (per-round winner tuples with full
+    evidence columns, final ``(tok, sym, cnt)`` state). Winner
+    collected per round and inlined as literals — see
+    :func:`_bpe_fit`."""
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select(F.explode(_toks_col()).alias("tok"))
@@ -2464,7 +2482,7 @@ def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFram
         F.regexp_replace(F.col("tok"), "(.)", _BPE_D + "$1" + _BPE_D).alias("sym"),
         "cnt",
     ).localCheckpoint(eager=False)
-    merges: list[DataFrame] = []
+    merges: list[tuple] = []
     for r in range(1, _WP_ROUNDS + 1):
         pc = _bpe_pair_counts(syms)
         sc = _wp_sym_counts(syms)
@@ -2483,22 +2501,23 @@ def _wp_fit(spark: SparkSession, sf_dir: str) -> tuple[list[DataFrame], DataFram
             )
             .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .localCheckpoint(eager=False)
+            .collect()
         )
-        if win.isEmpty():  # corpus fully merged — convergence guard
+        if not win:  # corpus fully merged — convergence guard
             break
+        a, b = win[0]["a"], win[0]["b"]
         merges.append(
-            win.select(
-                F.lit(r).cast("long").alias("merge_round"),
-                "a",
-                "b",
-                "pair_count",
-                "cnt_a",
-                "cnt_b",
-                "score",
+            (
+                r,
+                a,
+                b,
+                int(win[0]["pair_count"]),
+                int(win[0]["cnt_a"]),
+                int(win[0]["cnt_b"]),
+                float(win[0]["score"]),
             )
         )
-        syms = _bpe_apply_merge(syms, win).localCheckpoint(eager=False)
+        syms = _bpe_apply_merge_lit(syms, a, b).localCheckpoint(eager=False)
     return merges, syms
 
 
@@ -2543,10 +2562,11 @@ def wordpiece_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` keeps plan depth constant in N.
     """
     merges, _ = _wp_fit(spark, sf_dir)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return spark.createDataFrame(
+        merges,
+        "merge_round bigint, a string, b string, pair_count bigint, "
+        "cnt_a bigint, cnt_b bigint, score double",
+    )
 
 
 # ---------------------------------------------------------------------------
