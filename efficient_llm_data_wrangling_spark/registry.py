@@ -17,6 +17,8 @@ Conventions that keep Spark↔DuckDB value-hashes identical:
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -34,14 +36,37 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Test-session build memo (``ELLDW_TEST_BUILD_MEMO=1``, set ONLY by
+#: tests/conftest.py). The suite builds the expensive graph-ladder
+#: queries two to three times each — once for the plan audit, once for
+#: the oracle comparison, once per reconciliation test — and a build is
+#: pure in (spark, sf_dir): same plan, same checkpointed leaves, same
+#: values (every consumer re-executes from those leaves). Memoizing the
+#: returned DataFrame per (name, sf_dir, session) removes the duplicate
+#: plan-construction bill (measured ~0.44 s per localCheckpoint plan
+#: conversion; ann_frontier_report alone pays 120 of them) without
+#: weakening any assertion — each test still checks the values/plans of
+#: one honestly built frame. The driver's bench and correctness runs
+#: never set the variable, so nothing outside pytest is memoized.
+_BUILD_MEMO: dict[tuple, DataFrame] = {}
+
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Register a (spark, sf_dir) -> DataFrame builder under ``name``,
     with its DuckDB oracle SQL (None ⇒ rows-only check)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip(), tags)
-        return fn
+        @functools.wraps(fn)
+        def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+            if os.environ.get("ELLDW_TEST_BUILD_MEMO") != "1":
+                return fn(spark, sf_dir)
+            key = (name, sf_dir, id(spark))
+            if key not in _BUILD_MEMO:
+                _BUILD_MEMO[key] = fn(spark, sf_dir)
+            return _BUILD_MEMO[key]
+
+        REGISTRY[name] = QuerySpec(name, builder, oracle, (fn.__doc__ or "").strip(), tags)
+        return builder
 
     return deco
 

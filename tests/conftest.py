@@ -1,11 +1,20 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Share one honest build of each registered query across the whole
+# suite (plan audit + oracle comparison + reconciliation tests each
+# rebuilt the same frames; the graph ladder pays ~0.4 s of plan
+# conversion per localCheckpoint and ann_frontier_report alone has 120
+# of them). Values/plans are unchanged — every consumer re-executes the
+# same checkpointed leaves. See registry._BUILD_MEMO.
+os.environ.setdefault("ELLDW_TEST_BUILD_MEMO", "1")
 
 # Hypothesis raises/restores the recursion limit around each example;
 # with py4j's callback threads alive it cannot restore it ("changed

@@ -109,17 +109,22 @@ def test_no_cartesian_no_rowwise_python(spark, name, monkeypatch):
 
 def test_audit_sees_through_checkpoints(spark, monkeypatch):
     """The checkpoint interception must actually fire: the BPE
-    trainer checkpoints each of its 8 rounds, so the audit callback
-    has to capture >= 8 stage plans and the round subtrees (pair-count
-    aggregations, winner elections) must be visible in them — if the
-    patch targeted the wrong class, the list would stay empty and a
-    checkpointed Cartesian/Python stage would hide behind a `Scan
-    ExistingRDD` leaf exactly like the r6 blind spot."""
+    trainer checkpoints each of its 8 round states, so the audit
+    callback has to capture >= 8 stage plans with the round subtrees
+    visible in them — if the patch targeted the wrong class, the list
+    would stay empty and a checkpointed Cartesian/Python stage would
+    hide behind a `Scan ExistingRDD` leaf exactly like the r6 blind
+    spot. Since r13 the per-round checkpoint is the literal-merge
+    Project over the previous round's leaf (the pair-count aggregate
+    runs inside the winner collect, not under a checkpoint), so the
+    visible subtrees are the merge `replace` projections plus the
+    word-type histogram under round 0."""
     stage_plans = _checkpoint_auditing(monkeypatch, "bpe_train_rounds")
     from efficient_llm_data_wrangling_spark.queries.textquality import (
         bpe_train_rounds,
     )
 
     bpe_train_rounds(spark, SF_SMOKE)
-    assert len(stage_plans) >= 8  # one per training round
-    assert sum("HashAggregate" in p for p in stage_plans) >= 8
+    assert len(stage_plans) >= 9  # round 0 + one per training round
+    assert sum("replace(sym" in p for p in stage_plans) >= 8
+    assert sum("HashAggregate" in p for p in stage_plans) >= 1  # the type histogram

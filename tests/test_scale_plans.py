@@ -382,9 +382,11 @@ def test_dsir_topk_window_input_is_histogram(spark):
 
 def test_span_manifest_windows_partition_by_doc(spark):
     """span_removal_manifest's interval merge must run inside per-doc
-    window partitions — no unpartitioned window anywhere — and the
-    only data-sized shuffles are the window-hash election and the
-    doc-keyed merge."""
+    window partitions, and the r13 first-occurrence election (a window
+    MIN partitioned by the 16-byte hash — one explode pass instead of
+    the groupBy + join-back's two) inside per-hash partitions: no
+    unpartitioned window anywhere, and the only data-sized shuffles are
+    the hash election and the doc-keyed merge."""
     from efficient_llm_data_wrangling_spark.queries.textquality import (
         span_removal_manifest,
     )
@@ -393,5 +395,7 @@ def test_span_manifest_windows_partition_by_doc(spark):
     assert "Exchange SinglePartition" not in plan, plan
     import re
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        assert "doc_id" in m.group(1), m.group(0)  # every window doc-partitioned
+    specs = list(re.finditer(r"windowspecdefinition\(([^)]*)\)", plan))
+    assert specs, plan
+    for m in specs:  # every window partitioned: per-doc or per-hash
+        assert "doc_id" in m.group(1) or m.group(1).startswith("wh#"), m.group(0)
