@@ -57,9 +57,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         @functools.wraps(fn)
-        def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
-            if os.environ.get("ELLDW_TEST_BUILD_MEMO") != "1":
-                return fn(spark, sf_dir)
+        def builder(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+            # non-default kwargs (a few queries expose test knobs)
+            # bypass the memo — only the plain driver-contract call is
+            # shared
+            if kwargs or os.environ.get("ELLDW_TEST_BUILD_MEMO") != "1":
+                return fn(spark, sf_dir, **kwargs)
             key = (name, sf_dir, id(spark))
             if key not in _BUILD_MEMO:
                 _BUILD_MEMO[key] = fn(spark, sf_dir)

@@ -16,6 +16,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # same checkpointed leaves. See registry._BUILD_MEMO.
 os.environ.setdefault("ELLDW_TEST_BUILD_MEMO", "1")
 
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the registry-wide plan audit FIRST: its builds happen under
+    the checkpoint interception (so every checkpoint stage of every
+    query is graded — the build memo would otherwise hand it frames
+    built earlier WITHOUT interception) and they seed the memo that
+    every later file (oracle sweep, reconciliation tests) reuses.
+    Stable sort — order within each group is unchanged."""
+    items.sort(key=lambda it: 0 if "test_global_plan_audit" in it.nodeid else 1)
+
+
+def fresh_build(fn, *args, **kwargs):
+    """Bypass the test-session build memo: call the UNDECORATED query
+    builder. Needed by (a) plan-shape tests — an already-executed
+    memoized frame prints its FINAL AQE plan (isFinalPlan=true,
+    ResultQueryStage wrappers) instead of the initial one the shape
+    assertions read — and (b) tests that monkeypatch an internal and
+    must observe a rebuild."""
+    import inspect
+
+    return inspect.unwrap(fn)(*args, **kwargs)
+
 # Hypothesis raises/restores the recursion limit around each example;
 # with py4j's callback threads alive it cannot restore it ("changed
 # from another thread") and a later assertion-rewrite compile() of a

@@ -1287,7 +1287,13 @@ def test_adc_rung_identity_codes_equal_beam16(spark, monkeypatch):
     from tests.conftest import SF_SMOKE
 
     monkeypatch.setattr(C, "_pq_reconstruct", lambda v: v.select("vec_id", "x"))
-    adc = sorted(tuple(r) for r in C.knn_graph_serving_adc(spark, SF_SMOKE).collect())
+    from tests.conftest import fresh_build
+
+    # fresh build: the patched reconstruction must be OBSERVED (the
+    # session build memo would return the unpatched frame)
+    adc = sorted(
+        tuple(r) for r in fresh_build(C.knn_graph_serving_adc, spark, SF_SMOKE).collect()
+    )
     w16 = sorted(tuple(r) for r in C.knn_graph_serving_beam16(spark, SF_SMOKE).collect())
     assert adc == w16
 

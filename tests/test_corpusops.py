@@ -106,26 +106,30 @@ def test_corpusops_plan_shapes(spark):
     the dataset card stay within their stated shuffle budgets; nothing
     plans a cartesian or a Python UDF. (The 1-row scalar crossJoins in
     triangle/histogram are broadcast nested-loop by construction.)"""
-    p = _plan(winnowing_fingerprint_documents(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    # fresh builds: a memoized frame may already be executed, whose
+    # plan string is the final AQE form the shape assertions don't read
+    p = _plan(fresh_build(winnowing_fingerprint_documents, spark, SF_SMOKE))
     assert p.count("Exchange hashpartitioning") == 0
     assert "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(cosine_histogram_embeddings(spark, SF_SMOKE))
+    p = _plan(fresh_build(cosine_histogram_embeddings, spark, SF_SMOKE))
     assert p.count("Exchange hashpartitioning") <= 1
     assert "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(incremental_dedup_batch(spark, SF_SMOKE))
+    p = _plan(fresh_build(incremental_dedup_batch, spark, SF_SMOKE))
     assert p.count("Exchange hashpartitioning") <= 3
     assert "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(dataset_card_by_source(spark, SF_SMOKE))
+    p = _plan(fresh_build(dataset_card_by_source, spark, SF_SMOKE))
     assert p.count("Exchange hashpartitioning") <= 3
     assert "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(unigram_logprob_documents(spark, SF_SMOKE))
+    p = _plan(fresh_build(unigram_logprob_documents, spark, SF_SMOKE))
     assert "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(triangle_count_trade(spark, SF_SMOKE))
+    p = _plan(fresh_build(triangle_count_trade, spark, SF_SMOKE))
     assert "Cartesian" not in p and "EvalPython" not in p
 
 

@@ -122,7 +122,11 @@ def test_pagerank_broadcast_guard_regimes(spark):
     degrade to keyed-shuffle joins above it — both regimes planned, and
     both producing identical ranks (partitioning must never change the
     integer math)."""
-    small = pagerank_trade_network(spark, SF_SMOKE)
+    from tests.conftest import fresh_build
+
+    # fresh build: a memoized frame may already be executed, whose plan
+    # string is the final AQE form the shape assertions don't expect
+    small = fresh_build(pagerank_trade_network, spark, SF_SMOKE)
     p_small = _plan(small)
     assert "BroadcastHashJoin" in p_small and "Cartesian" not in p_small
 

@@ -123,8 +123,10 @@ def test_audit_sees_through_checkpoints(spark, monkeypatch):
     from efficient_llm_data_wrangling_spark.queries.textquality import (
         bpe_train_rounds,
     )
+    from tests.conftest import fresh_build
 
-    bpe_train_rounds(spark, SF_SMOKE)
+    # bypass the build memo: the interception must observe a REAL build
+    fresh_build(bpe_train_rounds, spark, SF_SMOKE)
     assert len(stage_plans) >= 9  # round 0 + one per training round
     assert sum("replace(sym" in p for p in stage_plans) >= 8
     assert sum("HashAggregate" in p for p in stage_plans) >= 1  # the type histogram

@@ -166,7 +166,9 @@ def test_join_skew_report_window_input_is_histogram(spark):
     the tiny histogram, not the key table."""
     from efficient_llm_data_wrangling_spark.queries.corpusops import join_skew_report
 
-    plan = _plan(join_skew_report(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    plan = _plan(fresh_build(join_skew_report, spark, SF_SMOKE))
     lines = plan.splitlines()
     single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
     assert len(single) == 1, plan  # exactly one global stage
@@ -209,7 +211,9 @@ def test_sessionize_single_exchange(spark):
     the dominant stage at scale."""
     from efficient_llm_data_wrangling_spark.queries.analytics import sessionize_events
 
-    plan = _plan(sessionize_events(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    plan = _plan(fresh_build(sessionize_events, spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
@@ -232,7 +236,9 @@ def test_pivot_explicit_values_single_scan(spark):
         pivot_status_revenue,
     )
 
-    plan = _plan(pivot_status_revenue(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    plan = _plan(fresh_build(pivot_status_revenue, spark, SF_SMOKE))
     assert plan.count("FileScan parquet") == 1
 
 

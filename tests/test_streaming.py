@@ -509,8 +509,12 @@ def test_neardup_gate_band_broadcast_guard_degrades_to_shuffle(spark, monkeypatc
     import efficient_llm_data_wrangling_spark.streaming.ops as S
     from tests.conftest import SF_SMOKE
 
+    from tests.conftest import fresh_build
+
     def rows_and_stream_plan():
-        df = Q.stream_neardup_gate(spark, SF_SMOKE)
+        # fresh builds: the two runs must OBSERVE the patched guard
+        # (and re-run the stream so LAST_QUERY is this run's)
+        df = fresh_build(Q.stream_neardup_gate, spark, SF_SMOKE)
         rows = sorted(tuple(r) for r in df.collect())
         plan = (
             S.LAST_QUERY._jsq.streamingQuery()

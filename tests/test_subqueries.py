@@ -39,7 +39,9 @@ def test_correlated_avg_reuses_agg_partitioning(spark):
     """The join-back keys on l_partkey — the same key the aggregate
     hashed on. The fact table must be exchanged at most once on that
     key: one shuffle feeds both the agg and the join."""
-    plan = _plan(correlated_avg_qty_filter(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    plan = _plan(fresh_build(correlated_avg_qty_filter, spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(l_partkey") <= 1
 

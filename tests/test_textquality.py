@@ -155,23 +155,27 @@ def test_textquality_plan_shapes(spark):
     percentile filtering broadcasts its per-source bounds; BM25
     broadcasts its 1-row stats and compiles top-k to TakeOrdered; PQ
     broadcasts the codeword table. No cartesians, no Python UDFs."""
+    from tests.conftest import fresh_build
+
+    # fresh builds throughout: a memoized frame may already be
+    # executed, whose plan string is the final AQE form
     for df, max_shuffles in [
-        (gopher_quality_filter(spark, SF_SMOKE), 0),
-        (doc_quality_linear_scorer(spark, SF_SMOKE), 0),
-        (domain_cap_documents(spark, SF_SMOKE), 1),
-        (shard_assign_documents(spark, SF_SMOKE), 1),
-        (substring_dedup_windows(spark, SF_SMOKE), 2),
-        (length_percentile_filter_documents(spark, SF_SMOKE), 2),
+        (fresh_build(gopher_quality_filter, spark, SF_SMOKE), 0),
+        (fresh_build(doc_quality_linear_scorer, spark, SF_SMOKE), 0),
+        (fresh_build(domain_cap_documents, spark, SF_SMOKE), 1),
+        (fresh_build(shard_assign_documents, spark, SF_SMOKE), 1),
+        (fresh_build(substring_dedup_windows, spark, SF_SMOKE), 2),
+        (fresh_build(length_percentile_filter_documents, spark, SF_SMOKE), 2),
     ]:
         p = _plan(df)
         assert _shuffles(p) <= max_shuffles, p[:2000]
         assert "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(bm25_top_docs(spark, SF_SMOKE))
+    p = _plan(fresh_build(bm25_top_docs, spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrdered" in p and "Cartesian" not in p and "EvalPython" not in p
 
-    p = _plan(pq_encode_embeddings(spark, SF_SMOKE))
+    p = _plan(fresh_build(pq_encode_embeddings, spark, SF_SMOKE))
     assert "BroadcastHashJoin" in p and "Cartesian" not in p and "EvalPython" not in p
 
     p = _plan(knn_ivf_pq(spark, SF_SMOKE))

@@ -33,7 +33,9 @@ def test_exists_lowers_to_semi_join(spark):
 
 
 def test_q12_single_join_single_agg(spark):
-    df = priority_line_counts(spark, SF_SMOKE)
+    from tests.conftest import fresh_build
+
+    df = fresh_build(priority_line_counts, spark, SF_SMOKE)
     plan = _plan(df)
     # one pass: the high/low split is conditional aggregation, never a
     # union of two scans
@@ -75,7 +77,9 @@ def test_q21_is_single_lineitem_pass(spark):
     """The double-correlated EXISTS/NOT-EXISTS folds into ONE
     per-order aggregate: lineitem must be scanned exactly once (no
     self-joins of the fact table)."""
-    plan = _plan(waiting_supplier_orders(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    plan = _plan(fresh_build(waiting_supplier_orders, spark, SF_SMOKE))
     assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier — once each
 
 

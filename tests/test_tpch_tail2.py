@@ -61,7 +61,9 @@ def test_q6_filters_reach_the_scan(spark):
         forecast_revenue_change,
     )
 
-    plan = _plan(forecast_revenue_change(spark, SF_SMOKE))
+    from tests.conftest import fresh_build
+
+    plan = _plan(fresh_build(forecast_revenue_change, spark, SF_SMOKE))
     assert "PushedFilters: [" in plan
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in plan.split("PushedFilters")[1][:400], plan
