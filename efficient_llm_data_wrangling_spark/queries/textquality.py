@@ -617,8 +617,11 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = (
         docs.select("doc_id", F.length("text").cast("long").alias("n_chars"), "text")
         .withColumn(
+            # one O(n) pass over the string; the transform+substring
+            # form re-scanned the UTF8 bytes per position — O(n^2) per
+            # document (the quality_rank_fusion chardiv measurement)
             "__chars",
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"),
+            F.expr("split(text, '')"),
         )
         .withColumn(
             "__counts",
