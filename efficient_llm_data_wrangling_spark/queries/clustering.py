@@ -1128,9 +1128,17 @@ def _exact_probe_topk(vectors: DataFrame, universe: DataFrame | None = None) -> 
         F.col("vec_id").alias("pid"), F.col("x").alias("px")
     )
     cand = vectors if universe is None else universe
-    base = cand.join(
-        F.broadcast(pb), cand["vec_id"] != pb["pid"]
-    ).select("pid", "vec_id", _sq_dist("x", "px").alias("d"))
+    # materialize the probes x corpus distance frame ONCE: each of the
+    # {_KNNJ_K} election rounds otherwise re-ran the corpus scan and
+    # all 32 unrolled 64-term distances (r13; the checkpoint holds 24
+    # bytes/row — pid, vec_id, d — vs re-reading 512-byte vectors and
+    # re-evaluating the kernels per round, fewer bytes than one extra
+    # scan even at 100 TB, and it spills MEMORY_AND_DISK)
+    base = (
+        cand.join(F.broadcast(pb), cand["vec_id"] != pb["pid"])
+        .select("pid", "vec_id", _sq_dist("x", "px").alias("d"))
+        .localCheckpoint(eager=False)
+    )
     exact_ranks: list[DataFrame] = []
     rem = base
     for _ in range(_KNNJ_K):
